@@ -1,13 +1,263 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§4.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have a DuckDB `oracleSql` twin with identical column names and
+  * identical exact-integer/single-division arithmetic (SURVEY §4), so the
+  * driver's hash compare is bit-stable across engines.
+  */
 object SparkEntry {
+
+  private def tables(s: SparkSession, dir: String): Tables = Tables(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q3ShippingPriority(tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2C analytics core
+    "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(tables(s, d))),
+    "q3_shipping_priority" -> ((s, d) => Analytics.q3ShippingPriority(tables(s, d))),
+    "q5_region_revenue" -> ((s, d) => Analytics.q5RegionRevenue(tables(s, d))),
+    "topk_orders" -> ((s, d) => Analytics.topkOrders(tables(s, d))),
+    "window_running_sum" -> ((s, d) => Analytics.windowRunningSum(tables(s, d))),
+    "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
+    "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
+    "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
+    "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
+    "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
+    "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
+    "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
+    // §2B consumer stream semantics (batch forms)
+    "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
+    "sample_first_per_window" -> ((s, d) => EventOps.sampleFirstPerWindow(tables(s, d))),
+    "last_n_per_key" -> ((s, d) => EventOps.lastNPerKey(tables(s, d))),
+    "rate_tumbling" -> ((s, d) => EventOps.rateTumbling(tables(s, d))),
+    "lag_monitor" -> ((s, d) => EventOps.lagMonitor(tables(s, d))),
+    "resume_from_token" -> ((s, d) => EventOps.resumeFromToken(tables(s, d))),
+    "sessionize" -> ((s, d) => EventOps.sessionize(tables(s, d))),
+    // §2D dedup
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
+    "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(tables(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
+    "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
+    // §2E similarity search
+    "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
+    "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
+    // §2F text analysis
+    "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
+    "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(tables(s, d)))
+  )
+
+  private val centsQty = "cast(round(l_quantity*100) as bigint)"
+  private val centsExt = "cast(round(l_extendedprice*100) as bigint)"
+  private val centsDisc = "cast(round(l_discount*100) as bigint)"
+  private val centsTotal = "cast(round(o_totalprice*100) as bigint)"
+  private val centsValue = "cast(round(value*100) as bigint)"
+  private val revenue = s"cast(sum($centsExt*(100-$centsDisc)) as bigint)"
+  private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** DuckDB twins. Omitted for heuristic/LSH ops (rows-only check):
+    * dedup_minhash, dedup_simhash, ann_lsh_topk, lang_id. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          cast(sum($centsQty) as bigint) AS sum_qty_c,
+          cast(sum($centsExt) as bigint) AS sum_base_c,
+          $revenue AS sum_disc_c,
+          count(*) AS cnt,
+          cast(sum($centsQty) as bigint)/count(*) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date, o_orderpriority,
+          $revenue AS revenue_c
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+        WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1,2,3 ORDER BY revenue_c DESC, l_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $revenue AS revenue_c
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+          JOIN customer ON o_custkey=c_custkey
+          JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+          JOIN nation ON c_nationkey=n_nationkey
+          JOIN region ON n_regionkey=r_regionkey
+        WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue_c DESC, n_name""",
+    "topk_orders" ->
+      s"""SELECT o_orderkey, $centsTotal AS price_c FROM orders
+        ORDER BY price_c DESC, o_orderkey LIMIT 10""",
+    "window_running_sum" ->
+      s"""WITH base AS (SELECT o_custkey, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS o_date,
+          $centsTotal AS price_c FROM orders)
+        SELECT o_custkey, o_orderkey, o_date, price_c,
+          cast(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey) as bigint) AS run_c,
+          cast(rank() OVER (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey) as bigint) AS rnk
+        FROM base ORDER BY o_custkey, o_orderkey""",
+    "distinct_counts" ->
+      """SELECT cast(count(distinct o_custkey) as bigint) AS n_cust,
+          cast(count(distinct o_orderstatus) as bigint) AS n_status,
+          count(*) AS n_orders FROM orders""",
+    "semi_anti_join" ->
+      """SELECT c_custkey,
+          CASE WHEN EXISTS(SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+               THEN cast(1 as bigint) ELSE cast(0 as bigint) END AS has_order
+        FROM customer ORDER BY c_custkey""",
+    "rollup_agg" ->
+      s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+          count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "percentiles" ->
+      s"""WITH s AS (SELECT event_type, $centsValue AS v_c, event_id FROM events),
+        w AS (SELECT event_type, v_c,
+          row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM s)
+        SELECT event_type, q, v_c FROM (
+          SELECT event_type, cast(0.5 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.5)+1
+          UNION ALL
+          SELECT event_type, cast(0.9 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.9)+1
+        ) ORDER BY event_type, q""",
+    "pivot_event_types" ->
+      """SELECT user_id,
+          count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+          count(CASE WHEN event_type='error' THEN 1 END) AS n_error,
+          count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+          count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+          count(CASE WHEN event_type='view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id""",
+    "json_extract" ->
+      """SELECT event_id, cast(json_extract_string(props,'$.k') as bigint) AS k
+        FROM events WHERE cast(json_extract_string(props,'$.k') as bigint) > 50
+        ORDER BY event_id""",
+    "above_avg_filter" ->
+      s"""SELECT o_orderkey, $centsTotal AS price_c FROM orders
+        WHERE $centsTotal > (SELECT cast(sum($centsTotal) as bigint)/count(*) FROM orders)
+        ORDER BY o_orderkey""",
+    "asof_next_marker" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+          CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)
+        SELECT event_id, next_marker FROM (
+          SELECT event_id, event_type,
+            first_value(marker_id IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts_ms ASC, marker_id ASC NULLS LAST
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_marker
+          FROM e)
+        WHERE event_type <> 'error' ORDER BY event_id""",
+    "sample_first_per_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+          epoch_ms(ts)//3600000 AS bucket FROM events)
+        SELECT event_id, user_id, bucket FROM (
+          SELECT event_id, user_id, bucket,
+            row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts_ms, event_id) AS rn
+          FROM e)
+        WHERE rn=1 ORDER BY user_id, bucket""",
+    "last_n_per_key" ->
+      """SELECT event_id, user_id, rn FROM (
+          SELECT event_id, user_id,
+            cast(row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ms(ts) DESC, event_id DESC) as bigint) AS rn
+          FROM events)
+        WHERE rn <= 3 ORDER BY user_id, rn""",
+    "rate_tumbling" ->
+      s"""SELECT epoch_ms(ts)//600000 AS bucket, count(*) AS n,
+          cast(sum($centsValue) as bigint) AS sum_value_c
+        FROM events GROUP BY 1 ORDER BY bucket""",
+    "lag_monitor" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events)
+        SELECT user_id, (SELECT max(ts_ms) FROM e) - max(ts_ms) AS behind_ms,
+          count(*) AS n FROM e GROUP BY user_id ORDER BY user_id""",
+    "resume_from_token" ->
+      """WITH chk AS (SELECT epoch_ms(ts) AS chk_ms, event_id AS chk_id
+          FROM events WHERE event_id=500)
+        SELECT e.event_id FROM events e, chk
+        WHERE epoch_ms(e.ts) > chk.chk_ms
+           OR (epoch_ms(e.ts) = chk.chk_ms AND e.event_id > chk.chk_id)
+        ORDER BY e.event_id""",
+    "sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+          THEN 1 ELSE 0 END AS new_sess FROM l),
+        c AS (SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id) as bigint) AS session_id FROM s)
+        SELECT user_id, session_id, count(*) AS n, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        GROUP BY text ORDER BY keep_id""",
+    "dedup_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id,
+          list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n
+          FROM documents)
+        SELECT id_a, id_b, round(j,4) AS jaccard4 FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(len(list_intersect(a.toks,b.toks)) as bigint)
+              / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) AS j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.95 ORDER BY id_a, id_b""",
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e)
+        SELECT id_a, id_b, round(cos,4) AS cos4 FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_reduce(list_prepend(cast(0.0 as double),
+              list_transform(list_zip(a.v,b.v), p -> p[1]*p[2])), (s,x) -> s+x)
+              / (sqrt(a.norm)*sqrt(b.norm)) AS cos
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
+        q AS (SELECT vec_id AS q_id, v, norm FROM n WHERE vec_id < 10),
+        s AS (SELECT q.q_id, c.vec_id AS n_id,
+          list_reduce(list_prepend(cast(0.0 as double),
+            list_transform(list_zip(q.v,c.v), p -> p[1]*p[2])), (s,x) -> s+x)
+            / (sqrt(q.norm)*sqrt(c.norm)) AS cos
+          FROM q JOIN n c ON q.q_id <> c.vec_id)
+        SELECT q_id, rnk, n_id, round(cos,4) AS cos4 FROM (
+          SELECT q_id, n_id, cos,
+            cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+          FROM s)
+        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z]+') AS toks FROM documents),
+        m AS (SELECT doc_id,
+          cast(length(text) as bigint) AS n_chars,
+          cast(len(toks) as bigint) AS n_words,
+          cast(len(list_filter(toks, tk -> tk IN ('the','a','an','of','in','on','and','to','is','it'))) as bigint) AS n_stop,
+          cast(length(regexp_replace(text,'[^a-zA-Z]','','g')) as bigint) AS n_alpha,
+          cast(length(regexp_replace(text,'[^ ]','','g')) as bigint) AS n_space
+        FROM d)
+        SELECT doc_id, n_chars, n_words, n_stop, n_alpha, n_space,
+          CASE WHEN n_words=0 THEN cast(0.0 as double) ELSE n_stop/n_words END AS stop_ratio,
+          CASE WHEN n_chars=0 THEN cast(0.0 as double) ELSE n_alpha/n_chars END AS alpha_ratio
+        FROM m ORDER BY doc_id""",
+    "token_counts" ->
+      s"""SELECT doc_id,
+          cast(len(regexp_extract_all(text,'\\S+')) as bigint) AS n_ws_tokens,
+          cast(len(regexp_extract_all(text,'$bpePat')) as bigint) AS n_bpe_tokens,
+          CASE WHEN len(regexp_extract_all(text,'$bpePat'))=0 THEN cast(0.0 as double)
+               ELSE cast(length(text) as bigint)/cast(len(regexp_extract_all(text,'$bpePat')) as bigint)
+          END AS chars_per_token
+        FROM documents ORDER BY doc_id""",
+    "fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(cast(0 as bigint),
+          list_transform(regexp_extract_all(text,'.'), c -> cast(ord(c) as bigint))),
+          (h,c) -> (h*31+c) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id"""
+  )
 }

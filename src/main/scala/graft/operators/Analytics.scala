@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Batch analytics core (SURVEY §2C).
+  *
+  * Scale notes: every query is a declarative single-pass plan — filters and
+  * projections push into the parquet scan, aggregations are partial
+  * (map-side) before their one shuffle, dimension tables are broadcast
+  * explicitly, and no operator collects to the driver. At 100 TB the only
+  * material costs here are the lineitem scan and one hash-shuffle each.
+  */
+object Analytics {
+
+  /** C1/C2 — TPC-H Q1-style pricing summary: scan+filter pushdown, hash agg
+    * with exact integer-cent sums, ratio as one double division. */
+  def q1PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("sum_disc_c"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", col("sum_qty_c").cast("double") / col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** C3 — shipping-priority style: selective dim filter, two joins (customer
+    * side broadcast), agg, total-ordered top-k. */
+  def q3ShippingPriority(t: Tables): DataFrame = {
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_c"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"),
+        col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** C4 — snowflake join across all 6 TPC-H-ish tables; all dims broadcast,
+    * the single big-table shuffle is lineitem⋈orders. */
+  def q5RegionRevenue(t: Tables): DataFrame = {
+    val nr = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = t.customer.join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+
+  /** C5 — total-ordered top-k (TakeOrderedAndProject: no global sort). */
+  def topkOrders(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** C6 — window functions: running sum + rank per customer (one shuffle on
+    * o_custkey serves both windows). */
+  def windowRunningSum(t: Tables): DataFrame = {
+    val base = t.orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+      cents(col("o_totalprice")).as("price_c"))
+    val wRun = Window.partitionBy("o_custkey").orderBy(col("o_date"), col("o_orderkey"))
+    val wRank = Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))
+    base
+      .withColumn("run_c", sum("price_c").over(wRun))
+      .withColumn("rnk", rank().over(wRank).cast("long"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C7 — distinct aggregates. */
+  def distinctCounts(t: Tables): DataFrame =
+    t.orders.agg(
+      count_distinct(col("o_custkey")).as("n_cust"),
+      count_distinct(col("o_orderstatus")).as("n_status"),
+      count(lit(1)).as("n_orders"))
+
+  /** C8 — left-semi + left-anti join against the orders fact. */
+  def semiAntiJoin(t: Tables): DataFrame = {
+    val okeys = t.orders.select("o_custkey")
+    val semi = t.customer.join(okeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(1L).as("has_order"))
+    val anti = t.customer.join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(0L).as("has_order"))
+    semi.unionAll(anti).orderBy("c_custkey")
+  }
+
+  /** C9 — rollup over two grouping levels; NULL grouping keys masked so the
+    * oracle comparison is order-stable. */
+  def rollupAgg(t: Tables): DataFrame =
+    t.orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_c"))
+      .orderBy("status", "priority")
+
+  /** C10 — exact discrete percentiles via rank selection (no interpolation ⇒
+    * integer output, zero cross-engine float risk). */
+  def percentiles(t: Tables): DataFrame = {
+    val s = t.events.select(
+      col("event_type"), cents(col("value")).as("v_c"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy(col("v_c"), col("event_id"))
+    val ranked = s
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def pick(q: Double) = ranked
+      .filter(col("rn") === (floor((col("n") - 1) * lit(q)) + 1))
+      .select(col("event_type"), lit(q).as("q"), col("v_c"))
+    pick(0.5).unionAll(pick(0.9)).orderBy("event_type", "q")
+  }
+
+  /** C11 — pivot (conditional aggregation) of event counts per user. */
+  def pivotEventTypes(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(
+        col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy("user_id")
+
+  /** C12 — JSON extraction from the string `props` column. */
+  def jsonExtract(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  /** C13 — scalar-aggregate filter (orders above global average price); the
+    * 1-row average is broadcast, not recomputed per row. */
+  def aboveAvgFilter(t: Tables): DataFrame = {
+    val avgRow = t.orders.agg(
+      (sum(cents(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_c"))
+    t.orders
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .crossJoin(broadcast(avgRow))
+      .filter(col("price_c") > col("avg_c"))
+      .select("o_orderkey", "price_c")
+      .orderBy("o_orderkey")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{words, Sketches}
+import graft.sources.Tables
+
+/** Deduplication family for training-data pipelines (SURVEY §2D).
+  *
+  * Scale notes: exact dedup is one hash-agg shuffle. MinHash/SimHash are
+  * per-row expression trees (codegen, no shuffle) followed by ONE shuffle on
+  * the LSH bucket key — the only scalable way to near-dedup 100 TB. The
+  * exact-Jaccard and cosine pair operators are O(n²) verification oracles
+  * for small SF; at scale they run only on LSH candidate pairs.
+  */
+object Dedup {
+
+  /** D1 — exact dedup: group identical texts, keep the smallest doc_id.
+    * (At 100 TB: group by xxhash64(text) first, re-check text equality
+    * within hash groups to keep the shuffle narrow.) */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  private def tokenized(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      array_distinct(words(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** D2 — exact word-shingle Jaccard near-dup pairs (j >= 0.95). Jaccard of
+    * integer set sizes is an exact rational in double ⇒ bit-identical to the
+    * oracle. Brute pair space, used as ground truth for D3/D4. */
+  def jaccardPairs(t: Tables, threshold: Double = 0.95): DataFrame = {
+    val a = tokenized(t).select(
+      col("doc_id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = tokenized(t).select(
+      col("doc_id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("i", inter)
+      .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard4"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D3 — MinHash LSH candidate pairs: 64 min-hashes in 4 bands x 16 rows
+    * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^16)^4).
+    * Docs sharing any band signature become a candidate pair — ONE shuffle
+    * on (band, sig). Signatures are a tight JVM UDF (Sketches). Rows-only
+    * oracle; DedupSpec checks recall vs exact Jaccard (D2). */
+  def minhashCandidates(t: Tables): DataFrame = {
+    val sigs = tokenized(t)
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        posexplode(Sketches.minhashBandSigs()(col("toks"))).as(Seq("band", "sig")))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D4 — SimHash: 64-bit signature from token hashes (sign-aggregated
+    * bits), candidates = pairs sharing one of four 16-bit chunks (any pair
+    * at Hamming <= 3 must share one by pigeonhole), verified at
+    * Hamming <= maxHamming. Rows-only oracle + spec. */
+  def simhashPairs(t: Tables, maxHamming: Int = 6): DataFrame = {
+    val sigs = tokenized(t)
+      .filter(col("n") > 0)
+      .withColumn("sig", Sketches.simhashSig(col("toks")))
+      .withColumn("chunks", transform(sequence(lit(0), lit(3)),
+        k => struct(k.as("k"),
+          call_function("shiftright", col("sig"), k * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("cv"))))
+      .select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        call_function("bit_count",
+          col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D5 — embedding-cosine near-dup pairs (cos >= 0.4 on this synthetic
+    * set). Double-precision left-fold dot product — bit-identical to the
+    * oracle's list_reduce. Norms precomputed per row (not per pair). */
+  def embeddingPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
+    val vecs = Similarity.withNorm(t.embeddings)
+    val a = vecs.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("norm").as("norm_a"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("norm").as("norm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_a"), col("v_b")) / (sqrt(col("norm_a")) * sqrt(col("norm_b"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** The reference consumer's stream semantics, re-expressed as relational
+  * operators over the `events` table (SURVEY §2B).
+  *
+  * `events.ts` arrives as long nanoseconds (nanosAsLong); every operator
+  * works on exact epoch-ms longs so results are bit-identical to the DuckDB
+  * oracle regardless of timestamp precision.
+  *
+  * Scale notes: each operator is one shuffle on `user_id` (the stream key) —
+  * the same partitioning a 1000-executor cluster would use for keyed stream
+  * state. Nothing here does a driver-side loop or a correlated join: the
+  * as-of association is the union+window trick, which scales linearly.
+  */
+object EventOps {
+
+  private def withMs(t: Tables): DataFrame =
+    t.events.withColumn("ts_ms", nanosToMs(col("ts")))
+
+  /** B1 — forward as-of association, the Spark form of parser.py:421-432
+    * (each packet takes the first tag-set at a position >= its own).
+    * Markers are 'error' events; every other event is associated with the
+    * next marker of the same user. Implemented as ONE window pass over a
+    * union ordering — no join, no correlated subquery. */
+  def asofNextMarker(t: Tables): DataFrame = {
+    val e = withMs(t).select(
+      col("event_id"), col("user_id"), col("ts_ms"), col("event_type"),
+      when(col("event_type") === "error", col("event_id")).as("marker_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("marker_id").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_marker", first(col("marker_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "error")
+      .select("event_id", "next_marker")
+      .orderBy("event_id")
+  }
+
+  /** B2 — time-span sampling (parser.py:460-463): keep the first event per
+    * (user, 1-hour bucket). */
+  def sampleFirstPerWindow(t: Tables): DataFrame = {
+    val e = withMs(t).withColumn("bucket", msBucket(col("ts_ms"), 3600000L))
+    val w = Window.partitionBy("user_id", "bucket").orderBy(col("ts_ms"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "bucket")
+      .orderBy("user_id", "bucket")
+  }
+
+  /** B3 — bounded queue keeping the newest N per key (parser.py:470-481). */
+  def lastNPerKey(t: Tables, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms").desc, col("event_id").desc)
+    withMs(t)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("event_id"), col("user_id"), col("rn").cast("long").as("rn"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** B4 — rate monitoring: counts + value sums per 10-minute tumbling
+    * window (the usage example's frames-per-interval logging,
+    * parser.py:568-575). */
+  def rateTumbling(t: Tables): DataFrame =
+    withMs(t)
+      .withColumn("bucket", msBucket(col("ts_ms"), 600000L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("bucket")
+
+  /** B5 — lag monitoring (MILLIS_BEHIND_NOW analog): per-user newest event
+    * vs the global stream head. The global max is a 1-row broadcast. */
+  def lagMonitor(t: Tables): DataFrame = {
+    val e = withMs(t)
+    val head = e.agg(max(col("ts_ms")).as("head_ms"))
+    e.groupBy("user_id")
+      .agg(max(col("ts_ms")).as("user_max_ms"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(head))
+      .select(
+        col("user_id"),
+        (col("head_ms") - col("user_max_ms")).as("behind_ms"),
+        col("n"))
+      .orderBy("user_id")
+  }
+
+  /** B6 — continuation-token resume (parser.py:292-303): return the stream
+    * strictly after checkpoint event 500, ordered. The checkpoint row is a
+    * broadcast scalar, the filter pushes to the scan. */
+  def resumeFromToken(t: Tables, tokenEventId: Long = 500L): DataFrame = {
+    val e = withMs(t)
+    val chk = e.filter(col("event_id") === tokenEventId)
+      .select(col("ts_ms").as("chk_ms"), col("event_id").as("chk_id"))
+    e.crossJoin(broadcast(chk))
+      .filter(col("ts_ms") > col("chk_ms") ||
+        (col("ts_ms") === col("chk_ms") && col("event_id") > col("chk_id")))
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
+  /** B7 — sessionization (reconnect epochs, parser.py:178-269): a new
+    * session whenever a user is silent > 1 hour; per-session aggregates. */
+  def sessionize(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    withMs(t)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 3600000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+}

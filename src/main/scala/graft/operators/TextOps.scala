@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.words
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2F).
+  *
+  * Everything is per-row `functions._` composition — whole-stage-codegen'd,
+  * no UDFs, so a 100 TB documents scan stays CPU-bound in generated code
+  * with full column pruning (only `doc_id`,`text` are read).
+  */
+object TextOps {
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "of", "in", "on", "and", "to", "is", "it")
+
+  /** F1 — quality scoring: exact integer counts + single-division ratios. */
+  def textQuality(t: Tables): DataFrame = {
+    val toks = words(col("text"))
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks, tk => tk.isin(StopWords: _*))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val nSpace = length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+    t.documents.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      nStop.as("n_stop"),
+      nAlpha.as("n_alpha"),
+      nSpace.as("n_space"),
+      when(nWords === 0L, lit(0.0)).otherwise(nStop.cast("double") / nWords)
+        .as("stop_ratio"),
+      when(nChars === 0L, lit(0.0)).otherwise(nAlpha.cast("double") / nChars)
+        .as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCounts(t: Tables): DataFrame = {
+    val nWs = size(call_function("regexp_extract_all", col("text"), lit("\\S+"), lit(0)))
+      .cast("long")
+    val nBpe = size(call_function("regexp_extract_all", col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    t.documents.select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      when(nBpe === 0L, lit(0.0)).otherwise(nChars.cast("double") / nBpe)
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** F3 — document fingerprint: polynomial rolling hash over codepoints,
+    * h = (h*31 + code) mod 1e9+7, exact in int64 (max step < 2^35). */
+  def fingerprint(t: Tables): DataFrame = {
+    val chars = call_function("regexp_extract_all", col("text"), lit("."), lit(0))
+    val fp = aggregate(chars, lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % 1000000007L)
+    t.documents.select(col("doc_id"), fp.as("fp")).orderBy("doc_id")
+  }
+
+  /** F4 — heuristic language ID from function-word profiles + CJK charset.
+    * Rows-only oracle (heuristic has no SQL ground truth); the spec checks
+    * determinism and schema. */
+  def langId(t: Tables): DataFrame = {
+    def hits(ws: Seq[String]): Column =
+      size(filter(words(col("text")), tk => tk.isin(ws: _*))).cast("long")
+    val en = hits(Seq("the", "and", "of", "to", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "los"))
+    val fr = hits(Seq("le", "les", "des", "et", "une"))
+    val de = hits(Seq("der", "die", "das", "und", "nicht"))
+    val zh = length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).cast("long")
+    val best = greatest(en, es, fr, de, zh)
+    t.documents.select(
+      col("doc_id"),
+      when(best === 0L, lit("und"))
+        .when(zh === best, lit("zh"))
+        .when(en === best, lit("en"))
+        .when(es === best, lit("es"))
+        .when(fr === best, lit("fr"))
+        .otherwise(lit("de")).as("pred_lang"),
+      col("lang").as("true_lang"))
+      .orderBy("doc_id")
+  }
+}
