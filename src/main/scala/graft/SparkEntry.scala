@@ -51,6 +51,10 @@ object SparkEntry {
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
+    // §2G multimodal / EBML
+    "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
+    "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
+    "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -258,6 +262,24 @@ object SparkEntry {
       """SELECT doc_id, list_reduce(list_prepend(cast(0 as bigint),
           list_transform(regexp_extract_all(text,'.'), c -> cast(ord(c) as bigint))),
           (h,c) -> (h*31+c) % 1000000007) AS fp
-        FROM documents ORDER BY doc_id"""
+        FROM documents ORDER BY doc_id""",
+    "mm_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) AS producer_ms,
+          cast(round(value*100) as bigint) AS value_c, user_id,
+          'tok-'||cast(event_id as varchar) AS token
+        FROM events ORDER BY event_id""",
+    "mm_elements" ->
+      """SELECT event_id, cast(31 as bigint) AS n_elements,
+          541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
+            + length(cast(user_id as varchar))
+            + length(cast(cast(round(value*100) as bigint) as varchar))
+            + length(props) AS blob_len
+        FROM events ORDER BY event_id""",
+    "mm_features" ->
+      """SELECT event_id, length(props) AS frame_bytes,
+          cast(json_extract_string(props,'$.k') as bigint) AS k,
+          cast(len(list_distinct(regexp_extract_all(props,'.'))) as bigint) AS n_distinct_chars,
+          (length(props)+15)//16 AS height
+        FROM events ORDER BY event_id"""
   )
 }

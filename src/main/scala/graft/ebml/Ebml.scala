@@ -1,0 +1,257 @@
+package graft.ebml
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** EBML (Matroska) parsing and writing over in-memory byte arrays.
+  *
+  * Re-expresses the reference's non-seekable stream parser
+  * (/root/reference/ebml.py:152-349) for Spark's execution model: instead
+  * of one thread walking one endless socket, each row carries a fragment
+  * blob (`binary` column) and a codegen-adjacent JVM kernel parses it —
+  * embarrassingly parallel across 100 TB of fragments.
+  *
+  * Semantics covered from the reference:
+  *  - varint element IDs, 1-4 bytes (ebml.py:185-197)
+  *  - varint sizes, 1-8 bytes, unknown-size sentinel → -1 (ebml.py:199-247)
+  *  - typed payloads SINT/UINT/FLOAT/STRING/UTF8/DATE/MASTER/BINARY
+  *    (ebml.py:307-349), DATE = ns since 2001-01-01 (ebml.py:339-342)
+  *  - id→(name,type) table, Matroska subset (ebml.py:14-122)
+  *  - absolute-position tracking (ebml.py:164,175-183) — the key the
+  *    reference uses to associate tags with packets (parser.py:421-432)
+  *  - TagName/TagString pair extraction (parser.py:352-366)
+  *
+  * The writer is the inverse (the reference has none — it is what lets us
+  * test the parser hermetically and carry multimodal payloads). It emits
+  * sizes as fixed 8-byte varints, which is valid EBML and keeps fragment
+  * layout arithmetic linear (SURVEY §2G oracle strategy).
+  */
+object Ebml {
+
+  // element value types — same ordinals as the reference (ebml.py:11)
+  final val SINT = 0; final val UINT = 1; final val FLOAT = 2; final val STRING = 3
+  final val UTF8 = 4; final val DATE = 5; final val MASTER = 6; final val BINARY = 7
+
+  /** Matroska id→(name,type) subset (ebml.py:14-122). */
+  val IdTable: Map[Long, (String, Int)] = Map(
+    0x1a45dfa3L -> ("EBML", MASTER),
+    0x4286L -> ("EBMLVersion", UINT),
+    0x42f7L -> ("EBMLReadVersion", UINT),
+    0x4282L -> ("DocType", UTF8),
+    0x4287L -> ("DocTypeVersion", UINT),
+    0x4285L -> ("DocTypeReadVersion", UINT),
+    0x18538067L -> ("Segment", MASTER),
+    0x1549a966L -> ("Info", MASTER),
+    0x2ad7b1L -> ("TimecodeScale", UINT),
+    0x4489L -> ("Duration", FLOAT),
+    0x4461L -> ("DateUTC", DATE),
+    0x7ba9L -> ("Title", UTF8),
+    0x4d80L -> ("MuxingApp", UTF8),
+    0x5741L -> ("WritingApp", UTF8),
+    0x1654ae6bL -> ("Tracks", MASTER),
+    0xaeL -> ("TrackEntry", MASTER),
+    0xd7L -> ("TrackNumber", UINT),
+    0x73c5L -> ("TrackUID", UINT),
+    0x83L -> ("TrackType", UINT),
+    0x23e383L -> ("DefaultDuration", UINT),
+    0x536eL -> ("Name", STRING),
+    0x22b59cL -> ("Language", STRING),
+    0x86L -> ("CodecID", STRING),
+    0x63a2L -> ("CodecPrivate", BINARY),
+    0xe0L -> ("Video", MASTER),
+    0xb0L -> ("PixelWidth", UINT),
+    0xbaL -> ("PixelHeight", UINT),
+    0xe1L -> ("Audio", MASTER),
+    0xb5L -> ("SamplingFrequency", FLOAT),
+    0x9fL -> ("Channels", UINT),
+    0x1254c367L -> ("Tags", MASTER),
+    0x7373L -> ("Tag", MASTER),
+    0x63c0L -> ("Targets", MASTER),
+    0x67c8L -> ("SimpleTag", MASTER),
+    0x45a3L -> ("TagName", UTF8),
+    0x447aL -> ("TagLanguage", STRING),
+    0x4487L -> ("TagString", UTF8),
+    0x4485L -> ("TagBinary", BINARY),
+    0x1f43b675L -> ("Cluster", MASTER),
+    0xe7L -> ("Timecode", UINT),
+    0xa7L -> ("Position", UINT),
+    0xa0L -> ("BlockGroup", MASTER),
+    0xa1L -> ("Block", BINARY),
+    0xa3L -> ("SimpleBlock", BINARY),
+    0x9bL -> ("BlockDuration", UINT)
+  )
+
+  /** One parsed element head + decoded scalar value (masters recurse). */
+  final case class Element(
+      id: Long, name: String, typ: Int, size: Long, position: Long,
+      longValue: Long, doubleValue: Double, stringValue: String,
+      bytesValue: Array[Byte])
+
+  final class EbmlException(msg: String) extends RuntimeException(msg)
+
+  // ---- reader ----------------------------------------------------------
+
+  /** Read a varint element ID at `pos` (marker bits kept, ebml.py:185-197).
+    * Returns (id, bytesConsumed). */
+  def readId(buf: Array[Byte], pos: Int): (Long, Int) = {
+    val b1 = buf(pos) & 0xff
+    val len =
+      if ((b1 & 0x80) != 0) 1
+      else if ((b1 & 0x40) != 0) 2
+      else if ((b1 & 0x20) != 0) 3
+      else if ((b1 & 0x10) != 0) 4
+      else throw new EbmlException(f"invalid element ID (leading byte 0x$b1%02X)")
+    var id = 0L
+    var i = 0
+    while (i < len) { id = (id << 8) | (buf(pos + i) & 0xffL); i += 1 }
+    (id, len)
+  }
+
+  /** Read a varint size at `pos` (marker bit stripped; unknown-size
+    * sentinel → -1; ebml.py:199-247). Returns (size, bytesConsumed). */
+  def readSize(buf: Array[Byte], pos: Int): (Long, Int) = {
+    val b1 = buf(pos) & 0xff
+    var len = 0
+    var mask = 0x80
+    while (len < 8 && (b1 & mask) == 0) { len += 1; mask >>= 1 }
+    if (len == 8 && (b1 & 1) == 0) throw new EbmlException("undefined element size")
+    len += 1
+    var s = (b1 & (mask - 1)).toLong
+    var i = 1
+    while (i < len) { s = (s << 8) | (buf(pos + i) & 0xffL); i += 1 }
+    val allOnes = (1L << (7 * len)) - 1
+    (if (s == allOnes) -1L else s, len)
+  }
+
+  private def readUint(buf: Array[Byte], pos: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (buf(pos + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def readSint(buf: Array[Byte], pos: Int, n: Int): Long = {
+    val u = readUint(buf, pos, n)
+    val nbits = 8 * n
+    if (n < 8 && u >= (1L << (nbits - 1))) u - (1L << nbits) else u
+  }
+
+  /** Walk all elements depth-first (masters recursed into), tracking the
+    * absolute position of each element head — the reference's
+    * `ebmlReader.Position` key. Truncated trailing garbage ends the walk
+    * (stream semantics). */
+  def elements(buf: Array[Byte]): Seq[Element] = {
+    val out = new ArrayBuffer[Element]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      var open = true
+      while (open && pos < to) try {
+        val start = pos
+        val (id, idLen) = readId(buf, pos)
+        pos += idLen
+        val (size, szLen) = readSize(buf, pos)
+        pos += szLen
+        val (name, typ) = IdTable.getOrElse(id, (null, BINARY))
+        val end =
+          if (size < 0) to // unknown-size master: runs to container end
+          else (pos + size.toInt).min(to)
+        typ match {
+          case MASTER =>
+            out += Element(id, name, typ, size, start, 0L, 0.0, null, null)
+            walk(pos, end)
+          case UINT =>
+            out += Element(id, name, typ, size, start, readUint(buf, pos, size.toInt), 0.0, null, null)
+          case SINT =>
+            out += Element(id, name, typ, size, start, readSint(buf, pos, size.toInt), 0.0, null, null)
+          case FLOAT =>
+            val d =
+              if (size == 4) java.lang.Float.intBitsToFloat(readUint(buf, pos, 4).toInt).toDouble
+              else java.lang.Double.longBitsToDouble(readUint(buf, pos, 8))
+            out += Element(id, name, typ, size, start, 0L, d, null, null)
+          case DATE =>
+            // ns since 2001-01-01 (ebml.py:339-342) → keep raw ns in longValue
+            out += Element(id, name, typ, size, start, readSint(buf, pos, size.toInt), 0.0, null, null)
+          case STRING | UTF8 =>
+            val s = new String(buf, pos, size.toInt, StandardCharsets.UTF_8)
+            out += Element(id, name, typ, size, start, 0L, 0.0, s, null)
+          case _ =>
+            val b = java.util.Arrays.copyOfRange(buf, pos, pos + size.toInt)
+            out += Element(id, name, typ, size, start, 0L, 0.0, null, b)
+        }
+        pos = end
+      } catch {
+        // truncated tail / garbage: stop like the reference's stream-end
+        // handling (ebml.py:282-302 tolerates malformed heads)
+        case _: EbmlException | _: ArrayIndexOutOfBoundsException => open = false
+      }
+    }
+    walk(0, buf.length)
+    out.toSeq
+  }
+
+  /** TagName/TagString pairs in document order (parser.py:352-366). */
+  def tags(buf: Array[Byte]): Map[String, String] = {
+    var lastName: String = null
+    val m = Map.newBuilder[String, String]
+    elements(buf).foreach { e =>
+      if (e.name == "TagName") lastName = e.stringValue
+      else if (e.name == "TagString" && lastName != null) m += lastName -> e.stringValue
+    }
+    m.result()
+  }
+
+  /** Payloads of all SimpleBlock/Block elements (parser.py demuxes these
+    * through libav; we surface the raw block for downstream decode). */
+  def blocks(buf: Array[Byte]): Seq[Array[Byte]] =
+    elements(buf).collect { case e if e.name == "SimpleBlock" || e.name == "Block" => e.bytesValue }
+
+  // ---- writer ----------------------------------------------------------
+
+  /** Write an element id (marker bits are part of the id value). */
+  private def writeId(out: ByteArrayOutputStream, id: Long): Unit = {
+    val len = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2 else if (id <= 0xffffffL) 3 else 4
+    var i = len - 1
+    while (i >= 0) { out.write(((id >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  /** Fixed 8-byte size varint (valid, non-minimal; keeps layout linear). */
+  private def writeSize8(out: ByteArrayOutputStream, size: Long): Unit = {
+    out.write(0x01)
+    var i = 6
+    while (i >= 0) { out.write(((size >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  def element(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(payload.length + 12)
+    writeId(out, id)
+    writeSize8(out, payload.length.toLong)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  def uintBytes(v: Long, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var i = 0
+    while (i < n) { b(n - 1 - i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream(parts.map(_.length).sum)
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  def simpleTag(name: String, value: String): Array[Byte] =
+    element(0x67c8L, concat(element(0x45a3L, utf8(name)), element(0x4487L, utf8(value))))
+
+  /** A SimpleBlock with the reference-observed lacing-free layout: track
+    * vint 0x81, int16 relative timecode, flags byte, then frame bytes. */
+  def simpleBlock(frame: Array[Byte], relTimecodeMs: Int = 0): Array[Byte] = {
+    val header = Array[Byte](0x81.toByte,
+      ((relTimecodeMs >> 8) & 0xff).toByte, (relTimecodeMs & 0xff).toByte, 0x80.toByte)
+    element(0xa3L, concat(header, frame))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ebml.EbmlFunctions
+import graft.functions._
+import graft.sources.Tables
+
+/** Multimodal binary-column operators (SURVEY §2G).
+  *
+  * Testdata has no binary column, so each query first materializes one
+  * deterministically: every events row becomes a Kinesis-video-style MKV
+  * fragment via the EBML writer. Everything downstream then works on real
+  * `binary` data — parse, tag-extract, block-walk, decode-stub — which is
+  * exactly the shape of an image/audio pipeline at 100 TB (opaque bytes +
+  * typed metadata, per-row kernels, no shuffle until aggregation).
+  */
+object Multimodal {
+
+  private def withBlob(t: Tables): DataFrame =
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .withColumn("blob", EbmlFunctions.encodeFragment(
+        col("event_id"), col("ts_ms"), col("user_id"),
+        cents(col("value")), col("props")))
+
+  /** G1/A6 — full round-trip: encode a fragment, parse the AWS tag set
+    * back out (parser.py:30-37, 352-366), surface typed fields. The oracle
+    * reads the same values straight from the source rows — any parser or
+    * writer defect breaks the hash match. */
+  def mmRoundtrip(t: Tables): DataFrame =
+    withBlob(t)
+      .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
+      .select(
+        col("tg.fragment_number").cast("long").as("event_id"),
+        col("tg.producer_ts").cast("long").as("producer_ms"),
+        col("tg.value_cents").cast("long").as("value_c"),
+        col("tg.user_id").cast("long").as("user_id"),
+        col("tg.continuation_token").as("token"))
+      .orderBy("event_id")
+
+  /** G3/A7 — element walk with positions (ebml.py Position semantics):
+    * per-fragment element count and byte length. The oracle recomputes the
+    * byte length arithmetically from the fixed fragment layout. */
+  def mmElements(t: Tables): DataFrame =
+    withBlob(t)
+      .withColumn("els", EbmlFunctions.parseElements(col("blob")))
+      .select(
+        col("event_id"),
+        size(col("els")).cast("long").as("n_elements"),
+        length(col("blob")).cast("long").as("blob_len"))
+      .orderBy("event_id")
+
+  /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame
+    * payload, "decode" it (UTF-8 — stands in for an image codec, which
+    * this container lacks), and compute deterministic features. The
+    * Spark-side plumbing (binary column, block walk, per-row decode,
+    * feature schema) is real; only the codec is faked. */
+  def mmFeatures(t: Tables): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withBlob(t)
+      .withColumn("frame", frame)
+      .withColumn("decoded", decode(col("frame"), "UTF-8"))
+      .select(
+        col("event_id"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        get_json_object(col("decoded"), "$.k").cast("long").as("k"),
+        size(array_distinct(
+          call_function("regexp_extract_all", col("decoded"), lit("."), lit(0))))
+          .cast("long").as("n_distinct_chars"),
+        intDiv(length(col("frame")).cast("long") + 15L, 16L).as("height"))
+      .orderBy("event_id")
+  }
+}

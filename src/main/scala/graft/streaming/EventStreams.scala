@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the consumer's live behaviors (SURVEY
+  * §2B8/§2B9).
+  *
+  * The reference runs one reader thread per stream and mutates shared
+  * queues under locks (parser.py:313-386, 452-486). The Spark-native form
+  * is a streaming DataFrame keyed by stream/user id: watermarked windowed
+  * aggregation replaces the rate logger, and flatMapGroupsWithState's
+  * per-key state replaces the lock-guarded bounded frame queue — the same
+  * code distributes to 1000 executors because state lives per key, not
+  * per process.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class QueueOut(user_id: Long, event_id: Long, queue_len: Int)
+
+  /** B8 — frame-rate monitoring as a watermarked tumbling-window count
+    * (the streaming twin of EventOps.rateTumbling). Late data beyond 1
+    * minute is dropped exactly like the reference's fire-and-forget
+    * logging. */
+  def windowedRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
+    * streaming state: each update emits the event with its position in the
+    * queue; the state never exceeds `maxLen`. */
+  def boundedQueue(events: Dataset[Event], maxLen: Int = 3): Dataset[QueueOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], QueueOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[Long]]) =>
+          var q = state.getOption.getOrElse(Nil)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            q = (e.event_id :: q).take(maxLen) // newest-first, drop oldest
+            QueueOut(userId, e.event_id, q.length)
+          }
+          state.update(q)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ebml
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ebml.Ebml._
+
+class EbmlSpec extends AnyFunSuite {
+
+  test("varint ids decode at 1-4 byte widths (ebml.py:185-197)") {
+    assert(readId(Array(0x81.toByte), 0) == (0x81L, 1))
+    assert(readId(Array(0x42.toByte, 0x86.toByte), 0) == (0x4286L, 2))
+    assert(readId(Array(0x2a.toByte, 0xd7.toByte, 0xb1.toByte), 0) == (0x2ad7b1L, 3))
+    assert(readId(Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte), 0) ==
+      (0x1a45dfa3L, 4))
+    intercept[EbmlException](readId(Array(0x00.toByte), 0))
+  }
+
+  test("varint sizes decode, strip markers, flag unknown (ebml.py:199-247)") {
+    assert(readSize(Array(0x81.toByte), 0) == (1L, 1))
+    assert(readSize(Array(0x42.toByte, 0x00.toByte), 0) == (0x200L, 2))
+    // fixed 8-byte encoding used by the writer
+    val eight = Array[Byte](0x01, 0, 0, 0, 0, 0, 0, 0x2a)
+    assert(readSize(eight, 0) == (42L, 8))
+    // unknown-size sentinels: all value bits set
+    assert(readSize(Array(0xff.toByte), 0) == (-1L, 1))
+    assert(readSize(Array(0x7f.toByte, 0xff.toByte), 0) == (-1L, 2))
+    intercept[EbmlException](readSize(Array(0x00.toByte), 0))
+  }
+
+  test("typed payloads: uint, float, utf8, date (ebml.py:307-349)") {
+    val f8 = element(0x4489L, {
+      val bits = java.lang.Double.doubleToLongBits(2.5)
+      uintBytes(bits, 8)
+    })
+    val ts = element(0xe7L, uintBytes(123456789L, 8))
+    val title = element(0x7ba9L, utf8("graft"))
+    val date = element(0x4461L, uintBytes(1000L, 8)) // ns since 2001
+    val els = elements(concat(f8, ts, title, date))
+    assert(els.map(_.name) == Seq("Duration", "Timecode", "Title", "DateUTC"))
+    assert(els(0).doubleValue == 2.5)
+    assert(els(1).longValue == 123456789L)
+    assert(els(2).stringValue == "graft")
+    assert(els(3).longValue == 1000L)
+  }
+
+  test("fragment round-trip: tags and positions (parser.py:352-366)") {
+    val blob = EbmlFunctions.buildFragment(42L, 1700000000123L, 7L, 1234L, """{"k": 9}""")
+    val tg = Ebml.tags(blob)
+    assert(tg(EbmlFunctions.FragmentNumber) == "42")
+    assert(tg(EbmlFunctions.ProducerTs) == "1700000000123")
+    assert(tg(EbmlFunctions.ServerTs) == "1700000000123")
+    assert(tg(EbmlFunctions.MillisBehind) == "0")
+    assert(tg(EbmlFunctions.ContinuationToken) == "tok-42")
+    assert(tg(EbmlFunctions.UserIdTag) == "7")
+    assert(tg(EbmlFunctions.ValueCentsTag) == "1234")
+
+    val els = elements(blob)
+    assert(els.length == 31)
+    // positions strictly increase and stay in range (ebml.py Position)
+    assert(els.map(_.position) == els.map(_.position).sorted)
+    assert(els.head.position == 0 && els.last.position < blob.length)
+    assert(els.head.name == "EBML")
+    assert(els.count(_.name == "SimpleTag") == 7)
+  }
+
+  test("block payload survives the SimpleBlock header (parser.py demux)") {
+    val blob = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "payload-bytes")
+    val bs = blocks(blob)
+    assert(bs.length == 1)
+    assert(new String(bs.head.drop(4), "UTF-8") == "payload-bytes")
+  }
+
+  test("unknown-size master runs to container end") {
+    // Segment with unknown size (0xFF) containing one Timecode element
+    val inner = element(0xe7L, uintBytes(5L, 8))
+    val seg = concat(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte,
+      0xff.toByte), inner)
+    val els = elements(seg)
+    assert(els.map(_.name) == Seq("Segment", "Timecode"))
+    assert(els(0).size == -1L)
+    assert(els(1).longValue == 5L)
+  }
+
+  test("truncated tail stops the walk instead of throwing (stream end)") {
+    val blob = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "x")
+    val truncated = blob ++ Array(0x42.toByte) // dangling partial head
+    assert(elements(truncated).length == elements(blob).length)
+    val cut = blob.take(blob.length / 2)
+    assert(elements(cut).nonEmpty) // parses the intact prefix
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Hashing
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup keeps one row per distinct text") {
+    val out = Dedup.dedupExact(t).collect()
+    val docs = t.documents.count()
+    assert(out.map(_.getLong(1)).sum == docs)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+  }
+
+  test("minhash candidates recall >= 0.8 against exact jaccard >= 0.95") {
+    val ground = Dedup.jaccardPairs(t, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ground.nonEmpty, "ground truth must not be empty at sf0.001")
+    val recall = ground.intersect(cand).size.toDouble / ground.size
+    info(s"minhash recall@j>=0.95 = $recall (ground=${ground.size}, cand=${cand.size})")
+    assert(recall >= 0.8)
+  }
+
+  test("simhash pairs respect the hamming bound and signature definition") {
+    val rows = Dedup.simhashPairs(t).collect()
+    assert(rows.forall(_.getLong(2) <= 6))
+    // recompute one signature by hand and check a self-consistent pair
+    val doc = t.documents.limit(1).collect().head
+    val toks = "[a-z]+".r.findAllIn(doc.getString(1).toLowerCase).toSeq.distinct
+    val counts = new Array[Int](64)
+    toks.foreach { tk =>
+      val h = Hashing.hashString(tk)
+      (0 until 64).foreach(j => if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+    }
+    var expected = 0L
+    (0 until 64).foreach(j => if (counts(j) > 0) expected |= (1L << j))
+    // the same computation through the UDF path must agree
+    import org.apache.spark.sql.functions._
+    val viaUdf = t.documents.filter(col("doc_id") === doc.getLong(0))
+      .select(graft.functions.Sketches.simhashSig(
+        array_distinct(graft.functions.words(col("text"))))).collect().head.getLong(0)
+    assert(viaUdf == expected)
+  }
+
+  test("embedding near-dup pairs are symmetric-safe and above threshold") {
+    val rows = Dedup.embeddingPairs(t).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.4 - 1e-9))
+  }
+}

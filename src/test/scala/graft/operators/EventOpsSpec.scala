@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+
+  private lazy val raw = t.events
+    .selectExpr("event_id", "user_id", "ts div 1000000 as ts_ms", "event_type")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("asof association matches a brute-force recompute (parser.py:421-432)") {
+    val markers = raw.filter(_._4 == "error")
+    val expected = raw.filter(_._4 != "error").map { case (id, u, ms, _) =>
+      val nexts = markers.filter(m => m._2 == u && m._3 >= ms)
+      val next =
+        if (nexts.isEmpty) null
+        else {
+          val minTs = nexts.map(_._3).min
+          java.lang.Long.valueOf(nexts.filter(_._3 == minTs).map(_._1).min)
+        }
+      id -> next
+    }.toMap
+    val got = EventOps.asofNextMarker(t).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .toMap
+    assert(got.size == expected.size)
+    val diffs = expected.filter { case (k, v) => got(k) != v }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
+
+  test("bounded queue keeps the newest N per user (parser.py:470-481)") {
+    val got = EventOps.lastNPerKey(t, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = got.groupBy(_._2)
+    assert(byUser.values.forall(_.length <= 3))
+    // rank 1 is the globally newest event of that user
+    val newest = raw.groupBy(_._2).map { case (u, es) => u -> es.maxBy(e => (e._3, e._1))._1 }
+    byUser.foreach { case (u, es) =>
+      assert(es.find(_._3 == 1L).get._1 == newest(u))
+    }
+  }
+
+  test("sessions split exactly on >1h silence") {
+    val sessions = EventOps.sessionize(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 - a._5 > 3600000L) // next start vs prev end
+        case _ =>
+      }
+      // inside a session no gap exceeds 1h: bounded by construction, spot
+      // check via count parity with raw events
+    }
+    assert(sessions.map(_._3).sum == raw.length)
+  }
+
+  test("resume-from-token returns exactly the strict suffix") {
+    val chk = raw.find(_._1 == 500L).get
+    val expected = raw.filter(e => e._3 > chk._3 || (e._3 == chk._3 && e._1 > 500L))
+      .map(_._1).sorted.toSeq
+    val got = EventOps.resumeFromToken(t).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+}

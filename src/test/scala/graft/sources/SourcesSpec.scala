@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** C14/C15 — source/sink round-trips with explicit schemas and partitioned
+  * writes (the frame-persistence analog, parser.py:483-486). */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-sources").toString
+
+  test("csv round-trip with explicit schema") {
+    val dir = tmp() + "/csv"
+    val src = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read
+      .schema("o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
+      .option("header", "true").csv(dir)
+    assert(back.count() == src.count())
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ==
+      src.agg(sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("json round-trip preserves values") {
+    val dir = tmp() + "/json"
+    val src = t.customer
+    src.write.json(dir)
+    val back = spark.read
+      .schema("c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
+      .json(dir)
+    assert(back.count() == src.count())
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp() + "/part"
+    t.events.withColumn("etype", col("event_type"))
+      .write.partitionBy("etype").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("etype") === "click")
+    assert(one.count() == t.events.filter(col("event_type") === "click").count())
+    // partition pruning must reach the scan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .exists(_.contains("etype=click")))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, QueueOut}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowed rates aggregate a live stream like the batch form (B8)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedRates(input.toDF())
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 11, "click", 1.0),
+        Event(3, ts(11), 10, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql("select event_type, sum(n) from rates group by 1 order by 1")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSet == Set(("click", 2L), ("view", 1L)))
+    } finally query.stop()
+  }
+
+  test("stateful bounded queue caps per-key state (B9, parser.py:470-481)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.boundedQueue(input.toDS(), maxLen = 3)
+      .writeStream.format("memory").queryName("queue")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 5).map(i => Event(i.toLong, ts(i), 42, "click", 1.0)): _*)
+      query.processAllAvailable()
+      val rows = spark.sql("select event_id, queue_len from queue order by event_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.map(_._1).toSeq == (1L to 5L))
+      assert(rows.map(_._2).toSeq == Seq(1, 2, 3, 3, 3)) // capped at 3
+    } finally query.stop()
+  }
+}
