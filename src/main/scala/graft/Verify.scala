@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS) — read as long nanos (exact)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local small files: split scans so every core participates
+      // (cluster deploys keep the 128m default)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

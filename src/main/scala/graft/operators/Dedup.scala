@@ -25,22 +25,38 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  private def tokenized(t: Tables): DataFrame =
+  private def tokenized(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    // sorted distinct token sets: lets the pair stage use the linear-merge
+    // graft_intersect_size instead of per-pair hash-set building
     t.documents.select(
       col("doc_id"),
-      array_distinct(words(col("text"))).as("toks"))
+      array_sort(array_distinct(words(col("text")))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+  }
 
   /** D2 — exact word-shingle Jaccard near-dup pairs (j >= 0.95). Jaccard of
     * integer set sizes is an exact rational in double ⇒ bit-identical to the
     * oracle. Brute pair space, used as ground truth for D3/D4. */
   def jaccardPairs(t: Tables, threshold: Double = 0.95): DataFrame = {
-    val a = tokenized(t).select(
-      col("doc_id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a"))
-    val b = tokenized(t).select(
-      col("doc_id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b"))
-    val inter = size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
-    a.join(b, col("id_a") < col("id_b"))
+    // explicit-count repartition: (1) spreads the O(n²) nested-loop join
+    // across all cores — with an advisory (no-count) repartition AQE
+    // coalesces these few-KB partitions back to one and the join runs
+    // single-threaded; (2) acts as a barrier so tokenization runs once per
+    // doc, not per pair
+    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    // pre-hash tokens to sorted longs: the pair-join condition then runs a
+    // primitive merge loop with zero allocation (collision odds over the
+    // whole corpus ~1e-10 — accepted; the oracle stays on string sets)
+    val hashed = tokenized(t).withColumn("toks_h",
+      array_sort(transform(col("toks"), tk => xxhash64(tk))))
+    val a = hashed.select(
+      col("doc_id").as("id_a"), col("toks_h").as("toks_a"), col("n").as("n_a"))
+      .repartition(cores * 4, col("id_a"))
+    val b = hashed.select(
+      col("doc_id").as("id_b"), col("toks_h").as("toks_b"), col("n").as("n_b"))
+    val inter = call_function("graft_intersect_long_size", col("toks_a"), col("toks_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("i", inter)
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
@@ -80,14 +96,18 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("cv"))))
       .select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
+    // hamming test INSIDE the join condition: chunk collisions on
+    // near-uniform corpora are hot, so filtering before materializing
+    // (and before the distinct) keeps the pair stream narrow
     sigs.as("x").join(sigs.as("y"),
         col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          call_function("bit_count",
+            col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         call_function("bit_count",
           col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
