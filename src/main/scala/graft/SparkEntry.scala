@@ -27,6 +27,8 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, d) => Analytics.q5RegionRevenue(tables(s, d))),
     "topk_orders" -> ((s, d) => Analytics.topkOrders(tables(s, d))),
     "window_running_sum" -> ((s, d) => Analytics.windowRunningSum(tables(s, d))),
+    "window_lead_lag" -> ((s, d) => Analytics.windowLeadLag(tables(s, d))),
+    "set_ops" -> ((s, d) => Analytics.setOps(tables(s, d))),
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
@@ -45,12 +47,14 @@ object SparkEntry {
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
+    "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(tables(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(tables(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
+    "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
@@ -109,6 +113,33 @@ object SparkEntry {
           cast(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey) as bigint) AS run_c,
           cast(rank() OVER (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey) as bigint) AS rnk
         FROM base ORDER BY o_custkey, o_orderkey""",
+    "window_lead_lag" ->
+      """WITH base AS (SELECT o_custkey, o_orderkey, cast(o_orderdate as date) AS o_date FROM orders)
+        SELECT o_custkey, o_orderkey, strftime(o_date,'%Y-%m-%d') AS o_date,
+          cast(date_diff('day', lag(o_date) OVER w, o_date) as bigint) AS prev_gap_days,
+          cast(date_diff('day', o_date, lead(o_date) OVER w) as bigint) AS next_gap_days
+        FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""",
+    "set_ops" ->
+      """SELECT c_custkey, 'both' AS tag FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS tag FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+          EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+        ORDER BY tag, c_custkey""",
+    "dedup_ngram" ->
+      """WITH t AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, length(text)-1), i -> substring(text, i, 3))) AS sh
+          FROM documents),
+        n AS (SELECT doc_id, sh, cast(len(sh) as bigint) AS nn FROM t)
+        SELECT id_a, id_b, round(j,4) AS jaccard4 FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(len(list_intersect(a.sh,b.sh)) as bigint)
+              / (a.nn + b.nn - cast(len(list_intersect(a.sh,b.sh)) as bigint)) AS j
+          FROM n a JOIN n b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.9 ORDER BY id_a, id_b""",
     "distinct_counts" ->
       """SELECT cast(count(distinct o_custkey) as bigint) AS n_cust,
           cast(count(distinct o_orderstatus) as bigint) AS n_status,

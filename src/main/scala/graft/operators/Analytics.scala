@@ -168,6 +168,36 @@ object Analytics {
       .filter(col("k") > 50)
       .orderBy("event_id")
 
+  /** C6b — navigation window functions: gap in days since the customer's
+    * previous order (lag) and days until the next (lead); one shuffle on
+    * o_custkey serves both. */
+  def windowLeadLag(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_date"), col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .withColumn("prev_gap_days",
+        datediff(col("o_date"), lag(col("o_date"), 1).over(w)).cast("long"))
+      .withColumn("next_gap_days",
+        datediff(lead(col("o_date"), 1).over(w), col("o_date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_date"), "yyyy-MM-dd").as("o_date"),
+        col("prev_gap_days"), col("next_gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** C7b — set operators: INTERSECT and EXCEPT between the BUILDING-segment
+    * customer set and the has-open-orders customer set, tagged and unioned
+    * into one deterministic result. */
+  def setOps(t: Tables): DataFrame = {
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val both = building.intersect(open).withColumn("tag", lit("both"))
+    val onlyBuilding = building.except(open).withColumn("tag", lit("building_only"))
+    both.unionAll(onlyBuilding).orderBy("tag", "c_custkey")
+  }
+
   /** C13 — scalar-aggregate filter (orders above global average price); the
     * 1-row average is broadcast, not recomputed per row. */
   def aboveAvgFilter(t: Tables): DataFrame = {

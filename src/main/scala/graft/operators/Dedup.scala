@@ -64,6 +64,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** D2b — exact character-3-gram Jaccard near-dup pairs (j >= 0.9):
+    * overlapping shingles catch reorderings that word sets miss. Same
+    * zero-allocation hashed-merge pair stage as D2. */
+  def ngramJaccardPairs(t: Tables, threshold: Double = 0.9): DataFrame = {
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    val shingles = when(length(col("text")) >= 3,
+      array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+        i => call_function("substring", col("text"), i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val hashed = t.documents
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("sh_h"),
+        size(col("sh")).cast("long").as("n"))
+    val a = hashed.select(col("doc_id").as("id_a"), col("sh_h").as("sh_a"), col("n").as("n_a"))
+      .repartition(cores * 4, col("id_a"))
+    val b = hashed.select(col("doc_id").as("id_b"), col("sh_h").as("sh_b"), col("n").as("n_b"))
+    val inter = call_function("graft_intersect_long_size", col("sh_a"), col("sh_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("i", inter)
+      .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard4"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** D3 — MinHash LSH candidate pairs: 64 min-hashes in 4 bands x 16 rows
     * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^16)^4).
     * Docs sharing any band signature become a candidate pair — ONE shuffle

@@ -43,6 +43,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** E3 — IVF coarse quantizer: Lloyd's k-means over the corpus (each
+    * iteration = one broadcast of k·dim doubles out, one groupBy shuffle
+    * back — the standard distributed k-means shape; only the k×64 model
+    * ever touches the driver, never data). Returns (vec_id, cid, dist2). */
+  def ivfAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import org.apache.spark.sql.expressions.UserDefinedFunction
+    val vecs = withNorm(t.embeddings).select("vec_id", "v")
+    // deterministic init: the k lowest vec_ids
+    var centroids: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    def assignUdf(cs: Array[Array[Double]]): UserDefinedFunction =
+      udf { (v: Seq[Double]) =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val ctr = cs(c)
+          while (i < ctr.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, bestD)
+      }
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs.withColumn("a", assignUdf(centroids)(col("v")))
+        .select(col("vec_id"), col("a._1").as("cid"), col("v"))
+      // recompute means element-wise: explode dims, one shuffle on (cid, dim)
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .collect()
+      val next = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+    vecs.withColumn("a", assignUdf(centroids)(col("v")))
+      .select(col("vec_id"), col("a._1").cast("long").as("cid"),
+        round(col("a._2"), 4).as("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** E2 — LSH-bucketed ANN: 8 hyperplane tables × 6 bits; candidates share
     * any table bucket; exact cosine re-ranks candidates. Rows-only oracle;
     * SimilaritySpec measures recall vs E1. ONE shuffle on bucket id. */

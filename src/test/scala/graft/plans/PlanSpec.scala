@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import graft.SparkSpec
+import graft.operators._
+
+/** Plan-shape guards: the physical plans the 100 TB design depends on.
+  * A regression here (lost pushdown, lost broadcast, surprise shuffle)
+  * is a performance bug even while results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q1: filter and projection reach the parquet scan") {
+    val plan = planOf(Analytics.q1PricingSummary(t))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$plan")
+    // column pruning: untouched wide columns must not be read
+    assert(!plan.contains("l_comment") && !plan.contains("l_partkey"))
+  }
+
+  test("q3/q5: dimension joins broadcast, no shuffle join on dims") {
+    val p3 = planOf(Analytics.q3ShippingPriority(t))
+    assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast:\n$p3")
+    val p5 = planOf(Analytics.q5RegionRevenue(t))
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("topk runs as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Analytics.topkOrders(t))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("asof uses one window pass — no join, at most one wide shuffle") {
+    val plan = planOf(EventOps.asofNextMarker(t))
+    assert(!plan.contains("Join"), s"asof must not join:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+  }
+
+  test("jaccard pair join spreads across partitions (AQE must not collapse it)") {
+    val df = Dedup.jaccardPairs(t)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the explicit-count repartition has to survive optimization
+    assert(plan.contains("REPARTITION_BY_NUM"), s"explicit repartition lost:\n$plan")
+  }
+
+  test("semi/anti joins plan as semi/anti, not outer+filter") {
+    val plan = planOf(Analytics.semiAntiJoin(t))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("vector kernels stay in whole-stage codegen") {
+    val df = Similarity.annBruteTopK(t)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"no codegen stage markers in:\n$plan")
+    assert(plan.contains("graft_dot"), s"native dot missing:\n$plan")
+    // Spark's rank-limit pushdown must stay active for top-k windows
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}
