@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.plans.{DotProduct, IntersectSortedLongSize, IntersectSortedSize, Norm2}
+
+/** SparkSessionExtensions entry point: makes the graft native expressions
+  * first-class SQL functions in any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (spark-submit/cluster) —
+  * the packaged twin of VectorFunctions.register, which operators call for
+  * sessions created without the config. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[Norm2].getName, "graft_norm2"),
+      exprs => Norm2(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSortedSize].getName, "graft_intersect_size"),
+      exprs => IntersectSortedSize(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_long_size"),
+      new ExpressionInfo(classOf[IntersectSortedLongSize].getName, "graft_intersect_long_size"),
+      exprs => IntersectSortedLongSize(exprs.head, exprs(1))))
+  }
+}

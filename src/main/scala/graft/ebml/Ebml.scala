@@ -189,6 +189,52 @@ object Ebml {
     out.toSeq
   }
 
+  /** Filtered walk (ebml.py:307-327 InterestingElementNames): masters are
+    * always descended; non-matching leaves are SKIPPED without decoding
+    * their payload — the reference's way of fast-forwarding a fragment
+    * stream to just the tag/boundary elements it cares about. */
+  def elements(buf: Array[Byte], interesting: Set[String]): Seq[Element] = {
+    val out = new ArrayBuffer[Element]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      var open = true
+      while (open && pos < to) try {
+        val start = pos
+        val (id, idLen) = readId(buf, pos)
+        pos += idLen
+        val (size, szLen) = readSize(buf, pos)
+        pos += szLen
+        val (name, typ) = IdTable.getOrElse(id, (null, BINARY))
+        val end = if (size < 0) to else (pos + size.toInt).min(to)
+        if (typ == MASTER) {
+          if (name != null && interesting.contains(name))
+            out += Element(id, name, typ, size, start, 0L, 0.0, null, null)
+          walk(pos, end)
+        } else if (name != null && interesting.contains(name)) {
+          typ match {
+            case UINT => out += Element(id, name, typ, size, start, readUint(buf, pos, size.toInt), 0.0, null, null)
+            case SINT | DATE => out += Element(id, name, typ, size, start, readSint(buf, pos, size.toInt), 0.0, null, null)
+            case FLOAT =>
+              val d = if (size == 4) java.lang.Float.intBitsToFloat(readUint(buf, pos, 4).toInt).toDouble
+                      else java.lang.Double.longBitsToDouble(readUint(buf, pos, 8))
+              out += Element(id, name, typ, size, start, 0L, d, null, null)
+            case STRING | UTF8 =>
+              out += Element(id, name, typ, size, start, 0L, 0.0,
+                new String(buf, pos, size.toInt, StandardCharsets.UTF_8), null)
+            case _ =>
+              out += Element(id, name, typ, size, start, 0L, 0.0, null,
+                java.util.Arrays.copyOfRange(buf, pos, pos + size.toInt))
+          }
+        } // else: leaf payload skipped entirely — pos jumps over it
+        pos = end
+      } catch {
+        case _: EbmlException | _: ArrayIndexOutOfBoundsException => open = false
+      }
+    }
+    walk(0, buf.length)
+    out.toSeq
+  }
+
   /** TagName/TagString pairs in document order (parser.py:352-366). */
   def tags(buf: Array[Byte]): Map[String, String] = {
     var lastName: String = null

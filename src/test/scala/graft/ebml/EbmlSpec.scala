@@ -80,6 +80,17 @@ class EbmlSpec extends AnyFunSuite {
     assert(els(1).longValue == 5L)
   }
 
+  test("filtered walk skips uninteresting leaves but descends masters (ebml.py:307-327)") {
+    val blob = EbmlFunctions.buildFragment(42L, 1700000000123L, 7L, 1234L, "x")
+    val interesting = Set("Segment", "TagName", "TagString", "DocTypeReadVersion")
+    val filtered = elements(blob, interesting)
+    val full = elements(blob).filter(e => e.name != null && interesting.contains(e.name))
+    assert(filtered.map(e => (e.name, e.position)) == full.map(e => (e.name, e.position)))
+    // the reference's exact interesting set finds the fragment boundary + tags
+    assert(filtered.count(_.name == "TagName") == 7)
+    assert(filtered.exists(_.name == "DocTypeReadVersion"))
+  }
+
   test("truncated tail stops the walk instead of throwing (stream end)") {
     val blob = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "x")
     val truncated = blob ++ Array(0x42.toByte) // dangling partial head

@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops replayed events inside the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "click", 1.0))
+      query.processAllAvailable()
+      // replay event 1 (at-least-once delivery) + one new event
+      input.addData(Event(1, ts(1), 10, "click", 1.0), Event(3, ts(3), 10, "view", 1.0))
+      query.processAllAvailable()
+      val ids = spark.sql("select event_id from dedup_stream order by event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("extensions class registers the native functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // throws on malformed injection
+  }
+
   test("stateful bounded queue caps per-key state (B9, parser.py:470-481)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
