@@ -32,6 +32,9 @@ object SparkEntry {
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
+    "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
+    "string_funcs" -> ((s, d) => Analytics.stringFuncs(tables(s, d))),
+    "approx_distinct" -> ((s, d) => Analytics.approxDistinct(tables(s, d))),
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
@@ -153,6 +156,17 @@ object SparkEntry {
       s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
           count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "yearly_orders" ->
+      s"""SELECT cast(year(o_orderdate) as bigint) AS yr, count(*) AS n,
+          cast(sum($centsTotal) as bigint) AS sum_c
+        FROM orders GROUP BY 1 ORDER BY yr""",
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+          replace(p_type, ' ', '_') AS type_u,
+          p_brand || '|' || p_type AS brand_type,
+          substring(p_name, 1, 10) AS name10,
+          cast(length(p_name) as bigint) AS name_len
+        FROM part ORDER BY p_partkey""",
     "percentiles" ->
       s"""WITH s AS (SELECT event_type, $centsValue AS v_c, event_id FROM events),
         w AS (SELECT event_type, v_c,

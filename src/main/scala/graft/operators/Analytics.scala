@@ -198,6 +198,35 @@ object Analytics {
     both.unionAll(onlyBuilding).orderBy("tag", "c_custkey")
   }
 
+  /** C2b — calendar aggregation: orders per year with exact-cent sums. */
+  def yearlyOrders(t: Tables): DataFrame =
+    t.orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .orderBy("yr")
+
+  /** C1b — string-function projection over part (upper/replace/concat/
+    * substring all behave identically in the oracle engine). */
+  def stringFuncs(t: Tables): DataFrame =
+    t.part.select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 10).as("name10"),
+      length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  /** C10b — HLL sketch: approximate distinct users per event type.
+    * Rows-only oracle (sketch estimates are engine-specific); the spec
+    * bounds the estimate against the exact count. */
+  def approxDistinct(t: Tables): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** C13 — scalar-aggregate filter (orders above global average price); the
     * 1-row average is broadcast, not recomputed per row. */
   def aboveAvgFilter(t: Tables): DataFrame = {

@@ -33,6 +33,32 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** The full consumer pipeline as one streaming query (SURVEY §1): a
+    * stream of raw MKV fragment blobs → EBML tag extraction → typed
+    * fragment metadata → watermarked per-stream rate/lag aggregation.
+    * This is the end-to-end Spark analog of parser.py: what GetMedia+
+    * EbmlReader+tags_line do per-thread happens here per-row, keyed by
+    * fragment producer, at any parallelism. */
+  def fragmentPipeline(fragments: DataFrame): DataFrame = {
+    import graft.ebml.EbmlFunctions
+    fragments
+      .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
+      .select(
+        col("tg.fragment_number").cast("long").as("fragment_number"),
+        col("tg.user_id").cast("long").as("producer_id"),
+        timestamp_millis(col("tg.producer_ts").cast("long")).as("producer_time"),
+        col("tg.millis_behind").cast("long").as("millis_behind"),
+        col("tg.continuation_token").as("token"))
+      .withWatermark("producer_time", "1 minute")
+      .groupBy(window(col("producer_time"), "10 minutes"), col("producer_id"))
+      .agg(
+        count(lit(1)).as("n_fragments"),
+        max(col("fragment_number")).as("max_fragment"),
+        max(col("millis_behind")).as("max_behind_ms"))
+      .select(col("window.start").as("window_start"), col("producer_id"),
+        col("n_fragments"), col("max_fragment"), col("max_behind_ms"))
+  }
+
   /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
     * streaming state: each update emits the event with its position in the
     * queue; the state never exceeds `maxLen`. */

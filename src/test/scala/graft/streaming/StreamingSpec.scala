@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ebml.EbmlFunctions
+    // raw binary fragments, as a Kinesis-like stream would deliver them
+    val input = MemoryStream[Array[Byte]]
+    val query = EventStreams.fragmentPipeline(input.toDF().withColumnRenamed("value", "blob"))
+      .writeStream.format("memory").queryName("frag_rates")
+      .outputMode("update").start()
+    try {
+      val t0 = 1704067200000L // 2024-01-01 00:00 UTC
+      input.addData(
+        EbmlFunctions.buildFragment(1L, t0 + 60000L, 10L, 100L, "f1"),
+        EbmlFunctions.buildFragment(2L, t0 + 120000L, 10L, 100L, "f2"),
+        EbmlFunctions.buildFragment(3L, t0 + 660000L, 11L, 100L, "f3"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select producer_id, sum(n_fragments), max(max_fragment) from frag_rates group by 1 order by 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((10L, 2L, 2L), (11L, 1L, 3L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed events inside the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
