@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_intersect_long_size"),
       new ExpressionInfo(classOf[IntersectSortedLongSize].getName, "graft_intersect_long_size"),
       exprs => IntersectSortedLongSize(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.IntersectRewrite)
   }
 }

@@ -12,6 +12,15 @@ class BucketingSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog resets between runs but the warehouse files
+    // persist — clear them so CREATE TABLE AS doesn't hit LOCATION_EXISTS
+    Seq("b_orders", "b_lineitem").foreach { tbl =>
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$tbl")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
     t.lineitem.select("l_orderkey", "l_quantity")
