@@ -140,10 +140,17 @@ object Analytics {
     val ranked = s
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    def pick(q: Double) = ranked
-      .filter(col("rn") === (floor((col("n") - 1) * lit(q)) + 1))
-      .select(col("event_type"), lit(q).as("q"), col("v_c"))
-    pick(0.5).unionAll(pick(0.9)).orderBy("event_type", "q")
+    // one window pass for all quantiles: explode the (q, target-rank)
+    // pairs instead of unioning two copies of the ranked subtree
+    ranked
+      .select(col("event_type"), col("v_c"), col("rn"),
+        explode(array(
+          struct(lit(0.5).as("q"), (floor((col("n") - 1) * 0.5) + 1).as("target")),
+          struct(lit(0.9).as("q"), (floor((col("n") - 1) * 0.9) + 1).as("target"))))
+          .as("qt"))
+      .filter(col("rn") === col("qt.target"))
+      .select(col("event_type"), col("qt.q").as("q"), col("v_c"))
+      .orderBy("event_type", "q")
   }
 
   /** C11 — pivot (conditional aggregation) of event counts per user. */

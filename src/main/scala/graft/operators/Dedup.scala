@@ -56,7 +56,11 @@ object Dedup {
     val b = hashed.select(
       col("doc_id").as("id_b"), col("toks_h").as("toks_b"), col("n").as("n_b"))
     val inter = call_function("graft_intersect_long_size", col("toks_a"), col("toks_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // size-ratio prefilter: j = i/(na+nb-i) <= min/max, so j>=0.95 implies
+    // 100*min >= 95*max — a 2-long-mult guard that short-circuits the
+    // merge on most pairs. Implied by the final filter: no semantic change.
+    a.join(broadcast(b), col("id_a") < col("id_b") &&
+        col("n_a") * 100L >= col("n_b") * 95L && col("n_b") * 100L >= col("n_a") * 95L)
       .withColumn("i", inter)
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
@@ -83,7 +87,9 @@ object Dedup {
       .repartition(cores * 4, col("id_a"))
     val b = hashed.select(col("doc_id").as("id_b"), col("sh_h").as("sh_b"), col("n").as("n_b"))
     val inter = call_function("graft_intersect_long_size", col("sh_a"), col("sh_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // size-ratio prefilter implied by j>=0.9 (see jaccardPairs)
+    a.join(broadcast(b), col("id_a") < col("id_b") &&
+        col("n_a") * 10L >= col("n_b") * 9L && col("n_b") * 10L >= col("n_a") * 9L)
       .withColumn("i", inter)
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
@@ -123,11 +129,20 @@ object Dedup {
             .bitwiseAND(lit(0xFFFFL)).as("cv"))))
       .select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
-    // hamming test INSIDE the join condition: chunk collisions on
-    // near-uniform corpora are hot, so filtering before materializing
-    // (and before the distinct) keeps the pair stream narrow
-    sigs.as("x").join(sigs.as("y"),
+    // Near-uniform corpora make some chunk values very hot (measured:
+    // one (k,cv) group holding 30% of docs ⇒ one quadratic sort-merge
+    // group on one task). Salt the self-join: probe side takes a
+    // deterministic block, build side is replicated into every block —
+    // each pair still produced exactly once, but a hot group's work
+    // spreads across `blocks` tasks. The hamming test stays INSIDE the
+    // join condition so pairs die before materializing.
+    val blocks = 16
+    val x = sigs.withColumn("bx", pmod(xxhash64(col("doc_id")), lit(blocks.toLong)))
+    val y = sigs.withColumn("by",
+      explode(sequence(lit(0L), lit(blocks.toLong - 1L))))
+    x.as("x").join(y.as("y"),
         col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
+          col("bx") === col("by") &&
           col("x.doc_id") < col("y.doc_id") &&
           call_function("bit_count",
             col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
