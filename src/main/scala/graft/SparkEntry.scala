@@ -38,6 +38,8 @@ object SparkEntry {
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
+    "enrich_events" -> ((s, d) => Analytics.enrichEvents(tables(s, d))),
+    "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
     "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
@@ -189,6 +191,22 @@ object SparkEntry {
       """SELECT event_id, cast(json_extract_string(props,'$.k') as bigint) AS k
         FROM events WHERE cast(json_extract_string(props,'$.k') as bigint) > 50
         ORDER BY event_id""",
+    "enrich_events" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+          cast(sum($centsValue) as bigint) AS sum_value_c
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "quality_by_source" ->
+      """WITH d AS (SELECT source, cast(length(text) as bigint) AS len,
+          cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS w,
+          cast(len(list_filter(regexp_extract_all(lower(text),'[a-z]+'),
+            tk -> tk IN ('the','a','an','of','in','on','and','to','is','it'))) as bigint) AS s
+        FROM documents)
+        SELECT source, count(*) AS n_docs,
+          cast(sum(len) as bigint) AS total_chars,
+          cast(sum(w) as bigint) AS total_words,
+          cast(sum(s) as bigint)/cast(sum(w) as bigint) AS stop_ratio
+        FROM d GROUP BY source ORDER BY source""",
     "above_avg_filter" ->
       s"""SELECT o_orderkey, $centsTotal AS price_c FROM orders
         WHERE $centsTotal > (SELECT cast(sum($centsTotal) as bigint)/count(*) FROM orders)

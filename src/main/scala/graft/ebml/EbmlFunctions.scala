@@ -49,12 +49,17 @@ object EbmlFunctions {
       buildFragment(eventId, tsMs, userId, valueC, if (props == null) "" else props)
     }
 
+  val ErrorCode = "AWS_KINESISVIDEO_ERROR_CODE"
+  val ErrorId = "AWS_KINESISVIDEO_ERROR_ID"
+
   final case class FragmentTags(
       fragment_number: String, server_ts: String, producer_ts: String,
       millis_behind: String, continuation_token: String,
-      user_id: String, value_cents: String)
+      user_id: String, value_cents: String,
+      error_code: String, error_id: String)
 
-  /** Extract the AWS tag set from a fragment (parser.py:352-366). */
+  /** Extract the AWS tag set from a fragment, including the error tags the
+    * reference surfaces on stream faults (parser.py:352-366, 357-360). */
   val parseTags: UserDefinedFunction =
     udf { (blob: Array[Byte]) =>
       val m = Ebml.tags(blob)
@@ -62,7 +67,8 @@ object EbmlFunctions {
         m.getOrElse(FragmentNumber, null), m.getOrElse(ServerTs, null),
         m.getOrElse(ProducerTs, null), m.getOrElse(MillisBehind, null),
         m.getOrElse(ContinuationToken, null), m.getOrElse(UserIdTag, null),
-        m.getOrElse(ValueCentsTag, null))
+        m.getOrElse(ValueCentsTag, null),
+        m.getOrElse(ErrorCode, null), m.getOrElse(ErrorId, null))
     }
 
   final case class ElementInfo(name: String, size: Long, position: Long)

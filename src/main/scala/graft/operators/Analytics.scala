@@ -205,6 +205,16 @@ object Analytics {
     both.unionAll(onlyBuilding).orderBy("tag", "c_custkey")
   }
 
+  /** B-adjacent — stream enrichment: events joined to the customer
+    * dimension (broadcast) and aggregated by market segment — the typical
+    * first downstream consumer of a tagged fragment stream. */
+  def enrichEvents(t: Tables): DataFrame =
+    t.events
+      .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("c_mktsegment")
+
   /** C2b — calendar aggregation: orders per year with exact-cent sums. */
   def yearlyOrders(t: Tables): DataFrame =
     t.orders

@@ -55,6 +55,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F1b — corpus-level quality rollup per source: the aggregate view a
+    * data-curation pipeline filters on. */
+  def qualityBySource(t: Tables): DataFrame = {
+    val toks = words(col("text"))
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks, tk => tk.isin(StopWords: _*))).cast("long")
+    t.documents
+      .select(col("source"), length(col("text")).cast("long").as("len"),
+        nWords.as("w"), nStop.as("s"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_chars"),
+        sum(col("w")).as("total_words"),
+        (sum(col("s")).cast("double") / sum(col("w"))).as("stop_ratio"))
+      .orderBy("source")
+  }
+
   /** F3 — document fingerprint: polynomial rolling hash over codepoints,
     * h = (h*31 + code) mod 1e9+7, exact in int64 (max step < 2^35). */
   def fingerprint(t: Tables): DataFrame = {
