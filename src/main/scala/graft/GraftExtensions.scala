@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectSortedLongSize].getName, "graft_intersect_long_size"),
       exprs => IntersectSortedLongSize(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntersectRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
