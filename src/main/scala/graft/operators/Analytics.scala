@@ -137,9 +137,12 @@ object Analytics {
     val s = t.events.select(
       col("event_type"), cents(col("value")).as("v_c"), col("event_id"))
     val w = Window.partitionBy("event_type").orderBy(col("v_c"), col("event_id"))
+    // group sizes via a broadcast aggregate instead of a whole-partition
+    // count window: saves the second sort pass over the full data
+    val counts = s.groupBy("event_type").agg(count(lit(1)).as("n"))
     val ranked = s
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .join(broadcast(counts), "event_type")
     // one window pass for all quantiles: explode the (q, target-rank)
     // pairs instead of unioning two copies of the ranked subtree
     ranked
