@@ -70,7 +70,14 @@ object Dedup {
 
   /** D2b — exact character-3-gram Jaccard near-dup pairs (j >= 0.9):
     * overlapping shingles catch reorderings that word sets miss. Same
-    * zero-allocation hashed-merge pair stage as D2. */
+    * zero-allocation hashed-merge pair stage as D2.
+    *
+    * Note: AllPairs-style prefix filtering was measured 2-3x SLOWER here —
+    * this corpus's 3-gram vocabulary is tiny, so prefix tokens are hot and
+    * candidate generation explodes. On real Zipfian corpora, re-ranking
+    * tokens by ascending document frequency before prefix-join is the
+    * scale path; on near-uniform vocabularies the blocked nested loop with
+    * the merge kernel wins. */
   def ngramJaccardPairs(t: Tables, threshold: Double = 0.9): DataFrame = {
     graft.plans.VectorFunctions.register(t.documents.sparkSession)
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
