@@ -33,6 +33,34 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  final case class Msg(user_id: Long, ts: java.sql.Timestamp, kind: String, id: Long)
+  final case class Tagged(user_id: Long, event_id: Long, marker_id: Option[Long])
+
+  /** Streaming tag↔packet association (parser.py:421-432 in steady state):
+    * in the live stream a fragment's tag-set arrives BEFORE its packets,
+    * so the association is "latest marker seen so far" per key — held as
+    * one tiny value of per-key state, exactly like the reference's pruned
+    * tags_line. Within a micro-batch rows are ordered by (ts, markers
+    * first) so a marker tags the packets that follow it at equal time. */
+  def taggedAssociation(msgs: Dataset[Msg]): Dataset[Tagged] = {
+    import msgs.sparkSession.implicits._
+    msgs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Long], Tagged](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Msg], state: GroupState[Option[Long]]) =>
+          var last: Option[Long] = state.getOption.flatten
+          val out = rows.toSeq
+            .sortBy(m => (m.ts.getTime, if (m.kind == "marker") 0 else 1, m.id))
+            .flatMap { m =>
+              if (m.kind == "marker") { last = Some(m.id); None }
+              else Some(Tagged(userId, m.id, last))
+            }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** The full consumer pipeline as one streaming query (SURVEY §1): a
     * stream of raw MKV fragment blobs → EBML tag extraction → typed
     * fragment metadata → watermarked per-stream rate/lag aggregation.

@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming tag association carries the latest marker across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Msg
+    val input = MemoryStream[Msg]
+    val query = EventStreams.taggedAssociation(input.toDS())
+      .writeStream.format("memory").queryName("tagged")
+      .outputMode("append").start()
+    try {
+      // batch 1: event before any marker, then marker 100, then event
+      input.addData(
+        Msg(7, ts(1), "event", 1), Msg(7, ts(2), "marker", 100), Msg(7, ts(3), "event", 2))
+      query.processAllAvailable()
+      // batch 2: state must remember marker 100; then marker 200 takes over
+      input.addData(
+        Msg(7, ts(4), "event", 3), Msg(7, ts(5), "marker", 200), Msg(7, ts(6), "event", 4))
+      query.processAllAvailable()
+      val rows = spark.sql("select event_id, marker_id from tagged order by event_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 100L), (4L, 200L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed events inside the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
