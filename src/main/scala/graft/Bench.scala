@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness (driver-run, per-round).
+  *
+  * Round-1 verdict findings addressed here:
+  *  - the JSON line was buried in sbt log noise and the driver failed to
+  *    parse it → the line is now ALSO written clean to `bench_out.json`
+  *    in the working directory (and still printed, per the contract);
+  *  - each query ran exactly once in Map-iteration order, so the first
+  *    query ate all JVM/codegen warmup → one discarded warmup pass, then
+  *    `runs` timed passes per query, report the per-query MEDIAN;
+  *  - `.count()` let Spark prune the final projection, under-measuring
+  *    projection-heavy queries → materialize through the `noop` sink,
+  *    which evaluates every output column without collecting to the
+  *    driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,16 +33,31 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(materialize) // warmup: JVM + codegen + parquet footers
+    val medians = names.map { name =>
+      val ts = (1 to runs).map(_ => materialize(name)).sorted
+      name -> ts(ts.length / 2)
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

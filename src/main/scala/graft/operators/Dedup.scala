@@ -122,31 +122,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Band layout for [[simhashPairs]]: 7 bands over 64 bits (widths
+    * 10,9,9,9,9,9,9 as (offset, width)). A pair at Hamming distance d has
+    * differing bits in at most d bands, so with 7 bands any pair at
+    * Hamming <= 6 shares at least one full band by pigeonhole —
+    * candidate generation is COMPLETE for the default maxHamming = 6.
+    * (Round-1 defect: 4 x 16-bit chunks were complete only for <= 3.) */
+  private val simhashBandLayout: Seq[(Int, Int)] = {
+    val widths = Seq(10, 9, 9, 9, 9, 9, 9)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** D4 — SimHash: 64-bit signature from token hashes (sign-aggregated
-    * bits), candidates = pairs sharing one of four 16-bit chunks (any pair
-    * at Hamming <= 3 must share one by pigeonhole), verified at
-    * Hamming <= maxHamming. Rows-only oracle + spec. */
-  def simhashPairs(t: Tables, maxHamming: Int = 6): DataFrame = {
+    * bits); candidates = pairs sharing one of the 7 pigeonhole bands
+    * ([[simhashBandLayout]]), verified at Hamming <= maxHamming inside the
+    * join condition. Rows-only oracle; DedupSpec checks completeness
+    * against brute-force Hamming pairs.
+    *
+    * Skew: near-uniform corpora make some band values very hot (measured
+    * round 1: one group holding 30% of docs ⇒ one quadratic sort-merge
+    * group on one task). Round 1 statically replicated the build side 16x
+    * for ALL rows — 22 s of bench time to cure a few hot groups. Now a
+    * cheap pre-count finds the hot (k,cv) groups (tiny agg, broadcast
+    * back) and ONLY those are salted: probe side takes a deterministic
+    * block, build side is replicated into every block. Each pair is still
+    * produced exactly once; cold groups pay zero replication. */
+  def simhashPairs(t: Tables, maxHamming: Int = 6,
+                   hotGroupSize: Int = 1024, blocks: Int = 16): DataFrame = {
+    val bands = array(simhashBandLayout.zipWithIndex.map { case ((off, w), k) =>
+      struct(lit(k).as("k"),
+        call_function("shiftright", col("sig"), lit(off))
+          .bitwiseAND(lit((1L << w) - 1L)).as("cv"))
+    }: _*)
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .withColumn("sig", Sketches.simhashSig(col("toks")))
-      .withColumn("chunks", transform(sequence(lit(0), lit(3)),
-        k => struct(k.as("k"),
-          call_function("shiftright", col("sig"), k * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("cv"))))
-      .select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("sig"), explode(bands).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
-    // Near-uniform corpora make some chunk values very hot (measured:
-    // one (k,cv) group holding 30% of docs ⇒ one quadratic sort-merge
-    // group on one task). Salt the self-join: probe side takes a
-    // deterministic block, build side is replicated into every block —
-    // each pair still produced exactly once, but a hot group's work
-    // spreads across `blocks` tasks. The hamming test stays INSIDE the
-    // join condition so pairs die before materializing.
-    val blocks = 16
-    val x = sigs.withColumn("bx", pmod(xxhash64(col("doc_id")), lit(blocks.toLong)))
-    val y = sigs.withColumn("by",
-      explode(sequence(lit(0L), lit(blocks.toLong - 1L))))
+    val hot = sigs.groupBy("k", "cv")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotGroupSize)
+      .select(col("k"), col("cv"), lit(true).as("hot"))
+    val tagged = sigs.join(broadcast(hot), Seq("k", "cv"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
+    val x = tagged.withColumn("bx",
+      when(col("hot"), pmod(xxhash64(col("doc_id")), lit(blocks.toLong)))
+        .otherwise(lit(0L)))
+    val y = tagged.withColumn("by",
+      explode(when(col("hot"), sequence(lit(0L), lit(blocks.toLong - 1L)))
+        .otherwise(array(lit(0L)))))
     x.as("x").join(y.as("y"),
         col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
           col("bx") === col("by") &&

@@ -44,6 +44,31 @@ class DedupSpec extends SparkSpec {
     assert(viaUdf == expected)
   }
 
+  test("simhash candidate generation is complete for hamming <= 6") {
+    import org.apache.spark.sql.functions._
+    // brute-force ground truth: every pair of docs whose signatures are
+    // within hamming 6, computed driver-side from the same signature UDF
+    val sigs = t.documents
+      .select(col("doc_id"),
+        graft.functions.Sketches.simhashSig(
+          array_distinct(graft.functions.words(col("text")))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, s) => s != 0L } // operator drops empty-token docs
+    val ground = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    val found = Dedup.simhashPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ground.nonEmpty, "need at least one hamming<=6 pair at sf0.001")
+    assert(found == ground,
+      s"missing=${(ground -- found).take(5)} extra=${(found -- ground).take(5)}")
+    // forcing every group through the hot-salted path must not change the set
+    val salted = Dedup.simhashPairs(t, hotGroupSize = 1, blocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == ground)
+  }
+
   test("embedding near-dup pairs are symmetric-safe and above threshold") {
     val rows = Dedup.embeddingPairs(t).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
