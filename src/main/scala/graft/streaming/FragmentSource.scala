@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ingestion layer the reference calls GetMedia (parser.py:272-310):
+  * establish a media stream, read fragment payloads, and on reconnect
+  * resume from the last committed position.
+  *
+  * Spark-native form: a file/directory stream of fragment blobs — one
+  * file per fragment, the unit GetMedia delivers — consumed by Structured
+  * Streaming's file source. The reference's StartSelector mapping
+  * (parser.py:292-303) becomes:
+  *
+  *   - `StartSelectorType: NOW`                → start with a fresh
+  *     checkpoint location: only files arriving from now on are read;
+  *   - `StartSelectorType: CONTINUATION_TOKEN` → restart with the SAME
+  *     checkpoint location: the file-source commit log and the state
+  *     store are the durable continuation token, so the query resumes
+  *     exactly after the last committed fragment — even if already-read
+  *     files have since been deleted (the reference's pipe is likewise
+  *     gone after a reconnect).
+  *
+  * At cluster scale the directory is an object-store prefix; listing and
+  * per-fragment parsing distribute across executors, and the checkpoint
+  * lives on shared storage so any driver can resume the stream.
+  */
+object FragmentSource {
+
+  /** Stream of raw fragment blobs from a directory: one file = one
+    * fragment payload. `maxFilesPerTrigger` bounds micro-batch size the
+    * way the reference's chunked `stream.read(...)` bounds one pipe
+    * write (parser.py:325-333). */
+  /** The binaryFile source's fixed schema — streaming file sources
+    * require it spelled out. */
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  def fragmentStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("content").as("blob"), col("path"))
+
+  /** The full live pipeline from a directory source: blobs → EBML tags →
+    * watermarked windowed per-producer rates (EventStreams). Point the
+    * writeStream at a checkpoint location to make it resumable. */
+  def fragmentRates(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.fragmentPipeline(fragmentStream(spark, dir))
+}

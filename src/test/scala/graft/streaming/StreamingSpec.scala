@@ -96,6 +96,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("directory fragment source resumes from checkpoint like a continuation token") {
+    import java.nio.file.{Files, Paths}
+    import graft.ebml.EbmlFunctions
+    val inDir = Files.createTempDirectory("graft_frags").toString
+    val chkDir = Files.createTempDirectory("graft_chk").toString
+    val outDir = Files.createTempDirectory("graft_out").toString + "/rates"
+    val t0 = 1704067200000L // 2024-01-01 00:00 UTC
+    def blob(i: Int, producer: Long): Array[Byte] =
+      EbmlFunctions.buildFragment(i.toLong, t0 + i * 60000L, producer, 100L, s"f$i")
+    def writeFrag(i: Int, producer: Long): Unit =
+      Files.write(Paths.get(inDir, f"frag$i%05d.mkv"), blob(i, producer))
+    def runOnce(): Unit = {
+      val q = FragmentSource.fragmentRates(spark, inDir)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", chkDir)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // act 1: three fragments from producer 10 land, query commits them
+    (1 to 3).foreach(writeFrag(_, 10L))
+    runOnce()
+    // the stream dies (reconnect). Already-consumed fragments vanish, like
+    // the reference's drained pipe — only the checkpoint knows about them.
+    (1 to 3).foreach(i => Files.delete(Paths.get(inDir, f"frag$i%05d.mkv")))
+    (4 to 6).foreach(writeFrag(_, 11L))
+    runOnce() // CONTINUATION_TOKEN analog: same checkpoint → resume, not replay
+    val got = spark.read.parquet(outDir)
+      .groupBy("producer_id").sum("n_fragments")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // all six fragments counted exactly once: 1-3 survive via recovered
+    // state, 4-6 arrive in the resumed run
+    assert(got == Map(10L -> 3L, 11L -> 3L))
+    // batch twin over the same six blobs gives identical windowed rates
+    import spark.implicits._
+    val batch = EventStreams.fragmentPipeline(
+      (1 to 3).map(blob(_, 10L)).toDF("blob")
+        .union((4 to 6).map(blob(_, 11L)).toDF("blob")))
+      .groupBy("producer_id").sum("n_fragments")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch == got)
+  }
+
   test("extensions class registers the native functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // throws on malformed injection
