@@ -36,6 +36,7 @@ object SparkEntry {
     "string_funcs" -> ((s, d) => Analytics.stringFuncs(tables(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(tables(s, d))),
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
+    "approx_percentiles" -> ((s, d) => Analytics.approxPercentiles(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
     "enrich_events" -> ((s, d) => Analytics.enrichEvents(tables(s, d))),

@@ -70,10 +70,28 @@ object Sketches {
       }
     }
 
+  /** Base bucket of table `k`: sign bits of `bits` pseudo-random
+    * hyperplane projections (weights from mix64(table, bit, dim)). */
+  private def lshBase(arr: Array[Double], k: Int, bits: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < arr.length) {
+        val w = (Hashing.mix64((k.toLong * 1009L + j) * 131071L + i) % 500L).toDouble
+        proj += arr(i) * w
+        i += 1
+      }
+      if (proj >= 0.0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Random-hyperplane LSH buckets: `tables` independent tables of `bits`
-    * hyperplanes each; plane weights are centered pseudo-random ints
-    * derived from mix64(table, bit, dim). Returns one bucket id per table,
-    * tagged with the table index in the high bits. */
+    * hyperplanes each. Returns one bucket id per table, tagged with the
+    * table index in the high bits. */
   def lshBuckets(tables: Int = 8, bits: Int = 6): UserDefinedFunction =
     udf { (v: Seq[Double]) =>
       if (v == null) Array.empty[Long]
@@ -82,20 +100,34 @@ object Sketches {
         val out = new Array[Long](tables)
         var k = 0
         while (k < tables) {
-          var bucket = 0L
+          out(k) = (k.toLong << 32) | lshBase(arr, k, bits)
+          k += 1
+        }
+        out
+      }
+    }
+
+  /** Multiprobe query buckets: each table's base bucket plus every 1-bit
+    * flip of it — the neighboring buckets most likely to hold a near
+    * vector that landed on the other side of one hyperplane. Query-side
+    * only: the corpus keeps one bucket per table, so multiprobe raises
+    * recall without touching the corpus shuffle volume. */
+  def lshProbeBuckets(tables: Int = 8, bits: Int = 6): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) Array.empty[Long]
+      else {
+        val arr = v.toArray
+        val out = new Array[Long](tables * (bits + 1))
+        var k = 0
+        while (k < tables) {
+          val base = lshBase(arr, k, bits)
+          val tag = k.toLong << 32
+          out(k * (bits + 1)) = tag | base
           var j = 0
           while (j < bits) {
-            var proj = 0.0
-            var i = 0
-            while (i < arr.length) {
-              val w = (Hashing.mix64((k.toLong * 1009L + j) * 131071L + i) % 500L).toDouble
-              proj += arr(i) * w
-              i += 1
-            }
-            if (proj >= 0.0) bucket |= (1L << j)
+            out(k * (bits + 1) + 1 + j) = tag | (base ^ (1L << j))
             j += 1
           }
-          out(k) = (k.toLong << 32) | bucket
           k += 1
         }
         out

@@ -31,8 +31,13 @@ object Analytics {
       .withColumn("avg_qty", col("sum_qty_c").cast("double") / col("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** C3 — shipping-priority style: selective dim filter, two joins (customer
-    * side broadcast), agg, total-ordered top-k. */
+  /** C3 — shipping-priority style: selective dim filter, two joins, agg,
+    * total-ordered top-k. The filtered customer side carries NO broadcast
+    * hint: customer is sf-proportional, so the safe form is Catalyst/AQE's
+    * size-gated broadcast — it broadcasts below
+    * spark.sql.autoBroadcastJoinThreshold and shuffle-joins above
+    * (unconditional hints OOM the driver at 100x scale; PlanSpec guards
+    * both regimes). */
   def q3ShippingPriority(t: Tables): DataFrame = {
     val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -43,7 +48,7 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
         .as("revenue_c"))
@@ -56,8 +61,11 @@ object Analytics {
       .limit(10)
   }
 
-  /** C4 — snowflake join across all 6 TPC-H-ish tables; all dims broadcast,
-    * the single big-table shuffle is lineitem⋈orders. */
+  /** C4 — snowflake join across all 6 TPC-H-ish tables. Fixed-cardinality
+    * dims (region 5 rows, nation 25) broadcast by hint; the
+    * sf-proportional sides (customer, supplier) are size-gated by
+    * Catalyst/AQE so the plan stays legal at any scale; the single
+    * always-big shuffle is lineitem⋈orders. */
   def q5RegionRevenue(t: Tables): DataFrame = {
     val nr = t.nation
       .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
@@ -71,8 +79,8 @@ object Analytics {
       .select("o_orderkey", "o_custkey")
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -156,6 +164,21 @@ object Analytics {
       .orderBy("event_type", "q")
   }
 
+  /** C10c — percentile SCALE path: a mergeable quantile sketch
+    * (percentile_approx) computed as one partial+final aggregation — no
+    * window, no per-key sort, so group cardinality never bounds
+    * parallelism (the exact `percentiles` sorts each event_type's full
+    * history in one task: correct as a small-SF oracle, fatal at 100 TB).
+    * Rows-only driver check; PercentileSpec bounds the sketch against the
+    * exact rank selection. */
+  def approxPercentiles(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(percentile_approx(cents(col("value")),
+        array(lit(0.5), lit(0.9)), lit(accuracy)).as("p"))
+      .select(col("event_type"), col("p")(0).as("p50_c"), col("p")(1).as("p90_c"))
+      .orderBy("event_type")
+
   /** C11 — pivot (conditional aggregation) of event counts per user. */
   def pivotEventTypes(t: Tables): DataFrame =
     t.events
@@ -209,11 +232,15 @@ object Analytics {
   }
 
   /** B-adjacent — stream enrichment: events joined to the customer
-    * dimension (broadcast) and aggregated by market segment — the typical
-    * first downstream consumer of a tagged fragment stream. */
+    * dimension and aggregated by market segment — the typical first
+    * downstream consumer of a tagged fragment stream. Customer is
+    * sf-proportional, so no broadcast hint: Catalyst/AQE broadcasts only
+    * under the size threshold, otherwise this is a hash-shuffle join on
+    * the key (or the bucketed co-located join — BucketingSpec proves that
+    * variant shuffle-free for repeated consumption). */
   def enrichEvents(t: Tables): DataFrame =
     t.events
-      .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+      .join(t.customer, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .orderBy("c_mktsegment")

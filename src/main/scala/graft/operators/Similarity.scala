@@ -47,10 +47,18 @@ object Similarity {
     * iteration = one broadcast of k·dim doubles out, one groupBy shuffle
     * back — the standard distributed k-means shape; only the k×64 model
     * ever touches the driver, never data). Returns (vec_id, cid, dist2). */
-  def ivfAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
-    val spark = t.embeddings.sparkSession
+  def ivfAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame =
+    ivfAssignVecs(t.embeddings, k, iters)
+
+  def ivfAssignVecs(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.UserDefinedFunction
-    val vecs = withNorm(t.embeddings).select("vec_id", "v")
+    import org.apache.spark.storage.StorageLevel
+    // persist across Lloyd iterations: each iteration materializes the
+    // working set once; without this the parquet scan + norm cast reruns
+    // per iteration (round-1 debt). MEMORY_AND_DISK so a 100 TB corpus
+    // spills instead of OOMing; released after the model converges.
+    val vecs = withNorm(embeddings).select("vec_id", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // deterministic init: the k lowest vec_ids
     var centroids: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
       .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
@@ -76,25 +84,34 @@ object Similarity {
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("m"))
         .collect()
-      val next = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      // a cluster that attracted no points KEEPS its previous centroid —
+      // round 1 silently zeroed it, creating a phantom cell at the origin
+      // that could capture small-norm vectors on the next assignment
+      val next = centroids.map(_.clone)
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next
       it += 1
     }
-    vecs.withColumn("a", assignUdf(centroids)(col("v")))
+    val out = vecs.withColumn("a", assignUdf(centroids)(col("v")))
       .select(col("vec_id"), col("a._1").cast("long").as("cid"),
         round(col("a._2"), 4).as("dist2"))
       .orderBy("vec_id")
+    vecs.unpersist(blocking = false) // model is frozen; the returned plan re-derives
+    out
   }
 
   /** E2 — LSH-bucketed ANN: 8 hyperplane tables × 6 bits; candidates share
-    * any table bucket; exact cosine re-ranks candidates. Rows-only oracle;
-    * SimilaritySpec measures recall vs E1. ONE shuffle on bucket id. */
+    * any table bucket; exact cosine re-ranks candidates. The query side
+    * MULTIPROBES: base bucket plus every 1-bit flip per table (round-1
+    * recall@5 was 0.2 with exact-bucket probing; multiprobe lifts it
+    * without adding corpus-side volume). Rows-only oracle; SimilaritySpec
+    * asserts recall@5 >= 0.6 vs E1. ONE shuffle on bucket id. */
   def annLshTopK(t: Tables, k: Int = 5): DataFrame = {
     val vecs = withNorm(t.embeddings)
       .withColumn("buckets", Sketches.lshBuckets()(col("v")))
-    val qb = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), explode(col("buckets")).as("bucket"))
+    val qb = withNorm(t.embeddings).filter(col("vec_id") < 10)
+      .withColumn("probes", Sketches.lshProbeBuckets()(col("v")))
+      .select(col("vec_id").as("q_id"), explode(col("probes")).as("bucket"))
     val cb = vecs.select(col("vec_id").as("n_id"), explode(col("buckets")).as("bucket"))
     val cand = qb.join(cb, "bucket")
       .filter(col("q_id") =!= col("n_id"))

@@ -30,6 +30,32 @@ class PlanSpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"))
   }
 
+  test("sf-proportional joins broadcast ONLY under the size threshold") {
+    // small regime (test SF): customer fits under the threshold → Catalyst
+    // chooses broadcast without any hint in the operator
+    val small = planOf(Analytics.enrichEvents(t))
+    assert(small.contains("BroadcastHashJoin"), s"size-gate lost the small-case broadcast:\n$small")
+    // big regime (simulated by disabling the threshold): the same operator
+    // must NOT broadcast — an unconditional hint would OOM at 100x scale
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((name, df) <- Seq(
+          "enrich_events" -> Analytics.enrichEvents(t),
+          "q3" -> Analytics.q3ShippingPriority(t))) {
+        val big = planOf(df)
+        assert(!big.contains("BroadcastHashJoin"),
+          s"$name still broadcasts with the threshold off — unconditional hint present:\n$big")
+      }
+      // q5 legitimately keeps hints on the FIXED dims (region 5 rows,
+      // nation 25); the sf-proportional customer/supplier sides must have
+      // fallen back to shuffle joins
+      val q5 = planOf(Analytics.q5RegionRevenue(t))
+      assert(q5.contains("SortMergeJoin") || q5.contains("ShuffledHashJoin"),
+        s"q5's big sides still broadcast with the threshold off:\n$q5")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("topk runs as TakeOrderedAndProject, not a global sort") {
     val plan = planOf(Analytics.topkOrders(t))
     assert(plan.contains("TakeOrderedAndProject"), plan)
