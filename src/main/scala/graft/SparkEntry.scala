@@ -65,6 +65,7 @@ object SparkEntry {
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
+    "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -339,6 +340,18 @@ object SparkEntry {
             + length(cast(cast(round(value*100) as bigint) as varchar))
             + length(props) AS blob_len
         FROM events ORDER BY event_id""",
+    "mm_split_stream" ->
+      """WITH b AS (SELECT event_id, event_id // 5 AS grp,
+          541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
+            + length(cast(user_id as varchar))
+            + length(cast(cast(round(value*100) as bigint) as varchar))
+            + length(props) AS blob_len
+          FROM events)
+        SELECT event_id, grp,
+          coalesce(cast(sum(blob_len) OVER (PARTITION BY grp ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS position,
+          cast(blob_len as bigint) AS frag_len
+        FROM b ORDER BY event_id""",
     "mm_features" ->
       """SELECT event_id, length(props) AS frame_bytes,
           cast(json_extract_string(props,'$.k') as bigint) AS k,

@@ -235,6 +235,43 @@ object Ebml {
     out.toSeq
   }
 
+  /** Split a continuous stream of concatenated fragments into
+    * per-fragment byte slices with absolute start positions.
+    *
+    * The reference detects this boundary INSIDE an unbounded byte stream:
+    * when a new EBML header's DocTypeReadVersion element arrives it
+    * finalizes the previous fragment's tags and flushes the copy buffer
+    * holding its bytes (parser.py:362-375). Seen at the byte level, that
+    * boundary is exactly the next top-level EBML header id (0x1A45DFA3):
+    * everything from one header to the next is one fragment. The walk is
+    * top-level only — element payloads are skipped by size, never
+    * decoded — so splitting is O(headers), not O(bytes). A truncated tail
+    * (partial fragment at stream end) is dropped, matching the
+    * reference's wait-for-more-bytes behavior. */
+  def splitFragments(buf: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    val starts = new ArrayBuffer[Int]()
+    var pos = 0
+    var truncated = false
+    while (!truncated && pos < buf.length) try {
+      val (id, idLen) = readId(buf, pos)
+      val (size, szLen) = readSize(buf, pos + idLen)
+      if (id == 0x1a45dfa3L) starts += pos
+      val next = if (size < 0) buf.length.toLong
+                 else pos.toLong + idLen + szLen + size
+      if (next > buf.length) truncated = true else pos = next.toInt
+    } catch {
+      case _: EbmlException | _: ArrayIndexOutOfBoundsException => truncated = true
+    }
+    val n = starts.length
+    (0 until n).flatMap { i =>
+      val s = starts(i)
+      // a fragment is complete when the next header (or a clean stream
+      // end) bounds it; a truncated tail is dropped
+      val e = if (i + 1 < n) starts(i + 1) else if (truncated) -1 else pos
+      if (e > s) Some((s.toLong, java.util.Arrays.copyOfRange(buf, s, e))) else None
+    }
+  }
+
   /** TagName/TagString pairs in document order (parser.py:352-366). */
   def tags(buf: Array[Byte]): Map[String, String] = {
     var lastName: String = null

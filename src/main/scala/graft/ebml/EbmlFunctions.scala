@@ -71,6 +71,24 @@ object EbmlFunctions {
         m.getOrElse(ErrorCode, null), m.getOrElse(ErrorId, null))
     }
 
+  final case class FragmentSlice(position: Long, fragment: Array[Byte])
+
+  /** Continuous-stream splitting (parser.py:362-375 boundary semantics):
+    * one blob of concatenated fragments → per-fragment slices with the
+    * absolute stream position of each fragment head. */
+  val splitFragments: UserDefinedFunction =
+    udf { (blob: Array[Byte]) =>
+      if (blob == null) Array.empty[FragmentSlice]
+      else Ebml.splitFragments(blob)
+        .map { case (p, b) => FragmentSlice(p, b) }.toArray
+    }
+
+  /** Concatenate fragment blobs into one continuous stream payload (the
+    * shape GetMedia actually delivers: fragments back to back on one
+    * connection). */
+  val concatBlobs: UserDefinedFunction =
+    udf { (blobs: Seq[Array[Byte]]) => Ebml.concat(blobs: _*) }
+
   final case class ElementInfo(name: String, size: Long, position: Long)
 
   /** Element walk with head positions (ebml.py Position semantics). */

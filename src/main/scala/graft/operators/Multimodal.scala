@@ -51,6 +51,33 @@ object Multimodal {
         length(col("blob")).cast("long").as("blob_len"))
       .orderBy("event_id")
 
+  /** G4/A8 — continuous-stream fragment splitting (parser.py:362-375):
+    * GetMedia delivers fragments back to back on one connection; the
+    * reference finds each boundary via the next EBML header's
+    * DocTypeReadVersion and flushes the previous fragment. Here: events
+    * are packed `groupSize` per stream blob (ordered concat), then the
+    * splitter explodes each blob back into per-fragment rows with
+    * absolute positions, and each fragment's tags are re-parsed to prove
+    * the slices are well-formed. The oracle recomputes positions
+    * arithmetically as the running sum of the deterministic fragment
+    * lengths. One shuffle (the pack groupBy); the split+parse is per-row. */
+  def mmSplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
+    withBlob(t)
+      .withColumn("grp", intDiv(col("event_id"), groupSize))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("blob"))))
+        .as("parts"))
+      .select(col("grp"), EbmlFunctions.concatBlobs(
+        transform(col("parts"), p => p.getField("blob"))).as("stream"))
+      .select(col("grp"),
+        explode(EbmlFunctions.splitFragments(col("stream"))).as("fr"))
+      .select(col("grp"), col("fr.position").as("position"),
+        length(col("fr.fragment")).cast("long").as("frag_len"),
+        EbmlFunctions.parseTags(col("fr.fragment")).as("tg"))
+      .select(col("tg.fragment_number").cast("long").as("event_id"),
+        col("grp"), col("position"), col("frag_len"))
+      .orderBy("event_id")
+
   /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame
     * payload, "decode" it (UTF-8 — stands in for an image codec, which
     * this container lacks), and compute deterministic features. The

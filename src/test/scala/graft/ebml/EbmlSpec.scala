@@ -42,6 +42,23 @@ class EbmlSpec extends AnyFunSuite {
     assert(els(3).longValue == 1000L)
   }
 
+  test("continuous stream splits at each EBML header (parser.py:362-375)") {
+    val f1 = EbmlFunctions.buildFragment(1L, 1000L, 10L, 100L, "aa")
+    val f2 = EbmlFunctions.buildFragment(2L, 2000L, 11L, 200L, "bbbb")
+    val f3 = EbmlFunctions.buildFragment(3L, 3000L, 12L, 300L, "c")
+    val stream = concat(f1, f2, f3)
+    val got = splitFragments(stream)
+    assert(got.map(_._1) == Seq(0L, f1.length.toLong, (f1.length + f2.length).toLong))
+    assert(got.map(_._2.toSeq) == Seq(f1.toSeq, f2.toSeq, f3.toSeq))
+    // each slice re-parses to its own tag set
+    assert(got.map(s => Ebml.tags(s._2)(EbmlFunctions.FragmentNumber)) == Seq("1", "2", "3"))
+    // a truncated tail (partial last fragment) is dropped, complete ones kept
+    val cut = java.util.Arrays.copyOfRange(stream, 0, f1.length + f2.length + 40)
+    assert(splitFragments(cut).map(_._1) == Seq(0L, f1.length.toLong))
+    // garbage-only input yields nothing
+    assert(splitFragments(Array[Byte](0, 0, 0)).isEmpty)
+  }
+
   test("fragment round-trip: tags and positions (parser.py:352-366)") {
     val blob = EbmlFunctions.buildFragment(42L, 1700000000123L, 7L, 1234L, """{"k": 9}""")
     val tg = Ebml.tags(blob)
