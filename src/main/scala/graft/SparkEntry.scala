@@ -50,6 +50,7 @@ object SparkEntry {
     "lag_monitor" -> ((s, d) => EventOps.lagMonitor(tables(s, d))),
     "resume_from_token" -> ((s, d) => EventOps.resumeFromToken(tables(s, d))),
     "sessionize" -> ((s, d) => EventOps.sessionize(tables(s, d))),
+    "reconnect_accounting" -> ((s, d) => EventOps.reconnectAccounting(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
@@ -262,6 +263,18 @@ object SparkEntry {
           ORDER BY ts_ms, event_id) as bigint) AS session_id FROM s)
         SELECT user_id, session_id, count(*) AS n, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
         FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "reconnect_accounting" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+          THEN 1 ELSE 0 END AS new_sess FROM l)
+        SELECT user_id,
+          cast(sum(new_sess) - 1 as bigint) AS n_renewals,
+          cast(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) as bigint) AS n_attempts,
+          count(*) AS n_events,
+          cast(CASE WHEN sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) > 10
+            THEN 1 ELSE 0 END as bigint) AS gave_up
+        FROM s GROUP BY user_id ORDER BY user_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",

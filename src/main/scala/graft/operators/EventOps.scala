@@ -119,4 +119,31 @@ object EventOps {
         max(col("ts_ms")).as("end_ms"))
       .orderBy("user_id", "session_id")
   }
+
+  /** B7b — reconnect accounting (parser.py:223-229): the reference counts
+    * a reconnect after at least one successfully-read packet as a RENEWAL
+    * (the continuation token advanced; the counter resets the failure
+    * budget) and one that produced no packets as an ATTEMPT, stopping once
+    * attempts exceed reconnect_max_count. Batch analog per stream key:
+    * renewals = session transitions beyond the first epoch (every new
+    * session resumes from a successful one — our sessions contain data by
+    * construction); attempts = error-marker events (connections that
+    * surfaced AWS_KINESISVIDEO_ERROR_* instead of packets);
+    * `gave_up` flags keys whose attempts ran over the budget. Same single
+    * user_id shuffle as sessionize. */
+  def reconnectAccounting(t: Tables, reconnectMaxCount: Long = 10L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    withMs(t)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 3600000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        (sum(col("new_sess")) - lit(1L)).as("n_renewals"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_attempts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("gave_up", (col("n_attempts") > reconnectMaxCount).cast("long"))
+      .orderBy("user_id")
+  }
 }
