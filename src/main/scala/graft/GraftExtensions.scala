@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{DotProduct, IntersectSortedLongSize, IntersectSortedSize, Norm2}
+import graft.plans.{DotProduct, Fingerprint, IntersectSortedLongSize, IntersectSortedSize, MinhashBands, Norm2}
 
 /** SparkSessionExtensions entry point: makes the graft native expressions
   * first-class SQL functions in any session built with
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_intersect_long_size"),
       new ExpressionInfo(classOf[IntersectSortedLongSize].getName, "graft_intersect_long_size"),
       exprs => IntersectSortedLongSize(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      exprs => Fingerprint(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
+      exprs => MinhashBands(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.IntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

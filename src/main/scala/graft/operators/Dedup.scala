@@ -107,13 +107,15 @@ object Dedup {
   /** D3 — MinHash LSH candidate pairs: 64 min-hashes in 4 bands x 16 rows
     * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^16)^4).
     * Docs sharing any band signature become a candidate pair — ONE shuffle
-    * on (band, sig). Signatures are a tight JVM UDF (Sketches). Rows-only
-    * oracle; DedupSpec checks recall vs exact Jaccard (D2). */
+    * on (band, sig). Signatures are the native codegen expression
+    * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
+    * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
   def minhashCandidates(t: Tables): DataFrame = {
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .select(col("doc_id"),
-        posexplode(Sketches.minhashBandSigs()(col("toks"))).as(Seq("band", "sig")))
+        posexplode(call_function("graft_minhash_bands", col("toks")))
+          .as(Seq("band", "sig")))
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -76,10 +76,13 @@ object TextOps {
   /** F3 — document fingerprint: polynomial rolling hash over codepoints,
     * h = (h*31 + code) mod 1e9+7, exact in int64 (max step < 2^35). */
   def fingerprint(t: Tables): DataFrame = {
-    val chars = call_function("regexp_extract_all", col("text"), lit("."), lit(0))
-    val fp = aggregate(chars, lit(0L),
-      (h, c) => (h * 31L + ascii(c)) % 1000000007L)
-    t.documents.select(col("doc_id"), fp.as("fp")).orderBy("doc_id")
+    // native codegen expression: the column form (regexp_extract_all per
+    // char + interpreted aggregate lambda) measured ~µs/char; the kernel
+    // is ~ns/char with identical results (TextOpsSpec pins equivalence)
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    t.documents
+      .select(col("doc_id"), call_function("graft_fingerprint", col("text")).as("fp"))
+      .orderBy("doc_id")
   }
 
   /** F4 — heuristic language ID from function-word profiles + CJK charset.

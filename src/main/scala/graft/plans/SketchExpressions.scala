@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Hashing
+
+/** Shared JVM kernels for the sketch expressions: interpreted `eval` and
+  * generated code both call these statics, so the two paths cannot
+  * diverge. (Scala object methods get static forwarders, so generated
+  * Java calls them directly.) */
+object SketchKernels {
+
+  /** Rolling polynomial fingerprint, mirroring the round-1 column form
+    * `aggregate(regexp_extract_all(text,'.'), 0L, (h,c) -> (h*31+ascii(c))
+    * % 1e9+7)`: per code point, skipping the line terminators Java's
+    * regex '.' skips — byte-identical results, ~1000x less per-char cost
+    * than the interpreted HOF lambda it replaces. */
+  def fingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp != '\n' && cp != '\r' && cp != 0x85 && cp != 0x2028 && cp != 0x2029)
+        h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** MinHash band signatures — the Sketches.minhashBandSigs logic reading
+    * tokens straight from Tungsten ArrayData. */
+  def minhashBandSigs(arr: ArrayData, numHashes: Int, rowsPerBand: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val base = new Array[Long](n)
+    var t = 0
+    while (t < n) { base(t) = Hashing.hashString(arr.getUTF8String(t).toString); t += 1 }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < numHashes) {
+      var j = 0
+      while (j < n) {
+        val h = Hashing.withSeed(base(j), i)
+        if (h < mins(i)) mins(i) = h
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numHashes / rowsPerBand
+    val sigs = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = Hashing.mix64(acc ^ mins(b * rowsPerBand + r))
+        r += 1
+      }
+      sigs(b) = acc
+      b += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}
+
+/** Document fingerprint as a native codegen expression (H4 pattern). */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+  // caller guarantees a string input
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.fingerprint(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.SketchKernels.fingerprint($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+/** MinHash band signatures as a native codegen expression: one signature
+  * per LSH band over the token-set input. */
+case class MinhashBands(child: Expression, numHashes: Int = 64, rowsPerBand: Int = 16)
+    extends UnaryExpression {
+  // caller guarantees array<string> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.minhashBandSigs(a.asInstanceOf[ArrayData], numHashes, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SketchKernels.minhashBandSigs($a, $numHashes, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}

@@ -181,5 +181,9 @@ object VectorFunctions {
       exprs => IntersectSortedSize(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_long_size",
       exprs => IntersectSortedLongSize(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      exprs => Fingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      exprs => MinhashBands(exprs.head), "built-in")
   }
 }

@@ -23,6 +23,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("native minhash expression matches the UDF reference implementation") {
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    val toks = array_sort(array_distinct(graft.functions.words(col("text"))))
+    val both = t.documents.limit(100)
+      .select(col("doc_id"),
+        call_function("graft_minhash_bands", toks).as("native"),
+        graft.functions.Sketches.minhashBandSigs()(toks).as("viaUdf"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}"))
+  }
+
   test("simhash pairs respect the hamming bound and signature definition") {
     val rows = Dedup.simhashPairs(t).collect()
     assert(rows.forall(_.getLong(2) <= 6))

@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sketch kernels stay in whole-stage codegen") {
+    val fp = TextOps.fingerprint(t)
+    fp.collect()
+    val fpPlan = planOf(fp)
+    assert(fpPlan.contains("graft_fingerprint"), s"native fingerprint missing:\n$fpPlan")
+    assert(fpPlan.contains("*("), s"no codegen stage markers in:\n$fpPlan")
+    val mh = Dedup.minhashCandidates(t)
+    val mhPlan = planOf(mh)
+    assert(mhPlan.contains("graft_minhash_bands"), s"native minhash missing:\n$mhPlan")
+  }
+
   test("vector kernels stay in whole-stage codegen") {
     val df = Similarity.annBruteTopK(t)
     df.collect() // finalize the adaptive plan so codegen spans materialize
