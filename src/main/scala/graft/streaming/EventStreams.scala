@@ -87,6 +87,17 @@ object EventStreams {
         col("n_fragments"), col("max_fragment"), col("max_behind_ms"))
   }
 
+  /** B12 — streaming replay dedup: a reconnect resumes from the last
+    * continuation token, so fragments after it can be delivered AGAIN
+    * (at-least-once). Spark form: event-time watermark + keyed
+    * dropDuplicates — replays inside the horizon are dropped exactly
+    * once, and state for ids older than the watermark is evicted, which
+    * is what lets the dedup state stay bounded on an endless stream. */
+  def replayDedup(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicates("event_id")
+
   /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
     * streaming state: each update emits the event with its position in the
     * queue; the state never exceeds `maxLen`. */

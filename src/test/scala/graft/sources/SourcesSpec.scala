@@ -32,6 +32,22 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("retention evicts the oldest partitions like the frame queue (parser.py:475-481)") {
+    val dir = tmp() + "/frames"
+    // three appends of time-bucketed "frames"; keep the newest 2 buckets
+    for (b <- 1 to 3) {
+      val batch = t.events.limit(10)
+        .withColumn("bucket", lit(f"$b%05d"))
+      val evicted = Retention.writeWithRetention(batch, dir, "bucket", keepNewest = 2)
+      if (b <= 2) assert(evicted.isEmpty)
+      else assert(evicted == Seq("00001"), s"append $b evicted $evicted")
+    }
+    val left = spark.read.parquet(dir)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp() + "/part"
     t.events.withColumn("etype", col("event_type"))

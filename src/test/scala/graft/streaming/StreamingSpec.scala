@@ -79,9 +79,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Event]
-    val query = input.toDF()
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+    val query = EventStreams.replayDedup(input.toDF())
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     try {
