@@ -2,16 +2,17 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Typed accessors for the driver-generated parquet tables.
+/** Typed accessors for the ten analytics tables.
   *
-  * All reads go through `spark.read.parquet` so Catalyst keeps full
+  * All reads go through a per-name loader so Catalyst keeps full
   * pushdown/pruning ability: a downstream `.select`/`.filter` reaches the
   * scan as `ReadSchema`/`PushedFilters`. Never cache here — at 100 TB the
   * scan must stream, and column pruning is worth more than a hot cache.
+  * The default loader is the driver's parquet layout; `TableFormats`
+  * builds Tables over CSV/JSON directories with the same schemas.
   */
-final class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+final class Tables(load: String => DataFrame) {
+  private def t(name: String): DataFrame = load(name)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -26,5 +27,8 @@ final class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+  def apply(spark: SparkSession, dir: String): Tables =
+    new Tables(name => spark.read.parquet(s"$dir/$name.parquet"))
+
+  def fromLoader(load: String => DataFrame): Tables = new Tables(load)
 }

@@ -49,9 +49,25 @@ object FragmentSource {
       .load(dir)
       .select(col("content").as("blob"), col("path"))
 
+  /** Continuous-payload stream: GetMedia delivers fragments back to back
+    * on one connection, so a payload file may hold MANY fragments. Each
+    * file is split at its EBML-header boundaries (parser.py:362-375) into
+    * per-fragment rows carrying the absolute position inside the payload
+    * — the same (file, position) pair the reference uses to associate
+    * tags with packets. Splitting is per-row (no shuffle), so the stream
+    * stays embarrassingly parallel. */
+  def continuousStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    fragmentStream(spark, dir, maxFilesPerTrigger)
+      .select(col("path"),
+        explode(graft.ebml.EbmlFunctions.splitFragments(col("blob"))).as("fr"))
+      .select(col("path"), col("fr.position").as("position"),
+        col("fr.fragment").as("blob"))
+
   /** The full live pipeline from a directory source: blobs → EBML tags →
-    * watermarked windowed per-producer rates (EventStreams). Point the
-    * writeStream at a checkpoint location to make it resumable. */
+    * watermarked windowed per-producer rates (EventStreams). Payload
+    * files holding several concatenated fragments are split first. Point
+    * the writeStream at a checkpoint location to make it resumable. */
   def fragmentRates(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.fragmentPipeline(fragmentStream(spark, dir))
+    EventStreams.fragmentPipeline(continuousStream(spark, dir))
 }

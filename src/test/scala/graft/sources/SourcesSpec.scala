@@ -32,6 +32,25 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("catalog queries run identically from csv and json table sources") {
+    import graft.operators._
+    val dir = tmp()
+    for (fmt <- Seq("csv", "json")) {
+      TableFormats.exportTables(t, s"$dir/$fmt", fmt)
+      val t2 = TableFormats.loadTables(spark, s"$dir/$fmt", fmt)
+      // timestamps (lineitem), long-nanos events, and float arrays all
+      // survive the text round-trip byte-for-byte
+      assert(Analytics.q1PricingSummary(t2).collect().toSeq ==
+        Analytics.q1PricingSummary(t).collect().toSeq, s"$fmt q1")
+      assert(EventOps.rateTumbling(t2).collect().toSeq ==
+        EventOps.rateTumbling(t).collect().toSeq, s"$fmt rate_tumbling")
+      assert(Similarity.annBruteTopK(t2).collect().toSeq ==
+        Similarity.annBruteTopK(t).collect().toSeq, s"$fmt ann_brute")
+      assert(TextOps.fingerprint(t2).collect().toSeq ==
+        TextOps.fingerprint(t).collect().toSeq, s"$fmt fingerprint")
+    }
+  }
+
   test("retention evicts the oldest partitions like the frame queue (parser.py:475-481)") {
     val dir = tmp() + "/frames"
     // three appends of time-bucketed "frames"; keep the newest 2 buckets

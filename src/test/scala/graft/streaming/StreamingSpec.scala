@@ -122,7 +122,10 @@ class StreamingSpec extends SparkSpec {
     // the stream dies (reconnect). Already-consumed fragments vanish, like
     // the reference's drained pipe — only the checkpoint knows about them.
     (1 to 3).foreach(i => Files.delete(Paths.get(inDir, f"frag$i%05d.mkv")))
-    (4 to 6).foreach(writeFrag(_, 11L))
+    // fragments 4-6 arrive as ONE GetMedia-style payload: three fragments
+    // concatenated back to back in a single file, split by the source
+    Files.write(Paths.get(inDir, "frag1_payload.mkv"),
+      graft.ebml.Ebml.concat(blob(4, 11L), blob(5, 11L), blob(6, 11L)))
     runOnce() // CONTINUATION_TOKEN analog: same checkpoint → resume, not replay
     val got = spark.read.parquet(outDir)
       .groupBy("producer_id").sum("n_fragments")
