@@ -272,11 +272,17 @@ object Ebml {
     }
   }
 
-  /** TagName/TagString pairs in document order (parser.py:352-366). */
+  private val TagLeaves = Set("TagName", "TagString")
+  private val BlockLeaves = Set("SimpleBlock", "Block")
+
+  /** TagName/TagString pairs in document order (parser.py:352-366).
+    * Filtered walk: every other leaf — including the cluster's media
+    * payload — is skipped by size without decoding, exactly the
+    * reference's InterestingElementNames fast-forward. */
   def tags(buf: Array[Byte]): Map[String, String] = {
     var lastName: String = null
     val m = Map.newBuilder[String, String]
-    elements(buf).foreach { e =>
+    elements(buf, TagLeaves).foreach { e =>
       if (e.name == "TagName") lastName = e.stringValue
       else if (e.name == "TagString" && lastName != null) m += lastName -> e.stringValue
     }
@@ -284,9 +290,12 @@ object Ebml {
   }
 
   /** Payloads of all SimpleBlock/Block elements (parser.py demuxes these
-    * through libav; we surface the raw block for downstream decode). */
+    * through libav; we surface the raw block for downstream decode).
+    * Filtered walk — tag/metadata leaves are skipped undecoded. */
   def blocks(buf: Array[Byte]): Seq[Array[Byte]] =
-    elements(buf).collect { case e if e.name == "SimpleBlock" || e.name == "Block" => e.bytesValue }
+    elements(buf, BlockLeaves).collect {
+      case e if e.bytesValue != null => e.bytesValue
+    }
 
   // ---- writer ----------------------------------------------------------
 

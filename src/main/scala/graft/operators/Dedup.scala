@@ -65,6 +65,11 @@ object Dedup {
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard4"))
+      // exchange barrier before the sort: orderBy's range sampling
+      // re-executes its child, and without a shuffle in between that
+      // child is the whole O(n²) join — one extra shuffle of the (tiny)
+      // surviving pairs halves the query
+      .repartition(cores, col("id_a"))
       .orderBy("id_a", "id_b")
   }
 
@@ -101,6 +106,9 @@ object Dedup {
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard4"))
+      // exchange barrier before the sort (see jaccardPairs): without it
+      // range sampling re-runs the blocked nested-loop join
+      .repartition(cores, col("id_a"))
       .orderBy("id_a", "id_b")
   }
 
@@ -173,16 +181,32 @@ object Dedup {
     val y = tagged.withColumn("by",
       explode(when(col("hot"), sequence(lit(0L), lit(blocks.toLong - 1L)))
         .otherwise(array(lit(0L)))))
+    // exactly-once emission: a close pair shares EVERY band its xor
+    // leaves clean, so it would surface once per clean band (up to 7x —
+    // measured 5x row inflation into a distinct() shuffle). Keep only the
+    // row whose band k is the FIRST clean band of the xor — pure codegen
+    // arithmetic, no distinct, no duplicate shuffle volume.
+    val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
+    def bandClean(j: Int): org.apache.spark.sql.Column = {
+      val (off, w) = simhashBandLayout(j)
+      call_function("shiftright", xorSig, lit(off))
+        .bitwiseAND(lit((1L << w) - 1L)) === 0L
+    }
+    val firstCleanBand = simhashBandLayout.indices.reverse
+      .foldLeft(lit(simhashBandLayout.length)) {
+        (acc, j) => when(bandClean(j), j).otherwise(acc)
+      }
     x.as("x").join(y.as("y"),
         col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
           col("bx") === col("by") &&
           col("x.doc_id") < col("y.doc_id") &&
-          call_function("bit_count",
-            col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+          call_function("bit_count", xorSig) <= maxHamming)
+      .filter(col("x.k") === firstCleanBand)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        call_function("bit_count",
-          col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .distinct()
+        call_function("bit_count", xorSig).cast("long").as("hamming"))
+      // exchange barrier before the sort (see jaccardPairs)
+      .repartition(t.documents.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
       .orderBy("id_a", "id_b")
   }
 
@@ -190,6 +214,7 @@ object Dedup {
     * set). Double-precision left-fold dot product — bit-identical to the
     * oracle's list_reduce. Norms precomputed per row (not per pair). */
   def embeddingPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
+    val cores = t.embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = Similarity.withNorm(t.embeddings)
     val a = vecs.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("norm").as("norm_a"))
     val b = vecs.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("norm").as("norm_b"))
@@ -198,6 +223,8 @@ object Dedup {
         call_function("graft_dot", col("v_a"), col("v_b")) / (sqrt(col("norm_a")) * sqrt(col("norm_b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+      // exchange barrier before the sort (see jaccardPairs)
+      .repartition(cores, col("id_a"))
       .orderBy("id_a", "id_b")
   }
 }
