@@ -18,6 +18,8 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // native expressions + IntersectRewrite + AsOfJoinStrategy
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.ts is parquet TIMESTAMP(NANOS) — read as long nanos (exact)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -119,16 +119,28 @@ object Dedup {
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
   def minhashCandidates(t: Tables): DataFrame = {
+    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .select(col("doc_id"),
-        posexplode(call_function("graft_minhash_bands", col("toks")))
-          .as(Seq("band", "sig")))
+        call_function("graft_minhash_bands", col("toks")).as("sigs"))
+      .select(col("doc_id"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+    // exactly-once emission: a pair agreeing on several bands would
+    // surface once per band; keep only the row whose band is the FIRST
+    // agreeing band of the two carried signature arrays (4 longs each)
+    // — no distinct() shuffle over duplicate candidates.
+    val firstAgree = (0 until 4).reverse
+      .foldLeft(lit(4): org.apache.spark.sql.Column) { (acc, j) =>
+        when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
+      }
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.band") === firstAgree)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+      // exchange barrier before the sort (see jaccardPairs)
+      .repartition(cores, col("id_a"))
       .orderBy("id_a", "id_b")
   }
 

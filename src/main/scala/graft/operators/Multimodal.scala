@@ -88,6 +88,9 @@ object Multimodal {
         EbmlFunctions.parseTags(col("fr.fragment")).as("tg"))
       .select(col("tg.fragment_number").cast("long").as("event_id"),
         col("grp"), col("position"), col("frag_len"))
+      // exchange barrier: without it the final sort's range sampling
+      // re-runs the concat+split+parse stage above the pack shuffle
+      .repartition(32, col("grp"))
       .orderBy("event_id")
 
   /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame

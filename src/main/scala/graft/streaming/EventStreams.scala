@@ -93,10 +93,11 @@ object EventStreams {
     * dropDuplicates — replays inside the horizon are dropped exactly
     * once, and state for ids older than the watermark is evicted, which
     * is what lets the dedup state stay bounded on an endless stream. */
-  def replayDedup(events: DataFrame, horizon: String = "10 minutes"): DataFrame =
+  def replayDedup(events: DataFrame, horizon: String = "10 minutes",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame =
     events
-      .withWatermark("ts", horizon)
-      .dropDuplicates("event_id")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates(idCol)
 
   /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
     * streaming state: each update emits the event with its position in the

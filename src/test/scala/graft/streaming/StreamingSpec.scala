@@ -143,6 +143,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("consumer app e2e: split, dedup replays, persist with retention, resume") {
+    import java.nio.file.{Files, Paths}
+    import graft.ebml.{Ebml, EbmlFunctions}
+    val inDir = Files.createTempDirectory("graft_app_in").toString
+    val chkDir = Files.createTempDirectory("graft_app_chk").toString
+    val storeDir = Files.createTempDirectory("graft_app_store").toString + "/frames"
+    val t0 = 1704067200000L // 2024-01-01 00:00 UTC
+    def blob(i: Int): Array[Byte] =
+      EbmlFunctions.buildFragment(i.toLong, t0 + i * 60000L, 10L, 100L, s"f$i")
+    def runOnce(): Unit = {
+      val q = ConsumerApp.start(spark, inDir, storeDir, chkDir,
+        keepNewest = 2, bucketMs = 600000L) // 10-min buckets, keep 2
+      try q.processAllAvailable() finally q.stop()
+    }
+    // payload 1: fragments 1-3 (minutes 1-3 → bucket 0)
+    Files.write(Paths.get(inDir, "p1.mkv"), Ebml.concat(blob(1), blob(2), blob(3)))
+    runOnce()
+    // payload 2 after a reconnect: fragment 3 REPLAYED (at-least-once),
+    // plus 11-12 (minutes 11-12 → bucket 1) and 21 (bucket 2)
+    Files.write(Paths.get(inDir, "p2.mkv"),
+      Ebml.concat(blob(3), blob(11), blob(12), blob(21)))
+    runOnce() // same checkpoint: resume, not reprocess
+    val store = spark.read.parquet(storeDir)
+    val frags = store.select("fragment_number").collect().map(_.getLong(0)).sorted.toSeq
+    // fragment 3 appears ONCE (dedup state survived the restart); bucket 0
+    // (fragments 1-3) was evicted when bucket 2 arrived
+    assert(frags == Seq(11L, 12L, 21L), s"store holds $frags")
+    assert(store.select("bucket").distinct().count() == 2)
+  }
+
   test("extensions class registers the native functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // throws on malformed injection
