@@ -71,7 +71,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
-    "lang_id" -> ((s, d) => TextOps.langId(tables(s, d)))
+    "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
+    "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d)))
   )
 
   private val centsQty = "cast(round(l_quantity*100) as bigint)"
@@ -341,6 +342,18 @@ object SparkEntry {
           list_transform(regexp_extract_all(text,'.'), c -> cast(ord(c) as bigint))),
           (h,c) -> (h*31+c) % 1000000007) AS fp
         FROM documents ORDER BY doc_id""",
+    "curation_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z]+') AS toks FROM documents),
+        m AS (SELECT doc_id, text,
+          cast(len(toks) as bigint) AS n_words,
+          cast(len(list_filter(toks, tk -> tk IN ('the','a','an','of','in','on','and','to','is','it'))) as bigint) AS n_stop,
+          cast(length(text) as bigint) AS n_chars,
+          cast(length(regexp_replace(text,'[^a-zA-Z]','','g')) as bigint) AS n_alpha
+        FROM d),
+        f AS (SELECT * FROM m WHERE n_words >= 40 AND n_alpha*5 >= n_chars*4),
+        g AS (SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(n_stop) AS n_stop
+          FROM f GROUP BY text)
+        SELECT doc_id, n_words, n_stop/n_words AS stop_ratio FROM g ORDER BY doc_id""",
     "mm_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS producer_ms,
           cast(round(value*100) as bigint) AS value_c, user_id,

@@ -38,6 +38,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F5 — curation pipeline: the composite pass a training-data pipeline
+    * runs before tokenization — quality-score every document, keep those
+    * above the length and alpha bars (integer comparisons, no float
+    * thresholds), exact-dedup survivors by text keeping the smallest id.
+    * One scan, one hash-agg shuffle; at 100 TB this is the canonical
+    * "clean the crawl" job shape. */
+  def curationPipeline(t: Tables, minWords: Long = 40L): DataFrame = {
+    val toks = words(col("text"))
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks, tk => tk.isin(StopWords: _*))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    t.documents
+      .select(col("doc_id"), col("text"), nWords.as("n_words"),
+        nStop.as("n_stop"), nChars.as("n_chars"), nAlpha.as("n_alpha"))
+      .filter(col("n_words") >= minWords &&
+        col("n_alpha") * 5L >= col("n_chars") * 4L)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"),
+        // identical text ⇒ identical metrics; min keeps it deterministic
+        min(col("n_words")).as("n_words"),
+        min(col("n_stop")).as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {
