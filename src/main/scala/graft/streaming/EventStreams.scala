@@ -99,6 +99,23 @@ object EventStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicates(idCol)
 
+  /** Error side-channel (parser.py:357-360): fragments carrying
+    * AWS_KINESISVIDEO_ERROR_CODE/_ID are surfaced as a monitoring stream
+    * with the continuation token to resume from — the reference logs
+    * them and reconnects; here the same rows drive alerting or a
+    * dead-letter sink. Works on batch and streaming frames alike. */
+  def fragmentErrors(fragments: DataFrame): DataFrame = {
+    import graft.ebml.EbmlFunctions
+    fragments
+      .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
+      .filter(col("tg.error_code").isNotNull || col("tg.error_id").isNotNull)
+      .select(
+        col("tg.fragment_number").cast("long").as("fragment_number"),
+        col("tg.error_code").as("error_code"),
+        col("tg.error_id").cast("long").as("error_id"),
+        col("tg.continuation_token").as("token"))
+  }
+
   /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
     * streaming state: each update emits the event with its position in the
     * queue; the state never exceeds `maxLen`. */

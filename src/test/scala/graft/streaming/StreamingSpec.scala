@@ -143,6 +143,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("error fragments surface on the monitoring side-channel (parser.py:357-360)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ebml.{Ebml, EbmlFunctions}
+    import Ebml._
+    // a faulted fragment: AWS error tags instead of media payload
+    val errorFragment = concat(
+      element(0x1a45dfa3L, concat(
+        element(0x4282L, utf8("matroska")), element(0x4285L, uintBytes(2L, 1)))),
+      element(0x18538067L, element(0x1254c367L, element(0x7373L, concat(
+        element(0x63c0L, Array.emptyByteArray),
+        simpleTag(EbmlFunctions.FragmentNumber, "77"),
+        simpleTag(EbmlFunctions.ContinuationToken, "tok-77"),
+        simpleTag(EbmlFunctions.ErrorCode, "STREAM_DELETED"),
+        simpleTag(EbmlFunctions.ErrorId, "4003"))))))
+    val ok = EbmlFunctions.buildFragment(1L, 1000L, 10L, 100L, "f1")
+    val input = MemoryStream[Array[Byte]]
+    val query = EventStreams.fragmentErrors(
+        input.toDF().withColumnRenamed("value", "blob"))
+      .writeStream.format("memory").queryName("frag_errors")
+      .outputMode("append").start()
+    try {
+      input.addData(ok, errorFragment)
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select fragment_number, error_code, error_id, token from frag_errors")
+        .collect()
+      assert(rows.length == 1, "healthy fragments must not surface")
+      assert(rows.head.getLong(0) == 77L)
+      assert(rows.head.getString(1) == "STREAM_DELETED")
+      assert(rows.head.getLong(2) == 4003L)
+      assert(rows.head.getString(3) == "tok-77")
+    } finally query.stop()
+  }
+
   test("consumer app e2e: split, dedup replays, persist with retention, resume") {
     import java.nio.file.{Files, Paths}
     import graft.ebml.{Ebml, EbmlFunctions}
