@@ -86,15 +86,13 @@ object Dedup {
   def ngramJaccardPairs(t: Tables, threshold: Double = 0.9): DataFrame = {
     graft.plans.VectorFunctions.register(t.documents.sparkSession)
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
-    val shingles = when(length(col("text")) >= 3,
-      array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-        i => call_function("substring", col("text"), i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    // native 3-gram kernel: the earlier column form (transform(sequence)
+    // + substring + xxhash64) evaluated interpreted per gram and cost
+    // more than the pair merge itself; mix64 of the packed chars is a
+    // bijection, so |sh_h| is exactly the distinct-gram count
     val hashed = t.documents
-      .select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"),
-        array_sort(transform(col("sh"), s => xxhash64(s))).as("sh_h"),
-        size(col("sh")).cast("long").as("n"))
+      .select(col("doc_id"), call_function("graft_ngram3", col("text")).as("sh_h"))
+      .withColumn("n", size(col("sh_h")).cast("long"))
     val a = hashed.select(col("doc_id").as("id_a"), col("sh_h").as("sh_a"), col("n").as("n_a"))
       .repartition(cores * 4, col("id_a"))
     val b = hashed.select(col("doc_id").as("id_b"), col("sh_h").as("sh_b"), col("n").as("n_b"))
