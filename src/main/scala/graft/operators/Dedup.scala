@@ -176,7 +176,7 @@ object Dedup {
     }: _*)
     val sigs = tokenized(t)
       .filter(col("n") > 0)
-      .withColumn("sig", Sketches.simhashSig(col("toks")))
+      .withColumn("sig", call_function("graft_simhash", col("toks")))
       .select(col("doc_id"), col("sig"), explode(bands).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
     val hot = sigs.groupBy("k", "cv")
@@ -185,9 +185,15 @@ object Dedup {
       .select(col("k"), col("cv"), lit(true).as("hot"))
     val tagged = sigs.join(broadcast(hot), Seq("k", "cv"), "left")
       .withColumn("hot", coalesce(col("hot"), lit(false)))
-    val x = tagged.withColumn("bx",
-      when(col("hot"), pmod(xxhash64(col("doc_id")), lit(blocks.toLong)))
-        .otherwise(lit(0L)))
+    // spread the probe side: the documents scan is a handful of input
+    // splits at small SF, which would run the whole bucket-probe loop on
+    // as few tasks — explicit-count repartition (AQE-proof) fans the
+    // candidate iteration across every core
+    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    val x = tagged.repartition(cores * 4, col("doc_id"))
+      .withColumn("bx",
+        when(col("hot"), pmod(xxhash64(col("doc_id")), lit(blocks.toLong)))
+          .otherwise(lit(0L)))
     val y = tagged.withColumn("by",
       explode(when(col("hot"), sequence(lit(0L), lit(blocks.toLong - 1L)))
         .otherwise(array(lit(0L)))))

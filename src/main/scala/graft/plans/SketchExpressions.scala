@@ -31,6 +31,31 @@ object SketchKernels {
     h
   }
 
+  /** 64-bit SimHash over the token set — the Sketches.simhashSig logic
+    * reading tokens straight from Tungsten ArrayData. */
+  def simhashSig(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val h = Hashing.hashString(arr.getUTF8String(t).toString)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** MinHash band signatures — the Sketches.minhashBandSigs logic reading
     * tokens straight from Tungsten ArrayData. */
   def minhashBandSigs(arr: ArrayData, numHashes: Int, rowsPerBand: Int): ArrayData = {
@@ -95,6 +120,23 @@ object Ngram3Kernel {
     }
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
+}
+
+/** SimHash signature as a native codegen expression over a token array. */
+case class SimhashSig(child: Expression) extends UnaryExpression {
+  // caller guarantees array<string> input
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.simhashSig(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.SketchKernels.simhashSig($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
 }
 
 /** Sorted distinct character-3-gram hashes of a string — the shingle

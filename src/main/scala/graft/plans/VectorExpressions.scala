@@ -187,5 +187,7 @@ object VectorFunctions {
       exprs => MinhashBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram3",
       exprs => Ngram3Hashes(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimhashSig(exprs.head), "built-in")
   }
 }
