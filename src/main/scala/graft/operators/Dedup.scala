@@ -233,6 +233,9 @@ object Dedup {
     val cores = t.embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = Similarity.withNorm(t.embeddings)
     val a = vecs.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("norm").as("norm_a"))
+      // spread the pair loop: the embeddings scan is few splits (see
+      // jaccardPairs)
+      .repartition(cores * 4, col("id_a"))
     val b = vecs.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("norm").as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos",

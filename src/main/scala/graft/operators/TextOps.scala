@@ -16,6 +16,14 @@ object TextOps {
   val StopWords: Seq[String] =
     Seq("the", "a", "an", "of", "in", "on", "and", "to", "is", "it")
 
+  /** Documents globally ordered by doc_id BEFORE the per-row analysis
+    * projections: the final sort's range sampling then reads only the
+    * scan, the exchange spreads rows across every core (the raw scan is
+    * a couple of splits at small SF), and the regex work runs exactly
+    * once, post-shuffle. Output order identical to sorting afterwards. */
+  private def docsSorted(t: Tables): DataFrame =
+    t.documents.orderBy("doc_id")
+
   /** F1 — quality scoring: exact integer counts + single-division ratios. */
   def textQuality(t: Tables): DataFrame = {
     val toks = words(col("text"))
@@ -24,7 +32,7 @@ object TextOps {
     val nChars = length(col("text")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
     val nSpace = length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
-    t.documents.select(
+    docsSorted(t).select(
       col("doc_id"),
       nChars.as("n_chars"),
       nWords.as("n_words"),
@@ -35,7 +43,6 @@ object TextOps {
         .as("stop_ratio"),
       when(nChars === 0L, lit(0.0)).otherwise(nAlpha.cast("double") / nChars)
         .as("alpha_ratio"))
-      .orderBy("doc_id")
   }
 
   /** F5 — curation pipeline: the composite pass a training-data pipeline
@@ -73,13 +80,12 @@ object TextOps {
     val nBpe = size(call_function("regexp_extract_all", col("text"),
       lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
     val nChars = length(col("text")).cast("long")
-    t.documents.select(
+    docsSorted(t).select(
       col("doc_id"),
       nWs.as("n_ws_tokens"),
       nBpe.as("n_bpe_tokens"),
       when(nBpe === 0L, lit(0.0)).otherwise(nChars.cast("double") / nBpe)
         .as("chars_per_token"))
-      .orderBy("doc_id")
   }
 
   /** F1b — corpus-level quality rollup per source: the aggregate view a
@@ -107,9 +113,8 @@ object TextOps {
     // char + interpreted aggregate lambda) measured ~µs/char; the kernel
     // is ~ns/char with identical results (TextOpsSpec pins equivalence)
     graft.plans.VectorFunctions.register(t.documents.sparkSession)
-    t.documents
+    docsSorted(t)
       .select(col("doc_id"), call_function("graft_fingerprint", col("text")).as("fp"))
-      .orderBy("doc_id")
   }
 
   /** F4 — heuristic language ID from function-word profiles + CJK charset.
@@ -124,7 +129,7 @@ object TextOps {
     val de = hits(Seq("der", "die", "das", "und", "nicht"))
     val zh = length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")).cast("long")
     val best = greatest(en, es, fr, de, zh)
-    t.documents.select(
+    docsSorted(t).select(
       col("doc_id"),
       when(best === 0L, lit("und"))
         .when(zh === best, lit("zh"))
@@ -133,6 +138,5 @@ object TextOps {
         .when(fr === best, lit("fr"))
         .otherwise(lit("de")).as("pred_lang"),
       col("lang").as("true_lang"))
-      .orderBy("doc_id")
   }
 }
