@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(tables(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
+    "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),

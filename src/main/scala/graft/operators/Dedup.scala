@@ -226,6 +226,41 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** D5b — embedding near-dup at SCALE: random-hyperplane LSH buckets
+    * (16 tables × 6 bits) confine candidate generation to bucket-local
+    * pairs — ONE shuffle on bucket id instead of the all-pairs loop —
+    * then the exact cosine kernel verifies candidates. Pairs sharing
+    * several table buckets are emitted once, from the first agreeing
+    * table (both sides carry the 16-bucket array; the join row's table
+    * index is its bucket's high 32 bits). Rows-only; DedupSpec measures
+    * recall against the exact D5 oracle. */
+  def embeddingPairsLsh(t: Tables, threshold: Double = 0.4,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val cores = t.embeddings.sparkSession.sparkContext.defaultParallelism
+    val vecs = Similarity.withNorm(t.embeddings)
+      .withColumn("buckets", Sketches.lshBuckets(tables, bits)(col("v")))
+    val e = vecs.select(col("vec_id"), col("v"), col("norm"), col("buckets"),
+      explode(col("buckets")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("norm").as("norm_a"), col("buckets").as("bk_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("norm").as("norm_b"), col("buckets").as("bk_b"))
+    val firstAgree = (0 until tables).reverse
+      .foldLeft(lit(tables): org.apache.spark.sql.Column) { (acc, j) =>
+        when(col("bk_a").getItem(j) === col("bk_b").getItem(j), j).otherwise(acc)
+      }
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
+      .withColumn("cos",
+        call_function("graft_dot", col("v_a"), col("v_b")) /
+          (sqrt(col("norm_a")) * sqrt(col("norm_b"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+      .repartition(cores, col("id_a"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** D5 — embedding-cosine near-dup pairs (cos >= 0.4 on this synthetic
     * set). Double-precision left-fold dot product — bit-identical to the
     * oracle's list_reduce. Norms precomputed per row (not per pair). */

@@ -82,6 +82,19 @@ class DedupSpec extends SparkSpec {
     assert(salted == ground)
   }
 
+  test("lsh embedding pairs: no duplicates, exact cosines, recall vs brute") {
+    val exact = Dedup.embeddingPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshRows = Dedup.embeddingPairsLsh(t).collect()
+    val lsh = lshRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lshRows.length == lsh.size, "first-agreeing-table emission must not duplicate")
+    // every surfaced pair is a true pair with the exact cosine
+    lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), s"pair $k") }
+    val recall = lsh.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    info(s"embed-lsh recall vs exact = $recall (exact=${exact.size})")
+    assert(recall >= 0.5)
+  }
+
   test("embedding near-dup pairs are symmetric-safe and above threshold") {
     val rows = Dedup.embeddingPairs(t).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
