@@ -174,11 +174,17 @@ object Dedup {
         call_function("shiftright", col("sig"), lit(off))
           .bitwiseAND(lit((1L << w) - 1L)).as("cv"))
     }: _*)
+    // persist the compact signature set: three consumers (probe side,
+    // broadcast build side, hot-group count) would otherwise each re-scan
+    // and re-tokenize the corpus. 4 longs/row spills to disk fine; the
+    // operator returns a lazy plan so the cache is released by LRU (or by
+    // the caller), same lifecycle as the IVF working set.
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .withColumn("sig", call_function("graft_simhash", col("toks")))
       .select(col("doc_id"), col("sig"), explode(bands).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sigs.groupBy("k", "cv")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= hotGroupSize)
