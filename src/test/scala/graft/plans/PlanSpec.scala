@@ -109,6 +109,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text operators prune the documents scan to the columns they use") {
+    for ((name, df) <- Seq(
+        "fingerprint" -> TextOps.fingerprint(t),
+        "curation_pipeline" -> TextOps.curationPipeline(t))) {
+      val plan = planOf(df)
+      // untouched wide columns must not reach the read schema
+      assert(!plan.contains("lang") && !plan.contains("source"),
+        s"$name reads columns it never uses:\n$plan")
+    }
+  }
+
+  test("reconnect accounting runs on one user_id shuffle") {
+    val plan = planOf(EventOps.reconnectAccounting(t))
+    // one exchange for the window+agg keyed by user_id, one for the
+    // final sort — no join, no extra repartition
+    assert(!plan.contains("Join"), plan)
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
+  }
+
   test("sketch kernels stay in whole-stage codegen") {
     val fp = TextOps.fingerprint(t)
     fp.collect()

@@ -213,6 +213,33 @@ class StreamingSpec extends SparkSpec {
     new graft.GraftExtensions().apply(ext) // throws on malformed injection
   }
 
+  test("stateful ops run on the RocksDB state store (the at-scale backend)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val query = EventStreams.replayDedup(input.toDF())
+        .writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1, ts(1), 10, "click", 1.0))
+        query.processAllAvailable()
+        input.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 1.0))
+        query.processAllAvailable()
+        val ids = spark.sql("select event_id from rocksdb_dedup order by event_id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ids == Seq(1L, 2L), "replay must dedup on RocksDB state too")
+      } finally query.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful bounded queue caps per-key state (B9, parser.py:470-481)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
