@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
@@ -302,6 +303,21 @@ object SparkEntry {
               / (sqrt(a.norm)*sqrt(b.norm)) AS cos
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
+            / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) >= 0.95),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),

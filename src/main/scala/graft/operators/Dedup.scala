@@ -232,6 +232,59 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** D6 — near-dup CLUSTERING: the step after pair generation — group
+    * near-duplicate documents into connected components and name each by
+    * its smallest doc_id (a curation pipeline then keeps one doc per
+    * cluster). Distributed min-label propagation: every iteration is one
+    * join + one min-agg (labels flow along edges until fixpoint), the
+    * standard connected-components shape at 100 TB — no driver-side
+    * graph, O(component diameter) rounds, convergence checked exactly.
+    * Near-dup components are near-cliques, so 2-4 rounds suffice. Oracle:
+    * recursive transitive closure over the same pair query. */
+  def dedupClusters(t: Tables, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      t.documents.select(col("doc_id")),
+      jaccardPairs(t).select(col("id_a"), col("id_b")),
+      maxIters)
+
+  /** Min-label propagation over an undirected pair graph: every node
+    * takes the smallest label among itself and its neighbors until no
+    * label changes (exact fixpoint, checked each round). Each round's
+    * labels are eagerly localCheckpoint'ed — an iterative plan otherwise
+    * grows exponentially (each round references the previous plan
+    * several times) and OOMs the planner itself. On a cluster with
+    * unreliable executors, swap localCheckpoint for a reliable
+    * `checkpoint` directory; the algorithm is unchanged. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val ids = pairs.toDF("id_a", "id_b")
+    val edges = ids
+      .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = nodes.toDF("doc_id")
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** D5b — embedding near-dup at SCALE: random-hyperplane LSH buckets
     * (16 tables × 6 bits) confine candidate generation to bucket-local
     * pairs — ONE shuffle on bucket id instead of the all-pairs loop —

@@ -82,6 +82,18 @@ class DedupSpec extends SparkSpec {
     assert(salted == ground)
   }
 
+  test("connected components propagate labels across a 10-hop chain") {
+    import spark.implicits._
+    // chain 1-2-3-...-10 plus isolated 99: the min label must travel the
+    // whole chain (one hop per round), not just reach direct neighbors
+    val nodes = (1L to 10L).toDF("doc_id").union(Seq(99L).toDF("doc_id"))
+    val pairs = (1L until 10L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(got(_) == 1L), s"chain not collapsed: $got")
+    assert(got(99L) == 99L)
+  }
+
   test("lsh embedding pairs: no duplicates, exact cosines, recall vs brute") {
     val exact = Dedup.embeddingPairs(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
