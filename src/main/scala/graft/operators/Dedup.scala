@@ -262,7 +262,12 @@ object Dedup {
       .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = nodes.toDF("doc_id")
+    // propagate only over nodes that HAVE an edge: on a deduped corpus
+    // the overwhelming majority of documents are isolated and their
+    // label can never change — keeping them out of the loop shrinks
+    // every round's shuffle to the connected subgraph. Isolated nodes
+    // rejoin as their own cluster at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     var converged = false
@@ -281,7 +286,10 @@ object Dedup {
       converged = changed == 0L
       it += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    nodes.toDF("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
 
