@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 import graft.sources.Tables
 
@@ -44,6 +45,22 @@ object SparkEntry {
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
     "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
+    // same semantics through the custom LogicalPlan + SparkStrategy (H6):
+    // the driver's oracle check covers the plan-node lowering, not just
+    // the window form
+    "asof_custom_plan" -> ((s, d) => {
+      val e = tables(s, d).events
+        .selectExpr("event_id", "user_id", "ts div 1000000 as ts_ms", "event_type")
+      val data = e.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "ts_ms")
+      val markers = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("m_user"), col("ts_ms").as("m_ts"),
+          col("event_id").as("m_id"))
+      graft.plans.AsOf.join(data, markers,
+          "user_id", "ts_ms", "m_user", "m_ts", "m_id")
+        .select(col("event_id"), col("asof_match").as("next_marker"))
+        .orderBy("event_id")
+    }),
     "sample_first_per_window" -> ((s, d) => EventOps.sampleFirstPerWindow(tables(s, d))),
     "last_n_per_key" -> ((s, d) => EventOps.lastNPerKey(tables(s, d))),
     "rate_tumbling" -> ((s, d) => EventOps.rateTumbling(tables(s, d))),
@@ -218,6 +235,16 @@ object SparkEntry {
         WHERE $centsTotal > (SELECT cast(sum($centsTotal) as bigint)/count(*) FROM orders)
         ORDER BY o_orderkey""",
     "asof_next_marker" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+          CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)
+        SELECT event_id, next_marker FROM (
+          SELECT event_id, event_type,
+            first_value(marker_id IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts_ms ASC, marker_id ASC NULLS LAST
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_marker
+          FROM e)
+        WHERE event_type <> 'error' ORDER BY event_id""",
+    "asof_custom_plan" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
           CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)
         SELECT event_id, next_marker FROM (
