@@ -273,17 +273,21 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val prop = edges.join(labels, col("dst") === col("doc_id"))
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      // one job per round: the eager checkpoint materializes the new
+      // labels AND the observed change count in the same pass
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("moved"))
+        .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .select("doc_id", "label")
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .limit(1).count()
       labels = next
-      converged = changed == 0L
+      converged = obs.get("n_moved") == null ||
+        obs.get("n_moved").asInstanceOf[Long] == 0L
       it += 1
     }
     nodes.toDF("doc_id")
