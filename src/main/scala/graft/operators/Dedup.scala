@@ -241,7 +241,7 @@ object Dedup {
     * graph, O(component diameter) rounds, convergence checked exactly.
     * Near-dup components are near-cliques, so 2-4 rounds suffice. Oracle:
     * recursive transitive closure over the same pair query. */
-  def dedupClusters(t: Tables, maxIters: Int = 20): DataFrame =
+  def dedupClusters(t: Tables, maxIters: Int = 50): DataFrame =
     connectedComponents(
       t.documents.select(col("doc_id")),
       jaccardPairs(t).select(col("id_a"), col("id_b")),
@@ -256,7 +256,7 @@ object Dedup {
     * unreliable executors, swap localCheckpoint for a reliable
     * `checkpoint` directory; the algorithm is unchanged. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val ids = pairs.toDF("id_a", "id_b")
     val edges = ids
       .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

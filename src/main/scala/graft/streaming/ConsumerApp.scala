@@ -36,6 +36,22 @@ object ConsumerApp {
         col("tg.continuation_token").as("token"),
         col("position"))
 
+  /** Persist one micro-batch IDEMPOTENTLY: foreachBatch re-executes a
+    * batch after a failure, so a plain append would double-write its
+    * fragments. Dynamic partition overwrite keyed by (bucket, batch id)
+    * makes the retry replace exactly its own partitions instead. Old
+    * buckets are evicted after the write (parser.py:475-481). */
+  def persistBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      keepNewest: Int): Unit = {
+    batch.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "ingest_batch")
+      .parquet(storeDir)
+    Retention.evictOldPartitions(batch, storeDir, "bucket", keepNewest)
+    ()
+  }
+
   /** Start the consumer: dedup replayed fragments, persist them bucketed
     * by producer time (zero-padded so retention order is lexicographic),
     * keep only the newest `keepNewest` buckets. */
@@ -48,9 +64,8 @@ object ConsumerApp {
         intDiv(unix_millis(col("producer_time")), bucketMs)))
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Retention.writeWithRetention(batch, storeDir, "bucket", keepNewest)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(batch, batchId, storeDir, keepNewest)
       }
       .start()
 }

@@ -208,6 +208,21 @@ class StreamingSpec extends SparkSpec {
     assert(store.select("bucket").distinct().count() == 2)
   }
 
+  test("a retried micro-batch persists idempotently (foreachBatch replay)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft_idem").toString + "/frames"
+    val batch = Seq((1L, "00001"), (2L, "00001"), (3L, "00002"))
+      .toDF("fragment_number", "bucket")
+    ConsumerApp.persistBatch(batch, batchId = 7L, storeDir, keepNewest = 10)
+    // failure between commit and checkpoint: the engine re-runs batch 7
+    ConsumerApp.persistBatch(batch, batchId = 7L, storeDir, keepNewest = 10)
+    val rows = spark.read.parquet(storeDir)
+      .select("fragment_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L), s"replayed batch duplicated rows: $rows")
+  }
+
   test("extensions class registers the native functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // throws on malformed injection
