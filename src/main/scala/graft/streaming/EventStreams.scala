@@ -99,6 +99,20 @@ object EventStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicates(idCol)
 
+  /** C12b streaming twin — stream-static enrichment: the live event
+    * stream joined to the customer dimension, then watermarked windowed
+    * per-segment rates. The static side is re-scanned per micro-batch,
+    * so dimension updates flow in without restarting the query; Catalyst
+    * size-gates the broadcast exactly like the batch form. */
+  def enrichedRates(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+
   /** Error side-channel (parser.py:357-360): fragments carrying
     * AWS_KINESISVIDEO_ERROR_CODE/_ID are surfaced as a monitoring stream
     * with the continuation token to resume from — the reference logs

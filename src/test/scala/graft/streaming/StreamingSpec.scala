@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the live stream to a dimension (C12b twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val customer = Seq((10L, "BUILDING"), (11L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrichedRates(input.toDF(), customer)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.5),
+        Event(2, ts(2), 10, "view", 2.5),
+        Event(3, ts(3), 11, "click", 4.0),
+        Event(4, ts(4), 99, "click", 9.9)) // no such customer: dropped by the join
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select c_mktsegment, sum(n), sum(sum_value) from enriched group by 1 order by 1")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("BUILDING", 2L, 4.0), ("MACHINERY", 1L, 4.0)))
+    } finally query.stop()
+  }
+
   test("streaming tag association carries the latest marker across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
