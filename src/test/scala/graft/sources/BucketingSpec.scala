@@ -9,23 +9,22 @@ import graft.SparkSpec
   * in the plan into a free merge. */
 class BucketingSpec extends SparkSpec {
 
-  test("bucketed tables join without a shuffle exchange") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    // the in-memory catalog resets between runs but the warehouse files
-    // persist — clear them so CREATE TABLE AS doesn't hit LOCATION_EXISTS
-    Seq("b_orders", "b_lineitem").foreach { tbl =>
-      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$tbl")
-      if (dir.exists()) {
-        java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
+  // the in-memory catalog resets between runs but the warehouse files
+  // persist — clear them so CREATE TABLE AS doesn't hit LOCATION_EXISTS
+  private def dropTables(names: String*): Unit = names.foreach { tbl =>
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = new java.io.File(s"/tmp/graft-test-warehouse/$tbl")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
     }
-    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    t.lineitem.select("l_orderkey", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    dropTables("b_orders", "b_lineitem")
+    Bucketing.writeBucketed(t.orders, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 8)
 
     val joined = spark.table("b_lineitem")
       .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
@@ -35,5 +34,29 @@ class BucketingSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("bucketed events-customer enrichment: no join shuffle, same result") {
+    dropTables("b_events", "b_customer")
+    Bucketing.writeBucketed(
+      t.events.select(col("user_id"), col("value")), "b_events", "user_id", 8)
+    Bucketing.writeBucketed(t.customer.select("c_custkey", "c_mktsegment"),
+      "b_customer", "c_custkey", 8)
+    val joined = spark.table("b_events")
+      .join(spark.table("b_customer"), col("user_id") === col("c_custkey"))
+    val byBucket = joined
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.cents(col("value"))).as("sum_value_c"))
+      .orderBy("c_mktsegment")
+    // the join itself must be exchange-free (the agg may still shuffle)
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Exchange hashpartitioning"), joinPlan)
+    // and the bucketed route agrees with the enrich_events operator
+    val expected = graft.operators.Analytics.enrichEvents(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = byBucket.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
   }
 }
