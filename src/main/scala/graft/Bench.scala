@@ -35,27 +35,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(name: String): Double = {
+    def materialize(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize) // warmup: JVM + codegen + parquet footers
+    // a failing query must NOT enter the totals as a fast success —
+    // it reports -1 and lands in "failed" so a broken build can't
+    // masquerade as a perf win
     val medians = names.map { name =>
-      val ts = (1 to runs).map(_ => materialize(name)).sorted
-      name -> ts(ts.length / 2)
+      val rs = (1 to runs).map(_ => materialize(name))
+      val v = if (rs.forall(_._2)) rs.map(_._1).sorted.apply(rs.length / 2)
+              else -1.0
+      name -> v
     }
+    val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val total = medians.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     spark.stop()

@@ -256,7 +256,13 @@ object Ebml {
       val (id, idLen) = readId(buf, pos)
       val (size, szLen) = readSize(buf, pos + idLen)
       if (id == 0x1a45dfa3L) starts += pos
-      val next = if (size < 0) buf.length.toLong
+      // unknown-size master (the standard encoding for live-streamed
+      // Segments): it ends where the next EBML header begins, so keep
+      // walking its CHILDREN — sized children are skipped whole, nested
+      // unknown-size masters recurse into this same loop — until the
+      // header id surfaces. Never byte-scan: a 0x1A45DFA3 pattern inside
+      // a sized block payload must not fake a boundary.
+      val next = if (size < 0) pos.toLong + idLen + szLen
                  else pos.toLong + idLen + szLen + size
       if (next > buf.length) truncated = true else pos = next.toInt
     } catch {

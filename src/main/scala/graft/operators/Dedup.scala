@@ -116,6 +116,12 @@ object Dedup {
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
+  /** Band count of the default graft_minhash_bands signature (64 hashes
+    * in bands of 16). The first-agreeing-band filter below MUST fold
+    * over exactly this many bands — fewer would silently drop pairs
+    * whose first agreement lies in a later band. */
+  private val MinhashNumBands = 64 / 16
+
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
     val sigs = tokenized(t)
@@ -126,10 +132,10 @@ object Dedup {
         posexplode(col("sigs")).as(Seq("band", "sig")))
     // exactly-once emission: a pair agreeing on several bands would
     // surface once per band; keep only the row whose band is the FIRST
-    // agreeing band of the two carried signature arrays (4 longs each)
-    // — no distinct() shuffle over duplicate candidates.
-    val firstAgree = (0 until 4).reverse
-      .foldLeft(lit(4): org.apache.spark.sql.Column) { (acc, j) =>
+    // agreeing band of the two carried signature arrays — no distinct()
+    // shuffle over duplicate candidates.
+    val firstAgree = (0 until MinhashNumBands).reverse
+      .foldLeft(lit(MinhashNumBands): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
       }
     sigs.as("x").join(sigs.as("y"),
@@ -174,23 +180,27 @@ object Dedup {
         call_function("shiftright", col("sig"), lit(off))
           .bitwiseAND(lit((1L << w) - 1L)).as("cv"))
     }: _*)
-    // persist the compact signature set: three consumers (probe side,
-    // broadcast build side, hot-group count) would otherwise each re-scan
-    // and re-tokenize the corpus. 4 longs/row spills to disk fine; the
-    // operator returns a lazy plan so the cache is released by LRU (or by
-    // the caller), same lifecycle as the IVF working set.
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .withColumn("sig", call_function("graft_simhash", col("toks")))
       .select(col("doc_id"), col("sig"), explode(bands).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = sigs.groupBy("k", "cv")
+    // hot bands as a driver-side list — model-sized (only groups over the
+    // threshold), like the IVF centroids: the probe/build sides then tag
+    // hotness with a literal lookup instead of two extra joins. No
+    // persist: an in-operator cache cannot be released once the lazy
+    // plan escapes (an earlier version leaked one cached copy per call);
+    // the native sig kernel makes the three derivations cheap, and a
+    // caller looping over corpora can cache outside.
+    val hotKeys: Seq[Long] = sigs.groupBy("k", "cv")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= hotGroupSize)
-      .select(col("k"), col("cv"), lit(true).as("hot"))
-    val tagged = sigs.join(broadcast(hot), Seq("k", "cv"), "left")
-      .withColumn("hot", coalesce(col("hot"), lit(false)))
+      .select((col("k").cast("long") * 1024L + col("cv")).as("hk"))
+      .collect().map(_.getLong(0)).toSeq
+    val hotCol =
+      if (hotKeys.isEmpty) lit(false)
+      else (col("k").cast("long") * 1024L + col("cv")).isin(hotKeys: _*)
+    val tagged = sigs.withColumn("hot", hotCol)
     // spread the probe side: the documents scan is a handful of input
     // splits at small SF, which would run the whole bucket-probe loop on
     // as few tasks — explicit-count repartition (AQE-proof) fans the

@@ -90,7 +90,8 @@ object Multimodal {
         col("grp"), col("position"), col("frag_len"))
       // exchange barrier: without it the final sort's range sampling
       // re-runs the concat+split+parse stage above the pack shuffle
-      .repartition(32, col("grp"))
+      .repartition(t.events.sparkSession.sparkContext.defaultParallelism,
+        col("grp"))
       .orderBy("event_id")
 
   /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame

@@ -89,15 +89,18 @@ object EventStreams {
 
   /** B12 — streaming replay dedup: a reconnect resumes from the last
     * continuation token, so fragments after it can be delivered AGAIN
-    * (at-least-once). Spark form: event-time watermark + keyed
-    * dropDuplicates — replays inside the horizon are dropped exactly
-    * once, and state for ids older than the watermark is evicted, which
-    * is what lets the dedup state stay bounded on an endless stream. */
+    * (at-least-once). Spark form: event-time watermark +
+    * dropDuplicatesWithinWatermark — replays inside the horizon are
+    * dropped exactly once AND state for ids older than the watermark is
+    * evicted. (Plain dropDuplicates(id) only evicts state when the
+    * event-time column is part of the key — with an id-only key its
+    * state grows one row per fragment ever seen, unbounded on an
+    * endless stream.) */
   def replayDedup(events: DataFrame, horizon: String = "10 minutes",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame =
     events
       .withWatermark(tsCol, horizon)
-      .dropDuplicates(idCol)
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** C12b streaming twin — stream-static enrichment: the live event
     * stream joined to the customer dimension, then watermarked windowed

@@ -59,6 +59,26 @@ class EbmlSpec extends AnyFunSuite {
     assert(splitFragments(Array[Byte](0, 0, 0)).isEmpty)
   }
 
+  test("unknown-size segments split at the next header, not the buffer end") {
+    // live-streamed MKV encodes the Segment with the unknown-size VINT;
+    // the fragment then ends only where the next EBML header begins
+    val header = element(0x1a45dfa3L, concat(
+      element(0x4282L, utf8("matroska")), element(0x4285L, uintBytes(2L, 1))))
+    def unknownSegment(fragId: String): Array[Byte] = {
+      val tags = element(0x1254c367L, element(0x7373L,
+        simpleTag(EbmlFunctions.FragmentNumber, fragId)))
+      // 0x18538067 id bytes + 0xFF (1-byte unknown-size VINT) + children
+      concat(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte,
+        0xff.toByte), tags)
+    }
+    val f1 = concat(header, unknownSegment("1"))
+    val f2 = concat(header, unknownSegment("2"))
+    val got = splitFragments(concat(f1, f2))
+    assert(got.map(_._1) == Seq(0L, f1.length.toLong),
+      s"unknown-size segment swallowed the boundary: ${got.map(_._1)}")
+    assert(got.map(s => Ebml.tags(s._2)(EbmlFunctions.FragmentNumber)) == Seq("1", "2"))
+  }
+
   test("fragment round-trip: tags and positions (parser.py:352-366)") {
     val blob = EbmlFunctions.buildFragment(42L, 1700000000123L, 7L, 1234L, """{"k": 9}""")
     val tg = Ebml.tags(blob)
