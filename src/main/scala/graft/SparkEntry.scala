@@ -86,6 +86,7 @@ object SparkEntry {
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -422,6 +423,12 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS position,
           cast(blob_len as bigint) AS frag_len
         FROM b ORDER BY event_id""",
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT event_id, event_id // 5 AS grp FROM events),
+        r AS (SELECT event_id, grp,
+          cast(row_number() OVER (PARTITION BY grp ORDER BY event_id) as bigint) AS rn
+          FROM b)
+        SELECT event_id, grp, rn FROM r WHERE (rn - 1) % 3 = 0 ORDER BY event_id""",
     "mm_features" ->
       """SELECT event_id, length(props) AS frame_bytes,
           cast(json_extract_string(props,'$.k') as bigint) AS k,

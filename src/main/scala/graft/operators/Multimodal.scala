@@ -94,6 +94,21 @@ object Multimodal {
         col("grp"))
       .orderBy("event_id")
 
+  /** G5 — every-Nth frame sampling from the continuous stream (the
+    * reference's TimeSpanBetweenFramesInSecs thins frames as they
+    * arrive; the index-based twin keeps every Nth fragment of each
+    * payload stream). Rank within the stream comes from the split
+    * positions, so sampling needs no second parse. */
+  def mmFrameSample(t: Tables, every: Long = 3L, groupSize: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("position")
+    mmSplitStream(t, groupSize)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter((col("rn") - 1L) % every === 0L)
+      .select(col("event_id"), col("grp"), col("rn"))
+      .orderBy("event_id")
+  }
+
   /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame
     * payload, "decode" it (UTF-8 — stands in for an image codec, which
     * this container lacks), and compute deterministic features. The
