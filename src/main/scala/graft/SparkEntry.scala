@@ -77,6 +77,9 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
+    // scale path: LSH-candidate edges + exact-kernel verify (rows-only;
+    // DedupSpec asserts cluster equality with dedup_clusters at sf0.001)
+    "dedup_clusters_lsh" -> ((s, d) => Dedup.dedupClustersLsh(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),

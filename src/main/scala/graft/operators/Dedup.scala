@@ -124,6 +124,16 @@ object Dedup {
 
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    minhashCandidateCore(t)
+      // exchange barrier before the sort (see jaccardPairs)
+      .repartition(cores, col("id_a"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Candidate generation without the public query's output contract
+    * (repartition + orderBy): the edge source for [[dedupClustersLsh]],
+    * where candidate order is irrelevant and the sort would be wasted. */
+  private def minhashCandidateCore(t: Tables): DataFrame = {
     val sigs = tokenized(t)
       .filter(col("n") > 0)
       .select(col("doc_id"),
@@ -143,9 +153,6 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .filter(col("x.band") === firstAgree)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      // exchange barrier before the sort (see jaccardPairs)
-      .repartition(cores, col("id_a"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Band layout for [[simhashPairs]]: 7 bands over 64 bits (widths
@@ -256,6 +263,42 @@ object Dedup {
       t.documents.select(col("doc_id")),
       jaccardPairs(t).select(col("id_a"), col("id_b")),
       maxIters)
+
+  /** D6b — near-dup clustering at SCALE: same output contract as
+    * [[dedupClusters]], but the edge list comes from MinHash LSH
+    * candidates (D3, one shuffle on (band, sig)) verified by the exact
+    * Jaccard kernel — never from the O(n²) pair join. This is the form
+    * that runs at 100 TB; [[dedupClusters]] stays as its small-SF oracle
+    * (DedupSpec asserts the two produce identical clusters at sf0.001).
+    *
+    * Verification re-joins the candidate ids against the hashed token
+    * sets instead of carrying tokens through the band explode: carried
+    * tokens would cross the LSH exchange once PER BAND (4× corpus token
+    * volume); the join-back moves the candidate ids (16 B/row) plus each
+    * side's tokens exactly once. False LSH candidates die at the j <
+    * threshold filter, so only true near-dup edges reach the components
+    * loop. */
+  def dedupClustersLsh(t: Tables, threshold: Double = 0.95,
+      maxIters: Int = 50): DataFrame = {
+    val hashed = tokenized(t).withColumn("toks_h",
+      array_sort(transform(col("toks"), tk => xxhash64(tk))))
+    val a = hashed.select(col("doc_id").as("id_a"),
+      col("toks_h").as("toks_a"), col("n").as("n_a"))
+    val b = hashed.select(col("doc_id").as("id_b"),
+      col("toks_h").as("toks_b"), col("n").as("n_b"))
+    // same j arithmetic as jaccardPairs: exact rational in double, so
+    // the verified edge set equals the brute pair set wherever LSH recall
+    // is 1 (the spec's equality condition)
+    val edges = minhashCandidateCore(t)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("i",
+        call_function("graft_intersect_long_size", col("toks_a"), col("toks_b")))
+      .withColumn("j",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(t.documents.select(col("doc_id")), edges, maxIters)
+  }
 
   /** Min-label propagation over an undirected pair graph: every node
     * takes the smallest label among itself and its neighbors until no

@@ -82,6 +82,19 @@ class DedupSpec extends SparkSpec {
     assert(salted == ground)
   }
 
+  test("lsh clustering equals brute-force clustering at sf0.001") {
+    // at this SF and threshold, minhash recall on true j>=0.95 pairs is 1.0
+    // (the recall test above measures it), so verified-LSH edges == brute
+    // edges and the components must match exactly — cluster ids included
+    val brute = Dedup.dedupClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.dedupClustersLsh(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brute.values.toSet.size < brute.size,
+      "need at least one non-trivial cluster at sf0.001")
+    assert(lsh == brute)
+  }
+
   test("connected components propagate labels across a 10-hop chain") {
     import spark.implicits._
     // chain 1-2-3-...-10 plus isolated 99: the min label must travel the
