@@ -90,6 +90,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
+    "mm_frame_sample_time" -> ((s, d) => Multimodal.mmFrameSampleByTime(tables(s, d))),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -432,6 +433,13 @@ object SparkEntry {
           cast(row_number() OVER (PARTITION BY grp ORDER BY event_id) as bigint) AS rn
           FROM b)
         SELECT event_id, grp, rn FROM r WHERE (rn - 1) % 3 = 0 ORDER BY event_id""",
+    "mm_frame_sample_time" ->
+      """WITH b AS (SELECT event_id, event_id // 5 AS grp,
+          epoch_ms(ts) // 600000 AS bucket FROM events),
+        r AS (SELECT event_id, grp, bucket,
+          row_number() OVER (PARTITION BY grp, bucket ORDER BY event_id) AS rn
+          FROM b)
+        SELECT event_id, grp, bucket FROM r WHERE rn = 1 ORDER BY event_id""",
     "mm_features" ->
       """SELECT event_id, length(props) AS frame_bytes,
           cast(json_extract_string(props,'$.k') as bigint) AS k,

@@ -73,7 +73,13 @@ object Multimodal {
     * the slices are well-formed. The oracle recomputes positions
     * arithmetically as the running sum of the deterministic fragment
     * lengths. One shuffle (the pack groupBy); the split+parse is per-row. */
-  def mmSplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
+  /** Shared pack→concat→split→parse stage WITHOUT any output contract:
+    * each public query applies its own final ordering, so a consumer
+    * like [[mmFrameSample]] doesn't pay [[mmSplitStream]]'s output sort
+    * just to re-shuffle into its own window (the round-2 plan had a
+    * sort-shuffle-sort sandwich worth ~1.2 s at sf0.1). One shuffle (the
+    * pack groupBy); the split+parse is per-row. */
+  private def splitCore(t: Tables, groupSize: Long): DataFrame =
     withBlob(t)
       .withColumn("grp", intDiv(col("event_id"), groupSize))
       .groupBy("grp")
@@ -87,7 +93,12 @@ object Multimodal {
         length(col("fr.fragment")).cast("long").as("frag_len"),
         EbmlFunctions.parseTags(col("fr.fragment")).as("tg"))
       .select(col("tg.fragment_number").cast("long").as("event_id"),
+        col("tg.producer_ts").cast("long").as("producer_ms"),
         col("grp"), col("position"), col("frag_len"))
+
+  def mmSplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
+    splitCore(t, groupSize)
+      .select("event_id", "grp", "position", "frag_len")
       // exchange barrier: without it the final sort's range sampling
       // re-runs the concat+split+parse stage above the pack shuffle
       .repartition(t.events.sparkSession.sparkContext.defaultParallelism,
@@ -98,14 +109,35 @@ object Multimodal {
     * reference's TimeSpanBetweenFramesInSecs thins frames as they
     * arrive; the index-based twin keeps every Nth fragment of each
     * payload stream). Rank within the stream comes from the split
-    * positions, so sampling needs no second parse. */
+    * positions, so sampling needs no second parse. The window's own
+    * hash exchange on grp doubles as the barrier for the final sort's
+    * range sampling — the split stage runs once. */
   def mmFrameSample(t: Tables, every: Long = 3L, groupSize: Long = 5L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("grp").orderBy("position")
-    mmSplitStream(t, groupSize)
+    splitCore(t, groupSize)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter((col("rn") - 1L) % every === 0L)
       .select(col("event_id"), col("grp"), col("rn"))
+      .orderBy("event_id")
+  }
+
+  /** G5b — event-time frame thinning on the split stream: the
+    * reference's actual semantics (TimeSpanBetweenFramesInSecs) thin by
+    * PRODUCER TIMESTAMP, not index — keep the first fragment of each
+    * (stream, time-span bucket), ordered by position within the payload.
+    * The timestamp comes from the parsed fragment tags, so the oracle
+    * (recomputing buckets from the source rows) checks the whole
+    * pack→split→parse→thin path end to end. */
+  def mmFrameSampleByTime(t: Tables, minSpanMs: Long = 600000L,
+      groupSize: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp", "bucket").orderBy("position")
+    splitCore(t, groupSize)
+      .withColumn("bucket", intDiv(col("producer_ms"), minSpanMs))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("grp"), col("bucket"))
       .orderBy("event_id")
   }
 
