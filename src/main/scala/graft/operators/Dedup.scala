@@ -16,11 +16,20 @@ import graft.sources.Tables
 object Dedup {
 
   /** D1 — exact dedup: group identical texts, keep the smallest doc_id.
-    * (At 100 TB: group by xxhash64(text) first, re-check text equality
-    * within hash groups to keep the shuffle narrow.) */
+    * The group key is a 128-bit composite content hash (two
+    * independently-seeded xxhash64 passes), so the exchange carries
+    * (h1, h2, doc_id) ≈ 24 B/row instead of every byte of the corpus —
+    * at 100 TB the old groupBy("text") shuffle WAS the corpus. Collision
+    * odds at 10^12 documents are n²/2^129 ≈ 10^-15, the acceptance
+    * standard of content-addressed storage; the DuckDB oracle still
+    * groups by raw text, so a collision at any test SF fails the hash
+    * gate loudly. */
   def dedupExact(t: Tables): DataFrame =
     t.documents
-      .groupBy("text")
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+      .groupBy("h1", "h2")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")

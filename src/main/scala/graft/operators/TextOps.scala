@@ -62,7 +62,14 @@ object TextOps {
         nStop.as("n_stop"), nChars.as("n_chars"), nAlpha.as("n_alpha"))
       .filter(col("n_words") >= minWords &&
         col("n_alpha") * 5L >= col("n_chars") * 4L)
-      .groupBy("text")
+      // dedup survivors by 128-bit content hash, not raw text: the
+      // exchange then carries ~40 B/row instead of the surviving corpus
+      // (collision justification at Dedup.dedupExact)
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"),
+        col("n_words"), col("n_stop"))
+      .groupBy("h1", "h2")
       .agg(min(col("doc_id")).as("doc_id"),
         // identical text ⇒ identical metrics; min keeps it deterministic
         min(col("n_words")).as("n_words"),

@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup shuffles content hashes, never document text") {
+    for ((name, df) <- Seq(
+        "dedup_exact" -> Dedup.dedupExact(t),
+        "curation_pipeline" -> TextOps.curationPipeline(t))) {
+      val plan = planOf(df)
+      val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+      assert(exchanges.nonEmpty && exchanges.exists(_.contains("h1#")),
+        s"$name dedup stage not keyed on the content hash:\n$plan")
+      assert(exchanges.forall(!_.contains("text#")),
+        s"$name still shuffles raw text:\n$plan")
+    }
+  }
+
   test("reconnect accounting runs on one user_id shuffle") {
     val plan = planOf(EventOps.reconnectAccounting(t))
     // one exchange for the window+agg keyed by user_id, one for the
