@@ -50,38 +50,42 @@ object Similarity {
   def ivfAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame =
     ivfAssignVecs(t.embeddings, k, iters)
 
-  def ivfAssignVecs(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.UserDefinedFunction
-    import org.apache.spark.storage.StorageLevel
-    // persist across Lloyd iterations: each iteration materializes the
-    // working set once; without this the parquet scan + norm cast reruns
-    // per iteration (round-1 debt). MEMORY_AND_DISK so a 100 TB corpus
-    // spills instead of OOMing; released after the model converges.
-    val vecs = withNorm(embeddings).select("vec_id", "v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Nearest-centroid struct (d, cid) as PURE CODEGEN arithmetic:
+    * dist²(v,c) = |v|² − 2⟨v,c⟩ + |c|², with |v|² precomputed per row,
+    * |c|² a driver-side constant, and ⟨v,c⟩ the native dot kernel
+    * against a literal centroid — no UDF, no per-row Seq[Double] boxing
+    * (the round-2 assign UDF boxed every element of every vector, every
+    * iteration). argmin = array_min over (d, cid) structs: lexicographic
+    * ordering breaks distance ties toward the lowest cid, matching the
+    * UDF loop it replaces. greatest(0, ·) clamps the −1e-16 the expansion
+    * can produce for a vector sitting on its centroid. */
+  private def nearestCentroid(cs: Array[Array[Double]]) : org.apache.spark.sql.Column = {
+    val cells = cs.zipWithIndex.map { case (c, i) =>
+      val normC = { var s = 0.0; var j = 0; while (j < c.length) { s += c(j) * c(j); j += 1 }; s }
+      struct(
+        greatest(lit(0.0),
+          col("norm") - lit(2.0) * call_function("graft_dot", col("v"), typedLit(c.toSeq))
+            + lit(normC)).as("d"),
+        lit(i).as("cid"))
+    }
+    array_min(array(cells.toIndexedSeq: _*))
+  }
+
+  /** Lloyd iterations until the model stops moving (max centroid shift²
+    * <= eps) or `maxIters` — round 2 always ran the full budget even
+    * after the fixpoint. Returns (centroids, rounds actually run);
+    * `vecs` must already carry (vec_id, v, norm). */
+  private def lloyd(vecs: DataFrame, k: Int, maxIters: Int,
+      eps: Double): (Array[Array[Double]], Int) = {
     // deterministic init: the k lowest vec_ids
     var centroids: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
-    def assignUdf(cs: Array[Array[Double]]): UserDefinedFunction =
-      udf { (v: Seq[Double]) =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          val ctr = cs(c)
-          while (i < ctr.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        (best, bestD)
-      }
+      .orderBy("vec_id").select("v").collect().map(_.getSeq[Double](0).toArray)
     var it = 0
-    while (it < iters) {
-      val assigned = vecs.withColumn("a", assignUdf(centroids)(col("v")))
-        .select(col("vec_id"), col("a._1").as("cid"), col("v"))
+    var moved = Double.MaxValue
+    while (it < maxIters && moved > eps) {
       // recompute means element-wise: explode dims, one shuffle on (cid, dim)
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      val means = vecs.withColumn("a", nearestCentroid(centroids))
+        .select(col("a.cid").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg("x").as("m"))
         .collect()
       // a cluster that attracted no points KEEPS its previous centroid —
@@ -89,12 +93,40 @@ object Similarity {
       // that could capture small-norm vectors on the next assignment
       val next = centroids.map(_.clone)
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // convergence is a driver-side fold over the k×dim model — no job
+      moved = centroids.zip(next).map { case (a, b) =>
+        var s = 0.0; var j = 0
+        while (j < a.length) { val x = a(j) - b(j); s += x * x; j += 1 }
+        s
+      }.max
       centroids = next
       it += 1
     }
-    val out = vecs.withColumn("a", assignUdf(centroids)(col("v")))
-      .select(col("vec_id"), col("a._1").cast("long").as("cid"),
-        round(col("a._2"), 4).as("dist2"))
+    (centroids, it)
+  }
+
+  /** Fit-only entry exposing the convergence behavior (IvfSpec uses the
+    * round count; callers wanting just the model use this too). */
+  def ivfModel(embeddings: DataFrame, k: Int = 8, maxIters: Int = 20,
+      eps: Double = 1e-9): (Array[Array[Double]], Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = withNorm(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    try lloyd(vecs, k, maxIters, eps)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  def ivfAssignVecs(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      eps: Double = 1e-9): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persist across Lloyd iterations: each iteration materializes the
+    // working set once; without this the parquet scan + norm cast reruns
+    // per iteration (round-1 debt). MEMORY_AND_DISK so a 100 TB corpus
+    // spills instead of OOMing; released after the model converges.
+    val vecs = withNorm(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(vecs, k, iters, eps)
+    val out = vecs.withColumn("a", nearestCentroid(centroids))
+      .select(col("vec_id"), col("a.cid").cast("long").as("cid"),
+        round(col("a.d"), 4).as("dist2"))
       .orderBy("vec_id")
     vecs.unpersist(blocking = false) // model is frozen; the returned plan re-derives
     out
@@ -106,17 +138,31 @@ object Similarity {
     * recall@5 was 0.2 with exact-bucket probing; multiprobe lifts it
     * without adding corpus-side volume). Rows-only oracle; SimilaritySpec
     * asserts recall@5 >= 0.6 vs E1. ONE shuffle on bucket id. */
-  def annLshTopK(t: Tables, k: Int = 5): DataFrame = {
+  def annLshTopK(t: Tables, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame = {
     val vecs = withNorm(t.embeddings)
-      .withColumn("buckets", Sketches.lshBuckets()(col("v")))
+      .withColumn("buckets", Sketches.lshBuckets(tables, bits)(col("v")))
     val qb = withNorm(t.embeddings).filter(col("vec_id") < 10)
-      .withColumn("probes", Sketches.lshProbeBuckets()(col("v")))
-      .select(col("vec_id").as("q_id"), explode(col("probes")).as("bucket"))
-    val cb = vecs.select(col("vec_id").as("n_id"), explode(col("buckets")).as("bucket"))
+      .withColumn("probes", Sketches.lshProbeBuckets(tables, bits)(col("v")))
+      .select(col("vec_id").as("q_id"), col("probes"),
+        explode(col("probes")).as("bucket"))
+    val cb = vecs.select(col("vec_id").as("n_id"), col("buckets").as("bk_n"),
+      explode(col("buckets")).as("bucket"))
+    // exactly-once emission (the D5b pattern): a candidate matching in
+    // several tables would surface once per table; keep only the join row
+    // whose table is the FIRST where the carried probe set contains the
+    // carried corpus bucket — pure codegen arithmetic instead of a
+    // distinct() shuffle over the duplicates (within one table at most
+    // one probe can match, so tables are the only duplicate source).
+    val perTable = bits + 1
+    val firstAgree = (0 until tables).reverse
+      .foldLeft(lit(tables): org.apache.spark.sql.Column) { (acc, j) =>
+        when(array_contains(slice(col("probes"), j * perTable + 1, perTable),
+          col("bk_n").getItem(j)), j).otherwise(acc)
+      }
     val cand = qb.join(cb, "bucket")
       .filter(col("q_id") =!= col("n_id"))
+      .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
       .select("q_id", "n_id")
-      .distinct()
     val q = vecs.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))

@@ -30,6 +30,15 @@ class IvfSpec extends SparkSpec {
     assert(vec2.getDouble(2) > 0.5, "vec 2 distance says centroid was zeroed")
   }
 
+  test("lloyd stops at the fixpoint, not the iteration budget") {
+    // once assignments stop changing the recomputed means are identical
+    // and the centroid shift is exactly zero — the loop must exit there
+    val (model, rounds) = Similarity.ivfModel(t.embeddings, k = 8, maxIters = 50)
+    info(s"converged after $rounds rounds")
+    assert(rounds < 50)
+    assert(model.length == 8)
+  }
+
   test("iterations do not increase total distortion") {
     val d1 = Similarity.ivfAssign(t, k = 8, iters = 1).collect().map(_.getDouble(2)).sum
     val d3 = Similarity.ivfAssign(t, k = 8, iters = 3).collect().map(_.getDouble(2)).sum

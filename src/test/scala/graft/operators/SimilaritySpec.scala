@@ -36,4 +36,12 @@ class SimilaritySpec extends SparkSpec {
     info(s"lsh recall@5 vs brute = $recall (lsh rows=${lsh.size})")
     assert(recall >= 0.6)
   }
+
+  test("lsh candidate stage dedups via first-agree arithmetic, not distinct()") {
+    // the only aggregates allowed in the plan are none at all: candidate
+    // dedup is the carried-buckets filter, top-k is a window — a
+    // HashAggregate would mean distinct() crept back in
+    val plan = Similarity.annLshTopK(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"), s"distinct-style aggregate in:\n$plan")
+  }
 }
