@@ -54,18 +54,26 @@ object Bench {
     // a failing query must NOT enter the totals as a fast success —
     // it reports -1 and lands in "failed" so a broken build can't
     // masquerade as a perf win
-    val medians = names.map { name =>
+    val timings = names.map { name =>
       val rs = (1 to runs).map(_ => materialize(name))
-      val v = if (rs.forall(_._2)) rs.map(_._1).sorted.apply(rs.length / 2)
-              else -1.0
-      name -> v
+      val (med, min) =
+        if (rs.forall(_._2))
+          (rs.map(_._1).sorted.apply(rs.length / 2), rs.map(_._1).min)
+        else (-1.0, -1.0)
+      (name, med, min)
     }
-    val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = timings.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val qs = timings.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).filter(_ >= 0).sum
+    // per-query MIN alongside the median: run-to-run variance on this
+    // box is ~±10% (PROGRESS notes 36-44 s totals at sf0.1), so the min
+    // separates a real plan regression (min moves) from scheduler noise
+    // (only the median moves)
+    val qsMin = timings.map { case (k, _, m) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":${failed.mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     spark.stop()

