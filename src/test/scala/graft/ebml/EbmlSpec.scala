@@ -128,6 +128,20 @@ class EbmlSpec extends AnyFunSuite {
     assert(filtered.exists(_.name == "DocTypeReadVersion"))
   }
 
+  test("single-buffer encode is byte-identical to the composed writer") {
+    // every mm oracle depends on the exact layout; the fast writer must
+    // produce the same bytes as the readable element()/concat() form,
+    // including edge shapes (empty props, max-width numbers)
+    for ((id, ts, uid, vc, props) <- Seq(
+        (42L, 1700000000123L, 7L, 1234L, """{"k":12}"""),
+        (0L, 0L, 0L, 0L, ""),
+        (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue, "街道" * 100))) {
+      val fast = EbmlFunctions.buildFragment(id, ts, uid, vc, props)
+      val composed = EbmlFunctions.buildFragmentComposed(id, ts, uid, vc, props)
+      assert(java.util.Arrays.equals(fast, composed), s"mismatch for id=$id")
+    }
+  }
+
   test("truncated tail stops the walk instead of throwing (stream end)") {
     val blob = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "x")
     val truncated = blob ++ Array(0x42.toByte) // dangling partial head
