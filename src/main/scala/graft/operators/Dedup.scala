@@ -139,30 +139,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Candidate generation without the public query's output contract
-    * (repartition + orderBy): the edge source for [[dedupClustersLsh]],
-    * where candidate order is irrelevant and the sort would be wasted. */
-  private def minhashCandidateCore(t: Tables): DataFrame = {
-    val sigs = tokenized(t)
-      .filter(col("n") > 0)
-      .select(col("doc_id"),
-        call_function("graft_minhash_bands", col("toks")).as("sigs"))
-      .select(col("doc_id"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
-    // exactly-once emission: a pair agreeing on several bands would
-    // surface once per band; keep only the row whose band is the FIRST
-    // agreeing band of the two carried signature arrays — no distinct()
-    // shuffle over duplicate candidates.
-    val firstAgree = (0 until MinhashNumBands).reverse
+  /** First agreeing band of the two carried signature arrays: the
+    * exactly-once emission key — a pair agreeing on several bands would
+    * surface once per band; keeping only the row whose band is the
+    * first agreement needs no distinct() shuffle over the duplicates. */
+  private def firstAgreeingBand: org.apache.spark.sql.Column =
+    (0 until MinhashNumBands).reverse
       .foldLeft(lit(MinhashNumBands): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
       }
+
+  /** Candidate pairs from a (doc_id, sigs) frame — ONE shuffle on
+    * (band, sig), exactly-once emission via [[firstAgreeingBand]]. */
+  private def candidatesOf(withSigs: DataFrame): DataFrame = {
+    val sigs = withSigs.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(col("x.band") === firstAgree)
+      .filter(col("x.band") === firstAgreeingBand)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
   }
+
+  /** Candidate generation without the public query's output contract
+    * (repartition + orderBy): the edge source for [[dedupClustersLsh]],
+    * where candidate order is irrelevant and the sort would be wasted. */
+  private def minhashCandidateCore(t: Tables): DataFrame =
+    candidatesOf(tokenized(t)
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        call_function("graft_minhash_bands", col("toks")).as("sigs")))
 
   /** Band layout for [[simhashPairs]]: 7 bands over 64 bits (widths
     * 10,9,9,9,9,9,9 as (offset, width)). A pair at Hamming distance d has
@@ -289,8 +295,17 @@ object Dedup {
     * loop. */
   def dedupClustersLsh(t: Tables, threshold: Double = 0.95,
       maxIters: Int = 50): DataFrame = {
-    val hashed = tokenized(t).withColumn("toks_h",
-      array_sort(transform(col("toks"), tk => xxhash64(tk))))
+    // the tokenized corpus is needed THREE times (both sides of the
+    // band self-join, then both sides of the verify join-back), and the
+    // operator is eager anyway — the components loop runs jobs — so one
+    // materialized pass replaces three scan+tokenize+hash subtrees (no
+    // lazy-plan cache leak; measured ~25% of the query at sf0.1)
+    val hashed = tokenized(t)
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        array_sort(transform(col("toks"), tk => xxhash64(tk))).as("toks_h"),
+        call_function("graft_minhash_bands", col("toks")).as("sigs"))
+      .localCheckpoint(true)
     val a = hashed.select(col("doc_id").as("id_a"),
       col("toks_h").as("toks_a"), col("n").as("n_a"))
     val b = hashed.select(col("doc_id").as("id_b"),
@@ -298,7 +313,7 @@ object Dedup {
     // same j arithmetic as jaccardPairs: exact rational in double, so
     // the verified edge set equals the brute pair set wherever LSH recall
     // is 1 (the spec's equality condition)
-    val edges = minhashCandidateCore(t)
+    val edges = candidatesOf(hashed.select(col("doc_id"), col("sigs")))
       .join(a, "id_a").join(b, "id_b")
       .withColumn("i",
         call_function("graft_intersect_long_size", col("toks_a"), col("toks_b")))
