@@ -133,6 +133,38 @@ object EventStreams {
         col("tg.continuation_token").as("token"))
   }
 
+  final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
+  final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
+
+  /** G5b streaming twin — frame thinning as frames ARRIVE
+    * (parser.py:460-463 TimeSpanBetweenFramesInSecs): keep a frame iff
+    * its producer timestamp is at least `minSpanMs` past the last KEPT
+    * frame of its stream. This is the reference's exact sequential-greedy
+    * rule — a kept frame resets the span from ITS OWN time, which the
+    * batch time-bucket form (Multimodal.mmFrameSampleByTime) only
+    * approximates at bucket edges. Per-key state is one long; within a
+    * micro-batch rows are ordered by event time like the live feed. */
+  def thinFrames(frames: Dataset[Frame], minSpanMs: Long): Dataset[Kept] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState[Option[Long], Kept](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: Long, rows: Iterator[Frame], state: GroupState[Option[Long]]) =>
+          var lastKept: Option[Long] = state.getOption.flatten
+          val out = rows.toSeq.sortBy(f => (f.ts.getTime, f.frame_id))
+            .flatMap { f =>
+              val t = f.ts.getTime
+              if (lastKept.forall(lk => t >= lk + minSpanMs)) {
+                lastKept = Some(t)
+                Some(Kept(sid, f.frame_id, f.ts))
+              } else None
+            }
+          state.update(lastKept)
+          out.iterator
+      }
+  }
+
   /** B9 — the bounded newest-N frame queue (parser.py:470-481) as per-key
     * streaming state: each update emits the event with its position in the
     * queue; the state never exceeds `maxLen`. */

@@ -31,7 +31,13 @@ object FragmentSource {
   /** Stream of raw fragment blobs from a directory: one file = one
     * fragment payload. `maxFilesPerTrigger` bounds micro-batch size the
     * way the reference's chunked `stream.read(...)` bounds one pipe
-    * write (parser.py:325-333). */
+    * write (parser.py:325-333).
+    *
+    * Size note: the binaryFile source materializes a WHOLE payload file
+    * as one row — right for file-per-fragment or modestly-chunked
+    * GetMedia captures (MKV fragments are seconds of media), but an
+    * operator pointing this at multi-GB payload archives should re-chunk
+    * them upstream; a row must fit in executor memory. */
   /** The binaryFile source's fixed schema — streaming file sources
     * require it spelled out. */
   private val binaryFileSchema = StructType(Seq(

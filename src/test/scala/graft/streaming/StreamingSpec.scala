@@ -29,6 +29,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frame thinning keeps the sequential-greedy set across micro-batches (G5b twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.{Frame, Kept}
+    val input = MemoryStream[Frame]
+    // span 120s: a kept frame resets the window from ITS time — frame at
+    // :03 is dropped (only 60s past the kept :02), frame at :04 kept
+    val query = EventStreams.thinFrames(input.toDS(), minSpanMs = 120000L)
+      .writeStream.format("memory").queryName("thinned")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Frame(1L, ts(0), 100L), Frame(1L, ts(1), 101L), Frame(1L, ts(2), 102L),
+        Frame(2L, ts(0), 200L))
+      query.processAllAvailable()
+      // second batch continues from the first batch's state (last kept :02)
+      input.addData(Frame(1L, ts(3), 103L), Frame(1L, ts(4), 104L))
+      query.processAllAvailable()
+      val kept = spark.sql("select stream_id, frame_id from thinned order by 1, 2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(kept.toSeq == Seq((1L, 100L), (1L, 102L), (1L, 104L), (2L, 200L)))
+    } finally query.stop()
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
