@@ -91,6 +91,7 @@ object SparkEntry {
     "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
     "mm_frame_sample_time" -> ((s, d) => Multimodal.mmFrameSampleByTime(tables(s, d))),
+    "mm_frame_sample_greedy" -> ((s, d) => Multimodal.mmFrameSampleGreedy(tables(s, d))),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -440,6 +441,21 @@ object SparkEntry {
           row_number() OVER (PARTITION BY grp, bucket ORDER BY event_id) AS rn
           FROM b)
         SELECT event_id, grp, bucket FROM r WHERE rn = 1 ORDER BY event_id""",
+    "mm_frame_sample_greedy" ->
+      """WITH RECURSIVE b AS (
+          SELECT event_id, event_id // 5 AS grp, epoch_ms(ts) AS pms,
+                 row_number() OVER (PARTITION BY event_id // 5 ORDER BY event_id) AS rn
+          FROM events),
+        keep(grp, rn, pms, event_id) AS (
+          SELECT grp, rn, pms, event_id FROM b WHERE rn = 1
+          UNION ALL
+          SELECT b2.grp, b2.rn, b2.pms, b2.event_id
+          FROM keep k JOIN b b2 ON b2.grp = k.grp AND b2.rn > k.rn
+            AND b2.pms >= k.pms + 600000
+            AND b2.rn = (SELECT min(b3.rn) FROM b b3 WHERE b3.grp = k.grp
+                         AND b3.rn > k.rn AND b3.pms >= k.pms + 600000)
+        )
+        SELECT event_id, grp, pms AS producer_ms FROM keep ORDER BY event_id""",
     "mm_features" ->
       """SELECT event_id, length(props) AS frame_bytes,
           cast(json_extract_string(props,'$.k') as bigint) AS k,

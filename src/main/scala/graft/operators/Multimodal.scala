@@ -141,6 +141,43 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  final case class SplitFrame(event_id: Long, producer_ms: Long,
+      grp: Long, position: Long)
+  final case class KeptFrame(event_id: Long, grp: Long, producer_ms: Long)
+
+  /** G5c (batch) — the reference's EXACT sequential-greedy thinning
+    * (parser.py:460-463): walk each stream in arrival (position) order
+    * and keep a fragment iff its producer timestamp is at least
+    * `minSpanMs` past the last KEPT one — which resets the span from its
+    * own time, so no window/bucket expression can state it. This is the
+    * documented mapGroups escape hatch: ONE shuffle on the stream key,
+    * per-group state a single long, and the group payload is fragment
+    * METADATA (ids and timestamps, not media bytes), so a group fits
+    * executor memory at any media scale. Oracle: recursive chase of the
+    * next-kept-frame relation (WITH RECURSIVE + correlated min). */
+  def mmFrameSampleGreedy(t: Tables, minSpanMs: Long = 600000L,
+      groupSize: Long = 5L): DataFrame = {
+    val s = t.events.sparkSession
+    import s.implicits._
+    splitCore(t, groupSize)
+      .select(col("event_id"), col("producer_ms"), col("grp"), col("position"))
+      .as[SplitFrame]
+      .groupByKey(_.grp)
+      .flatMapGroups { (grp: Long, it: Iterator[SplitFrame]) =>
+        val sorted = it.toArray.sortBy(_.position)
+        var last = Long.MinValue
+        var any = false
+        sorted.iterator.flatMap { f =>
+          if (!any || f.producer_ms >= last + minSpanMs) {
+            any = true; last = f.producer_ms
+            Some(KeptFrame(f.event_id, grp, f.producer_ms))
+          } else None
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
   /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame
     * payload, "decode" it (UTF-8 — stands in for an image codec, which
     * this container lacks), and compute deterministic features. The
