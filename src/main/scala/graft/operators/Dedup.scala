@@ -327,26 +327,35 @@ object Dedup {
   /** Min-label propagation over an undirected pair graph: every node
     * takes the smallest label among itself and its neighbors until no
     * label changes (exact fixpoint, checked each round). Each round's
-    * labels are eagerly localCheckpoint'ed — an iterative plan otherwise
+    * labels are eagerly checkpointed — an iterative plan otherwise
     * grows exponentially (each round references the previous plan
-    * several times) and OOMs the planner itself. On a cluster with
-    * unreliable executors, swap localCheckpoint for a reliable
-    * `checkpoint` directory; the algorithm is unchanged. */
+    * several times) and OOMs the planner itself.
+    *
+    * `checkpointDir`: None uses localCheckpoint (executor-local blocks —
+    * fastest, right for a single-JVM or preemption-free cluster); Some
+    * writes reliable checkpoints to that directory (object store/DFS),
+    * so a lost executor costs a task retry instead of the whole
+    * iteration history — the right setting for long dedup jobs on spot
+    * instances. The algorithm is identical either way (the spec runs
+    * both). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val ids = pairs.toDF("id_a", "id_b")
-    val edges = ids
+    val edges = materialize(ids
       .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
+      .toDF("src", "dst"))
     // propagate only over nodes that HAVE an edge: on a deduped corpus
     // the overwhelming majority of documents are isolated and their
     // label can never change — keeping them out of the loop shrinks
     // every round's shuffle to the connected subgraph. Isolated nodes
     // rejoin as their own cluster at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -355,13 +364,13 @@ object Dedup {
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
-          least(col("label"), col("nbr")).as("label"),
-          (col("nbr") < col("label")).as("moved"))
-        .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-        .select("doc_id", "label")
-        .localCheckpoint(true)
+      val next = materialize(
+        labels.join(nbrMin, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("label"), col("nbr")).as("label"),
+            (col("nbr") < col("label")).as("moved"))
+          .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+          .select("doc_id", "label"))
       labels = next
       converged = obs.get("n_moved") == null ||
         obs.get("n_moved").asInstanceOf[Long] == 0L

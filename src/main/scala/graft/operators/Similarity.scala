@@ -138,10 +138,21 @@ object Similarity {
     * recall@5 was 0.2 with exact-bucket probing; multiprobe lifts it
     * without adding corpus-side volume). Rows-only oracle; SimilaritySpec
     * asserts recall@5 >= 0.6 vs E1. ONE shuffle on bucket id. */
-  def annLshTopK(t: Tables, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame = {
-    val vecs = withNorm(t.embeddings)
+  def annLshTopK(t: Tables, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame =
+    annLshTopKOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10),
+      k, tables, bits)
+
+  /** Library form over an arbitrary query frame: `queries` carries
+    * (vec_id, v, norm) — typically a [[withNorm]] projection of any
+    * vector set, not necessarily drawn from the corpus. A query sharing
+    * a vec_id with a corpus row is treated as that row and excluded
+    * from its own neighbors; external query sets should use ids outside
+    * the corpus id space. */
+  def annLshTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val vecs = withNorm(corpus)
       .withColumn("buckets", Sketches.lshBuckets(tables, bits)(col("v")))
-    val qb = withNorm(t.embeddings).filter(col("vec_id") < 10)
+    val qb = queries
       .withColumn("probes", Sketches.lshProbeBuckets(tables, bits)(col("v")))
       .select(col("vec_id").as("q_id"), col("probes"),
         explode(col("probes")).as("bucket"))
@@ -163,7 +174,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
       .select("q_id", "n_id")
-    val q = vecs.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
     val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     cand

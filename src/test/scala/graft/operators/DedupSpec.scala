@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 10L).forall(got(_) == 1L), s"chain not collapsed: $got")
     assert(got(99L) == 99L)
+    // reliable-checkpoint mode (spot-instance deployments) must produce
+    // identical clusters and actually write to the checkpoint directory
+    val dir = java.nio.file.Files.createTempDirectory("cc_chk").toString
+    val reliable = Dedup.connectedComponents(nodes, pairs,
+        checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == got)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable mode never wrote a checkpoint")
   }
 
   test("lsh embedding pairs: no duplicates, exact cosines, recall vs brute") {

@@ -37,6 +37,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("lsh top-k accepts external query vectors (ids outside the corpus)") {
+    import org.apache.spark.sql.functions._
+    // external queries = copies of corpus vectors 0-4 under fresh ids:
+    // each must find its origin as the top neighbor at cosine 1.0
+    val queries = Similarity.withNorm(t.embeddings)
+      .filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val top1 = Similarity.annLshTopKOf(t.embeddings, queries).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(2), r.getDouble(3)))
+    assert(top1.length == 5)
+    top1.foreach { case (orig, nId, cos) =>
+      assert(nId == orig, s"query $orig found $nId first")
+      assert(cos == 1.0)
+    }
+  }
+
   test("lsh candidate stage dedups via first-agree arithmetic, not distinct()") {
     // the only aggregates allowed in the plan are none at all: candidate
     // dedup is the carried-buckets filter, top-k is a window — a
