@@ -159,18 +159,30 @@ object Multimodal {
       groupSize: Long = 5L): DataFrame = {
     val s = t.events.sparkSession
     import s.implicits._
+    // the pack stage's groupBy(grp) exchange already co-locates every
+    // stream's fragments in one partition, and the per-row split
+    // projections preserve that partitioning — so the greedy scan needs
+    // only a LOCAL sort plus mapPartitions run-detection on the grp
+    // column. (The groupByKey(_.grp) form re-shuffled the whole frame
+    // stream on an opaque lambda key; PlanSpec pins the exchange count
+    // so that shuffle cannot creep back.) At frame-metadata volume —
+    // billions of rows per day of media — the saved exchange is real.
     splitCore(t, groupSize)
       .select(col("event_id"), col("producer_ms"), col("grp"), col("position"))
+      .sortWithinPartitions("grp", "position")
       .as[SplitFrame]
-      .groupByKey(_.grp)
-      .flatMapGroups { (grp: Long, it: Iterator[SplitFrame]) =>
-        val sorted = it.toArray.sortBy(_.position)
-        var last = Long.MinValue
-        var any = false
-        sorted.iterator.flatMap { f =>
-          if (!any || f.producer_ms >= last + minSpanMs) {
-            any = true; last = f.producer_ms
-            Some(KeptFrame(f.event_id, grp, f.producer_ms))
+      .mapPartitions { it =>
+        var started = false
+        var curGrp = 0L
+        var last = 0L
+        var kept = false
+        it.flatMap { f =>
+          if (!started || f.grp != curGrp) {
+            started = true; curGrp = f.grp; kept = false
+          }
+          if (!kept || f.producer_ms >= last + minSpanMs) {
+            kept = true; last = f.producer_ms
+            Some(KeptFrame(f.event_id, f.grp, f.producer_ms))
           } else None
         }
       }

@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("greedy frame thinning reuses the pack exchange — no lambda-key shuffle") {
+    // exactly two exchanges: the pack groupBy(grp) and the output-order
+    // range partition; the greedy scan itself must ride the pack
+    // partitioning with a local sort (a third exchange means the
+    // groupByKey(lambda) shuffle crept back)
+    val plan = planOf(Multimodal.mmFrameSampleGreedy(t))
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("exact dedup shuffles content hashes, never document text") {
     for ((name, df) <- Seq(
         "dedup_exact" -> Dedup.dedupExact(t),
