@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{DotProduct, Fingerprint, IntersectSortedLongSize, IntersectSortedSize, MinhashBands, Ngram3Hashes, Norm2, SimhashSig}
+import graft.plans.{DotProduct, Fingerprint, IntersectSortedLongSize, IntersectSortedSize, MinhashBands, Ngram3Hashes, Norm2, OphBands, SimhashSig}
 
 /** SparkSessionExtensions entry point: makes the graft native expressions
   * first-class SQL functions in any session built with
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "graft_minhash_bands"),
       exprs => MinhashBands(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_oph_bands"),
+      new ExpressionInfo(classOf[OphBands].getName, "graft_oph_bands"),
+      exprs => OphBands(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_ngram3"),
       new ExpressionInfo(classOf[Ngram3Hashes].getName, "graft_ngram3"),

@@ -72,6 +72,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(tables(s, d))),
+    // scale path for the char-gram tier (rows-only; DedupSpec measures
+    // recall and exactness against dedup_ngram)
+    "dedup_ngram_lsh" -> ((s, d) => Dedup.ngramLshPairs(tables(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(tables(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),

@@ -119,6 +119,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Band count of the graft_oph_bands signature used for the char-gram
+    * scale path (64 one-permutation bins in 8 bands of 8 — tuned for
+    * j >= 0.9: P[candidate] = 1-(1-j^8)^8 ≈ 0.99 at the threshold). */
+  private val NgramNumBands = 64 / 8
+
+  /** D2c — char-3-gram near-dup pairs at SCALE: one-permutation-minhash
+    * banded candidates over the gram hash sets (ONE shuffle on
+    * (band, sig) — never the O(n²) blocked loop of the D2b oracle tier;
+    * one-permutation because classic 64-function minhash over ~10³-gram
+    * sets costs more than the brute loop it replaces), verified by the
+    * exact merge kernel, so every emitted pair carries its true
+    * Jaccard. Output contract matches [[ngramJaccardPairs]]; DedupSpec
+    * measures recall against it and asserts emitted pairs are exact. */
+  def ngramLshPairs(t: Tables, threshold: Double = 0.9): DataFrame = {
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    val hashed = t.documents
+      .select(col("doc_id"), call_function("graft_ngram3", col("text")).as("sh_h"))
+      .withColumn("n", size(col("sh_h")).cast("long"))
+      .filter(col("n") > 0)
+    val a = hashed.select(col("doc_id").as("id_a"),
+      col("sh_h").as("sh_a"), col("n").as("n_a"))
+    val b = hashed.select(col("doc_id").as("id_b"),
+      col("sh_h").as("sh_b"), col("n").as("n_b"))
+    candidatesOf(hashed.select(col("doc_id"),
+        call_function("graft_oph_bands", col("sh_h")).as("sigs")),
+      NgramNumBands)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("i",
+        call_function("graft_intersect_long_size", col("sh_a"), col("sh_b")))
+      .withColumn("j",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard4"))
+      .repartition(cores, col("id_a"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** D3 — MinHash LSH candidate pairs: 64 min-hashes in 4 bands x 16 rows
     * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^16)^4).
     * Docs sharing any band signature become a candidate pair — ONE shuffle
@@ -143,21 +181,24 @@ object Dedup {
     * exactly-once emission key — a pair agreeing on several bands would
     * surface once per band; keeping only the row whose band is the
     * first agreement needs no distinct() shuffle over the duplicates. */
-  private def firstAgreeingBand: org.apache.spark.sql.Column =
-    (0 until MinhashNumBands).reverse
-      .foldLeft(lit(MinhashNumBands): org.apache.spark.sql.Column) { (acc, j) =>
+  private def firstAgreeingBand(nBands: Int): org.apache.spark.sql.Column =
+    (0 until nBands).reverse
+      .foldLeft(lit(nBands): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
       }
 
   /** Candidate pairs from a (doc_id, sigs) frame — ONE shuffle on
-    * (band, sig), exactly-once emission via [[firstAgreeingBand]]. */
-  private def candidatesOf(withSigs: DataFrame): DataFrame = {
+    * (band, sig), exactly-once emission via [[firstAgreeingBand]].
+    * `nBands` MUST equal the signature array's length (fewer would
+    * silently drop pairs whose first agreement lies in a later band). */
+  private def candidatesOf(withSigs: DataFrame,
+      nBands: Int = MinhashNumBands): DataFrame = {
     val sigs = withSigs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(col("x.band") === firstAgreeingBand)
+      .filter(col("x.band") === firstAgreeingBand(nBands))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
   }
 

@@ -64,6 +64,11 @@ object SketchKernels {
     val base = new Array[Long](n)
     var t = 0
     while (t < n) { base(t) = Hashing.hashString(arr.getUTF8String(t).toString); t += 1 }
+    bandSigsOf(base, numHashes, rowsPerBand)
+  }
+
+  private def bandSigsOf(base: Array[Long], numHashes: Int, rowsPerBand: Int): ArrayData = {
+    val n = base.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < numHashes) {
@@ -75,7 +80,44 @@ object SketchKernels {
       }
       i += 1
     }
-    val nBands = numHashes / rowsPerBand
+    foldBands(mins, rowsPerBand)
+  }
+
+  /** One-permutation minhash bands over an ALREADY-HASHED element set
+    * (array<long>, e.g. graft_ngram3 shingles). Classic k-function
+    * minhash is k passes over the set — 64 × ~1500 mixes per document on
+    * char-gram sets, which measured SLOWER than the brute pair loop at
+    * sf0.1. OPH (Li et al., 2012) is ONE pass: each element lands in
+    * the bin given by its top bits and the bin keeps its minimum; an
+    * empty bin borrows the next non-empty bin's value, mixed with the
+    * borrow distance (rotation densification), so sparse sets still get
+    * a full signature with collision probability ≈ Jaccard per bin. */
+  def ophBandSigsLong(arr: ArrayData, numBins: Int, rowsPerBand: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val shift = 64 - Integer.numberOfTrailingZeros(numBins) // numBins = 2^k
+    val mins = Array.fill(numBins)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      val bin = (h >>> shift).toInt
+      if (h < mins(bin)) mins(bin) = h
+      t += 1
+    }
+    var b = 0
+    while (b < numBins) {
+      if (mins(b) == Long.MaxValue) {
+        var d = 1
+        while (mins((b + d) % numBins) == Long.MaxValue) d += 1
+        mins(b) = Hashing.mix64(mins((b + d) % numBins) + d.toLong)
+      }
+      b += 1
+    }
+    foldBands(mins, rowsPerBand)
+  }
+
+  private def foldBands(mins: Array[Long], rowsPerBand: Int): ArrayData = {
+    val nBands = mins.length / rowsPerBand
     val sigs = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
@@ -192,5 +234,29 @@ case class MinhashBands(child: Expression, numHashes: Int = 64, rowsPerBand: Int
       s"${ev.value} = graft.plans.SketchKernels.minhashBandSigs($a, $numHashes, $rowsPerBand);")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+/** One-permutation minhash bands over an already-hashed element set
+  * (array<long>, e.g. graft_ngram3 shingles) — single pass regardless of
+  * band count (see SketchKernels.ophBandSigsLong). Default 8 bands × 8
+  * bins: at the char-gram threshold j = 0.9 the candidate probability is
+  * 1-(1-0.9^8)^8 ≈ 0.99 (16-bin bands would drop it to ≈ 0.56 — band
+  * geometry must match the target threshold, not be copied across
+  * operators). `numBins` must be a power of two (bin = top bits). */
+case class OphBands(child: Expression, numBins: Int = 64, rowsPerBand: Int = 8)
+    extends UnaryExpression {
+  // caller guarantees array<long> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_oph_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.ophBandSigsLong(a.asInstanceOf[ArrayData], numBins, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SketchKernels.ophBandSigsLong($a, $numBins, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): OphBands =
     copy(child = newChild)
 }

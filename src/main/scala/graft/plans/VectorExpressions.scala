@@ -185,6 +185,8 @@ object VectorFunctions {
       exprs => Fingerprint(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinhashBands(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_oph_bands",
+      exprs => OphBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram3",
       exprs => Ngram3Hashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

@@ -82,6 +82,19 @@ class DedupSpec extends SparkSpec {
     assert(salted == ground)
   }
 
+  test("ngram lsh pairs: exact jaccards, recall >= 0.8 vs brute ngram pairs") {
+    val ground = Dedup.ngramJaccardPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.ngramLshPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ground.nonEmpty, "need ngram near-dup pairs at sf0.001")
+    // verified candidates must be TRUE pairs with the exact jaccard
+    lsh.foreach { case (k, j) => assert(ground.get(k).contains(j), s"pair $k") }
+    val recall = lsh.keySet.intersect(ground.keySet).size.toDouble / ground.size
+    info(s"ngram-lsh recall vs brute = $recall (ground=${ground.size})")
+    assert(recall >= 0.8)
+  }
+
   test("lsh clustering equals brute-force clustering at sf0.001") {
     // at this SF and threshold, minhash recall on true j>=0.95 pairs is 1.0
     // (the recall test above measures it), so verified-LSH edges == brute
