@@ -87,6 +87,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
     "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
+    // full IVF search (rows-only; SimilaritySpec measures recall vs brute)
+    "ivf_topk" -> ((s, d) => Similarity.ivfTopK(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),

@@ -132,6 +132,57 @@ object Similarity {
     out
   }
 
+  /** The fitted model's cells ordered by distance to v, nearest `nprobe`
+    * kept — the query-side routing of IVF search. Same codegen distance
+    * arithmetic as [[nearestCentroid]]; array_sort on (d, cid) structs
+    * orders lexicographically, so ties go to the lowest cid. */
+  private def probeCells(cs: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.Column = {
+    val cells = cs.zipWithIndex.map { case (c, i) =>
+      val normC = { var s = 0.0; var j = 0; while (j < c.length) { s += c(j) * c(j); j += 1 }; s }
+      struct(
+        greatest(lit(0.0),
+          col("norm") - lit(2.0) * call_function("graft_dot", col("v"), typedLit(c.toSeq))
+            + lit(normC)).as("d"),
+        lit(i).as("cid"))
+    }
+    transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** E3b — IVF top-k SEARCH: fit the coarse quantizer, assign the corpus
+    * to cells (each vector lands in exactly ONE cell, so candidates need
+    * no dedup), route each query to its `nprobe` nearest cells, and
+    * exact-rank inside them. The search shuffle is one join keyed on the
+    * cell id with the query side broadcast — the IVF promise that a
+    * query scans nprobe/kCells of the corpus instead of all of it.
+    * Rows-only oracle; SimilaritySpec measures recall@5 vs brute. */
+  def ivfTopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
+      iters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = withNorm(t.embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
+    val corpus = vecs
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("v_n"), col("norm").as("norm_n"))
+    val q = vecs.filter(col("vec_id") < 10)
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = broadcast(q).join(corpus, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+    vecs.unpersist(blocking = false) // model frozen; the returned plan re-derives
+    out
+  }
+
   /** E2 — LSH-bucketed ANN: 8 hyperplane tables × 6 bits; candidates share
     * any table bucket; exact cosine re-ranks candidates. The query side
     * MULTIPROBES: base bucket plus every 1-bit flip per table (round-1

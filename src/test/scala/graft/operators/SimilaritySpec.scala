@@ -37,6 +37,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("ivf top-k search reaches recall@5 >= 0.6 vs brute force") {
+    val brute = topk(Similarity.annBruteTopK(t)).toSet
+    val ivf = topk(Similarity.ivfTopK(t))
+    assert(ivf.nonEmpty)
+    val recall = ivf.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"ivf recall@5 vs brute (nprobe=3/8 cells) = $recall")
+    assert(recall >= 0.6)
+  }
+
   test("lsh top-k accepts external query vectors (ids outside the corpus)") {
     import org.apache.spark.sql.functions._
     // external queries = copies of corpus vectors 0-4 under fresh ids:
