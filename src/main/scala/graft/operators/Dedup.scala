@@ -147,6 +147,11 @@ object Dedup {
         call_function("graft_oph_bands", col("sh_h")).as("sigs")),
       NgramNumBands)
       .join(a, "id_a").join(b, "id_b")
+      // size-ratio prefilter implied by j >= 0.9 (see jaccardPairs):
+      // false banded candidates with incompatible set sizes die on a
+      // two-multiply guard instead of a ~10³-element merge
+      .filter(col("n_a") * 10L >= col("n_b") * 9L &&
+        col("n_b") * 10L >= col("n_a") * 9L)
       .withColumn("i",
         call_function("graft_intersect_long_size", col("sh_a"), col("sh_b")))
       .withColumn("j",
