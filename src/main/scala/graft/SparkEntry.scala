@@ -33,6 +33,7 @@ object SparkEntry {
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
+    "cube_agg" -> ((s, d) => Analytics.cubeAgg(tables(s, d))),
     "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
     "string_funcs" -> ((s, d) => Analytics.stringFuncs(tables(s, d))),
     "approx_distinct" -> ((s, d) => Analytics.approxDistinct(tables(s, d))),
@@ -102,7 +103,10 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
-    "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d)))
+    "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d))),
+    // end-to-end curation incl. near-dup clustering (rows-only; spec
+    // pins it to an independent driver-side recompute)
+    "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
   )
 
   private val centsQty = "cast(round(l_quantity*100) as bigint)"
@@ -192,6 +196,10 @@ object SparkEntry {
       s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
           count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "cube_agg" ->
+      s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+          count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
     "yearly_orders" ->
       s"""SELECT cast(year(o_orderdate) as bigint) AS yr, count(*) AS n,
           cast(sum($centsTotal) as bigint) AS sum_c

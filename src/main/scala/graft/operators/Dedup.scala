@@ -34,11 +34,13 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  private def tokenized(t: Tables): DataFrame = {
-    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+  private def tokenized(t: Tables): DataFrame = tokenizedDocs(t.documents)
+
+  private def tokenizedDocs(docs: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
     // sorted distinct token sets: lets the pair stage use the linear-merge
     // graft_intersect_size instead of per-pair hash-set building
-    t.documents.select(
+    docs.select(
       col("doc_id"),
       array_sort(array_distinct(words(col("text")))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -340,13 +342,19 @@ object Dedup {
     * threshold filter, so only true near-dup edges reach the components
     * loop. */
   def dedupClustersLsh(t: Tables, threshold: Double = 0.95,
+      maxIters: Int = 50): DataFrame =
+    clusterDocsLsh(t.documents, threshold, maxIters)
+
+  /** Library form of D6b over any (doc_id, text) frame — e.g. the
+    * survivors of a quality/exact-dedup pass ([[TextOps.curationFull]]). */
+  def clusterDocsLsh(docs: DataFrame, threshold: Double = 0.95,
       maxIters: Int = 50): DataFrame = {
     // the tokenized corpus is needed THREE times (both sides of the
     // band self-join, then both sides of the verify join-back), and the
     // operator is eager anyway — the components loop runs jobs — so one
     // materialized pass replaces three scan+tokenize+hash subtrees (no
     // lazy-plan cache leak; measured ~25% of the query at sf0.1)
-    val hashed = tokenized(t)
+    val hashed = tokenizedDocs(docs)
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
         array_sort(transform(col("toks"), tk => xxhash64(tk))).as("toks_h"),
@@ -367,7 +375,7 @@ object Dedup {
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(t.documents.select(col("doc_id")), edges, maxIters)
+    connectedComponents(docs.select(col("doc_id")), edges, maxIters)
   }
 
   /** Min-label propagation over an undirected pair graph: every node

@@ -79,6 +79,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F5b — the END-TO-END crawl-cleaning composite: quality filter →
+    * exact dedup → NEAR-dup clustering of the survivors (LSH candidate
+    * edges, kernel-verified — never O(n²)) → keep the smallest doc id
+    * per cluster. Output is the manifest of kept document ids a
+    * tokenizer would consume. This is the canonical 100 TB pipeline
+    * shape end to end: every stage is one shuffle, and the only
+    * exchange that carries text is the exact-dedup one (downstream
+    * tokenization needs the surviving text exactly once; the min-struct
+    * agg keeps the kept doc's text without a second scan).
+    * Rows-only (LSH recall has no SQL twin); TextOpsSpec pins the
+    * result to an independent driver-side recompute at sf0.001. */
+  def curationFull(t: Tables, minWords: Long = 40L,
+      threshold: Double = 0.95, maxIters: Int = 50): DataFrame = {
+    val toks = words(col("text"))
+    val nWords = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val uniq = t.documents
+      .select(col("doc_id"), col("text"), nWords.as("n_words"),
+        nChars.as("n_chars"), nAlpha.as("n_alpha"))
+      .filter(col("n_words") >= minWords &&
+        col("n_alpha") * 5L >= col("n_chars") * 4L)
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+      .groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("text"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
+    Dedup.clusterDocsLsh(uniq, threshold, maxIters)
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {

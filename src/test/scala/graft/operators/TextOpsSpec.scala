@@ -31,6 +31,39 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("full curation composite equals an independent driver-side recompute") {
+    // independent implementation: plain Scala regex/set/union-find, no
+    // Spark, no shared kernels — exercises filter thresholds, exact
+    // dedup, LSH edge generation + verification, and clustering at once
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val filtered = docs.filter { case (_, txt) =>
+      val nWords = "[a-z]+".r.findAllIn(txt.toLowerCase).length
+      val nAlpha = txt.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+      nWords >= 40 && nAlpha * 5L >= txt.length * 4L
+    }
+    val uniq = filtered.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    val toks = uniq.map { case (id, txt) =>
+      id -> "[a-z]+".r.findAllIn(txt.toLowerCase).toSet }.toMap
+    val ids = uniq.map(_._1).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val inter = toks(a).intersect(toks(b)).size
+      val jac = inter.toDouble / (toks(a).size + toks(b).size - inter)
+      if (jac >= 0.95) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = ids.groupBy(find).map(_._2.min).toSeq.sorted
+    val got = TextOps.curationFull(t).collect().map(_.getLong(0)).toSeq
+    assert(expected.nonEmpty && expected.size < ids.size,
+      "fixture must exercise both dedup stages")
+    assert(got == expected)
+  }
+
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
     // the corpus `lang` labels are synthetic noise, so the corpus query
     // can't validate the heuristic — this fixture of real sentences can
