@@ -129,12 +129,9 @@ object Analytics {
 
   /** C9 — rollup over two grouping levels; NULL grouping keys masked so the
     * oracle comparison is order-stable. */
-  /** C9b — CUBE multi-dimensional aggregate: every (status, priority)
-    * subtotal combination in one pass (rollup covers only the
-    * hierarchical prefixes). Same partial-agg shuffle shape as C9. */
-  def cubeAgg(t: Tables): DataFrame =
+  def rollupAgg(t: Tables): DataFrame =
     t.orders
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -142,9 +139,12 @@ object Analytics {
         col("n"), col("sum_c"))
       .orderBy("status", "priority")
 
-  def rollupAgg(t: Tables): DataFrame =
+  /** C9b — CUBE multi-dimensional aggregate: every (status, priority)
+    * subtotal combination in one pass (rollup covers only the
+    * hierarchical prefixes). Same partial-agg shuffle shape as C9. */
+  def cubeAgg(t: Tables): DataFrame =
     t.orders
-      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),

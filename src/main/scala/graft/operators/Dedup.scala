@@ -395,21 +395,35 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    // reliable mode: every materialization gets its own subdirectory so
+    // a SUPERSEDED round's files are deleted as soon as its successor
+    // is on disk — df.checkpoint never cleans up after itself
+    // (cleanCheckpoints is off by default and GC-driven even when on),
+    // and a 50-round run would otherwise leave 50 full label sets on
+    // the object store. Only the final round's files outlive the call
+    // (the returned plan reads them).
+    def materializeIn(df: DataFrame, sub: String): DataFrame = checkpointDir match {
+      case Some(root) =>
+        spark.sparkContext.setCheckpointDir(s"$root/$sub")
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+    def dropCheckpoint(sub: String): Unit = checkpointDir.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     val ids = pairs.toDF("id_a", "id_b")
-    val edges = materialize(ids
+    val edges = materializeIn(ids
       .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst"))
+      .toDF("src", "dst"), "edges")
     // propagate only over nodes that HAVE an edge: on a deduped corpus
     // the overwhelming majority of documents are isolated and their
     // label can never change — keeping them out of the loop shrinks
     // every round's shuffle to the connected subgraph. Isolated nodes
     // rejoin as their own cluster at the end.
-    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label")))
+    var labelsSub = "labels_init"
+    var labels = materializeIn(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")), labelsSub)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -418,18 +432,22 @@ object Dedup {
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val next = materialize(
+      val next = materializeIn(
         labels.join(nbrMin, col("doc_id") === col("src"), "left")
           .select(col("doc_id"),
             least(col("label"), col("nbr")).as("label"),
             (col("nbr") < col("label")).as("moved"))
           .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-          .select("doc_id", "label"))
+          .select("doc_id", "label"),
+        s"labels_$it")
+      dropCheckpoint(labelsSub) // superseded round — next is on disk
       labels = next
+      labelsSub = s"labels_$it"
       converged = obs.get("n_moved") == null ||
         obs.get("n_moved").asInstanceOf[Long] == 0L
       it += 1
     }
+    dropCheckpoint("edges") // the returned plan reads only the last labels
     nodes.toDF("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

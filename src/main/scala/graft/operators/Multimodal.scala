@@ -77,8 +77,19 @@ object Multimodal {
     * each public query applies its own final ordering, so a consumer
     * like [[mmFrameSample]] doesn't pay [[mmSplitStream]]'s output sort
     * just to re-shuffle into its own window (the round-2 plan had a
-    * sort-shuffle-sort sandwich worth ~1.2 s at sf0.1). One shuffle (the
-    * pack groupBy); the split+parse is per-row. */
+    * sort-shuffle-sort sandwich worth ~1.2 s at sf0.1).
+    *
+    * Deliberately NO exchange barrier above the parse projections: the
+    * downstream orderBy's range sampling re-executes only the stage
+    * ABOVE the pack shuffle (the expensive per-row encode below it is
+    * served from the reused shuffle files), and an explicit barrier
+    * repartition was measured SLOWER than that re-run at sf0.1 (2.7 s
+    * vs 1.8 s per query) — the extra exchange round-trip costs more
+    * than re-projecting the narrow metadata. (A same-key same-count
+    * repartition would not even materialize: the optimizer elides it
+    * as redundant atop the pack shuffle's partitioning.) Downstream
+    * windows and per-group scans ride the pack partitioning with no
+    * further exchange (subset rule). */
   private def splitCore(t: Tables, groupSize: Long): DataFrame =
     withBlob(t)
       .withColumn("grp", intDiv(col("event_id"), groupSize))
@@ -99,19 +110,14 @@ object Multimodal {
   def mmSplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
     splitCore(t, groupSize)
       .select("event_id", "grp", "position", "frag_len")
-      // exchange barrier: without it the final sort's range sampling
-      // re-runs the concat+split+parse stage above the pack shuffle
-      .repartition(t.events.sparkSession.sparkContext.defaultParallelism,
-        col("grp"))
       .orderBy("event_id")
 
   /** G5 — every-Nth frame sampling from the continuous stream (the
     * reference's TimeSpanBetweenFramesInSecs thins frames as they
     * arrive; the index-based twin keeps every Nth fragment of each
     * payload stream). Rank within the stream comes from the split
-    * positions, so sampling needs no second parse. The window's own
-    * hash exchange on grp doubles as the barrier for the final sort's
-    * range sampling — the split stage runs once. */
+    * positions, so sampling needs no second parse; the window rides the
+    * core's grp partitioning with no further exchange. */
   def mmFrameSample(t: Tables, every: Long = 3L, groupSize: Long = 5L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("grp").orderBy("position")
@@ -134,7 +140,7 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("grp", "bucket").orderBy("position")
     splitCore(t, groupSize)
-      .withColumn("bucket", intDiv(col("producer_ms"), minSpanMs))
+      .withColumn("bucket", msBucket(col("producer_ms"), minSpanMs))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("grp"), col("bucket"))

@@ -59,8 +59,11 @@ object Similarity {
     * ordering breaks distance ties toward the lowest cid, matching the
     * UDF loop it replaces. greatest(0, ·) clamps the −1e-16 the expansion
     * can produce for a vector sitting on its centroid. */
-  private def nearestCentroid(cs: Array[Array[Double]]) : org.apache.spark.sql.Column = {
-    val cells = cs.zipWithIndex.map { case (c, i) =>
+  /** One (d, cid) struct per centroid — the shared distance arithmetic
+    * BOTH corpus-side assignment and query-side routing build on; a
+    * single definition keeps the two provably in agreement. */
+  private def cellStructs(cs: Array[Array[Double]]): IndexedSeq[org.apache.spark.sql.Column] =
+    cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val normC = { var s = 0.0; var j = 0; while (j < c.length) { s += c(j) * c(j); j += 1 }; s }
       struct(
         greatest(lit(0.0),
@@ -68,8 +71,9 @@ object Similarity {
             + lit(normC)).as("d"),
         lit(i).as("cid"))
     }
-    array_min(array(cells.toIndexedSeq: _*))
-  }
+
+  private def nearestCentroid(cs: Array[Array[Double]]): org.apache.spark.sql.Column =
+    array_min(array(cellStructs(cs): _*))
 
   /** Lloyd iterations until the model stops moving (max centroid shift²
     * <= eps) or `maxIters` — round 2 always ran the full budget even
@@ -136,18 +140,9 @@ object Similarity {
     * kept — the query-side routing of IVF search. Same codegen distance
     * arithmetic as [[nearestCentroid]]; array_sort on (d, cid) structs
     * orders lexicographically, so ties go to the lowest cid. */
-  private def probeCells(cs: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.Column = {
-    val cells = cs.zipWithIndex.map { case (c, i) =>
-      val normC = { var s = 0.0; var j = 0; while (j < c.length) { s += c(j) * c(j); j += 1 }; s }
-      struct(
-        greatest(lit(0.0),
-          col("norm") - lit(2.0) * call_function("graft_dot", col("v"), typedLit(c.toSeq))
-            + lit(normC)).as("d"),
-        lit(i).as("cid"))
-    }
-    transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nprobe),
+  private def probeCells(cs: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.Column =
+    transform(slice(array_sort(array(cellStructs(cs): _*)), 1, nprobe),
       s => s.getField("cid"))
-  }
 
   /** E3b — IVF top-k SEARCH: fit the coarse quantizer, assign the corpus
     * to cells (each vector lands in exactly ONE cell, so candidates need

@@ -96,6 +96,11 @@ object TextOps {
     val nWords = size(toks).cast("long")
     val nChars = length(col("text")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    // materialized once: the clustering stage consumes the survivors
+    // THREE ways (tokenize/hash, the components node list, and this
+    // composite is eager through the components loop anyway) — without
+    // the checkpoint the filter + text-carrying dedup agg re-executes
+    // per consumer
     val uniq = t.documents
       .select(col("doc_id"), col("text"), nWords.as("n_words"),
         nChars.as("n_chars"), nAlpha.as("n_alpha"))
@@ -107,10 +112,12 @@ object TextOps {
       .groupBy("h1", "h2")
       .agg(min(struct(col("doc_id"), col("text"))).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
+      .localCheckpoint(true)
+    // min-label components are ALREADY named by their smallest doc_id,
+    // so keep-one-per-cluster is just the distinct labels
     Dedup.clusterDocsLsh(uniq, threshold, maxIters)
-      .groupBy("cluster_id")
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+      .select(col("cluster_id").as("doc_id"))
+      .distinct()
       .orderBy("doc_id")
   }
 

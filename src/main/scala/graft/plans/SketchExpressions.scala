@@ -93,9 +93,12 @@ object SketchKernels {
     * borrow distance (rotation densification), so sparse sets still get
     * a full signature with collision probability ≈ Jaccard per bin. */
   def ophBandSigsLong(arr: ArrayData, numBins: Int, rowsPerBand: Int): ArrayData = {
+    // a non-power-of-two bin count would silently populate only the
+    // low 2^floor(log2) bins and densify the rest into noise
+    require(Integer.bitCount(numBins) == 1, s"numBins must be a power of two: $numBins")
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Long])
-    val shift = 64 - Integer.numberOfTrailingZeros(numBins) // numBins = 2^k
+    val shift = 64 - Integer.numberOfTrailingZeros(numBins)
     val mins = Array.fill(numBins)(Long.MaxValue)
     var t = 0
     while (t < n) {

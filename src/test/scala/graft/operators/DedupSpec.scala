@@ -119,7 +119,8 @@ class DedupSpec extends SparkSpec {
     assert((1L to 10L).forall(got(_) == 1L), s"chain not collapsed: $got")
     assert(got(99L) == 99L)
     // reliable-checkpoint mode (spot-instance deployments) must produce
-    // identical clusters and actually write to the checkpoint directory
+    // identical clusters, write real checkpoints, AND clean up
+    // superseded rounds — only the final labels round may remain
     val dir = java.nio.file.Files.createTempDirectory("cc_chk").toString
     val reliable = Dedup.connectedComponents(nodes, pairs,
         checkpointDir = Some(dir)).collect()
@@ -128,6 +129,10 @@ class DedupSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "reliable mode never wrote a checkpoint")
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(subdirs.forall(_.startsWith("labels_")) && subdirs.length == 1,
+      s"superseded checkpoints not cleaned: $subdirs")
   }
 
   test("lsh embedding pairs: no duplicates, exact cosines, recall vs brute") {

@@ -120,11 +120,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("greedy frame thinning reuses the pack exchange — no lambda-key shuffle") {
+  test("greedy frame thinning reuses the pack partitioning — no lambda-key shuffle") {
     // exactly two exchanges: the pack groupBy(grp) and the output-order
-    // range partition; the greedy scan itself must ride the pack
-    // partitioning with a local sort (a third exchange means the
-    // groupByKey(lambda) shuffle crept back)
+    // range partition; the greedy scan rides the pack partitioning with
+    // a local sort (a third exchange means the groupByKey(lambda)
+    // shuffle crept back — or a barrier repartition, measured slower
+    // than the sampling re-run it would prevent)
     val plan = planOf(Multimodal.mmFrameSampleGreedy(t))
     val exchanges = plan.split("\n").count(_.contains("Exchange"))
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
