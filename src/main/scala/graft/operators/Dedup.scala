@@ -421,9 +421,15 @@ object Dedup {
     // label can never change — keeping them out of the loop shrinks
     // every round's shuffle to the connected subgraph. Isolated nodes
     // rejoin as their own cluster at the end.
+    // Init at min(self, direct neighbors) — the same one-agg shuffle a
+    // distinct() node list would cost, but it IS the first propagation
+    // round: near-clique components (the near-dup case) then converge
+    // in the first checked round instead of the second.
     var labelsSub = "labels_init"
-    var labels = materializeIn(edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label")), labelsSub)
+    var labels = materializeIn(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("nbr")).as("label")), labelsSub)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
