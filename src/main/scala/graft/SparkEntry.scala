@@ -80,6 +80,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
+    // embedding clustering over the LSH-verified pairs (rows-only;
+    // DedupSpec asserts it refines the brute-force clustering)
+    "dedup_embed_clusters" -> ((s, d) => Dedup.embedClustersLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
     // scale path: LSH-candidate edges + exact-kernel verify (rows-only;
     // DedupSpec asserts cluster equality with dedup_clusters at sf0.001)

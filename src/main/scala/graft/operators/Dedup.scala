@@ -496,6 +496,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** D5c — embedding near-dup CLUSTERING at scale: the LSH-verified
+    * cosine pairs (D5b — one shuffle on bucket id, exact-cosine
+    * verification) feed the same components engine as the text paths.
+    * Every emitted edge is a true edge, so each cluster is a REFINEMENT
+    * of the brute-force clustering (DedupSpec asserts the containment);
+    * missed bucket collisions can only split clusters, never merge
+    * unrelated vectors. */
+  def embedClustersLsh(t: Tables, threshold: Double = 0.4,
+      maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      t.embeddings.select(col("vec_id").as("doc_id")),
+      embeddingPairsLsh(t, threshold).select(col("id_a"), col("id_b")),
+      maxIters)
+
   /** D5 — embedding-cosine near-dup pairs (cos >= 0.4 on this synthetic
     * set). Double-precision left-fold dot product — bit-identical to the
     * oracle's list_reduce. Norms precomputed per row (not per pair). */

@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("embed lsh clustering refines the brute-force clustering") {
+    // LSH emits only verified true edges, so same-LSH-cluster implies
+    // same-brute-cluster (containment); recall < 1 may split clusters
+    // but must never merge unrelated vectors
+    val brute = Dedup.connectedComponents(
+        t.embeddings.select(org.apache.spark.sql.functions.col("vec_id").as("doc_id")),
+        Dedup.embeddingPairs(t).select("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.embedClustersLsh(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh.keySet == brute.keySet)
+    // containment: two vectors sharing an LSH cluster share a brute one
+    lsh.groupBy(_._2).values.foreach { members =>
+      val bruteLabels = members.keys.map(brute).toSet
+      assert(bruteLabels.size == 1, s"LSH cluster spans brute clusters: $members")
+    }
+    assert(lsh.values.toSet.size >= brute.values.toSet.size)
+    assert(brute.values.toSet.size < brute.size, "fixture has no clusters")
+  }
+
   test("embedding near-dup pairs are symmetric-safe and above threshold") {
     val rows = Dedup.embeddingPairs(t).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
