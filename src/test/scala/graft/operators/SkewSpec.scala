@@ -20,9 +20,9 @@ class SkewSpec extends SparkSpec {
     val dim = t.events.select(col("event_type")).distinct()
       .withColumn("weight", length(col("event_type")).cast("long"))
     val plain = t.events.join(dim, "event_type")
-      .agg(sum("weight")).head.getLong(0)
+      .agg(sum("weight")).head().getLong(0)
     val salted = Skew.saltedJoin(t.events, dim, "event_type", col("event_id"), salts = 8)
-      .agg(sum("weight")).head.getLong(0)
+      .agg(sum("weight")).head().getLong(0)
     assert(salted == plain)
   }
 }

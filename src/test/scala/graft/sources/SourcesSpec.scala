@@ -18,8 +18,8 @@ class SourcesSpec extends SparkSpec {
       .schema("o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
       .option("header", "true").csv(dir)
     assert(back.count() == src.count())
-    assert(back.agg(sum("o_orderkey")).head.getLong(0) ==
-      src.agg(sum("o_orderkey")).head.getLong(0))
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) ==
+      src.agg(sum("o_orderkey")).head().getLong(0))
   }
 
   test("json round-trip preserves values") {
