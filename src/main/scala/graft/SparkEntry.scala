@@ -29,6 +29,7 @@ object SparkEntry {
     "topk_orders" -> ((s, d) => Analytics.topkOrders(tables(s, d))),
     "window_running_sum" -> ((s, d) => Analytics.windowRunningSum(tables(s, d))),
     "window_lead_lag" -> ((s, d) => Analytics.windowLeadLag(tables(s, d))),
+    "window_ntile" -> ((s, d) => Analytics.windowNtile(tables(s, d))),
     "set_ops" -> ((s, d) => Analytics.setOps(tables(s, d))),
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
@@ -166,6 +167,14 @@ object SparkEntry {
           cast(date_diff('day', o_date, lead(o_date) OVER w) as bigint) AS next_gap_days
         FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
         ORDER BY o_custkey, o_orderkey""",
+    "window_ntile" ->
+      s"""WITH base AS (SELECT o_orderkey, o_orderpriority,
+          $centsTotal AS price_c FROM orders)
+        SELECT o_orderkey, o_orderpriority, price_c,
+          cast(ntile(4) OVER w as bigint) AS quartile,
+          percent_rank() OVER w AS pct_rank
+        FROM base WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey)
+        ORDER BY o_orderkey""",
     "set_ops" ->
       """SELECT c_custkey, 'both' AS tag FROM (
           SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'

@@ -232,6 +232,21 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** C6c — distribution windows: ntile quartiles and percent_rank over
+    * order totals per customer segment (the "which quartile is this
+    * order in" shape; percent_rank is an exact rational of two window
+    * counts, so it is bit-stable cross-engine). */
+  def windowNtile(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_c"), col("o_orderkey"))
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("o_orderkey")
+  }
+
   /** C7b — set operators: INTERSECT and EXCEPT between the BUILDING-segment
     * customer set and the has-open-orders customer set, tagged and unioned
     * into one deterministic result. */

@@ -133,6 +133,21 @@ object EventStreams {
         col("tg.continuation_token").as("token"))
   }
 
+  /** B7 streaming twin — native session windows: a session ends when a
+    * producer pauses longer than `gap` (the reference's reconnect
+    * epoch, EventOps.sessionize in batch). The watermark both admits
+    * bounded lateness and CLOSES sessions — state for a session ends
+    * when the watermark passes its gap, so an endless stream holds
+    * only open sessions. */
+  def sessionRates(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"))
+
   final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
   final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
 

@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows split on gaps and close on watermark (B7 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionRates(input.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 10: two events 1 min apart (one session), then a 28-min
+      // pause (second session); user 99 only advances the watermark
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "click", 1.0),
+        Event(3, ts(30), 10, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(59), 99, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, n from sessions where user_id = 10 order by session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((10L, 2L), (10L, 1L)))
+    } finally query.stop()
+  }
+
   test("frame thinning keeps the sequential-greedy set across micro-batches (G5b twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
