@@ -131,6 +131,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("lsh/ivf scale paths plan without quadratic join operators") {
+    // the scale claim is mechanical: candidate generation must be a
+    // bucketed equi-join, never a nested-loop/cartesian pair space
+    // (the brute oracle tiers are ALLOWED to — see the jaccard test
+    // above asserting the opposite for them)
+    for ((name, df) <- Seq(
+        "dedup_ngram_lsh" -> Dedup.ngramLshPairs(t),
+        "dedup_minhash" -> Dedup.minhashCandidates(t),
+        "dedup_simhash" -> Dedup.simhashPairs(t),
+        "dedup_embed_lsh" -> Dedup.embeddingPairsLsh(t),
+        "ann_lsh_topk" -> Similarity.annLshTopK(t),
+        "ivf_topk" -> Similarity.ivfTopK(t))) {
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plans a quadratic join:\n$plan")
+    }
+  }
+
   test("exact dedup shuffles content hashes, never document text") {
     for ((name, df) <- Seq(
         "dedup_exact" -> Dedup.dedupExact(t),
