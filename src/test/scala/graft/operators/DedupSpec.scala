@@ -12,7 +12,12 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 
-  test("minhash candidates recall >= 0.8 against exact jaccard >= 0.95") {
+  test("minhash candidates recall >= 0.95 against exact jaccard >= 0.95") {
+    // 4 bands × 8 rows (32 hashes): P[candidate] = 1-(1-j^8)^4 ≈ 0.987
+    // at j = 0.95 and higher above it — shuffle volume is unchanged vs
+    // the old 4×16 geometry (still 4 (band, sig) rows per doc, and the
+    // carried sigs array is still 4 longs); only the row count per band
+    // changed, so the recall floor rises from 0.8 to 0.95 for free
     val ground = Dedup.jaccardPairs(t, 0.95).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = Dedup.minhashCandidates(t).collect()
@@ -20,7 +25,7 @@ class DedupSpec extends SparkSpec {
     assert(ground.nonEmpty, "ground truth must not be empty at sf0.001")
     val recall = ground.intersect(cand).size.toDouble / ground.size
     info(s"minhash recall@j>=0.95 = $recall (ground=${ground.size}, cand=${cand.size})")
-    assert(recall >= 0.8)
+    assert(recall >= 0.95)
   }
 
   test("native minhash expression matches the UDF reference implementation") {
@@ -122,6 +127,7 @@ class DedupSpec extends SparkSpec {
     // identical clusters, write real checkpoints, AND clean up
     // superseded rounds — only the final labels round may remain
     val dir = java.nio.file.Files.createTempDirectory("cc_chk").toString
+    val prevDir = spark.sparkContext.getCheckpointDir
     val reliable = Dedup.connectedComponents(nodes, pairs,
         checkpointDir = Some(dir)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -129,10 +135,38 @@ class DedupSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "reliable mode never wrote a checkpoint")
-    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .map(_.getName).toSeq
-    assert(subdirs.forall(_.startsWith("labels_")) && subdirs.length == 1,
-      s"superseded checkpoints not cleaned: $subdirs")
+    // each call is namespaced under its own cc_N subdirectory; inside it
+    // only the FINAL labels round may remain (edges + superseded rounds
+    // are deleted as soon as their successor is stored)
+    val callDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(callDirs.length == 1 && callDirs.head.getName.startsWith("cc_"),
+      s"expected one cc_* namespace: ${callDirs.map(_.getName).toSeq}")
+    val rounds = callDirs.head.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(n => n.startsWith("labels_") || n == "edges").toSeq
+    assert(rounds.forall(_.startsWith("labels_")) && rounds.length == 1,
+      s"superseded checkpoints not cleaned: $rounds")
+    // a concurrent/subsequent df.checkpoint in the same context must not
+    // land in (or be deleted from) this call's round directories: the
+    // global checkpoint dir was restored (or parked on the quiescent
+    // namespace root when the caller had none)
+    val nowDir = spark.sparkContext.getCheckpointDir
+    assert(nowDir == prevDir || nowDir.exists(_.contains("cc_")),
+      s"checkpoint dir left on a round directory: $nowDir")
+    assert(!nowDir.exists(_.contains("labels_")),
+      s"checkpoint dir left on a deletable labels dir: $nowDir")
+  }
+
+  test("clustering frees superseded local-checkpoint blocks") {
+    // r3 verdict #2: every clustering query used to pin its hashed
+    // working set + every superseded label round in block storage until
+    // driver GC — a 59-query bench accumulated all of them. Only the
+    // FINAL labels round may stay persisted (the returned plan reads it).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.dedupClustersLsh(t)
+    out.write.format("noop").mode("overwrite").save()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"clustering left ${leaked.size} persisted RDDs (expect only final labels): $leaked")
   }
 
   test("lsh embedding pairs: no duplicates, exact cosines, recall vs brute") {
