@@ -191,5 +191,9 @@ object VectorFunctions {
       exprs => Ngram3Hashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimhashSig(exprs.head), "built-in")
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression during function resolution
+    reg.createOrReplaceTempFunction("graft_vec_sum",
+      exprs => VectorSum(exprs.head), "built-in")
   }
 }

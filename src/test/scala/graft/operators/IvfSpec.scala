@@ -45,4 +45,43 @@ class IvfSpec extends SparkSpec {
     info(s"distortion iters=1: $d1, iters=3: $d3")
     assert(d3 <= d1 * 1.001)
   }
+
+  test("vector-sum aggregate equals driver-side element-wise sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    val data = Seq(
+      (0L, Array(1.0, 2.0, 3.0)), (0L, Array(0.5, -1.0, 4.0)),
+      (1L, Array(10.0, 0.0, -2.0)), (0L, Array(2.5, 2.0, 3.0)))
+    val got = data.toDF("g", "v")
+      .repartition(4) // force partial buffers + a merge across tasks
+      .groupBy("g").agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expected = data.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y }).toSeq
+    }
+    expected.foreach { case (g, e) =>
+      got(g).zip(e).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12, s"group $g") }
+    }
+  }
+
+  test("ivf assignment scans the corpus exactly twice end to end") {
+    // one pass materializes the Lloyd working set (persisted across
+    // iterations), one pass computes the returned assignment — the
+    // orderBy's range-sampling job must reuse the barrier exchange, not
+    // re-run the scan+assign subtree (r3 verdict #7: the unpersisted
+    // plan paid it twice)
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("ivf_scan_passes")
+    val base = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j) % 17).toFloat)))
+    val rdd = spark.sparkContext.parallelize(base, 4)
+      .mapPartitions { it => acc.add(1L); it }
+    val embeddings = rdd.toDF("vec_id", "embedding")
+    Similarity.ivfAssignVecs(embeddings, k = 4, iters = 3)
+      .write.format("noop").mode("overwrite").save()
+    val passes = acc.value / 4 // 4 partitions per full pass
+    info(s"corpus passes = $passes")
+    assert(passes == 2L, s"expected 2 corpus passes, saw $passes")
+  }
 }
