@@ -157,26 +157,53 @@ object EventStreams {
     * frame of its stream. This is the reference's exact sequential-greedy
     * rule — a kept frame resets the span from ITS OWN time, which the
     * batch time-bucket form (Multimodal.mmFrameSampleByTime) only
-    * approximates at bucket edges. Per-key state is one long; within a
-    * micro-batch rows are ordered by event time like the live feed. */
-  def thinFrames(frames: Dataset[Frame], minSpanMs: Long): Dataset[Kept] = {
+    * approximates at bucket edges. Per-key state is one long, and it is
+    * BOUNDED: a stream idle past `idleRetentionMs` of event time is
+    * evicted when the watermark passes it (round-3 NoTimeout grew state
+    * forever on churning stream-id populations); a revived stream
+    * restarts thinning fresh, like a new reader thread in the reference.
+    *
+    * Ordering contract: rows are re-sorted by event time WITHIN each
+    * micro-batch; across batches the greedy rule follows arrival order,
+    * so a frame arriving more than `lateness` behind the stream's max
+    * event time is dropped by the watermark rather than applied out of
+    * order — the same bounded-disorder assumption the batch twin
+    * documents as its pack-order dependency. */
+  def thinFrames(frames: Dataset[Frame], minSpanMs: Long,
+      idleRetentionMs: Long = 30 * 60 * 1000L,
+      lateness: String = "1 minute"): Dataset[Kept] = {
     import frames.sparkSession.implicits._
     frames
+      .withWatermark("ts", lateness)
       .groupByKey(_.stream_id)
       .flatMapGroupsWithState[Option[Long], Kept](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (sid: Long, rows: Iterator[Frame], state: GroupState[Option[Long]]) =>
-          var lastKept: Option[Long] = state.getOption.flatten
-          val out = rows.toSeq.sortBy(f => (f.ts.getTime, f.frame_id))
-            .flatMap { f =>
-              val t = f.ts.getTime
-              if (lastKept.forall(lk => t >= lk + minSpanMs)) {
-                lastKept = Some(t)
-                Some(Kept(sid, f.frame_id, f.ts))
-              } else None
-            }
-          state.update(lastKept)
-          out.iterator
+          if (state.hasTimedOut) {
+            // stream idle past the retention horizon: drop its one long
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastKept: Option[Long] = state.getOption.flatten
+            var maxSeen = Long.MinValue
+            val out = rows.toSeq.sortBy(f => (f.ts.getTime, f.frame_id))
+              .flatMap { f =>
+                val t = f.ts.getTime
+                if (t > maxSeen) maxSeen = t
+                if (lastKept.forall(lk => t >= lk + minSpanMs)) {
+                  lastKept = Some(t)
+                  Some(Kept(sid, f.frame_id, f.ts))
+                } else None
+              }
+            state.update(lastKept)
+            // evict on EVENT time: when the watermark passes the last
+            // frame by the retention horizon the key times out (max with
+            // the current watermark keeps the timestamp legal for a
+            // batch of purely-late rows)
+            val basis = math.max(maxSeen, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(basis + idleRetentionMs)
+            out.iterator
+          }
       }
   }
 

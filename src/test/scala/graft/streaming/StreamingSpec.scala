@@ -76,6 +76,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frame thinning evicts idle streams and revives them fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Frame
+    def at(hhmmss: String) = Timestamp.valueOf(s"2024-01-01 $hhmmss")
+    val input = MemoryStream[Frame]
+    // minSpan 4h with retention 30min: if stream 1's state SURVIVED the
+    // idle gap, its 02:00 frame (2h past the kept 00:00) would be
+    // dropped; eviction at watermark > 00:00+30min means the revived
+    // stream restarts fresh and the frame is kept
+    val query = EventStreams.thinFrames(input.toDS(),
+        minSpanMs = 4L * 3600 * 1000, idleRetentionMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("thin_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(Frame(1L, at("00:00:00"), 100L), Frame(2L, at("00:00:00"), 200L))
+      query.processAllAvailable()
+      // stream 2 advances the watermark to 02:00-1min, far past stream
+      // 1's 00:30 timeout; the timeout itself fires in the NEXT batch
+      input.addData(Frame(2L, at("02:00:00"), 201L))
+      query.processAllAvailable()
+      input.addData(Frame(2L, at("02:00:30"), 202L))
+      query.processAllAvailable()
+      val nStates = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(nStates == 1L, s"idle stream 1 not evicted: $nStates state rows")
+      // revived stream 1: fresh state, so the first frame is kept even
+      // though it is within minSpan of the pre-eviction kept frame
+      input.addData(Frame(1L, at("02:00:00"), 101L))
+      query.processAllAvailable()
+      val kept = spark.sql("select stream_id, frame_id from thin_evict order by 1, 2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(kept.toSeq == Seq((1L, 100L), (1L, 101L), (2L, 200L)))
+    } finally query.stop()
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
