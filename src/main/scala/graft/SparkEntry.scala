@@ -102,6 +102,18 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
     "mm_frame_sample_time" -> ((s, d) => Multimodal.mmFrameSampleByTime(tables(s, d))),
     "mm_frame_sample_greedy" -> ((s, d) => Multimodal.mmFrameSampleGreedy(tables(s, d))),
+    // §2G via the custom DataSourceV2: the element walk served by
+    // spark.read.format("ebml") over a materialized capture archive
+    // (idempotent, built on first run) — hash-exact against the SAME
+    // oracle as mm_elements, proving the source's split+walk agrees
+    // with the in-query parse path
+    "mm_source" -> ((s, d) => {
+      val dir = graft.sources.FragmentArchive.materialize(tables(s, d), d)
+      s.read.format("ebml").load(dir)
+        .select(col("fragment_number").as("event_id"),
+          col("n_elements"), col("frag_len").as("blob_len"))
+        .orderBy("event_id")
+    }),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -435,6 +447,15 @@ object SparkEntry {
           'tok-'||cast(event_id as varchar) AS token
         FROM events ORDER BY event_id""",
     "mm_elements" ->
+      """SELECT event_id, cast(31 as bigint) AS n_elements,
+          541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
+            + length(cast(user_id as varchar))
+            + length(cast(cast(round(value*100) as bigint) as varchar))
+            + length(props) AS blob_len
+        FROM events ORDER BY event_id""",
+    // identical to mm_elements by design: the DataSourceV2 path must
+    // reproduce the in-query parse bit for bit
+    "mm_source" ->
       """SELECT event_id, cast(31 as bigint) AS n_elements,
           541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
             + length(cast(user_id as varchar))

@@ -78,4 +78,73 @@ class SourcesSpec extends SparkSpec {
     assert(Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
       .exists(_.contains("etype=click")))
   }
+
+  private def writeFragmentFiles(dir: String): Unit = {
+    import graft.ebml.EbmlFunctions
+    // file A: one fragment; file B: two back-to-back fragments (the
+    // continuous GetMedia capture shape the splitter must separate)
+    val f1 = EbmlFunctions.buildFragment(1L, 1000L, 10L, 100L, "t1")
+    val f2 = EbmlFunctions.buildFragment(2L, 2000L, 11L, 200L, "t2")
+    val f3 = EbmlFunctions.buildFragment(3L, 3000L, 12L, 300L, "t3")
+    Files.write(java.nio.file.Paths.get(dir, "a.mkv"), f1)
+    Files.write(java.nio.file.Paths.get(dir, "b.mkv"),
+      graft.ebml.Ebml.concat(f2, f3))
+  }
+
+  test("ebml DataSourceV2 reads a fragment directory with tag parsing") {
+    val dir = tmp() + "/frags"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    writeFragmentFiles(dir)
+    val df = spark.read.format("ebml").load(dir)
+    val rows = df.select("fragment_number", "producer_ts", "user_id",
+        "position", "frag_len", "path")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_._2).toSeq == Seq(1000L, 2000L, 3000L))
+    assert(rows.map(_._3).toSeq == Seq(10L, 11L, 12L))
+    // positions: single-fragment file starts at 0; in the packed file the
+    // second fragment starts where the first ends
+    val inB = rows.filter(_._6.endsWith("b.mkv")).sortBy(_._4)
+    assert(inB.head._4 == 0L && inB(1)._4 == inB.head._5,
+      s"split positions wrong: $inB")
+    // the blob column round-trips: re-parsing it yields the same tags
+    val reparsed = spark.read.format("ebml").load(dir)
+      .select(col("fragment_number"),
+        graft.ebml.EbmlFunctions.parseTags(col("blob")).getField("user_id")
+          .cast("long").as("uid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(reparsed.map(_._2).toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("ebml source prunes columns down to the scan") {
+    val dir = tmp() + "/frags_prune"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    writeFragmentFiles(dir)
+    val narrow = spark.read.format("ebml").load(dir).select("path", "frag_len")
+    val scan = narrow.queryExecution.executedPlan.collectLeaves().head.toString
+    // the v2 scan's ReadSchema is the pruned schema: no tag, element, or
+    // blob fields — which the reader uses to SKIP the tag walk, the
+    // element walk, and the media-byte copy entirely
+    assert(scan.contains("ReadSchema: struct<path:string,frag_len:bigint>"),
+      s"pruned schema not pushed to scan: $scan")
+    assert(!scan.contains("blob"), s"blob survived pruning: $scan")
+    assert(narrow.count() == 3L)
+  }
+
+  test("ebml source bin-packs many files into bounded input partitions") {
+    val dir = tmp() + "/frags_pack"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val frag = graft.ebml.EbmlFunctions.buildFragment(9L, 9000L, 9L, 9L, "x")
+    (0 until 40).foreach(i =>
+      Files.write(java.nio.file.Paths.get(dir, f"f$i%02d.mkv"), frag))
+    // cap partitions at ~4 fragments of bytes each: 40 files must fold
+    // into ~10 tasks, not 40 — the archive-prefix scale behavior
+    val df = spark.read.format("ebml")
+      .option("maxPartitionBytes", (frag.length * 4).toString).load(dir)
+    assert(df.count() == 40L)
+    assert(df.rdd.getNumPartitions <= 12,
+      s"expected bin-packed partitions, got ${df.rdd.getNumPartitions}")
+  }
 }
