@@ -72,8 +72,24 @@ object Bench {
     val qsMin = timings.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
+    // environment block: lets a future cross-round comparison attribute
+    // a bench-wide drift (r3: 2-4x on untouched queries) to the box/JVM
+    // state from the artifact alone — heap pressure, GC time, and
+    // ambient load are the usual suspects
+    val rt = Runtime.getRuntime
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    var gcCount = 0L; var gcMs = 0L
+    gc.forEach { b => gcCount += math.max(0L, b.getCollectionCount)
+      gcMs += math.max(0L, b.getCollectionTime) }
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val env =
+      s""""env":{"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
+      s""""heap_max_mb":${rt.maxMemory / (1024 * 1024)},""" +
+      s""""gc_count":$gcCount,"gc_ms":$gcMs,"load_avg":$loadAvg,""" +
+      s""""jvm":"${System.getProperty("java.version")}"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,"failed":${failed.mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,$env,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     spark.stop()

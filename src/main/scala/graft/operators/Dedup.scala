@@ -174,20 +174,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** D3 — MinHash LSH candidate pairs: 32 min-hashes in 4 bands x 8 rows
-    * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^8)^4 ≈
-    * 0.987 at j = 0.95 — the round-3 4×16 geometry sat at 0.90; shorter
+  /** D3 — MinHash LSH candidate pairs: 40 min-hashes in 4 bands x 10 rows
+    * (tuned for the ~0.95 Jaccard target: P[candidate] = 1-(1-j^10)^4 ≈
+    * 0.974 at j = 0.95 — the round-3 4×16 geometry sat at 0.90; shorter
     * rows buy recall at IDENTICAL shuffle volume, still 4 (band, sig)
-    * rows per doc, and half the signature passes).
+    * rows per doc. Measured trade at sf0.1: 8-row bands also hit recall
+    * 1.0 but tripled false candidates, costing 1-2 s of kernel verify
+    * per clustering query; 10 rows keep both recall and the FP rate.)
     * Docs sharing any band signature become a candidate pair — ONE shuffle
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
-  /** Band count of the default graft_minhash_bands signature (32 hashes
-    * in bands of 8). The first-agreeing-band filter below MUST fold
+  /** Band count of the default graft_minhash_bands signature (40 hashes
+    * in bands of 10). The first-agreeing-band filter below MUST fold
     * over exactly this many bands — fewer would silently drop pairs
     * whose first agreement lies in a later band. */
-  private val MinhashNumBands = 32 / 8
+  private val MinhashNumBands = 40 / 10
 
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism

@@ -232,13 +232,16 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash band signatures as a native codegen expression: one signature
-  * per LSH band over the token-set input. Default 32 hashes in 4 bands
-  * × 8 rows — tuned for the j >= 0.95 near-dup threshold:
-  * P[candidate] = 1-(1-j^8)^4 ≈ 0.987 at j = 0.95 (the round-3 4×16
+  * per LSH band over the token-set input. Default 40 hashes in 4 bands
+  * × 10 rows — tuned for the j >= 0.95 near-dup threshold:
+  * P[candidate] = 1-(1-j^10)^4 ≈ 0.974 at j = 0.95 (the round-3 4×16
   * geometry gave 0.90 and a measured recall floor of 0.8; shorter rows
   * raise recall at identical shuffle volume — still 4 (band, sig) rows
-  * per doc — and HALVE the k-pass signature compute). */
-case class MinhashBands(child: Expression, numHashes: Int = 32, rowsPerBand: Int = 8)
+  * per doc. 4×8 was measured too: recall also 1.0, but its ~3× higher
+  * false-candidate rate cost 1-2 s per clustering query at sf0.1 in
+  * exact-kernel verification; 10-row bands keep the FP rate near the
+  * 4×16 level at 0.974 theoretical recall). */
+case class MinhashBands(child: Expression, numHashes: Int = 40, rowsPerBand: Int = 10)
     extends UnaryExpression {
   // caller guarantees array<string> input
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
