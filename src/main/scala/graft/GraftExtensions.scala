@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.plans.{DotProduct, Fingerprint, IntersectSortedLongSize, IntersectSortedSize, MinhashBands, Ngram3Hashes, Norm2, OphBands, SimhashSig}
+import graft.plans.{DotProduct, Fingerprint, IntersectSortedLongSize, IntersectSortedSize, MinhashBands, Ngram3Hashes, Norm2, OphBands, SimhashSig, VectorSum, WordNgramHashes}
 
 /** SparkSessionExtensions entry point: makes the graft native expressions
   * first-class SQL functions in any session built with
@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       exprs => SimhashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName, "graft_word_ngrams"),
+      exprs =>
+        if (exprs.length > 1)
+          WordNgramHashes(exprs.head,
+            exprs(1).eval().asInstanceOf[Number].intValue())
+        else WordNgramHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "graft_vec_sum"),
+      exprs => VectorSum(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.IntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -120,6 +120,9 @@ object SparkEntry {
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
     "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d))),
+    // benchmark decontamination: every 100th doc plays the eval set;
+    // broadcast gram-membership probe, corpus never shuffles
+    "decontaminate" -> ((s, d) => TextOps.decontaminate(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
@@ -441,6 +444,17 @@ object SparkEntry {
         g AS (SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(n_stop) AS n_stop
           FROM f GROUP BY text)
         SELECT doc_id, n_words, n_stop/n_words AS stop_ratio FROM g ORDER BY doc_id""",
+    // oracle joins on gram STRINGS; the Spark side joins on 64-bit gram
+    // hashes — a collision at test SF would break this hash gate loudly
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS ws FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+        hits AS (SELECT DISTINCT gr.doc_id, gr.g
+          FROM grams gr JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 100 <> 0)
+        SELECT doc_id, cast(count(*) as bigint) AS n_hits
+        FROM hits GROUP BY doc_id ORDER BY doc_id""",
     "mm_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS producer_ms,
           cast(round(value*100) as bigint) AS value_c, user_id,

@@ -130,6 +130,46 @@ object TextOps {
     out
   }
 
+  /** F6 — benchmark DECONTAMINATION: find corpus documents sharing any
+    * word n-gram with a benchmark/eval set — the standard pre-training
+    * hygiene pass (eval answers leaking into training data corrupt the
+    * benchmark). Returns (doc_id, n_hits) with the count of distinct
+    * shared grams per contaminated document.
+    *
+    * Scale shape: grams are per-row codegen hashes (graft_word_ngrams —
+    * a membership join on the 64-bit gram hash equals a join on the
+    * gram string at ~1e-10 collision odds, the repo-wide acceptance);
+    * the benchmark side is MODEL-SIZED next to a 100 TB corpus, so the
+    * probe is a BROADCAST semi-shaped join — the corpus never shuffles;
+    * the only exchange carries the hit rows (contaminated doc ids), a
+    * vanishing fraction of the input. PlanSpec-style guard in the spec
+    * pins the broadcast. */
+  def decontaminateAgainst(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val grams = (d: DataFrame) => d.select(col("doc_id"),
+      call_function("graft_word_ngrams", words(col("text")), lit(n)).as("gs"))
+    val bench = grams(benchmark)
+      .select(explode(col("gs")).as("g"))
+      .distinct()
+    val corpus = grams(docs)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    // per-doc grams are already distinct (the kernel dedups), so the
+    // inner-join row count per doc IS the distinct shared-gram count
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** The decontamination query shape over the test corpus: every 100th
+    * document plays the benchmark set, the rest are the corpus. */
+  def decontaminate(t: Tables, n: Int = 3, benchMod: Long = 100L): DataFrame =
+    decontaminateAgainst(
+      t.documents.filter(col("doc_id") % benchMod =!= 0L),
+      t.documents.filter(col("doc_id") % benchMod === 0L),
+      n)
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {

@@ -177,6 +177,58 @@ object Ngram3Kernel {
   }
 }
 
+/** Kernel for [[WordNgramHashes]]: sorted distinct hashes of the word
+  * n-grams of a token array. Gram hash = mix64 fold over the n token
+  * hashes from an FNV offset seed — injective on token sequences modulo
+  * 64-bit collisions (~1e-10 over a corpus, the repo-wide acceptance
+  * used for toks_h), so distinct grams map to distinct longs and a
+  * membership join on the hash equals a join on the gram string. */
+object WordNgramKernel {
+  def hashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = Hashing.hashString(arr.getUTF8String(i).toString); i += 1 }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < n) { acc = Hashing.mix64(acc ^ th(i + j)); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Sorted distinct word n-gram hashes of a token array — the shingle
+  * unit of benchmark decontamination (TextOps.decontaminate). */
+case class WordNgramHashes(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+  // caller guarantees array<string> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgramKernel.hashes(a.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.WordNgramKernel.hashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
 /** SimHash signature as a native codegen expression over a token array. */
 case class SimhashSig(child: Expression) extends UnaryExpression {
   // caller guarantees array<string> input

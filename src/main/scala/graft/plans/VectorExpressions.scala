@@ -189,6 +189,14 @@ object VectorFunctions {
       exprs => OphBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram3",
       exprs => Ngram3Hashes(exprs.head), "built-in")
+    // optional second arg: gram width n as a literal, folded into the
+    // expression at plan time (the expression stays unary)
+    reg.createOrReplaceTempFunction("graft_word_ngrams",
+      exprs =>
+        if (exprs.length > 1)
+          WordNgramHashes(exprs.head,
+            exprs(1).eval().asInstanceOf[Number].intValue())
+        else WordNgramHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimhashSig(exprs.head), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in an

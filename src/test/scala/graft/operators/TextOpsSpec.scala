@@ -76,6 +76,26 @@ class TextOpsSpec extends SparkSpec {
       s"curation left ${leaked.size} persisted RDDs (expect ids + final labels): $leaked")
   }
 
+  test("decontamination flags exactly the docs sharing a word n-gram") {
+    import spark.implicits._
+    // doc 1 contains the benchmark's "alpha beta gamma" 3-gram verbatim
+    // (2 distinct shared grams once "beta gamma delta" also matches);
+    // doc 2 has the same words NON-consecutively — no shared gram
+    val corpus = Seq(
+      (1L, "intro alpha beta gamma delta outro"),
+      (2L, "alpha intro beta outro gamma"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextOps.decontaminateAgainst(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"got ${got.toSeq}")
+    // scale guard: the benchmark side must probe as a broadcast — the
+    // corpus never shuffles before the join
+    val plan = TextOps.decontaminateAgainst(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+  }
+
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
     // the corpus `lang` labels are synthetic noise, so the corpus query
     // can't validate the heuristic — this fixture of real sentences can
