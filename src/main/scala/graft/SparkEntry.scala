@@ -123,6 +123,7 @@ object SparkEntry {
     // benchmark decontamination: every 100th doc plays the eval set;
     // broadcast gram-membership probe, corpus never shuffles
     "decontaminate" -> ((s, d) => TextOps.decontaminate(tables(s, d))),
+    "tfidf_top_terms" -> ((s, d) => TextOps.tfIdfTopTerms(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
@@ -455,6 +456,25 @@ object SparkEntry {
           FROM grams gr JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 100 <> 0)
         SELECT doc_id, cast(count(*) as bigint) AS n_hits
         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    // tf, df, N exact integers; score = one double division of exact
+    // ints; rank on the ROUNDED score with term-ascending tie-break —
+    // .00005 boundaries are never exactly representable (denominator
+    // 20000 is not a power of two), so round() agrees across engines
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z]+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY 1),
+        n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            round(cast(tf.tf * n.n_docs as double) / df.df, 4) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) as bigint) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, term, tf, df, tfidf
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "mm_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS producer_ms,
           cast(round(value*100) as bigint) AS value_c, user_id,

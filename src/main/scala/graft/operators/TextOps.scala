@@ -170,6 +170,38 @@ object TextOps {
       t.documents.filter(col("doc_id") % benchMod === 0L),
       n)
 
+  /** F7 — TF-IDF top terms per document: the classic featurization a
+    * curation pipeline uses for topic filtering and near-duplicate
+    * triage. Exact arithmetic end to end: tf and df are integer counts,
+    * tf×N is an exact long product, and the score is ONE double
+    * division of exact integers — bit-stable vs the DuckDB oracle.
+    * Ties break on the term string ascending.
+    *
+    * Scale shape: the token explode is the unavoidable corpus pass; tf
+    * aggregates with map-side combine on (doc, term); df is a
+    * vocabulary-sized agg; the tf⋈df join keys on term and AQE
+    * size-gates the broadcast (a natural-language vocabulary is
+    * Zipf-bounded — tiny next to the corpus); the final per-doc top-k
+    * is one window pass over rows already shuffled once by doc_id. */
+  def tfIdfTopTerms(t: Tables, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("tf") * col("n_docs")).cast("double") / col("df"), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {

@@ -96,6 +96,38 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
 
+  test("tf-idf top terms are rank-consistent and integer-grounded") {
+    val rows = TextOps.tfIdfTopTerms(t, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val nDocs = t.documents.count()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, tf, df, _) =>
+      assert(tf >= 1L && df >= 1L && df <= nDocs)
+    }
+    rows.groupBy(_._1).values.foreach { perDoc =>
+      val byRank = perDoc.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq)
+      // scores weakly decrease with rank; equal scores break ties on
+      // the term string ascending
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 > b._6 || (a._6 == b._6 && a._3 < b._3),
+            s"rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+    // spot-check one score against a driver-side recompute
+    val (docId, _, term, tf, df, score) = rows.head
+    val text = t.documents.filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .collect().head.getString(1)
+    val tfRe = "[a-z]+".r.findAllIn(text.toLowerCase).count(_ == term)
+    assert(tfRe.toLong == tf)
+    assert(math.abs(score - math.rint(tf.toDouble * nDocs / df * 10000) / 10000) < 1e-9 ||
+      score == BigDecimal(tf.toDouble * nDocs / df)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
     // the corpus `lang` labels are synthetic noise, so the corpus query
     // can't validate the heuristic — this fixture of real sentences can
