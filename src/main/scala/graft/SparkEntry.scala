@@ -124,6 +124,9 @@ object SparkEntry {
     // broadcast gram-membership probe, corpus never shuffles
     "decontaminate" -> ((s, d) => TextOps.decontaminate(tables(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfIdfTopTerms(tables(s, d))),
+    // §2E PQ compression search (rows-only; spec: recall@5 + exactness
+    // of surfaced cosines + ADC kernel equivalence)
+    "pq_topk" -> ((s, d) => Similarity.pqTopK(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))

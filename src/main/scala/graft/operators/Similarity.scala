@@ -199,6 +199,122 @@ object Similarity {
     out
   }
 
+  /** E4 — PRODUCT QUANTIZATION: the vector-compression ANN path. Unit
+    * vectors split into `m` subspaces; each subspace gets its own
+    * k-means codebook (`kCells` centroids), and a vector's code is its
+    * m nearest-centroid ids — 64 doubles (512 B) compress to m small
+    * ints (m bytes on disk). Search is ADC: the query precomputes an
+    * m×kCells distance table (driver-side, model-sized) and the
+    * compressed corpus is scanned with ONE codegen table-lookup loop
+    * per row (graft_pq_adc) — at 100 TB the first-pass scan reads and
+    * computes ~64× less than raw vectors. The approximate top `rerank`
+    * candidates are then exactly re-ranked by cosine (a join back on
+    * the candidate ids only). On unit vectors L2 and cosine order
+    * identically (||a−b||² = 2−2cos), so ADC ranking targets the same
+    * ground truth as E1. Rows-only; SimilaritySpec measures recall@5
+    * and pins the compression arithmetic. */
+  /** Per-subspace codebooks fit with the SAME Lloyd loop as IVF (each
+    * subspace is just k-means over a slice of the persisted unit
+    * vectors — cache-served scans, graft_vec_sum means). Returns
+    * [m][kCells][subDim]. */
+  def pqModel(unitVecs: DataFrame, dim: Int, m: Int = 8, kCells: Int = 16,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val sliceV = slice(col("v"), j * sub + 1, sub)
+      val sliced = unitVecs.select(col("vec_id"), sliceV.as("v"),
+        call_function("graft_norm2", sliceV).as("norm"))
+      lloyd(sliced, kCells, iters, 1e-9)._1
+    }
+  }
+
+  /** PQ code column: per subspace, argmin over the codebook with the
+    * same codegen distance arithmetic as [[nearestCentroid]]; the
+    * |slice|² term is constant within a subspace so the argmin drops
+    * it. */
+  private def pqCodeCol(model: Array[Array[Array[Double]]], dim: Int): org.apache.spark.sql.Column = {
+    val m = model.length
+    val sub = dim / m
+    array(model.indices.map { j =>
+      val s = slice(col("u"), j * sub + 1, sub)
+      val cells = model(j).zipWithIndex.map { case (c, i) =>
+        val normC = { var t = 0.0; var x = 0; while (x < c.length) { t += c(x) * c(x); x += 1 }; t }
+        struct(
+          (lit(normC) - lit(2.0) * call_function("graft_dot", s, typedLit(c.toSeq))).as("d"),
+          lit(i).as("cid"))
+      }
+      array_min(array(cells.toIndexedSeq: _*)).getField("cid").cast("int")
+    }: _*)
+  }
+
+  def pqTopK(t: Tables, k: Int = 5, m: Int = 8, kCells: Int = 16,
+      iters: Int = 5, rerank: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = t.embeddings.sparkSession
+    val vecs = withNorm(t.embeddings)
+      .withColumn("u", call_function("graft_vec_scale", col("v"),
+        lit(1.0) / sqrt(col("norm"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    val sub = dim / m
+    val model = pqModel(vecs.select(col("vec_id"), col("u").as("v")), dim, m, kCells, iters)
+    // compressed corpus: only (vec_id, codes) flows into the first-pass
+    // scan — at scale this is the table you PERSIST, 64× smaller than
+    // the embeddings
+    val codes = vecs.select(col("vec_id").as("n_id"),
+      pqCodeCol(model, dim).as("codes"))
+    // query-side ADC tables: model-sized driver work (10 × m × kCells)
+    val qRows = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("u")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qTables = qRows.map { case (qid, qu) =>
+      val tbl = new Array[Double](m * kCells)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCells) {
+          var d = 0.0; var x = 0
+          while (x < sub) {
+            val diff = qu(j * sub + x) - model(j)(c)(x); d += diff * diff; x += 1
+          }
+          tbl(j * kCells + c) = d
+          c += 1
+        }
+        j += 1
+      }
+      (qid, tbl.toSeq)
+    }
+    import spark.implicits._
+    val queries = qRows.map(_._1).zip(qTables.map(_._2)).toSeq
+      .toDF("q_id", "tbl")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    // pass 1: compressed scan — broadcast the queries+tables, one
+    // codegen lookup loop per (query, row)
+    val cand = codes.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", call_function("graft_pq_adc", col("tbl"), col("codes")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= rerank)
+      .select("q_id", "n_id")
+    // pass 2: exact cosine re-rank on the tiny candidate set only
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = cand
+      .join(broadcast(q), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+    vecs.unpersist(blocking = false) // model + codes derive once more at materialization
+    out
+  }
+
   /** E2 — LSH-bucketed ANN: 8 hyperplane tables × 6 bits; candidates share
     * any table bucket; exact cosine re-ranks candidates. The query side
     * MULTIPROBES: base bucket plus every 1-bit flip per table (round-1

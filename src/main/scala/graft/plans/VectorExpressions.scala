@@ -167,6 +167,91 @@ case class IntersectSortedLongSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Array × scalar product as a codegen expression — unit-normalizing a
+  * 100 TB embedding column with an interpreted transform() lambda costs
+  * ~µs/element; this is the same tight loop as the other kernels. */
+case class ScaleArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // caller guarantees (array<double>, double)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_scale"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val s = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) * s; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) * $b; }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaleArray =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric-distance computation for product quantization: sums the
+  * per-subspace query→centroid distances selected by a code array.
+  * `left` is the query's flattened distance table (array<double>,
+  * laid out subspace-major: table[j*k + cid]); `right` is a corpus
+  * row's PQ code (array<int>, one centroid id per subspace). The whole
+  * compressed-corpus scan is this one codegen loop over m bytes per
+  * row — the IO/compute shape that makes a PQ scan ~64× cheaper than
+  * raw vectors. k (cells per subspace) = table.length / codes.length. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // caller guarantees (array<double>, array<int>)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val table = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val k = table.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += table.getDouble(j * k + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = $b.numElements();
+        int $k = $a.numElements() / $m;
+        double $s = 0.0;
+        for (int $j = 0; $j < $m; $j++) {
+          $s += $a.getDouble($j * $k + $b.getInt($j));
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration so operators can reach the native expressions
   * through `call_function` without touching private Column constructors. */
 object VectorFunctions {
@@ -199,6 +284,10 @@ object VectorFunctions {
         else WordNgramHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimhashSig(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_vec_scale",
+      exprs => ScaleArray(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      exprs => PqAdc(exprs.head, exprs(1)), "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression during function resolution
     reg.createOrReplaceTempFunction("graft_vec_sum",

@@ -46,6 +46,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("pq top-k reaches recall@5 >= 0.6 vs brute force") {
+    val brute = topk(Similarity.annBruteTopK(t)).toSet
+    val pq = topk(Similarity.pqTopK(t))
+    assert(pq.nonEmpty)
+    val recall = pq.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"pq recall@5 vs brute (m=8, 16 cells, rerank=100) = $recall")
+    assert(recall >= 0.6)
+    // surfaced cosines are EXACT (the re-rank pass computes them from
+    // raw vectors): every (q, n, cos) must appear in brute's output
+    val bruteCos = Similarity.annBruteTopK(t, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.pqTopK(t).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bruteCos.get(key).contains(r.getDouble(3)), s"inexact cosine at $key")
+    }
+  }
+
+  test("pq adc kernel equals a driver-side table-lookup sum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    val table = (0 until 12).map(_.toDouble * 1.5) // m=3 subspaces, k=4
+    val codes = Seq(Seq(2, 0, 3), Seq(1, 1, 1), Seq(0, 3, 2))
+    val got = codes.toDF("codes")
+      .select(call_function("graft_pq_adc",
+        typedLit(table), col("codes").cast("array<int>")).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    val expected = codes.map(cs =>
+      cs.zipWithIndex.map { case (c, j) => table(j * 4 + c) }.sum)
+    assert(got == expected)
+  }
+
   test("lsh top-k accepts external query vectors (ids outside the corpus)") {
     import org.apache.spark.sql.functions._
     // external queries = copies of corpus vectors 0-4 under fresh ids:
