@@ -282,10 +282,29 @@ object Dedup {
       .filter(col("cnt") >= hotGroupSize)
       .select((col("k").cast("long") * 1024L + col("cv")).as("hk"))
       .collect().map(_.getLong(0)).toSeq
-    val hotCol =
-      if (hotKeys.isEmpty) lit(false)
-      else (col("k").cast("long") * 1024L + col("cv")).isin(hotKeys: _*)
-    val tagged = sigs.withColumn("hot", hotCol)
+    val keyCol = col("k").cast("long") * 1024L + col("cv")
+    // a literal isin is the cheapest tag for the usual handful of hot
+    // groups, but a pathological corpus can make THOUSANDS of groups hot
+    // — a 10k-element In expression bloats codegen past the JIT limit.
+    // Above the cutoff, tag via a broadcast left-semi-shaped join on the
+    // (tiny) hot-key frame instead: same semantics, bounded plan size.
+    val tagged =
+      if (hotKeys.isEmpty) sigs.withColumn("hot", lit(false))
+      else if (hotKeys.length <= 1000)
+        sigs.withColumn("hot", keyCol.isin(hotKeys: _*))
+      else {
+        val session = t.documents.sparkSession
+        val hotDf = session.createDataFrame(
+          session.sparkContext.parallelize(hotKeys.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("hk",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+          .withColumn("is_hot", lit(true))
+        sigs.withColumn("hk", keyCol)
+          .join(broadcast(hotDf), Seq("hk"), "left")
+          .withColumn("hot", coalesce(col("is_hot"), lit(false)))
+          .drop("hk", "is_hot")
+      }
     // spread the probe side: the documents scan is a handful of input
     // splits at small SF, which would run the whole bucket-probe loop on
     // as few tasks — explicit-count repartition (AQE-proof) fans the

@@ -171,8 +171,12 @@ case class IntersectSortedLongSize(left: Expression, right: Expression)
   * 100 TB embedding column with an interpreted transform() lambda costs
   * ~µs/element; this is the same tight loop as the other kernels. */
 case class ScaleArray(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // caller guarantees (array<double>, double)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // declared input types: the analyzer then casts SQL literals (e.g. a
+  // DECIMAL 2.0) instead of the kernel class-cast-failing at runtime
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType), DoubleType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_vec_scale"
@@ -214,8 +218,11 @@ case class ScaleArray(left: Expression, right: Expression)
   * row — the IO/compute shape that makes a PQ scan ~64× cheaper than
   * raw vectors. k (cells per subspace) = table.length / codes.length. */
 case class PqAdc(left: Expression, right: Expression)
-    extends BinaryExpression {
-  // caller guarantees (array<double>, array<int>)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_pq_adc"
 

@@ -22,6 +22,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaOps)
   }
 
+  test("round-4 kernels (ngrams, scale, adc, vec_sum) work from SQL") {
+    VectorFunctions.register(spark)
+    t.documents.createOrReplaceTempView("documents_v")
+    t.embeddings.createOrReplaceTempView("embeddings_v")
+    // word n-grams with an explicit width literal
+    val g = spark.sql(
+      """SELECT size(graft_word_ngrams(regexp_extract_all(lower(text),'[a-z]+', 0), 3)) AS n
+         FROM documents_v LIMIT 50""").collect().map(_.getInt(0))
+    assert(g.forall(_ >= 0) && g.exists(_ > 0))
+    // scale + vec_sum as an aggregate over scaled vectors
+    val s = spark.sql(
+      """SELECT graft_vec_sum(graft_vec_scale(cast(embedding as array<double>), 2.0)) AS sv,
+           graft_vec_sum(cast(embedding as array<double>)) AS v
+         FROM embeddings_v""").collect().head
+    val doubled = s.getSeq[Double](0)
+    val base = s.getSeq[Double](1)
+    doubled.zip(base).foreach { case (d, b) => assert(math.abs(d - 2 * b) < 1e-9) }
+    // adc: table [0,1,2,3] per single subspace, code [2] -> 2.0
+    val adc = spark.sql(
+      "SELECT graft_pq_adc(array(0D,1D,2D,3D), array(2)) AS d").collect().head.getDouble(0)
+    assert(adc == 2.0)
+  }
+
   test("an analytics query expressed in SQL matches its DataFrame twin") {
     t.orders.createOrReplaceTempView("orders_v")
     val viaSql = spark.sql(
