@@ -54,14 +54,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgramHashes].getName, "graft_word_ngrams"),
       exprs =>
-        if (exprs.length > 1)
-          WordNgramHashes(exprs.head,
-            exprs(1).eval().asInstanceOf[Number].intValue())
+        if (exprs.length > 1) WordNgramHashes(exprs.head, WordNgramHashes.widthOf(exprs(1)))
         else WordNgramHashes(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VectorSum].getName, "graft_vec_sum"),
       exprs => VectorSum(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_scale"),
+      new ExpressionInfo(classOf[graft.plans.ScaleArray].getName, "graft_vec_scale"),
+      exprs => graft.plans.ScaleArray(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[graft.plans.PqAdc].getName, "graft_pq_adc"),
+      exprs => graft.plans.PqAdc(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.IntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -459,10 +459,10 @@ object SparkEntry {
           FROM grams gr JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 100 <> 0)
         SELECT doc_id, cast(count(*) as bigint) AS n_hits
         FROM hits GROUP BY doc_id ORDER BY doc_id""",
-    // tf, df, N exact integers; score = one double division of exact
-    // ints; rank on the ROUNDED score with term-ascending tie-break —
-    // .00005 boundaries are never exactly representable (denominator
-    // 20000 is not a power of two), so round() agrees across engines
+    // tf, df, N exact integers; score = one UNROUNDED double division
+    // of exact ints — correctly-rounded IEEE division is bit-identical
+    // across engines, while round(x, 4) is not (Spark rounds the
+    // shortest-decimal string, DuckDB the scaled binary double)
     "tfidf_top_terms" ->
       """WITH toks AS (
           SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z]+')) AS term FROM documents),
@@ -471,7 +471,7 @@ object SparkEntry {
         n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.term, tf.tf, df.df,
-            round(cast(tf.tf * n.n_docs as double) / df.df, 4) AS tfidf
+            cast(tf.tf * n.n_docs as double) / df.df AS tfidf
           FROM tf JOIN df USING (term) CROSS JOIN n),
         ranked AS (
           SELECT *, cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) as bigint) AS rnk

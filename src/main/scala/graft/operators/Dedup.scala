@@ -284,10 +284,13 @@ object Dedup {
       .collect().map(_.getLong(0)).toSeq
     val keyCol = col("k").cast("long") * 1024L + col("cv")
     // a literal isin is the cheapest tag for the usual handful of hot
-    // groups, but a pathological corpus can make THOUSANDS of groups hot
-    // — a 10k-element In expression bloats codegen past the JIT limit.
-    // Above the cutoff, tag via a broadcast left-semi-shaped join on the
-    // (tiny) hot-key frame instead: same semantics, bounded plan size.
+    // groups (the optimizer rewrites larger lists to an InSet hash
+    // lookup, so codegen stays bounded at any size). The join branch
+    // exists for PATHOLOGICAL corpora where the hot list itself gets
+    // big: a plan-embedded literal set ships with every task closure
+    // and lives in the driver plan, while a broadcast frame ships once
+    // per executor. Same semantics either way; the hotGroupSize=1
+    // completeness spec exercises the join branch.
     val tagged =
       if (hotKeys.isEmpty) sigs.withColumn("hot", lit(false))
       else if (hotKeys.length <= 1000)

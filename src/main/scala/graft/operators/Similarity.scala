@@ -219,6 +219,10 @@ object Similarity {
     * [m][kCells][subDim]. */
   def pqModel(unitVecs: DataFrame, dim: Int, m: Int = 8, kCells: Int = 16,
       iters: Int = 5): Array[Array[Array[Double]]] = {
+    // silent integer division would drop the trailing dim % m
+    // dimensions from codebooks, codes, AND ADC tables — quantization
+    // quality degrades with no error (round-4 self-review finding)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
     val sub = dim / m
     Array.tabulate(m) { j =>
       val sliceV = slice(col("v"), j * sub + 1, sub)
@@ -256,6 +260,7 @@ object Similarity {
         lit(1.0) / sqrt(col("norm"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
     val sub = dim / m
     val model = pqModel(vecs.select(col("vec_id"), col("u").as("v")), dim, m, kCells, iters)
     // compressed corpus: only (vec_id, codes) flows into the first-pass

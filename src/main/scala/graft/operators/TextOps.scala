@@ -191,10 +191,15 @@ object TextOps {
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    // NO rounding: the raw division of exact integers is correctly
+    // rounded IEEE in both engines (identical bits), whereas Spark's
+    // round() on doubles goes through the shortest-decimal string and
+    // DuckDB's scales the binary double — they can disagree exactly at
+    // a .00005 boundary (round-4 self-review finding)
     tf.join(idf, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round((col("tf") * col("n_docs")).cast("double") / col("df"), 4))
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),

@@ -210,10 +210,27 @@ object WordNgramKernel {
   }
 }
 
+object WordNgramHashes {
+  /** Resolve the optional gram-width argument: must be a foldable
+    * integer literal — a clear analysis-time error instead of a raw
+    * ClassCastException deep in evaluation. */
+  def widthOf(e: Expression): Int = {
+    require(e.foldable,
+      "graft_word_ngrams(toks, n): n must be an integer LITERAL, got " + e.sql)
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_word_ngrams(toks, n): n must be an integer literal, got $other")
+    }
+  }
+}
+
 /** Sorted distinct word n-gram hashes of a token array — the shingle
   * unit of benchmark decontamination (TextOps.decontaminate). */
 case class WordNgramHashes(child: Expression, n: Int = 3)
     extends UnaryExpression {
+  require(n >= 1, s"gram width must be >= 1, got $n")
   // caller guarantees array<string> input
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"

@@ -285,9 +285,7 @@ object VectorFunctions {
     // expression at plan time (the expression stays unary)
     reg.createOrReplaceTempFunction("graft_word_ngrams",
       exprs =>
-        if (exprs.length > 1)
-          WordNgramHashes(exprs.head,
-            exprs(1).eval().asInstanceOf[Number].intValue())
+        if (exprs.length > 1) WordNgramHashes(exprs.head, WordNgramHashes.widthOf(exprs(1)))
         else WordNgramHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => SimhashSig(exprs.head), "built-in")

@@ -51,7 +51,11 @@ class EbmlDataSource extends TableProvider with DataSourceRegister {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "ebml source requires a single directory or file path: .load(dir)")
-    new EbmlTable(path)
+    // capture the OWNING session's Hadoop conf here, at resolution time
+    // on its planning thread — resolving SparkSession.active later
+    // inside the scan can pick up a different thread's session in
+    // multi-session applications (round-4 self-review finding)
+    new EbmlTable(path, HadoopConfShip.capture(SparkSession.active))
   }
 }
 
@@ -71,7 +75,8 @@ object EbmlTable {
     StructField("blob", BinaryType, nullable = false)))
 }
 
-class EbmlTable(path: String) extends Table with SupportsRead {
+class EbmlTable(path: String, confEntries: Array[(String, String)])
+    extends Table with SupportsRead {
   override def name(): String = s"ebml:$path"
   override def schema(): StructType = EbmlTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -80,24 +85,27 @@ class EbmlTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EbmlScanBuilder(path,
       Option(options.get("maxPartitionBytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+        .getOrElse(128L * 1024 * 1024), confEntries)
 }
 
-class EbmlScanBuilder(path: String, maxPartitionBytes: Long)
+class EbmlScanBuilder(path: String, maxPartitionBytes: Long,
+    confEntries: Array[(String, String)])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = EbmlTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new EbmlScan(path, required, maxPartitionBytes)
+  override def build(): Scan =
+    new EbmlScan(path, required, maxPartitionBytes, confEntries)
 }
 
 /** A bin-packed slice of the file listing: parallel arrays keep the
   * partition Java-serializable without Hadoop types. */
 case class EbmlInputPartition(files: Array[String]) extends InputPartition
 
-class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long)
+class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long,
+    confEntries: Array[(String, String)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
@@ -105,9 +113,10 @@ class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side listing with the SESSION Hadoop conf (credentials,
-    // endpoints); recurses one level of nesting like a capture prefix
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+    // driver-side listing with the OWNING session's Hadoop conf
+    // (credentials, endpoints), captured at getTable time; recurses
+    // nested capture prefixes
+    val conf = HadoopConfShip.rebuild(confEntries)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files = ArrayBuffer.empty[(String, Long)]
@@ -131,14 +140,11 @@ class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long)
     bins.map(b => EbmlInputPartition(b._1.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Hadoop Configuration is not Java-serializable; ship the entries
-    // and rebuild lazily per task so executors open object-store paths
-    // with the same credentials the driver listed them with
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val entries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    EbmlReaderFactory(required.fieldNames, entries)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    // executors rebuild the captured conf per task (HadoopConfShip), so
+    // they open object-store paths with the same credentials the
+    // driver listed them with
+    EbmlReaderFactory(required.fieldNames, confEntries)
 }
 
 case class EbmlReaderFactory(columns: Array[String],
@@ -151,11 +157,7 @@ class EbmlPartitionReader(partition: EbmlInputPartition,
     columns: Array[String], confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
-  private lazy val conf: Configuration = {
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private lazy val conf: Configuration = HadoopConfShip.rebuild(confEntries)
   // pruning decisions: which walks this scan actually pays for
   private val needTags = columns.exists(Set("fragment_number", "producer_ts",
     "user_id", "millis_behind", "continuation_token"))
@@ -176,8 +178,13 @@ class EbmlPartitionReader(partition: EbmlInputPartition,
     val len = fs.getFileStatus(p).getLen
     // whole-payload read: a payload file is seconds of media (the unit
     // GetMedia delivers between continuation tokens), not an archive —
-    // multi-GB captures should be re-chunked upstream, as with the
-    // streaming FragmentSource
+    // multi-GB captures must be re-chunked upstream, as with the
+    // streaming FragmentSource. FAIL LOUDLY past the array limit: the
+    // old len.toInt would silently truncate a >2 GB payload and drop
+    // its tail fragments (round-4 self-review finding)
+    require(len <= Int.MaxValue.toLong,
+      s"ebml payload file too large to buffer (${len} B > 2 GB): $p — " +
+        "re-chunk captures upstream")
     val buf = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()

@@ -35,12 +35,9 @@ object FragmentArchive {
     if (!fs.exists(marker)) {
       fs.delete(out, true)
       fs.mkdirs(out)
-      // ship the session Hadoop conf entries into the write tasks (a
-      // Configuration is not Java-serializable) — the EbmlDataSource
-      // reader factory uses the same pattern
-      import scala.jdk.CollectionConverters._
-      val confEntries = hconf.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
+      // ship the session Hadoop conf entries into the write tasks
+      // (shared HadoopConfShip pattern with the ebml source reader)
+      val confEntries = HadoopConfShip.capture(spark)
       val outStr = out.toString
       t.events
         .withColumn("ts_ms", nanosToMs(col("ts")))
@@ -54,9 +51,8 @@ object FragmentArchive {
         .select(col("grp"), EbmlFunctions.concatBlobs(
           transform(col("parts"), p => p.getField("blob"))).as("payload"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val c = new Configuration(false)
-          confEntries.foreach { case (k, v) => c.set(k, v) }
-          val taskFs = new Path(outStr).getFileSystem(c)
+          val taskFs = new Path(outStr)
+            .getFileSystem(HadoopConfShip.rebuild(confEntries))
           rows.foreach { r =>
             val p = new Path(outStr, f"payload_${r.getLong(0)}%06d.mkv")
             val os = taskFs.create(p, true)

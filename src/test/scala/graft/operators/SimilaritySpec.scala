@@ -54,12 +54,21 @@ class SimilaritySpec extends SparkSpec {
     info(s"pq recall@5 vs brute (m=8, 16 cells, rerank=100) = $recall")
     assert(recall >= 0.6)
     // surfaced cosines are EXACT (the re-rank pass computes them from
-    // raw vectors): every (q, n, cos) must appear in brute's output
-    val bruteCos = Similarity.annBruteTopK(t, k = 50).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // raw vectors): recompute each surfaced pair driver-side with the
+    // same left-fold arithmetic — keyed per pair, not via brute's
+    // top-50, so a candidate outside the global top-50 (legal: ADC may
+    // route past it) cannot flake the check
+    val vecs = t.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
     Similarity.pqTopK(t).collect().foreach { r =>
-      val key = (r.getLong(0), r.getLong(2))
-      assert(bruteCos.get(key).contains(r.getDouble(3)), s"inexact cosine at $key")
+      val expected = math.rint(cosOf(vecs(r.getLong(0)), vecs(r.getLong(2))) * 1e4)
+      assert(math.rint(r.getDouble(3) * 1e4) == expected,
+        s"inexact cosine at (${r.getLong(0)}, ${r.getLong(2)})")
     }
   }
 

@@ -123,9 +123,9 @@ class TextOpsSpec extends SparkSpec {
       .collect().head.getString(1)
     val tfRe = "[a-z]+".r.findAllIn(text.toLowerCase).count(_ == term)
     assert(tfRe.toLong == tf)
-    assert(math.abs(score - math.rint(tf.toDouble * nDocs / df * 10000) / 10000) < 1e-9 ||
-      score == BigDecimal(tf.toDouble * nDocs / df)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the score is the raw IEEE division of exact integers — bit-equal
+    // to a driver-side recompute with the same operands
+    assert(score == (tf * nDocs).toDouble / df)
   }
 
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
