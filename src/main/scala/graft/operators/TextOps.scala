@@ -170,6 +170,21 @@ object TextOps {
       t.documents.filter(col("doc_id") % benchMod === 0L),
       n)
 
+  /** The benchmark's distinct gram hashes as a sorted driver-side
+    * array — MODEL-SIZED (eval sets are MBs), the same class of
+    * driver-held state as IVF centroids. Feed to
+    * [[graft.streaming.EventStreams.decontaminateStream]] or any
+    * per-row membership probe. */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 3): Array[Long] = {
+    graft.plans.VectorFunctions.register(benchmark.sparkSession)
+    val gs = benchmark
+      .select(explode(call_function("graft_word_ngrams",
+        words(col("text")), lit(n))).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(gs)
+    gs
+  }
+
   /** F7 — TF-IDF top terms per document: the classic featurization a
     * curation pipeline uses for topic filtering and near-duplicate
     * triage. Exact arithmetic end to end: tf and df are integer counts,

@@ -259,6 +259,72 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ assignment kernel shared by interpreted eval and codegen. */
+object PqAssignKernel {
+  /** Nearest-cell id per subspace. `cb` is the flat codebook laid out
+    * [subspace][cell][dim]: (j*k + c)*sub + x; k is derived as
+    * cb.length / v.length (cb holds k copies of the vector space).
+    * Ties break toward the LOWEST cell id (strict <), matching the
+    * array_min-over-structs form it replaces. */
+  def assign(v: ArrayData, cb: ArrayData, m: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    val k = cb.numElements() / dim
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var x = 0
+        val base = (j * k + c) * sub
+        while (x < sub) {
+          val diff = v.getDouble(j * sub + x) - cb.getDouble(base + x)
+          d += diff * diff
+          x += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** PQ subspace assignment as ONE kernel call: the earlier column form
+  * (m × k struct branches of graft_dot against literal centroids) built
+  * a plan tree whose whole-stage codegen RECOMPILED on every Lloyd
+  * iteration (the centroid literals change) — compilation dominated the
+  * fit at ~1-2 s per iteration. With the codebook as a single flat
+  * literal array and the loop inside the kernel, the per-iteration
+  * class is tiny and compile time vanishes. */
+case class PqAssign(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_assign"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAssignKernel.assign(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqAssignKernel.assign($a, $b, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAssign =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration so operators can reach the native expressions
   * through `call_function` without touching private Column constructors. */
 object VectorFunctions {
@@ -293,6 +359,9 @@ object VectorFunctions {
       exprs => ScaleArray(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       exprs => PqAdc(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_assign",
+      exprs => PqAssign(exprs.head, exprs(1), WordNgramHashes.widthOf(exprs(2))),
+      "built-in")
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression during function resolution
     reg.createOrReplaceTempFunction("graft_vec_sum",

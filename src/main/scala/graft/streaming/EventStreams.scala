@@ -148,6 +148,27 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** F6 streaming twin — decontamination as documents ARRIVE: each doc
+    * row computes its word n-gram hashes (codegen kernel) and merges
+    * them against the SORTED benchmark gram array baked into the plan —
+    * a pure stateless projection + filter, so it runs in append mode
+    * with NO state store and no shuffle: the ideal streaming hygiene
+    * gate. The benchmark set is model-sized (TextOps.benchmarkGrams
+    * collects it once, like IVF centroids); a benchmark update means
+    * restarting the query with a fresh array, exactly like deploying a
+    * new model. Output: one (doc_id, n_hits) row per contaminated doc. */
+  def decontaminateStream(docs: DataFrame, benchGrams: Array[Long],
+      n: Int = 3): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("n_hits", call_function("graft_intersect_long_size",
+        call_function("graft_word_ngrams",
+          graft.functions.words(col("text")), lit(n)),
+        typedlit(benchGrams.toSeq)))
+      .filter(col("n_hits") > 0L)
+      .select(col("doc_id"), col("n_hits"))
+  }
+
   final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
   final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
 

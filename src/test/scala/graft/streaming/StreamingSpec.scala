@@ -111,6 +111,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination flags arriving docs statelessly (F6 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val grams = graft.operators.TextOps.benchmarkGrams(bench)
+    assert(grams.length == 2) // two 3-grams in a 4-token benchmark
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), grams)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "intro alpha beta gamma delta outro"), // 2 shared grams
+        (2L, "alpha intro beta outro gamma"),       // words, no gram
+        (3L, "nothing shared at all"))
+      query.processAllAvailable()
+      input.addData((4L, "ends with alpha beta gamma")) // 1 shared gram
+      query.processAllAvailable()
+      val rows = spark.sql("select doc_id, n_hits from decon order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L), (4L, 1L)))
+      // stateless: no state store operator at all — the gate scales to
+      // any stream without watermarks or eviction concerns
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // batch agreement: the broadcast-join form sees the same hits
+      val batch = graft.operators.TextOps.decontaminateAgainst(
+        Seq((1L, "intro alpha beta gamma delta outro"),
+          (2L, "alpha intro beta outro gamma"),
+          (3L, "nothing shared at all"),
+          (4L, "ends with alpha beta gamma")).toDF("doc_id", "text"),
+        bench).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.toSeq == rows.toSeq)
+    } finally query.stop()
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
