@@ -328,43 +328,55 @@ case class PqAssign(left: Expression, right: Expression, m: Int)
 /** Session-level registration so operators can reach the native expressions
   * through `call_function` without touching private Column constructors. */
 object VectorFunctions {
+
+  /** ONE builder table shared by both registration surfaces —
+    * session-level [[register]] and the `spark.sql.extensions` entry
+    * point ([[graft.GraftExtensions]]). The round-4 self-review caught
+    * the two lists drifting (new kernels registered only here); a
+    * single table makes that drift impossible. The class accompanies
+    * each builder for the ExpressionInfo the extensions API wants.
+    * Notes folded into builders: graft_word_ngrams takes an optional
+    * gram-width literal; graft_vec_sum returns a bare AggregateFunction
+    * (the analyzer wraps it in an AggregateExpression at resolution). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    ("graft_norm2", classOf[Norm2],
+      (exprs: Seq[Expression]) => Norm2(exprs.head)),
+    ("graft_intersect_size", classOf[IntersectSortedSize],
+      (exprs: Seq[Expression]) => IntersectSortedSize(exprs.head, exprs(1))),
+    ("graft_intersect_long_size", classOf[IntersectSortedLongSize],
+      (exprs: Seq[Expression]) => IntersectSortedLongSize(exprs.head, exprs(1))),
+    ("graft_fingerprint", classOf[Fingerprint],
+      (exprs: Seq[Expression]) => Fingerprint(exprs.head)),
+    ("graft_minhash_bands", classOf[MinhashBands],
+      (exprs: Seq[Expression]) => MinhashBands(exprs.head)),
+    ("graft_oph_bands", classOf[OphBands],
+      (exprs: Seq[Expression]) => OphBands(exprs.head)),
+    ("graft_ngram3", classOf[Ngram3Hashes],
+      (exprs: Seq[Expression]) => Ngram3Hashes(exprs.head)),
+    ("graft_word_ngrams", classOf[WordNgramHashes],
+      (exprs: Seq[Expression]) =>
+        if (exprs.length > 1)
+          WordNgramHashes(exprs.head, WordNgramHashes.widthOf(exprs(1)))
+        else WordNgramHashes(exprs.head)),
+    ("graft_simhash", classOf[SimhashSig],
+      (exprs: Seq[Expression]) => SimhashSig(exprs.head)),
+    ("graft_vec_scale", classOf[ScaleArray],
+      (exprs: Seq[Expression]) => ScaleArray(exprs.head, exprs(1))),
+    ("graft_pq_adc", classOf[PqAdc],
+      (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))),
+    ("graft_pq_assign", classOf[PqAssign],
+      (exprs: Seq[Expression]) =>
+        PqAssign(exprs.head, exprs(1), WordNgramHashes.widthOf(exprs(2)))),
+    ("graft_vec_sum", classOf[VectorSum],
+      (exprs: Seq[Expression]) => VectorSum(exprs.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_norm2",
-      exprs => Norm2(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_intersect_size",
-      exprs => IntersectSortedSize(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_intersect_long_size",
-      exprs => IntersectSortedLongSize(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_fingerprint",
-      exprs => Fingerprint(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      exprs => MinhashBands(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_oph_bands",
-      exprs => OphBands(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_ngram3",
-      exprs => Ngram3Hashes(exprs.head), "built-in")
-    // optional second arg: gram width n as a literal, folded into the
-    // expression at plan time (the expression stays unary)
-    reg.createOrReplaceTempFunction("graft_word_ngrams",
-      exprs =>
-        if (exprs.length > 1) WordNgramHashes(exprs.head, WordNgramHashes.widthOf(exprs(1)))
-        else WordNgramHashes(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimhashSig(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_vec_scale",
-      exprs => ScaleArray(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_adc",
-      exprs => PqAdc(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_assign",
-      exprs => PqAssign(exprs.head, exprs(1), WordNgramHashes.widthOf(exprs(2))),
-      "built-in")
-    // aggregate: the analyzer wraps a bare AggregateFunction in an
-    // AggregateExpression during function resolution
-    reg.createOrReplaceTempFunction("graft_vec_sum",
-      exprs => VectorSum(exprs.head), "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
