@@ -127,6 +127,7 @@ object SparkEntry {
     // §2E PQ compression search (rows-only; spec: recall@5 + exactness
     // of surfaced cosines + ADC kernel equivalence)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(tables(s, d))),
+    "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))

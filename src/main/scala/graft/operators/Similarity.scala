@@ -362,6 +362,102 @@ object Similarity {
     out
   }
 
+  /** E4b — IVF+PQ: the composite index every large-scale vector store
+    * runs. The coarse quantizer (IVF, unit vectors) routes; inside the
+    * routed cells the scan reads PQ codes of the RESIDUAL (vector minus
+    * its cell centroid — residuals concentrate near zero, so the same
+    * codebook budget quantizes them much finer than raw vectors). Per
+    * (query, probed cell) the ADC table is built from the query's
+    * residual against that cell — driver-side, model-sized — and the
+    * compressed scan is one graft_pq_adc loop per row, keyed by cell:
+    * a query touches nprobe/kCells of the corpus AND reads only m
+    * ints per row. Exact cosine re-rank of the top candidates, so
+    * surfaced scores are exact. Rows-only; spec measures recall@5. */
+  def ivfPqTopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
+      m: Int = 8, pqCells: Int = 16, iters: Int = 5,
+      rerank: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = t.embeddings.sparkSession
+    val vecs = withNorm(t.embeddings)
+      .withColumn("u", call_function("graft_vec_scale", col("v"),
+        lit(1.0) / sqrt(col("norm"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
+    val sub = dim / m
+    // coarse quantizer over unit vectors (L2 on units ⇔ cosine order)
+    val unitF = vecs.select(col("vec_id"), col("u").as("v"),
+      call_function("graft_norm2", col("u")).as("norm"))
+    val (coarse, _) = lloyd(unitF, kCells, iters, 1e-9)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // residuals, then PQ codebooks fit on THEM
+    val withRes = unitF
+      .withColumn("cell", nearestCentroid(coarse).getField("cid"))
+      .withColumn("res", call_function("graft_vec_sub", col("v"),
+        element_at(coarseLit, col("cell") + 1)))
+    val model = pqModel(withRes.select(col("vec_id"), col("res").as("v")),
+      dim, m, pqCells, iters)
+    val codes = withRes.select(col("cell"), col("vec_id").as("n_id"),
+      call_function("graft_pq_assign", col("res"),
+        typedLit(flatModel(model).toSeq), lit(m)).as("codes"))
+    // query routing + per-(query, cell) residual ADC tables: driver
+    // work over 10 queries × nprobe cells × m × pqCells doubles
+    val qRows = unitF.filter(col("vec_id") < 10)
+      .withColumn("probes", probeCells(coarse, nprobe))
+      .select(col("vec_id"), col("v"), col("probes")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Int](2).toArray))
+    val routed = qRows.flatMap { case (qid, qu, probes) =>
+      probes.map { cell =>
+        val cen = coarse(cell)
+        val tbl = new Array[Double](m * pqCells)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < pqCells) {
+            var d = 0.0; var x = 0
+            while (x < sub) {
+              val r = (qu(j * sub + x) - cen(j * sub + x)) - model(j)(c)(x)
+              d += r * r; x += 1
+            }
+            tbl(j * pqCells + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        (qid, cell, tbl.toSeq)
+      }
+    }
+    import spark.implicits._
+    val queries = routed.toSeq.toDF("q_id", "cell", "tbl")
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    // pass 1: compressed routed scan — join on the CELL key, queries
+    // broadcast: a query reads only its nprobe cells' codes
+    val cand = codes.join(broadcast(queries), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", call_function("graft_pq_adc", col("tbl"), col("codes")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= rerank)
+      .select("q_id", "n_id")
+    // pass 2: exact cosine re-rank of the candidates only
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = cand
+      .join(broadcast(q), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+    vecs.unpersist(blocking = false) // models frozen; the plan re-derives once
+    out
+  }
+
   /** E2 — LSH-bucketed ANN: 8 hyperplane tables × 6 bits; candidates share
     * any table bucket; exact cosine re-ranks candidates. The query side
     * MULTIPROBES: base bucket plus every 1-bit flip per table (round-1

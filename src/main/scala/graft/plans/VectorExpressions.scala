@@ -259,6 +259,47 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise array difference — the residual step of IVF+PQ
+  * (vector minus its cell centroid) as the same tight codegen loop as
+  * the other kernels. */
+case class SubArrays(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double[] $out = new double[$n];
+        for (int $i = 0; $i < $n; $i++) { $out[$i] = $a.getDouble($i) - $b.getDouble($i); }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubArrays =
+    copy(left = newLeft, right = newRight)
+}
+
 /** PQ assignment kernel shared by interpreted eval and codegen. */
 object PqAssignKernel {
   /** Nearest-cell id per subspace. `cb` is the flat codebook laid out
@@ -364,6 +405,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimhashSig(exprs.head)),
     ("graft_vec_scale", classOf[ScaleArray],
       (exprs: Seq[Expression]) => ScaleArray(exprs.head, exprs(1))),
+    ("graft_vec_sub", classOf[SubArrays],
+      (exprs: Seq[Expression]) => SubArrays(exprs.head, exprs(1))),
     ("graft_pq_adc", classOf[PqAdc],
       (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))),
     ("graft_pq_assign", classOf[PqAssign],
