@@ -128,6 +128,8 @@ object SparkEntry {
     // of surfaced cosines + ADC kernel equivalence)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(tables(s, d))),
     "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(tables(s, d))),
+    // chunked range join (Spark has no native one; naive is a BNLJ)
+    "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
@@ -356,6 +358,14 @@ object SparkEntry {
           cast(CASE WHEN sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) > 10
             THEN 1 ELSE 0 END as bigint) AS gave_up
         FROM s GROUP BY user_id ORDER BY user_id""",
+    "range_join_events" ->
+      """WITH iv AS (SELECT event_id AS iv_id, epoch_ms(ts) AS start_ms,
+          epoch_ms(ts) + 3600000 AS end_ms FROM events WHERE event_id % 100 = 0),
+        pts AS (SELECT event_id, epoch_ms(ts) AS pt FROM events)
+        SELECT iv.iv_id, cast(count(*) as bigint) AS n_events,
+          min(pts.event_id) AS first_event
+        FROM iv JOIN pts ON pts.pt >= iv.start_ms AND pts.pt < iv.end_ms
+        GROUP BY iv.iv_id ORDER BY iv.iv_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",

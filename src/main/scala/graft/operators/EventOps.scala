@@ -146,4 +146,54 @@ object EventOps {
       .withColumn("gave_up", (col("n_attempts") > reconnectMaxCount).cast("long"))
       .orderBy("user_id")
   }
+
+  /** C16 — RANGE (interval-containment) JOIN via chunking. Spark has no
+    * native range join: `ON pt >= start AND pt < end` plans as a
+    * BroadcastNestedLoopJoin — O(|points| × |intervals|) scans at any
+    * cluster size. The scale form buckets time into fixed-width chunks:
+    * each interval explodes into the chunks it covers, each point maps
+    * to its SINGLE chunk, and the join becomes an EQUI-join on the
+    * chunk id plus a residual containment filter. A (point, interval)
+    * pair can only meet in the point's one chunk, so every pair is
+    * emitted exactly once — no dedup. Chunk width ≈ the typical
+    * interval length keeps the interval explode factor at ≤ 2 while
+    * the equi-join prunes all non-neighboring chunk pairs.
+    *
+    * `points` carries (`ptCol`: epoch-ms long, any payload);
+    * `intervals` carries (iv_id, start_ms, end_ms) with end EXCLUSIVE.
+    * Degenerate intervals (end <= start) match nothing and are dropped
+    * before the explode (a descending sequence would throw). */
+  def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+      chunkMs: Long): DataFrame = {
+    val ivc = intervals
+      .filter(col("end_ms") > col("start_ms"))
+      .withColumn("chunk", explode(sequence(
+        msBucket(col("start_ms"), chunkMs),
+        msBucket(col("end_ms") - 1L, chunkMs))))
+    points
+      .withColumn("chunk", msBucket(col(ptCol), chunkMs))
+      .join(ivc, "chunk")
+      .filter(col(ptCol) >= col("start_ms") && col(ptCol) < col("end_ms"))
+      .drop("chunk")
+  }
+
+  /** The range-join query shape: every `every`-th event opens a
+    * `spanMs` window; count the events landing in each window. The
+    * interval side is Catalyst-size-gated to a broadcast here (few
+    * intervals); with a billion intervals the same plan shuffles both
+    * sides on the chunk key. */
+  def rangeJoinEvents(t: Tables, spanMs: Long = 3600000L,
+      every: Long = 100L, chunkMs: Long = 3600000L): DataFrame = {
+    val ms = withMs(t)
+    val intervals = ms.filter(col("event_id") % every === 0L)
+      .select(col("event_id").as("iv_id"),
+        col("ts_ms").as("start_ms"),
+        (col("ts_ms") + spanMs).as("end_ms"))
+    val points = ms.select(col("event_id"), col("ts_ms").as("pt"))
+    rangeJoin(points, "pt", intervals, chunkMs)
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"))
+      .orderBy("iv_id")
+  }
 }

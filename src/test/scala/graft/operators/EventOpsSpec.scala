@@ -63,4 +63,30 @@ class EventOpsSpec extends SparkSpec {
     val got = EventOps.resumeFromToken(t).collect().map(_.getLong(0)).toSeq
     assert(got == expected)
   }
+
+  test("chunked range join equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    // ground truth driver-side from the raw rows: count events inside
+    // each interval [ts, ts+1h) opened by every 100th event
+    val intervals = raw.filter(_._1 % 100 == 0)
+      .map { case (id, _, ms, _) => (id, ms, ms + 3600000L) }
+    val expected = intervals.map { case (id, s0, e0) =>
+      val inside = raw.filter { case (_, _, ms, _) => ms >= s0 && ms < e0 }
+      (id, inside.length.toLong, inside.map(_._1).min)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = EventOps.rangeJoinEvents(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(expected.nonEmpty, "fixture must have occupied intervals")
+    assert(got == expected)
+    // a NON-aligned chunk width must not change results (chunking is a
+    // pure execution strategy, not semantics)
+    val odd = EventOps.rangeJoinEvents(t, chunkMs = 777013L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(odd == expected)
+    // the whole point: the chunked plan is an equi-join, never the
+    // O(points x intervals) nested loop the naive ON-clause plans to
+    val plan = EventOps.rangeJoinEvents(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop range join in:\n$plan")
+  }
 }
