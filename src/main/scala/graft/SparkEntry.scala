@@ -130,6 +130,8 @@ object SparkEntry {
     "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(tables(s, d))),
     // chunked range join (Spark has no native one; naive is a BNLJ)
     "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
+    "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
+    "mix_sample" -> ((s, d) => TextOps.mixSampleDocs(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
@@ -366,6 +368,23 @@ object SparkEntry {
           min(pts.event_id) AS first_event
         FROM iv JOIN pts ON pts.pt >= iv.start_ms AND pts.pt < iv.end_ms
         GROUP BY iv.iv_id ORDER BY iv.iv_id""",
+    "grouping_sets_agg" ->
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) as bigint) AS gid,
+          count(*) AS n,
+          cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS sum_c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""",
+    // the SAME Knuth-hash keep decision as the Spark side — the sample
+    // itself is hash-exact, not just its size
+    "mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 1000000 <
+          CASE WHEN source = 'src0' THEN 1000000
+               WHEN source = 'src1' THEN 500000
+               ELSE 100000 END
+        ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",

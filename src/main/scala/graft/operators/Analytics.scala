@@ -152,6 +152,24 @@ object Analytics {
         col("n"), col("sum_c"))
       .orderBy("status", "priority")
 
+  /** C9c — GROUPING SETS: the general multi-granularity aggregation
+    * (rollup and cube are its special cases); one pass produces the
+    * (priority, status), (priority), and grand-total granularities.
+    * grouping_id disambiguates a rolled-up NULL from a data NULL, so
+    * the output needs no sentinel strings. */
+  def groupingSetsAgg(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("gid"), col("n"), col("sum_c"))
+      .orderBy(col("gid"), col("priority").asc_nulls_first,
+        col("status").asc_nulls_first)
+
   /** C10 — exact discrete percentiles via rank selection (no interpolation ⇒
     * integer output, zero cross-engine float risk). */
   def percentiles(t: Tables): DataFrame = {

@@ -222,6 +222,36 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** F8 — deterministic DOMAIN MIXING: per-source keep fractions for
+    * composing a training mixture ("keep all of src0, half of src1,
+    * 10% of the rest"). The keep decision is a pure function of
+    * doc_id — a Knuth multiplicative hash against a per-source
+    * threshold — so the sample is REPRODUCIBLE across runs, cluster
+    * sizes, and partitionings (no RNG state, unlike df.sample), and
+    * expressible in exact int64 arithmetic on any engine: the DuckDB
+    * oracle recomputes the identical decision, making the sample
+    * hash-exact. One scan, no shuffle: at 100 TB this is a pushed-down
+    * filter. */
+  def mixSample(docs: DataFrame, weights: Map[String, Double],
+      defaultFrac: Double = 0.0): DataFrame = {
+    // threshold in parts-per-million; floor keeps fractions exact
+    def ppm(f: Double): Long = math.floor(f * 1e6).toLong
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(ppm(defaultFrac))) {
+      case (acc, (src, f)) => when(col("source") === src, lit(ppm(f))).otherwise(acc)
+    }
+    // Knuth multiplicative hash, exact in int64 (doc_id * 2654435761
+    // stays far under 2^63 for any realistic id space)
+    docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < thr)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** The mixing query shape: all of src0, half of src1, 10% of the
+    * rest. */
+  def mixSampleDocs(t: Tables): DataFrame =
+    mixSample(t.documents,
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.1)
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {

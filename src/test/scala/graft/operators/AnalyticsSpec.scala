@@ -22,4 +22,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == t.orders.count())
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("grouping sets granularities are mutually consistent") {
+    val rows = Analytics.groupingSetsAgg(t).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val fine = rows.filter(_._3 == 0L)   // (priority, status)
+    val mid = rows.filter(_._3 == 1L)    // (priority)
+    val total = rows.filter(_._3 == 3L)  // ()
+    assert(fine.nonEmpty && mid.nonEmpty && total.length == 1)
+    // each coarser granularity is the sum of its finer rows
+    mid.foreach { case (p0, _, _, n, sumC) =>
+      val members = fine.filter(_._1 == p0)
+      assert(members.map(_._4).sum == n && members.map(_._5).sum == sumC, s"$p0")
+    }
+    assert(total.head._4 == mid.map(_._4).sum)
+    assert(total.head._5 == mid.map(_._5).sum)
+    assert(total.head._4 == t.orders.count())
+  }
 }

@@ -128,6 +128,27 @@ class TextOpsSpec extends SparkSpec {
     assert(score == (tf * nDocs).toDouble / df)
   }
 
+  test("mix sample is a deterministic pure function of doc_id and source") {
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5)
+    val kept = TextOps.mixSample(t.documents, weights, defaultFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // driver-side recompute of the identical keep decision
+    val all = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.filter { case (id, src) =>
+      val thr = (weights.getOrElse(src, 0.1) * 1e6).toLong
+      (id * 2654435761L) % 1000000L < thr
+    }.sortBy(_._1)
+    assert(kept.toSeq == expected.toSeq)
+    // src0 keeps everything; the mixture is reproducible run to run
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val total = all.count(_._2 == "src0")
+    assert(bySrc.getOrElse("src0", 0) == total, "src0 must keep all docs")
+    val again = TextOps.mixSample(t.documents, weights, defaultFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == kept.toSeq)
+  }
+
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
     // the corpus `lang` labels are synthetic noise, so the corpus query
     // can't validate the heuristic — this fixture of real sentences can
