@@ -473,7 +473,11 @@ object Similarity {
     * vector set, not necessarily drawn from the corpus. A query sharing
     * a vec_id with a corpus row is treated as that row and excluded
     * from its own neighbors; external query sets should use ids outside
-    * the corpus id space. */
+    * the corpus id space. Scale note: the probe explode inherits the
+    * query frame's partitioning — a very large external query set read
+    * from few input splits should be repartitioned by the CALLER before
+    * this (the operator cannot cheaply know the set's size, and an
+    * unconditional repartition would tax the common small-query case). */
   def annLshTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       tables: Int = 8, bits: Int = 6): DataFrame = {
     val vecs = withNorm(corpus)
