@@ -230,8 +230,11 @@ object TextOps {
     * sizes, and partitionings (no RNG state, unlike df.sample), and
     * expressible in exact int64 arithmetic on any engine: the DuckDB
     * oracle recomputes the identical decision, making the sample
-    * hash-exact. One scan, no shuffle: at 100 TB this is a pushed-down
-    * filter. */
+    * hash-exact. One scan, no shuffle before the filter: the predicate
+    * is arithmetic so parquet can't use it for row-group pruning, but
+    * it evaluates inside the scan's codegen over a (doc_id, source)
+    * projection — at 100 TB the corpus flows through one 2-column scan
+    * and dies there. */
   def mixSample(docs: DataFrame, weights: Map[String, Double],
       defaultFrac: Double = 0.0): DataFrame = {
     // threshold in parts-per-million; floor keeps fractions exact
