@@ -131,6 +131,7 @@ object SparkEntry {
     // chunked range join (Spark has no native one; naive is a BNLJ)
     "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
+    "window_range_1h" -> ((s, d) => Analytics.windowRangeSum(tables(s, d))),
     "mix_sample" -> ((s, d) => TextOps.mixSampleDocs(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
@@ -376,6 +377,12 @@ object SparkEntry {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""",
+    "window_range_1h" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          cast(sum(cast(round(value*100) as bigint)) OVER (
+            PARTITION BY user_id ORDER BY epoch_ms(ts)
+            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) as bigint) AS sum_1h_c
+        FROM events ORDER BY user_id, ts_ms, event_id""",
     // the SAME Knuth-hash keep decision as the Spark side — the sample
     // itself is hash-exact, not just its size
     "mix_sample" ->

@@ -170,6 +170,24 @@ object Analytics {
       .orderBy(col("gid"), col("priority").asc_nulls_first,
         col("status").asc_nulls_first)
 
+  /** C6d — RANGE-frame window: a time-based sliding aggregate ("sum of
+    * the last hour per user"), where the frame is bounded by the
+    * ORDER-BY VALUE (epoch-ms), not row offsets — rows sharing a
+    * timestamp always aggregate together, which a ROWS frame cannot
+    * express. One user_id shuffle, exact integer cents. */
+  def windowRangeSum(t: Tables, spanMs: Long = 3600000L): DataFrame = {
+    import graft.functions._
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-spanMs, Window.currentRow)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        cents(col("value")).as("v_c"))
+      .withColumn("sum_1h_c", sum(col("v_c")).over(w))
+      .select("user_id", "event_id", "ts_ms", "sum_1h_c")
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
   /** C10 — exact discrete percentiles via rank selection (no interpolation ⇒
     * integer output, zero cross-engine float risk). */
   def percentiles(t: Tables): DataFrame = {

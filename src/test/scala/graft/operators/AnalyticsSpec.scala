@@ -40,4 +40,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(total.head._5 == mid.map(_._5).sum)
     assert(total.head._4 == t.orders.count())
   }
+
+  test("range-frame window sums exactly the trailing time span") {
+    // driver-side recompute over the raw rows: for each event, the sum
+    // of cents of same-user events with ts in [ts - 1h, ts]
+    val raw = t.events
+      .selectExpr("user_id", "event_id", "ts div 1000000 as ts_ms",
+        "cast(round(value*100) as bigint) as v_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = raw.map { case (u, id, ms, _) =>
+      val s0 = raw.filter { case (u2, _, ms2, _) =>
+        u2 == u && ms2 >= ms - 3600000L && ms2 <= ms }.map(_._4).sum
+      (u, id) -> s0
+    }.toMap
+    val got = Analytics.windowRangeSum(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty && got.size == raw.length)
+    got.foreach { case (k, v) => assert(expected(k) == v, s"event $k") }
+  }
 }
