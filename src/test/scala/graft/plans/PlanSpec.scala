@@ -192,4 +192,18 @@ class PlanSpec extends SparkSpec {
     // Spark's rank-limit pushdown must stay active for top-k windows
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("tf-idf keeps rank-limit pushdown and no nested-loop joins") {
+    val df = graft.operators.TextOps.tfIdfTopTerms(t)
+    df.collect()
+    val plan = planOf(df)
+    // top-3-per-doc must prune inside the window, not post-filter the
+    // full scored set
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the only nested-loop is the 1-row n_docs scalar broadcast; the
+    // tf⋈df join itself must be hash-based
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"tf-df join not hash-based:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -43,6 +43,14 @@ class SqlSurfaceSpec extends SparkSpec {
     val adc = spark.sql(
       "SELECT graft_pq_adc(array(0D,1D,2D,3D), array(2)) AS d").collect().head.getDouble(0)
     assert(adc == 2.0)
+    // vec_sub + pq_assign round out the PQ kernel family from SQL
+    val sub = spark.sql(
+      "SELECT graft_vec_sub(array(3D,5D), array(1D,2D)) AS d").collect().head.getSeq[Double](0)
+    assert(sub == Seq(2.0, 3.0))
+    val assign = spark.sql(
+      "SELECT graft_pq_assign(array(0.9D, 5.1D), array(0D,1D,5D,6D), 2) AS c")
+      .collect().head.getSeq[Int](0)
+    assert(assign == Seq(1, 0), s"got $assign") // 0.9→cell1 (1.0), 5.1→cell0 (5.0)
   }
 
   test("an analytics query expressed in SQL matches its DataFrame twin") {
