@@ -281,17 +281,36 @@ object Similarity {
     model
   }
 
-  /** PQ code column: per subspace, argmin over the codebook with the
-    * same codegen distance arithmetic as [[nearestCentroid]]; the
-    * |slice|² term is constant within a subspace so the argmin drops
-    * it. */
   /** Codebook flattened to the kernel layout [j][c][x]. */
   private def flatModel(model: Array[Array[Array[Double]]]): Array[Double] =
     model.flatMap(_.flatten)
 
-  private def pqCodeCol(model: Array[Array[Array[Double]]], dim: Int): org.apache.spark.sql.Column =
+  /** PQ code column: all m subspace argmins in ONE graft_pq_assign
+    * kernel call against the flat codebook literal (see [[graft.plans.PqAssign]]
+    * for why the per-cell expression-tree form was replaced). */
+  private def pqCodeCol(model: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
     call_function("graft_pq_assign", col("u"),
       typedLit(flatModel(model).toSeq), lit(model.length))
+
+  /** Exact cosine re-rank: the shared pass 2 of every
+    * candidate-generating ANN operator — `cand` carries (q_id, n_id)
+    * pairs, `q`/`c` the projected query and corpus vector frames. One
+    * definition keeps the output contract (ranking, tie-break,
+    * rounding) identical across operators. */
+  private def rerankExact(cand: DataFrame, q: DataFrame, c: DataFrame,
+      k: Int): DataFrame = {
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(broadcast(q), "q_id")
+      .join(c, "n_id")
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+  }
 
   def pqTopK(t: Tables, k: Int = 5, m: Int = 8, kCells: Int = 16,
       iters: Int = 5, rerank: Int = 100): DataFrame = {
@@ -309,7 +328,7 @@ object Similarity {
     // scan — at scale this is the table you PERSIST, 64× smaller than
     // the embeddings
     val codes = vecs.select(col("vec_id").as("n_id"),
-      pqCodeCol(model, dim).as("codes"))
+      pqCodeCol(model).as("codes"))
     // query-side ADC tables: model-sized driver work (10 × m × kCells)
     val qRows = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("u")).collect()
@@ -344,20 +363,11 @@ object Similarity {
       .filter(col("crnk") <= rerank)
       .select("q_id", "n_id")
     // pass 2: exact cosine re-rank on the tiny candidate set only
-    val q = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
-    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
-    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val out = cand
-      .join(broadcast(q), "q_id")
-      .join(c, "n_id")
-      .withColumn("cos",
-        call_function("graft_dot", col("v_q"), col("v_n")) /
-          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy("q_id", "rnk")
+    val out = rerankExact(cand,
+      vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
     vecs.unpersist(blocking = false) // model + codes derive once more at materialization
     out
   }
@@ -390,11 +400,15 @@ object Similarity {
       call_function("graft_norm2", col("u")).as("norm"))
     val (coarse, _) = lloyd(unitF, kCells, iters, 1e-9)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    // residuals, then PQ codebooks fit on THEM
+    // residuals, then PQ codebooks fit on THEM. Persisted: the fused
+    // fit runs ~iters+1 actions over this frame, and without the cache
+    // each one would recompute the coarse assignment (kCells dot
+    // products per row) plus the subtraction over the whole corpus
     val withRes = unitF
       .withColumn("cell", nearestCentroid(coarse).getField("cid"))
       .withColumn("res", call_function("graft_vec_sub", col("v"),
         element_at(coarseLit, col("cell") + 1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val model = pqModel(withRes.select(col("vec_id"), col("res").as("v")),
       dim, m, pqCells, iters)
     val codes = withRes.select(col("cell"), col("vec_id").as("n_id"),
@@ -440,21 +454,13 @@ object Similarity {
       .filter(col("crnk") <= rerank)
       .select("q_id", "n_id")
     // pass 2: exact cosine re-rank of the candidates only
-    val q = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
-    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
-    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val out = cand
-      .join(broadcast(q), "q_id")
-      .join(c, "n_id")
-      .withColumn("cos",
-        call_function("graft_dot", col("v_q"), col("v_n")) /
-          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy("q_id", "rnk")
-    vecs.unpersist(blocking = false) // models frozen; the plan re-derives once
+    val out = rerankExact(cand,
+      vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
+    withRes.unpersist(blocking = false) // models frozen
+    vecs.unpersist(blocking = false) // the plan re-derives once
     out
   }
 
@@ -504,17 +510,9 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
       .select("q_id", "n_id")
-    val q = queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
-    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    cand
-      .join(broadcast(q), "q_id")
-      .join(c, "n_id")
-      .withColumn("cos",
-        call_function("graft_dot", col("v_q"), col("v_n")) / (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
-      .orderBy("q_id", "rnk")
+    rerankExact(cand,
+      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
   }
 }

@@ -242,9 +242,15 @@ object TextOps {
     val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(ppm(defaultFrac))) {
       case (acc, (src, f)) => when(col("source") === src, lit(ppm(f))).otherwise(acc)
     }
-    // Knuth multiplicative hash, exact in int64 (doc_id * 2654435761
-    // stays far under 2^63 for any realistic id space)
-    docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < thr)
+    // Knuth multiplicative hash with the id pre-reduced mod a large
+    // prime so the product PROVABLY fits int64 for EVERY int64 id:
+    // (doc_id % p) < p ≈ 1e9+7, and p * 2654435761 ≈ 2.66e18 < 2^63.
+    // (A bare doc_id * 2654435761 overflows at doc_id ≈ 3.5e9 — ANSI
+    // mode aborts the query, legacy mode wraps negative and diverges
+    // from the oracle's %.) Same exact arithmetic on both engines.
+    val p = 1000000007L
+    val h = pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))
+    docs.filter(pmod(h, lit(1000000L)) < thr)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }

@@ -210,20 +210,26 @@ object WordNgramKernel {
   }
 }
 
-object WordNgramHashes {
-  /** Resolve the optional gram-width argument: must be a foldable
-    * integer literal — a clear analysis-time error instead of a raw
-    * ClassCastException deep in evaluation. */
-  def widthOf(e: Expression): Int = {
+/** Resolves an integer-literal function argument with an analysis-time
+  * error naming the RIGHT function and parameter (a raw ClassCast or
+  * IndexOutOfBounds deep in evaluation names neither). */
+object IntLitArg {
+  def of(signature: String, name: String, e: Expression): Int = {
     require(e.foldable,
-      "graft_word_ngrams(toks, n): n must be an integer LITERAL, got " + e.sql)
+      s"$signature: $name must be an integer LITERAL, got " + e.sql)
     e.eval() match {
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_word_ngrams(toks, n): n must be an integer literal, got $other")
+        s"$signature: $name must be an integer literal, got $other")
     }
   }
+}
+
+object WordNgramHashes {
+  /** Resolve the optional gram-width argument. */
+  def widthOf(e: Expression): Int =
+    IntLitArg.of("graft_word_ngrams(toks, n)", "n", e)
 }
 
 /** Sorted distinct word n-gram hashes of a token array — the shingle

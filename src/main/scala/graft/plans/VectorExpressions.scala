@@ -410,8 +410,12 @@ object VectorFunctions {
     ("graft_pq_adc", classOf[PqAdc],
       (exprs: Seq[Expression]) => PqAdc(exprs.head, exprs(1))),
     ("graft_pq_assign", classOf[PqAssign],
-      (exprs: Seq[Expression]) =>
-        PqAssign(exprs.head, exprs(1), WordNgramHashes.widthOf(exprs(2)))),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_pq_assign(v, codebook, m) takes exactly 3 arguments, got ${exprs.length}")
+        PqAssign(exprs.head, exprs(1),
+          IntLitArg.of("graft_pq_assign(v, codebook, m)", "m", exprs(2)))
+      }),
     ("graft_vec_sum", classOf[VectorSum],
       (exprs: Seq[Expression]) => VectorSum(exprs.head)))
 

@@ -74,14 +74,15 @@ class SimilaritySpec extends SparkSpec {
 
   test("ivf+pq top-k reaches recall@5 >= 0.6 vs brute force") {
     val brute = topk(Similarity.annBruteTopK(t)).toSet
-    val ivfpq = topk(Similarity.ivfPqTopK(t))
+    val df = Similarity.ivfPqTopK(t) // one fit serves recall AND plan checks
+    val ivfpq = topk(df)
     assert(ivfpq.nonEmpty)
     val recall = ivfpq.toSet.intersect(brute).size.toDouble / brute.size
     info(s"ivf+pq recall@5 vs brute (nprobe=3/8 cells, m=8 residual pq) = $recall")
     assert(recall >= 0.6)
     // the routed compressed scan joins on the cell key with the query
     // side broadcast — no cartesian, no nested loop
-    val plan = Similarity.ivfPqTopK(t).queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"quadratic scan in:\n$plan")
   }

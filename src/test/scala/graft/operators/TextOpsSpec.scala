@@ -137,7 +137,8 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     val expected = all.filter { case (id, src) =>
       val thr = (weights.getOrElse(src, 0.1) * 1e6).toLong
-      (id * 2654435761L) % 1000000L < thr
+      val p = 1000000007L
+      ((id % p) * 2654435761L) % p % 1000000L < thr
     }.sortBy(_._1)
     assert(kept.toSeq == expected.toSeq)
     // src0 keeps everything; the mixture is reproducible run to run
