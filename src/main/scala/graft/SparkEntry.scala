@@ -383,12 +383,14 @@ object SparkEntry {
             PARTITION BY user_id ORDER BY epoch_ms(ts)
             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) as bigint) AS sum_1h_c
         FROM events ORDER BY user_id, ts_ms, event_id""",
-    // the SAME Knuth-hash keep decision as the Spark side (id reduced
-    // mod 1e9+7 so the product fits int64 for every id) — the sample
-    // itself is hash-exact, not just its size
+    // the SAME Knuth-hash keep decision as the Spark side (abs, then id
+    // reduced mod 1e9+7 so the product fits int64 for every id; abs on
+    // BOTH engines because Spark's pmod is non-negative while DuckDB's
+    // % follows the dividend's sign) — the sample itself is hash-exact,
+    // not just its size
     "mix_sample" ->
       """SELECT doc_id, source FROM documents
-        WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 <
+        WHERE ((abs(doc_id) % 1000000007) * 2654435761) % 1000000007 % 1000000 <
           CASE WHEN source = 'src0' THEN 1000000
                WHEN source = 'src1' THEN 500000
                ELSE 100000 END

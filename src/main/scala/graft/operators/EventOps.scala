@@ -162,14 +162,33 @@ object EventOps {
     * `points` carries (`ptCol`: epoch-ms long, any payload);
     * `intervals` carries (iv_id, start_ms, end_ms) with end EXCLUSIVE.
     * Degenerate intervals (end <= start) match nothing and are dropped
-    * before the explode (a descending sequence would throw). */
+    * before the explode (a descending sequence would throw).
+    *
+    * Explode-factor guard: an interval spanning far more chunks than
+    * the doc's "chunk ≈ typical interval" rule anticipates would
+    * silently inflate the interval side span/chunk-fold — a caller
+    * picking chunkMs ≪ the real span turns one hostile year-long
+    * interval at 1-minute chunks into ~526k rows. Any single interval
+    * covering more than `maxChunksPerInterval` chunks fails the job
+    * LOUDLY (per-row raise_error inside the scan, so the rejection
+    * costs one comparison per interval and names the fix: raise
+    * chunkMs toward the typical span, or raise the cap consciously). */
   def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
-      chunkMs: Long): DataFrame = {
+      chunkMs: Long, maxChunksPerInterval: Long = 65536L): DataFrame = {
+    val startChunk = msBucket(col("start_ms"), chunkMs)
+    val endChunk = msBucket(col("end_ms") - 1L, chunkMs)
+    val spanChunks = endChunk - startChunk + 1L
     val ivc = intervals
       .filter(col("end_ms") > col("start_ms"))
-      .withColumn("chunk", explode(sequence(
-        msBucket(col("start_ms"), chunkMs),
-        msBucket(col("end_ms") - 1L, chunkMs))))
+      .withColumn("chunk", explode(
+        when(spanChunks > maxChunksPerInterval,
+          raise_error(format_string(
+            "graft rangeJoin: interval [%d, %d) spans %d chunks of " +
+              s"$chunkMs ms (cap $maxChunksPerInterval) — raise chunkMs " +
+              "toward the typical interval length, or raise " +
+              "maxChunksPerInterval if the explode factor is intended",
+            col("start_ms"), col("end_ms"), spanChunks)))
+          .otherwise(sequence(startChunk, endChunk))))
     points
       .withColumn("chunk", msBucket(col(ptCol), chunkMs))
       .join(ivc, "chunk")

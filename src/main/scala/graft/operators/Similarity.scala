@@ -153,7 +153,12 @@ object Similarity {
       // IvfSpec counts the passes)
       .repartition(cores, col("vec_id"))
       .orderBy("vec_id")
-    vecs.unpersist(blocking = false) // model is frozen; the returned plan re-derives
+    // BLOCKING release: the returned lazy plan re-derives the working
+    // set, and the IvfSpec pass-count contract (exactly 2 corpus scans)
+    // only holds if the cache is deterministically GONE before the plan
+    // can materialize — an async removal raced the caller's first job,
+    // sometimes half-serving it from surviving blocks (round-4 advice)
+    vecs.unpersist(blocking = true)
     out
   }
 

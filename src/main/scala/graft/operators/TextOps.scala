@@ -235,8 +235,12 @@ object TextOps {
     * it evaluates inside the scan's codegen over a (doc_id, source)
     * projection — at 100 TB the corpus flows through one 2-column scan
     * and dies there. */
-  def mixSample(docs: DataFrame, weights: Map[String, Double],
-      defaultFrac: Double = 0.0): DataFrame = {
+  /** The mixing keep-decision as a reusable predicate — shared by the
+    * batch operator and the streaming twin
+    * ([[graft.streaming.EventStreams.mixSampleStream]]) so the two
+    * provably agree row for row. */
+  def mixKeep(weights: Map[String, Double],
+      defaultFrac: Double = 0.0): org.apache.spark.sql.Column = {
     // threshold in parts-per-million; floor keeps fractions exact
     def ppm(f: Double): Long = math.floor(f * 1e6).toLong
     val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(ppm(defaultFrac))) {
@@ -247,13 +251,23 @@ object TextOps {
     // (doc_id % p) < p ≈ 1e9+7, and p * 2654435761 ≈ 2.66e18 < 2^63.
     // (A bare doc_id * 2654435761 overflows at doc_id ≈ 3.5e9 — ANSI
     // mode aborts the query, legacy mode wraps negative and diverges
-    // from the oracle's %.) Same exact arithmetic on both engines.
+    // from the oracle's %.) abs() first: Spark's pmod is always
+    // non-negative while the oracle's % follows the dividend's sign, so
+    // a NEGATIVE doc_id would silently get a different keep decision
+    // per engine — on |id| the two operators coincide and the identical
+    // arithmetic runs on both sides. (Long.MinValue has no positive
+    // abs; ANSI mode rejects it loudly, and real corpora don't issue
+    // that id.)
     val p = 1000000007L
-    val h = pmod(pmod(col("doc_id"), lit(p)) * lit(2654435761L), lit(p))
-    docs.filter(pmod(h, lit(1000000L)) < thr)
+    val h = pmod(pmod(abs(col("doc_id")), lit(p)) * lit(2654435761L), lit(p))
+    pmod(h, lit(1000000L)) < thr
+  }
+
+  def mixSample(docs: DataFrame, weights: Map[String, Double],
+      defaultFrac: Double = 0.0): DataFrame =
+    docs.filter(mixKeep(weights, defaultFrac))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
-  }
 
   /** The mixing query shape: all of src0, half of src1, 10% of the
     * rest. */

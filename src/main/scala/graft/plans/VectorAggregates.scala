@@ -65,10 +65,16 @@ case class VectorSum(
   override def eval(buf: Array[Double]): Any =
     if (buf == null) null else new GenericArrayData(buf)
 
+  // one tag byte ahead of the payload: a group whose rows are ALL
+  // zero-length arrays holds a zero-length (non-null) buffer, which a
+  // bare empty-bytes encoding would collapse into the null (no input)
+  // case after a shuffle-exchanged partial — the no-shuffle path
+  // returns an empty array for it, and the two paths must agree
   override def serialize(buf: Array[Double]): Array[Byte] =
     if (buf == null) Array.emptyByteArray
     else {
-      val bb = ByteBuffer.allocate(buf.length * 8)
+      val bb = ByteBuffer.allocate(1 + buf.length * 8)
+      bb.put(1: Byte)
       var i = 0
       while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
       bb.array()
@@ -78,7 +84,8 @@ case class VectorSum(
     if (bytes.isEmpty) null
     else {
       val bb = ByteBuffer.wrap(bytes)
-      val out = new Array[Double](bytes.length / 8)
+      bb.get() // non-null tag
+      val out = new Array[Double]((bytes.length - 1) / 8)
       var i = 0
       while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
       out

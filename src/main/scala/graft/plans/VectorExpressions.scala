@@ -230,10 +230,24 @@ case class PqAdc(left: Expression, right: Expression)
     val table = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    // an empty code array would divide by zero deep in eval, and a table
+    // that isn't an m-multiple silently reads the WRONG slot and returns
+    // a plausible distance — both fail here naming the function
+    if (m == 0 || table.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: table length ${table.numElements()} must be a " +
+          s"positive multiple of the code length $m")
     val k = table.numElements() / m
     var s = 0.0
     var j = 0
-    while (j < m) { s += table.getDouble(j * k + codes.getInt(j)); j += 1 }
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code id $c at subspace $j out of range [0, $k)")
+      s += table.getDouble(j * k + c)
+      j += 1
+    }
     s
   }
 
@@ -243,8 +257,16 @@ case class PqAdc(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val k = ctx.freshName("k")
       val s = ctx.freshName("s")
+      // same shape guard as the interpreted path (two int ops per ROW,
+      // not per subspace — the hot loop stays branch-light; the per-id
+      // bounds check is interpreted-only, where eval cost already
+      // dwarfs it)
       s"""
         int $m = $b.numElements();
+        if ($m == 0 || $a.numElements() % $m != 0)
+          throw new IllegalArgumentException(
+            "graft_pq_adc: table length " + $a.numElements() +
+            " must be a positive multiple of the code length " + $m);
         int $k = $a.numElements() / $m;
         double $s = 0.0;
         for (int $j = 0; $j < $m; $j++) {

@@ -127,17 +127,26 @@ class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long,
         files += ((st.getPath.toString, st.getLen))
     }
     list(root)
-    // greedy first-fit pack by descending size: bounds partition bytes
+    // greedy SEQUENTIAL fill by descending size: bounds partition bytes
     // while keeping task count ~ totalBytes / maxPartitionBytes — a
-    // million-fragment archive does not become a million tasks
-    val bins = ArrayBuffer.empty[(ArrayBuffer[String], Long)]
+    // million-fragment archive does not become a million tasks. A bin
+    // closes as soon as the next (no-larger) file doesn't fit, so
+    // planning is the O(n log n) sort — the earlier first-fit scanned
+    // every open bin per file (O(files × bins) ≈ 1e10 comparisons at
+    // the scaladoc's 1e6-file archive: a multi-minute single-threaded
+    // driver stall before the first task launched). Oversized single
+    // files still get a bin of their own.
+    val bins = ArrayBuffer.empty[Array[String]]
+    val cur = ArrayBuffer.empty[String]
+    var curLen = 0L
     files.sortBy(-_._2).foreach { case (f, len) =>
-      bins.indexWhere(_._2 + len <= maxPartitionBytes) match {
-        case -1 => bins += ((ArrayBuffer(f), len))
-        case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + len))
+      if (cur.nonEmpty && curLen + len > maxPartitionBytes) {
+        bins += cur.toArray; cur.clear(); curLen = 0L
       }
+      cur += f; curLen += len
     }
-    bins.map(b => EbmlInputPartition(b._1.toArray): InputPartition).toArray
+    if (cur.nonEmpty) bins += cur.toArray
+    bins.map(b => EbmlInputPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

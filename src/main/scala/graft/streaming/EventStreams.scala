@@ -169,6 +169,19 @@ object EventStreams {
       .select(col("doc_id"), col("n_hits"))
   }
 
+  /** F8 streaming twin — deterministic domain mixing as docs ARRIVE:
+    * the keep decision is the SAME pure per-row predicate as the batch
+    * operator (TextOps.mixKeep — a Knuth hash of doc_id against a
+    * per-source threshold), so this is the second stateless streaming
+    * hygiene gate next to [[decontaminateStream]]: a projection +
+    * filter, append mode, NO state store, no watermark, no shuffle.
+    * Batch and stream provably agree row for row because they share
+    * the predicate builder. */
+  def mixSampleStream(docs: DataFrame, weights: Map[String, Double],
+      defaultFrac: Double = 0.0): DataFrame =
+    docs.filter(graft.operators.TextOps.mixKeep(weights, defaultFrac))
+      .select(col("doc_id"), col("source"))
+
   final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
   final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
 

@@ -89,4 +89,29 @@ class EventOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"nested-loop range join in:\n$plan")
   }
+
+  test("range join loudly rejects a pathological interval/chunk ratio") {
+    import spark.implicits._
+    val points = Seq((1L, 500L)).toDF("event_id", "pt")
+    val yearMs = 365L * 24 * 3600 * 1000
+    val hostile = Seq((1L, 0L, yearMs)).toDF("iv_id", "start_ms", "end_ms")
+    // a year-long interval at 1-minute chunks is ~526k explode rows —
+    // past the default cap, so the job must FAIL naming the operator
+    // and the fix, not silently inflate the interval side
+    val e = intercept[Throwable] {
+      EventOps.rangeJoin(points, "pt", hostile, chunkMs = 60000L).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("rangeJoin")), s"rejection does not name rangeJoin: $e")
+    // the documented remedies both work: chunkMs sized to the span...
+    val ok = EventOps.rangeJoin(points, "pt", hostile, chunkMs = 3600000L)
+      .collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("iv_id") == 1L)
+    // ...or consciously raising the cap for an intended explode factor
+    val raised = EventOps.rangeJoin(points, "pt", hostile,
+      chunkMs = 60000L, maxChunksPerInterval = 1000000L).collect()
+    assert(raised.length == 1)
+  }
 }

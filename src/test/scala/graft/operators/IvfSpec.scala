@@ -65,6 +65,25 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("vector-sum of all-empty-array groups survives the exchange as empty, not null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    // a group whose rows are all zero-length arrays holds a zero-length
+    // buffer; with the old empty-bytes encoding the shuffle-exchanged
+    // partial deserialized back to null, so the same query answered
+    // empty-array without a shuffle and NULL with one (round-4 advice)
+    val rows = Seq((0L, Array.empty[Double]), (0L, Array.empty[Double]),
+      (1L, Array(1.0, 2.0)))
+    val got = rows.toDF("g", "v")
+      .repartition(4, col("g")) // force serialized partials across tasks
+      .groupBy("g").agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(0L).contains(Seq.empty[Double]),
+      s"all-empty group collapsed to ${got(0L)} after the exchange")
+    assert(got(1L).contains(Seq(1.0, 2.0)))
+  }
+
   test("ivf assignment scans the corpus exactly twice end to end") {
     // one pass materializes the Lloyd working set (persisted across
     // iterations), one pass computes the returned assignment — the

@@ -193,6 +193,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("pq and ivf+pq candidate windows keep rank-limit pushdown") {
+    // the `crnk <= rerank` window over the full compressed scan is
+    // exactly where a silent optimizer change would reintroduce a
+    // global sort at scale — pin WindowGroupLimit for BOTH windows
+    // (candidate generation + exact re-rank), like the E1/tf-idf pins
+    for ((name, df) <- Seq(
+        "pq_topk" -> Similarity.pqTopK(t),
+        "ivfpq_topk" -> Similarity.ivfPqTopK(t))) {
+      df.collect() // finalize the adaptive plan
+      val plan = planOf(df)
+      val limits = plan.split("WindowGroupLimit").length - 1
+      assert(limits >= 2,
+        s"$name: expected rank-limit pushdown on candidate AND re-rank windows, saw $limits:\n$plan")
+    }
+  }
+
   test("tf-idf keeps rank-limit pushdown and no nested-loop joins") {
     val df = graft.operators.TextOps.tfIdfTopTerms(t)
     df.collect()

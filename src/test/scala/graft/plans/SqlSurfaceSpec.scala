@@ -53,6 +53,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(assign == Seq(1, 0), s"got $assign") // 0.9→cell1 (1.0), 5.1→cell0 (5.0)
   }
 
+  test("graft_pq_adc rejects malformed shapes loudly instead of misreading") {
+    VectorFunctions.register(spark)
+    def failsNaming(sql: String): Unit = {
+      val e = intercept[Throwable] { spark.sql(sql).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("graft_pq_adc")),
+        s"error does not name graft_pq_adc: $e")
+    }
+    // empty code array: previously ArithmeticException from a division
+    // deep in eval with no function name
+    failsNaming("SELECT graft_pq_adc(array(0D,1D), cast(array() as array<int>))")
+    // table not a multiple of m: previously a silent wrong-slot read
+    // returning a plausible distance
+    failsNaming("SELECT graft_pq_adc(array(0D,1D,2D), array(0, 1))")
+    // out-of-range code id (interpreted-path bounds check)
+    failsNaming("SELECT graft_pq_adc(array(0D,1D,2D,3D), array(7))")
+  }
+
   test("an analytics query expressed in SQL matches its DataFrame twin") {
     t.orders.createOrReplaceTempView("orders_v")
     val viaSql = spark.sql(

@@ -147,6 +147,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming domain mixing keeps the same rows as batch, statelessly (F8 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5)
+    val docs = (0L until 200L).map(d => (d, s"src${d % 3}"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.mixSampleStream(
+        input.toDF().toDF("doc_id", "source"), weights, defaultFrac = 0.1)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(120): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(120): _*) // batch boundaries must not matter
+      query.processAllAvailable()
+      val streamed = spark.sql("select doc_id, source from mix_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // stateless hygiene gate: no state store, like decontaminateStream
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // agreement with the batch operator on the same rows — shared
+      // predicate builder, so this pins the wiring, not luck
+      val batch = graft.operators.TextOps.mixSample(
+          docs.toDF("doc_id", "source"), weights, defaultFrac = 0.1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        "fixture must exercise both keep and drop")
+      // all of src0 kept — the mixture semantics, not just determinism
+      assert(docs.filter(_._2 == "src0").forall(d => streamed.contains(d)))
+    } finally query.stop()
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
