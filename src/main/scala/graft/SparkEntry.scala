@@ -128,6 +128,16 @@ object SparkEntry {
     // of surfaced cosines + ADC kernel equivalence)
     "pq_topk" -> ((s, d) => Similarity.pqTopK(tables(s, d))),
     "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(tables(s, d))),
+    // the DEPLOYMENT shape: search-only against a persisted index
+    // (fit once into tmpdir, marker-gated like the ebml archive) —
+    // rows-only; IvfSpec pins result equality with ivfpq_topk, the
+    // zero-fit-job property, and the codes-only scan
+    "ivfpq_search_prefit" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = VectorIndex.materialize(t, d)
+      VectorIndex.searchTopK(t.embeddings,
+        Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10), dir)
+    }),
     // chunked range join (Spark has no native one; naive is a BNLJ)
     "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),

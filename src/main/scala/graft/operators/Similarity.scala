@@ -166,7 +166,7 @@ object Similarity {
     * kept — the query-side routing of IVF search. Same codegen distance
     * arithmetic as [[nearestCentroid]]; array_sort on (d, cid) structs
     * orders lexicographically, so ties go to the lowest cid. */
-  private def probeCells(cs: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.Column =
+  private[operators] def probeCells(cs: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.Column =
     transform(slice(array_sort(array(cellStructs(cs): _*)), 1, nprobe),
       s => s.getField("cid"))
 
@@ -178,20 +178,32 @@ object Similarity {
     * query scans nprobe/kCells of the corpus instead of all of it.
     * Rows-only oracle; SimilaritySpec measures recall@5 vs brute. */
   def ivfTopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5): DataFrame =
+    ivfTopKOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10),
+      k, kCells, nprobe, iters)
+
+  /** Library form over an arbitrary query frame — the [[annLshTopKOf]]
+    * contract: `queries` carries (vec_id, v, norm), typically a
+    * [[withNorm]] projection of any vector set. A query sharing a
+    * vec_id with a corpus row is treated as that row and excluded from
+    * its own neighbors; external query sets should use ids outside the
+    * corpus id space. The coarse quantizer is fit on the CORPUS only —
+    * queries route through the fitted model without influencing it. */
+  def ivfTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      kCells: Int = 8, nprobe: Int = 3, iters: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val vecs = withNorm(t.embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
-    val corpus = vecs
+    val corpusCells = vecs
       .withColumn("cell", nearestCentroid(centroids).getField("cid"))
       .select(col("cell"), col("vec_id").as("n_id"),
         col("v").as("v_n"), col("norm").as("norm_n"))
-    val q = vecs.filter(col("vec_id") < 10)
+    val q = queries
       .withColumn("cell", explode(probeCells(centroids, nprobe)))
       .select(col("cell"), col("vec_id").as("q_id"),
         col("v").as("v_q"), col("norm").as("norm_q"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val out = broadcast(q).join(corpus, "cell")
+    val out = broadcast(q).join(corpusCells, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         call_function("graft_dot", col("v_q"), col("v_n")) /
@@ -317,51 +329,87 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  def pqTopK(t: Tables, k: Int = 5, m: Int = 8, kCells: Int = 16,
-      iters: Int = 5, rerank: Int = 100): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = t.embeddings.sparkSession
-    val vecs = withNorm(t.embeddings)
+  /** Corpus frame with (vec_id, v, norm, u) — u the unit vector every
+    * PQ path quantizes (on units, L2 order ⇔ cosine order). */
+  private[operators] def unitized(corpus: DataFrame): DataFrame =
+    withNorm(corpus)
       .withColumn("u", call_function("graft_vec_scale", col("v"),
         lit(1.0) / sqrt(col("norm"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Query-side ADC table against one codebook: entry (j, c) =
+    * ‖q_j − cen_j − codebook_j(c)‖² over the subspace, with `cen = null`
+    * for flat (non-residual) PQ. ONE definition serves the inline
+    * operators and the prefit-index search so their arithmetic is
+    * bit-identical. */
+  private[operators] def adcTableOf(qu: Array[Double], cen: Array[Double],
+      model: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = model.length
+    val kc = model(0).length
+    val sub = model(0)(0).length
+    val tbl = new Array[Double](m * kc)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < kc) {
+        var d = 0.0; var x = 0
+        while (x < sub) {
+          val base =
+            if (cen == null) qu(j * sub + x)
+            else qu(j * sub + x) - cen(j * sub + x)
+          val r = base - model(j)(c)(x)
+          d += r * r; x += 1
+        }
+        tbl(j * kc + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    tbl
+  }
+
+  /** Driver-side unit query vectors from a (vec_id, v, norm) frame —
+    * the ADC-table inputs. The QUERY set is collected (m×kCells doubles
+    * of table per query), never the corpus: the contract is interactive
+    * batch-sized query sets, like [[rerankExact]]'s broadcast. */
+  private def unitQueryRows(queries: DataFrame): Array[(Long, Array[Double])] =
+    queries.select(col("vec_id"),
+        call_function("graft_vec_scale", col("v"),
+          lit(1.0) / sqrt(col("norm"))).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def pqTopK(t: Tables, k: Int = 5, m: Int = 8, kCells: Int = 16,
+      iters: Int = 5, rerank: Int = 100): DataFrame =
+    pqTopKOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10),
+      k, m, kCells, iters, rerank)
+
+  /** Library form of E4 over an arbitrary (vec_id, v, norm) query frame
+    * (the [[ivfTopKOf]] contract and id-space caveat). Codebooks are fit
+    * on the CORPUS only. */
+  def pqTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      m: Int = 8, kCells: Int = 16, iters: Int = 5,
+      rerank: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    val vecs = unitized(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val dim = vecs.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
-    val sub = dim / m
     val model = pqModel(vecs.select(col("vec_id"), col("u").as("v")), dim, m, kCells, iters)
     // compressed corpus: only (vec_id, codes) flows into the first-pass
     // scan — at scale this is the table you PERSIST, 64× smaller than
     // the embeddings
     val codes = vecs.select(col("vec_id").as("n_id"),
       pqCodeCol(model).as("codes"))
-    // query-side ADC tables: model-sized driver work (10 × m × kCells)
-    val qRows = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("u")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val qTables = qRows.map { case (qid, qu) =>
-      val tbl = new Array[Double](m * kCells)
-      var j = 0
-      while (j < m) {
-        var c = 0
-        while (c < kCells) {
-          var d = 0.0; var x = 0
-          while (x < sub) {
-            val diff = qu(j * sub + x) - model(j)(c)(x); d += diff * diff; x += 1
-          }
-          tbl(j * kCells + c) = d
-          c += 1
-        }
-        j += 1
-      }
-      (qid, tbl.toSeq)
-    }
+    // query-side ADC tables: model-sized driver work (|Q| × m × kCells)
+    val qRows = unitQueryRows(queries)
     import spark.implicits._
-    val queries = qRows.map(_._1).zip(qTables.map(_._2)).toSeq
-      .toDF("q_id", "tbl")
+    val queriesDf = qRows.map { case (qid, qu) =>
+      (qid, adcTableOf(qu, null, model).toSeq)
+    }.toSeq.toDF("q_id", "tbl")
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
     // pass 1: compressed scan — broadcast the queries+tables, one
     // codegen lookup loop per (query, row)
-    val cand = codes.crossJoin(broadcast(queries))
+    val cand = codes.crossJoin(broadcast(queriesDf))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", call_function("graft_pq_adc", col("tbl"), col("codes")))
       .withColumn("crnk", row_number().over(w))
@@ -369,8 +417,7 @@ object Similarity {
       .select("q_id", "n_id")
     // pass 2: exact cosine re-rank on the tiny candidate set only
     val out = rerankExact(cand,
-      vecs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
       vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
       k)
     vecs.unpersist(blocking = false) // model + codes derive once more at materialization
@@ -390,16 +437,28 @@ object Similarity {
     * surfaced scores are exact. Rows-only; spec measures recall@5. */
   def ivfPqTopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
       m: Int = 8, pqCells: Int = 16, iters: Int = 5,
-      rerank: Int = 100): DataFrame = {
+      rerank: Int = 100): DataFrame =
+    ivfPqTopKOf(t.embeddings,
+      withNorm(t.embeddings).filter(col("vec_id") < 10),
+      k, kCells, nprobe, m, pqCells, iters, rerank)
+
+  /** The fitted IVF+PQ artifact: coarse centroids, residual codebooks,
+    * and the compressed corpus frame (cell, n_id, codes). `residuals`
+    * is the persisted working frame backing `codes` — the caller
+    * releases it once codes are materialized (or the plan escapes). */
+  private[operators] final case class IvfPqFit(
+      coarse: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]],
+      codes: DataFrame,
+      residuals: DataFrame)
+
+  /** Fit coarse + residual-PQ models over a [[unitized]] (persisted)
+    * corpus frame. ONE definition serves the inline operator and the
+    * persisted index ([[VectorIndex.fit]]) so a reloaded artifact
+    * reproduces the inline search bit for bit. */
+  private[operators] def fitIvfPq(vecs: DataFrame, dim: Int, kCells: Int,
+      m: Int, pqCells: Int, iters: Int): IvfPqFit = {
     import org.apache.spark.storage.StorageLevel
-    val spark = t.embeddings.sparkSession
-    val vecs = withNorm(t.embeddings)
-      .withColumn("u", call_function("graft_vec_scale", col("v"),
-        lit(1.0) / sqrt(col("norm"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dim = vecs.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
-    val sub = dim / m
     // coarse quantizer over unit vectors (L2 on units ⇔ cosine order)
     val unitF = vecs.select(col("vec_id"), col("u").as("v"),
       call_function("graft_norm2", col("u")).as("norm"))
@@ -419,52 +478,74 @@ object Similarity {
     val codes = withRes.select(col("cell"), col("vec_id").as("n_id"),
       call_function("graft_pq_assign", col("res"),
         typedLit(flatModel(model).toSeq), lit(m)).as("codes"))
+    IvfPqFit(coarse, model, codes, withRes)
+  }
+
+  /** The routed compressed SEARCH over a (cell, n_id, codes) frame with
+    * driver-held models — shared by the inline operator (codes fresh
+    * from the fit) and the prefit-index search (codes read back from
+    * parquet). `queries`/`corpus` carry (vec_id, v, norm);
+    * `pruneCells = true` pre-filters the codes frame to the probed
+    * cells driver-side, which on a cell-partitioned codes TABLE becomes
+    * parquet partition pruning — the scan physically reads only
+    * nprobe/kCells of the archive. */
+  private[operators] def ivfPqSearchStage(codes: DataFrame,
+      coarse: Array[Array[Double]], model: Array[Array[Array[Double]]],
+      queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      rerank: Int, pruneCells: Boolean = false): DataFrame = {
+    val spark = codes.sparkSession
     // query routing + per-(query, cell) residual ADC tables: driver
-    // work over 10 queries × nprobe cells × m × pqCells doubles
-    val qRows = unitF.filter(col("vec_id") < 10)
+    // work over |Q| queries × nprobe cells × m × pqCells doubles
+    val qUnit = queries.select(col("vec_id"),
+        call_function("graft_vec_scale", col("v"),
+          lit(1.0) / sqrt(col("norm"))).as("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+    val qRows = qUnit
       .withColumn("probes", probeCells(coarse, nprobe))
       .select(col("vec_id"), col("v"), col("probes")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
         r.getSeq[Int](2).toArray))
     val routed = qRows.flatMap { case (qid, qu, probes) =>
-      probes.map { cell =>
-        val cen = coarse(cell)
-        val tbl = new Array[Double](m * pqCells)
-        var j = 0
-        while (j < m) {
-          var c = 0
-          while (c < pqCells) {
-            var d = 0.0; var x = 0
-            while (x < sub) {
-              val r = (qu(j * sub + x) - cen(j * sub + x)) - model(j)(c)(x)
-              d += r * r; x += 1
-            }
-            tbl(j * pqCells + c) = d
-            c += 1
-          }
-          j += 1
-        }
-        (qid, cell, tbl.toSeq)
-      }
+      probes.map(cell => (qid, cell, adcTableOf(qu, coarse(cell), model).toSeq))
     }
     import spark.implicits._
-    val queries = routed.toSeq.toDF("q_id", "cell", "tbl")
+    val queriesDf = routed.toSeq.toDF("q_id", "cell", "tbl")
+    val codesIn =
+      if (pruneCells) codes.filter(col("cell").isin(routed.map(_._2).distinct.toSeq: _*))
+      else codes
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
     // pass 1: compressed routed scan — join on the CELL key, queries
     // broadcast: a query reads only its nprobe cells' codes
-    val cand = codes.join(broadcast(queries), "cell")
+    val cand = codesIn.join(broadcast(queriesDf), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", call_function("graft_pq_adc", col("tbl"), col("codes")))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= rerank)
       .select("q_id", "n_id")
     // pass 2: exact cosine re-rank of the candidates only
-    val out = rerankExact(cand,
-      vecs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
-      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+    rerankExact(cand,
+      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      corpus.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
       k)
-    withRes.unpersist(blocking = false) // models frozen
+  }
+
+  /** Library form of E4b over an arbitrary (vec_id, v, norm) query
+    * frame (the [[ivfTopKOf]] contract and id-space caveat). Models are
+    * fit INLINE per materialization — the self-contained bench shape;
+    * the deployment shape (fit once, search many) is
+    * [[VectorIndex]]. */
+  def ivfPqTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      kCells: Int = 8, nprobe: Int = 3, m: Int = 8, pqCells: Int = 16,
+      iters: Int = 5, rerank: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = unitized(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
+    val fit = fitIvfPq(vecs, dim, kCells, m, pqCells, iters)
+    val out = ivfPqSearchStage(fit.codes, fit.coarse, fit.codebook,
+      queries, vecs.select(col("vec_id"), col("v"), col("norm")),
+      k, nprobe, rerank)
+    fit.residuals.unpersist(blocking = false) // models frozen
     vecs.unpersist(blocking = false) // the plan re-derives once
     out
   }

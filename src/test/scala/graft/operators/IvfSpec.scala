@@ -84,6 +84,105 @@ class IvfSpec extends SparkSpec {
     assert(got(1L).contains(Seq(1.0, 2.0)))
   }
 
+  test("prefit index search equals the inline ivf+pq search row for row") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_eq").toString
+    VectorIndex.fit(t.embeddings, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inline = rows(Similarity.ivfPqTopK(t))
+    val prefit = rows(VectorIndex.searchTopK(t.embeddings,
+      Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10), dir))
+    // same params, same fit code, doubles round-tripped through parquet
+    // bit-exactly → identical results, not merely similar recall
+    assert(prefit == inline)
+  }
+
+  test("prefit search launches zero fit jobs and a fit-independent job count") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val groups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).flatMap(Option(_))
+        groups.add(g.getOrElse(""))
+      }
+    }
+    // listener delivery is async: poll until the seen-job count is
+    // stable for a while before reading it
+    def settle(): Seq[String] = {
+      var last = -1
+      var same = 0
+      while (same < 5) {
+        Thread.sleep(100)
+        val n = groups.size()
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      groups.asScala.toSeq
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // two indexes fit at different Lloyd budgets: fit cost scales
+      // with iters, search cost must NOT — that asymmetry IS the
+      // fit/search split
+      val dirA = java.nio.file.Files.createTempDirectory("graft_idx_a").toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft_idx_b").toString
+      VectorIndex.fit(t.embeddings, dirA, iters = 1)
+      VectorIndex.fit(t.embeddings, dirB, iters = 5)
+      val fitJobs = settle()
+      assert(fitJobs.count(_ == VectorIndex.FitJobGroup) > 0,
+        "fit jobs must carry the fit job group")
+      val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
+      groups.clear()
+      VectorIndex.searchTopK(t.embeddings, q, dirA)
+        .write.format("noop").mode("overwrite").save()
+      val searchA = settle()
+      groups.clear()
+      VectorIndex.searchTopK(t.embeddings, q, dirB)
+        .write.format("noop").mode("overwrite").save()
+      val searchB = settle()
+      assert(searchA.nonEmpty && searchB.nonEmpty)
+      // ZERO fit-tagged jobs in the search path
+      assert(!searchA.exists(_ == VectorIndex.FitJobGroup),
+        s"search launched fit jobs: $searchA")
+      assert(!searchB.exists(_ == VectorIndex.FitJobGroup),
+        s"search launched fit jobs: $searchB")
+      // job count independent of the fit budget (iters=1 vs 5), and a
+      // small constant — not a hidden re-fit
+      info(s"search job counts: A=${searchA.size}, B=${searchB.size}")
+      assert(searchA.size == searchB.size,
+        s"search job count tracks fit iters: ${searchA.size} vs ${searchB.size}")
+      // 18 observed: 2 model-table collects, the query collect, and the
+      // AQE stage jobs of the routed scan + window + 2-join re-rank —
+      // each a constant of the PLAN, none scaling with the fit budget
+      assert(searchA.size <= 24, s"search path launched ${searchA.size} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("adc-only prefit search scans only the codes table") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_adc").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
+    val df = VectorIndex.searchAdc(q, dir)
+    val out = df.collect()
+    assert(out.nonEmpty && out.forall(_.getLong(1) <= 5L))
+    // the model tables are driver-held constants and there is no exact
+    // re-rank: every file scan in the plan reads the codes table, never
+    // the raw embeddings or the model tables
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans.nonEmpty, s"no file scans found in:\n$plan")
+    assert(scans.forall(_.contains("codes")),
+      s"non-codes scan in adc search:\n${scans.mkString("\n")}")
+    assert(!plan.contains("embeddings.parquet") &&
+      !plan.contains("centroids") && !plan.contains("codebook"),
+      s"adc search reads beyond the codes table:\n$plan")
+  }
+
   test("ivf assignment scans the corpus exactly twice end to end") {
     // one pass materializes the Lloyd working set (persisted across
     // iterations), one pass computes the returned assignment — the

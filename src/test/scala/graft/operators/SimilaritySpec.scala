@@ -119,6 +119,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Driver-side brute cosine top-k for EXTERNAL query vectors — the
+    * ground truth the *Of library forms are measured against. */
+  private def bruteOf(queries: Seq[(Long, Array[Double])], k: Int = 5): Set[(Long, Long)] = {
+    val corpus = t.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queries.flatMap { case (qid, qv) =>
+      corpus.map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k).map(p => (qid, p._1))
+    }.toSet
+  }
+
+  /** External query frame: corpus vectors 0-4 copied under fresh ids
+    * outside the corpus id space (the *Of contract). */
+  private def externalQueries = {
+    import org.apache.spark.sql.functions._
+    Similarity.withNorm(t.embeddings)
+      .filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+  }
+
+  private def externalQueryVecs: Seq[(Long, Array[Double])] =
+    t.embeddings.collect()
+      .filter(_.getLong(0) < 5)
+      .map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+  test("ivf top-k accepts external query vectors (ids outside the corpus)") {
+    val got = topk(Similarity.ivfTopKOf(t.embeddings, externalQueries))
+    val brute = bruteOf(externalQueryVecs)
+    assert(got.nonEmpty)
+    // each external copy of corpus vector i must find i itself (cos 1.0
+    // routes to i's own cell), and overall recall vs the driver-side
+    // brute ground truth must clear the operator's floor
+    (0 until 5).foreach { i =>
+      assert(got.contains((1000000L + i, i.toLong)), s"query $i lost its origin")
+    }
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"external-query ivf recall@5 = $recall")
+    assert(recall >= 0.6)
+  }
+
+  test("pq top-k accepts external query vectors (ids outside the corpus)") {
+    val got = topk(Similarity.pqTopKOf(t.embeddings, externalQueries))
+    val brute = bruteOf(externalQueryVecs)
+    assert(got.nonEmpty)
+    (0 until 5).foreach { i =>
+      assert(got.contains((1000000L + i, i.toLong)), s"query $i lost its origin")
+    }
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"external-query pq recall@5 = $recall")
+    assert(recall >= 0.6)
+  }
+
+  test("ivf+pq top-k accepts external query vectors (ids outside the corpus)") {
+    val got = topk(Similarity.ivfPqTopKOf(t.embeddings, externalQueries))
+    val brute = bruteOf(externalQueryVecs)
+    assert(got.nonEmpty)
+    (0 until 5).foreach { i =>
+      assert(got.contains((1000000L + i, i.toLong)), s"query $i lost its origin")
+    }
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"external-query ivf+pq recall@5 = $recall")
+    assert(recall >= 0.6)
+  }
+
   test("lsh candidate stage dedups via first-agree arithmetic, not distinct()") {
     // the only aggregates allowed in the plan are none at all: candidate
     // dedup is the carried-buckets filter, top-k is a window — a
