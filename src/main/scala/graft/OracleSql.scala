@@ -1,0 +1,142 @@
+package graft
+
+/** DuckDB twins for the SKETCH queries — generated SQL that reproduces
+  * the graft splitmix64 hash family (`graft.functions.Hashing`) in pure
+  * DuckDB arithmetic, promoting dedup_minhash and dedup_simhash from
+  * rows-only to hash-exact oracle checks: the oracle recomputes the
+  * IDENTICAL band signatures / fingerprints from the raw text, so the
+  * driver's value-hash compare pins every mix constant, byte order, and
+  * tie rule of the Scala kernels (SketchExpressions.scala).
+  *
+  * Why generated: DuckDB has no wrap-around 64-bit multiply (BIGINT and
+  * UBIGINT both raise on overflow), so each `mix64` application expands
+  * to split 32×32 multiplies recombined mod 2^64 through HUGEINT — ~700
+  * chars of SQL per application, applied per hash step. Hand-writing
+  * that is unreviewable; this builder mirrors `Hashing.mix64` /
+  * `Hashing.hashString` line for line instead.
+  *
+  * Correspondence contract (validated against the JVM kernels on the
+  * sf0.001 corpus — full candidate-set equality both ways):
+  *   - values live in UBIGINT; Java's signed Long is the same 64 bits,
+  *     so xor/shift/add/multiply agree bit for bit;
+  *   - Java's SIGNED `<` min (SketchKernels.bandSigsOf) = unsigned min
+  *     over sign-flipped values: xor with 2^63 before min, xor after;
+  *   - `>>` on UBIGINT is a logical shift = Java's `>>>`;
+  *   - [a-z]+ tokens are ASCII, so `ascii(substring(tok, i, 1))` IS the
+  *     UTF-8 byte `hashString` consumes (little-endian 8-byte blocks).
+  */
+private[graft] object OracleSql {
+
+  // splitmix64 constants as unsigned decimals (Scala hex longs are the
+  // same bits; BigInt keeps the text unsigned for SQL literals)
+  private val C1 = BigInt("9e3779b97f4a7c15", 16)
+  private val C2 = BigInt("bf58476d1ce4e5b9", 16)
+  private val C3 = BigInt("94d049bb133111eb", 16)
+  private val HashInit = BigInt("517cc1b727220a95", 16)
+  private val SignBit = BigInt(1) << 63
+  private val TwoTo64 = BigInt(1) << 64
+
+  // fresh lambda-variable names: the "let" trick binds a subexpression
+  // once via a single-element list lambda, and nested lets must not
+  // shadow each other
+  private var n = 0
+  private def fresh(p: String): String = { n += 1; s"$p$n" }
+
+  private def let(e: String)(body: String => String): String = {
+    val v = fresh("v")
+    s"list_transform([$e], $v -> ${body(v)})[1]"
+  }
+
+  /** (e * b) mod 2^64 on UBIGINT without overflow: split multiplies —
+    * lo×lo fits UBIGINT outright; the two 32-bit cross terms are masked
+    * to their low 32 bits (only those survive mod 2^64 after the <<32)
+    * and recombined through HUGEINT. */
+  private def mulmod(e: String, b: BigInt): String = {
+    val bl = b & BigInt("ffffffff", 16)
+    val bh = b >> 32
+    let(e) { y =>
+      s"(((($y & 4294967295) * $bl::UBIGINT)::HUGEINT + " +
+        s"(((((($y & 4294967295) * $bh::UBIGINT) & 4294967295) + " +
+        s"((($y >> 32) * $bl::UBIGINT) & 4294967295)) & 4294967295)::HUGEINT " +
+        s"* 4294967296)) % $TwoTo64)::UBIGINT"
+    }
+  }
+
+  private def xorShift(e: String, s: Int): String =
+    let(e)(z => s"xor($z, $z >> $s)")
+
+  private def addmod(e: String, c: BigInt): String =
+    s"(($e::HUGEINT + $c) % $TwoTo64)::UBIGINT"
+
+  /** Hashing.mix64 verbatim: z += C1; z = (z^(z>>>30))*C2;
+    * z = (z^(z>>>27))*C3; z^(z>>>31). */
+  private def mix64(e: String): String =
+    xorShift(mulmod(xorShift(mulmod(xorShift(addmod(e, C1), 30), C2), 27), C3), 31)
+
+  /** Hashing.hashString over an ASCII token column: little-endian
+    * 8-byte blocks folded through mix64 from the length-seeded init. */
+  private def hashToken(t: String): String = {
+    val block = (0 until 8).map { j =>
+      s"CASE WHEN bi*8+$j < length($t) THEN " +
+        s"ascii(substring($t, bi*8+$j+1, 1))::UBIGINT * ${BigInt(1) << (8 * j)}::UBIGINT " +
+        s"ELSE 0::UBIGINT END"
+    }.mkString("(", " + ", ")")
+    val blocks = s"list_transform(range(((length($t)+7)//8)::INT), bi -> $block)"
+    val init = s"xor($HashInit::UBIGINT, length($t)::UBIGINT)"
+    val acc = fresh("h")
+    val blk = fresh("b")
+    s"list_reduce(list_prepend($init, $blocks), ($acc, $blk) -> ${mix64(s"xor($acc, $blk)")})"
+  }
+
+  /** dedup_minhash: the EXACT candidate set of Dedup.minhashCandidates —
+    * per-doc 40 seeded min-hashes (signed min via the sign-flip trick)
+    * folded into 4 band signatures of 10 rows (the foldBands rule:
+    * acc = band index, then acc = mix64(acc ^ min) per row), pairs
+    * sharing any band. DISTINCT matches the operator's exactly-once
+    * first-agreeing-band emission. */
+  lazy val dedupMinhash: String = {
+    val seedMin = s"xor(min(xor(${mix64("xor(base, seed)")}, " +
+      s"$SignBit::UBIGINT)), $SignBit::UBIGINT)"
+    val folds = (0 until 4).map { b =>
+      val a = fresh("a")
+      val m = fresh("m")
+      s"list_reduce(list_prepend($b::UBIGINT, mins[${b * 10 + 1}:${b * 10 + 10}]), " +
+        s"($a, $m) -> ${mix64(s"xor($a, $m)")})"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+      FROM documents),
+    base AS (SELECT doc_id, ${hashToken("tok")} AS base FROM toks),
+    mins AS (SELECT doc_id, seed, $seedMin AS mn
+      FROM base CROSS JOIN (SELECT unnest(range(40))::UBIGINT AS seed)
+      GROUP BY doc_id, seed),
+    sigl AS (SELECT doc_id, list(mn ORDER BY seed) AS mins FROM mins GROUP BY doc_id),
+    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(4)) AS band FROM sigl)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b"""
+  }
+
+  /** dedup_simhash: the 7-band pigeonhole candidate generation is
+    * COMPLETE for Hamming <= 6, so the operator's output is exactly
+    * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated
+    * signature" — the oracle recomputes the signature (per-bit +1/-1
+    * vote over token hashes, bit set iff the vote is positive) and
+    * filters on bit_count directly, with no band machinery. */
+  lazy val dedupSimhash: String =
+    s"""WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+      FROM documents),
+    base AS (SELECT doc_id, ${hashToken("tok")} AS h FROM toks),
+    bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM base CROSS JOIN (SELECT unnest(range(64))::UBIGINT AS j)
+      GROUP BY doc_id, j),
+    sigs AS (SELECT doc_id,
+        sum(CASE WHEN cnt > 0 THEN (1::HUGEINT << j::INT) ELSE 0::HUGEINT END)::UBIGINT AS sig
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    ORDER BY id_a, id_b"""
+}

@@ -156,9 +156,40 @@ object SparkEntry {
   private val revenue = s"cast(sum($centsExt*(100-$centsDisc)) as bigint)"
   private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
-  /** DuckDB twins. Omitted for heuristic/LSH ops (rows-only check):
-    * dedup_minhash, dedup_simhash, ann_lsh_topk, lang_id. */
+  /** DuckDB twins. Omitted only where no deterministic SQL ground truth
+    * exists (sketch estimates, LSH bucketing, model fits): ann_lsh_topk,
+    * approx_distinct, approx_percentiles, ivf/pq searches, and the
+    * LSH-edge clustering composites. dedup_minhash and dedup_simhash ARE
+    * oracle-checked — their signatures are deterministic splitmix64
+    * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
+    * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
+    * is lang_id (stopword/charset counts with a fixed tie priority). */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> OracleSql.dedupMinhash,
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
+    // function-word hit counts, non-ASCII char count for zh, greatest()
+    // with the zh>en>es>fr>de tie priority, 'und' when all zero
+    "lang_id" ->
+      """WITH w AS (SELECT doc_id, lang,
+          regexp_extract_all(lower(text), '[a-z]+') AS toks,
+          cast(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) as bigint) AS zh
+        FROM documents),
+        s AS (SELECT doc_id, lang, zh,
+          cast(len(list_filter(toks, tk -> tk IN ('the','and','of','to','is'))) as bigint) AS en,
+          cast(len(list_filter(toks, tk -> tk IN ('el','la','de','que','los'))) as bigint) AS es,
+          cast(len(list_filter(toks, tk -> tk IN ('le','les','des','et','une'))) as bigint) AS fr,
+          cast(len(list_filter(toks, tk -> tk IN ('der','die','das','und','nicht'))) as bigint) AS de
+        FROM w)
+        SELECT doc_id,
+          CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+               WHEN zh = greatest(en, es, fr, de, zh) THEN 'zh'
+               WHEN en = greatest(en, es, fr, de, zh) THEN 'en'
+               WHEN es = greatest(en, es, fr, de, zh) THEN 'es'
+               WHEN fr = greatest(en, es, fr, de, zh) THEN 'fr'
+               ELSE 'de' END AS pred_lang,
+          lang AS true_lang
+        FROM s ORDER BY doc_id""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           cast(sum($centsQty) as bigint) AS sum_qty_c,

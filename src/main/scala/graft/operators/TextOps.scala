@@ -321,9 +321,11 @@ object TextOps {
   }
 
   /** F4 — heuristic language ID from function-word profiles + CJK charset.
-    * Rows-only oracle (heuristic has no SQL ground truth, and the corpus
-    * `lang` labels are synthetic noise); TextOpsSpec validates accuracy
-    * >= 0.9 on a fixture of real multilingual snippets via [[langIdOf]]. */
+    * Oracle-checked: the scoring is deterministic count arithmetic with a
+    * fixed tie priority, so the DuckDB twin recomputes the identical
+    * decision (the corpus `lang` labels are synthetic noise — ACCURACY is
+    * validated separately: TextOpsSpec asserts >= 0.9 on a fixture of
+    * real multilingual snippets via [[langIdOf]]). */
   def langId(t: Tables): DataFrame = langIdOf(docsSorted(t))
 
   /** The same scoring over any (doc_id, text, lang) frame. */
