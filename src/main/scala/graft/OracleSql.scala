@@ -117,6 +117,68 @@ private[graft] object OracleSql {
     ORDER BY id_a, id_b"""
   }
 
+  /** dedup_ngram_lsh: the EXACT output of Dedup.ngramLshPairs — one-
+    * permutation-minhash (OPH) banded candidates over the char-3-gram
+    * hash set, intersected with the true-Jaccard >= 0.9 filter the
+    * operator applies after its exact-kernel verification. Regenerated
+    * piece by piece:
+    *   - gram hash = mix64 of the 3 UTF-16 units packed into 48 bits
+    *     (Ngram3Kernel; ASCII corpus ⇒ ascii() IS the UTF-16 unit);
+    *   - 64 bins by the hash's top 6 bits, SIGNED min per bin (the
+    *     sign-flip trick), empty bins as NULL;
+    *   - rotation densification exactly as SketchKernels
+    *     .ophBandSigsLong: an empty bin borrows the nearest following
+    *     ORIGINALLY-non-empty bin's value, mixed with the borrow
+    *     distance (wrap-around Long add via HUGEINT);
+    *   - 8 band signatures of 8 bins via the foldBands rule;
+    *   - DISTINCT pairs sharing any band (the operator's exactly-once
+    *     first-agreeing-band emission), then the exact Jaccard over
+    *     STRING 3-gram sets (hash bijection ⇒ identical set sizes). */
+  lazy val dedupNgramLsh: String = {
+    val gramHash = mix64(
+      "(ascii(substring(text, i::INT, 1))::UBIGINT * 4294967296::UBIGINT" +
+        " + ascii(substring(text, (i+1)::INT, 1))::UBIGINT * 65536::UBIGINT" +
+        " + ascii(substring(text, (i+2)::INT, 1))::UBIGINT)")
+    val dist = "list_min(list_filter(range(1,64), " +
+      "dd -> mins[(((bb+dd)%64)+1)::INT] IS NOT NULL))"
+    val borrow = mix64(
+      s"(((mins[(((bb+d9)%64)+1)::INT]::HUGEINT + d9) % $TwoTo64)::UBIGINT)")
+    val denseElem =
+      s"CASE WHEN mins[(bb+1)::INT] IS NOT NULL THEN mins[(bb+1)::INT] " +
+        s"ELSE list_transform([$dist], d9 -> $borrow)[1] END"
+    val folds = (0 until 8).map { b =>
+      val a = fresh("a")
+      val m = fresh("m")
+      s"list_reduce(list_prepend($b::UBIGINT, dn[${b * 8 + 1}:${b * 8 + 8}]), " +
+        s"($a, $m) -> ${mix64(s"xor($a, $m)")})"
+    }.mkString("[", ", ", "]")
+    s"""WITH grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text)-1),
+        i -> $gramHash))) AS h
+      FROM documents WHERE length(text) >= 3),
+    bins AS (SELECT doc_id, (h >> 58) AS bin,
+        xor(min(xor(h, $SignBit::UBIGINT)), $SignBit::UBIGINT) AS mn
+      FROM grams GROUP BY doc_id, bin),
+    dids AS (SELECT DISTINCT doc_id FROM grams),
+    grid AS (SELECT doc_id, bin FROM dids
+      CROSS JOIN (SELECT unnest(range(64))::UBIGINT AS bin)),
+    slots AS (SELECT g.doc_id, g.bin, b.mn FROM grid g
+      LEFT JOIN bins b ON g.doc_id = b.doc_id AND g.bin = b.bin),
+    arr AS (SELECT doc_id, list(mn ORDER BY bin) AS mins FROM slots GROUP BY doc_id),
+    dense AS (SELECT doc_id, list_transform(range(64), bb -> $denseElem) AS dn FROM arr),
+    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(8)) AS band FROM dense),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text)-1),
+        i -> substring(text, i::INT, 3))) AS sh FROM documents),
+    n AS (SELECT doc_id, sh, cast(len(sh) as bigint) AS nn FROM t)
+    SELECT id_a, id_b, round(j, 4) AS jaccard4 FROM (
+      SELECT id_a, id_b,
+        cast(len(list_intersect(a.sh, b.sh)) as bigint)
+          / (a.nn + b.nn - cast(len(list_intersect(a.sh, b.sh)) as bigint)) AS j
+      FROM cand JOIN n a ON a.doc_id = id_a JOIN n b ON b.doc_id = id_b)
+    WHERE j >= 0.9 ORDER BY id_a, id_b"""
+  }
+
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly
     * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated

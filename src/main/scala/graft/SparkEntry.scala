@@ -167,6 +167,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
     // function-word hit counts, non-ASCII char count for zh, greatest()
     // with the zh>en>es>fr>de tie priority, 'und' when all zero

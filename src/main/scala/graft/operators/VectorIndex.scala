@@ -148,8 +148,11 @@ object VectorIndex {
     * has (the FragmentArchive pattern). */
   def materialize(t: Tables, sfDir: String): String = {
     val spark = t.embeddings.sparkSession
+    // the dir name carries a layout version + the fit params: a code or
+    // parameter change must never silently search a stale artifact left
+    // by an earlier run in the shared tmpdir
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_vec_index_${math.abs(sfDir.hashCode)}")
+      s"graft_vec_index_v1_k8_m8_pq16_i5_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_INDEX_SUCCESS")
     if (!fs.exists(marker)) {
