@@ -179,6 +179,49 @@ private[graft] object OracleSql {
     WHERE j >= 0.9 ORDER BY id_a, id_b"""
   }
 
+  /** dedup_embed_lsh: the EXACT output of Dedup.embeddingPairsLsh. The
+    * hyperplane weights are data-independent integers —
+    * mix64((k·1009+j)·131071+i) % 500 with Java's SIGNED % (DuckDB's %
+    * is also truncated, applied to the two's-complement view of the
+    * UBIGINT mix) — precomputed once as a 16×6 weight-list table. Each
+    * projection is the same sequential left-fold of products the Scala
+    * kernel runs, so the DOUBLE arithmetic is bit-identical and the
+    * sign bits (bucket ids) agree exactly; candidates share any tagged
+    * bucket (DISTINCT = the first-agree exactly-once emission) and the
+    * exact-cosine filter reuses the dedup_embed oracle's list_reduce
+    * arithmetic. */
+  lazy val dedupEmbedLsh: String = {
+    val mixed = mix64("((k*1009 + j)*131071 + i)::UBIGINT")
+    val w = let(mixed) { u =>
+      s"((CASE WHEN $u >= $SignBit::UBIGINT THEN $u::HUGEINT - $TwoTo64 " +
+        s"ELSE $u::HUGEINT END) % 500)::DOUBLE"
+    }
+    s"""WITH dims AS (SELECT unnest(range(64)) AS i),
+    kj AS (SELECT k, j FROM (SELECT unnest(range(16)) AS k)
+      CROSS JOIN (SELECT unnest(range(6)) AS j)),
+    wt AS (SELECT k, j, list($w ORDER BY i) AS wl FROM kj CROSS JOIN dims GROUP BY k, j),
+    e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+      FROM embeddings),
+    proj AS (SELECT vec_id, k, j,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(range(64), i -> v[(i+1)::INT] * wl[(i+1)::INT])), (s, x) -> s + x) AS p
+      FROM e CROSS JOIN wt),
+    bk AS (SELECT vec_id, k,
+        (k::UBIGINT << 32) | sum(CASE WHEN p >= 0.0 THEN (1::UBIGINT << j::INT) ELSE 0::UBIGINT END)::UBIGINT AS bucket
+      FROM proj GROUP BY vec_id, k),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e)
+    SELECT id_a, id_b, round(cos, 4) AS cos4 FROM (
+      SELECT id_a, id_b,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])), (s,x) -> s+x)
+          / (sqrt(a.norm) * sqrt(b.norm)) AS cos
+      FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+    WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+  }
+
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly
     * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated

@@ -168,6 +168,7 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
+    "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
     // function-word hit counts, non-ASCII char count for zh, greatest()
     // with the zh>en>es>fr>de tie priority, 'und' when all zero
