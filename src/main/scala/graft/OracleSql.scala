@@ -88,13 +88,14 @@ private[graft] object OracleSql {
     s"list_reduce(list_prepend($init, $blocks), ($acc, $blk) -> ${mix64(s"xor($acc, $blk)")})"
   }
 
-  /** dedup_minhash: the EXACT candidate set of Dedup.minhashCandidates —
-    * per-doc 40 seeded min-hashes (signed min via the sign-flip trick)
-    * folded into 4 band signatures of 10 rows (the foldBands rule:
-    * acc = band index, then acc = mix64(acc ^ min) per row), pairs
-    * sharing any band. DISTINCT matches the operator's exactly-once
-    * first-agreeing-band emission. */
-  lazy val dedupMinhash: String = {
+  /** CTE block ending in `cand` — the minhash candidate pairs of a
+    * (doc_id, text) relation `src`: per-doc 40 seeded min-hashes
+    * (signed min via the sign-flip trick) folded into 4 band signatures
+    * of 10 rows (the foldBands rule: acc = band index, then
+    * acc = mix64(acc ^ min) per row), DISTINCT pairs sharing any band
+    * (= the operator's exactly-once first-agreeing-band emission).
+    * Shared by dedup_minhash, dedup_clusters_lsh, and curation_full. */
+  private def minhashCandCtes(src: String): String = {
     val seedMin = s"xor(min(xor(${mix64("xor(base, seed)")}, " +
       s"$SignBit::UBIGINT)), $SignBit::UBIGINT)"
     val folds = (0 until 4).map { b =>
@@ -103,19 +104,83 @@ private[graft] object OracleSql {
       s"list_reduce(list_prepend($b::UBIGINT, mins[${b * 10 + 1}:${b * 10 + 10}]), " +
         s"($a, $m) -> ${mix64(s"xor($a, $m)")})"
     }.mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    s"""toks AS (
       SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok
-      FROM documents),
+      FROM $src),
     base AS (SELECT doc_id, ${hashToken("tok")} AS base FROM toks),
     mins AS (SELECT doc_id, seed, $seedMin AS mn
       FROM base CROSS JOIN (SELECT unnest(range(40))::UBIGINT AS seed)
       GROUP BY doc_id, seed),
     sigl AS (SELECT doc_id, list(mn ORDER BY seed) AS mins FROM mins GROUP BY doc_id),
-    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(4)) AS band FROM sigl)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ORDER BY id_a, id_b"""
+    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(4)) AS band FROM sigl),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
   }
+
+  /** CTE block `tok2, p` — the minhash candidates of `src` verified at
+    * exact word-Jaccard >= threshold: the edge rule of
+    * Dedup.clusterDocsLshCore (|intersect| on token hashes equals
+    * |intersect| on token strings — the hash is injective in practice
+    * and a collision would fail the gate loudly). */
+  private def jaccardEdgeCtes(src: String, threshold: String): String =
+    s"""tok2 AS (SELECT doc_id,
+        list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS tk,
+        cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n
+      FROM $src),
+    p AS (SELECT id_a, id_b FROM cand
+      JOIN tok2 a ON a.doc_id = id_a JOIN tok2 b ON b.doc_id = id_b
+      WHERE cast(len(list_intersect(a.tk, b.tk)) as bigint)
+        / (a.n + b.n - cast(len(list_intersect(a.tk, b.tk)) as bigint)) >= $threshold)"""
+
+  /** CTE block `e, reach` — undirected transitive closure of the pair
+    * relation `p` seeded from `nodes`(`nodeCol`): the recursive twin of
+    * Dedup.connectedComponents (min reachable id = the min-label
+    * fixpoint). */
+  private def closureCtes(nodes: String, nodeCol: String): String =
+    s"""e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+      SELECT $nodeCol, $nodeCol FROM $nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    )"""
+
+  /** dedup_minhash: the EXACT candidate set of Dedup.minhashCandidates
+    * (see [[minhashCandCtes]]). */
+  lazy val dedupMinhash: String =
+    s"""WITH ${minhashCandCtes("documents")}
+    SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""
+
+  /** dedup_clusters_lsh: identical output contract to dedup_clusters,
+    * but over the operator's ACTUAL edge set — minhash candidates
+    * verified at exact Jaccard >= 0.95 — closed transitively. Every
+    * piece is deterministic, so the scale path is oracle-checked
+    * directly instead of only spec-compared to the brute tier. */
+  lazy val dedupClustersLsh: String =
+    s"""WITH RECURSIVE ${minhashCandCtes("documents")},
+    ${jaccardEdgeCtes("documents", "0.95")},
+    ${closureCtes("documents", "doc_id")}
+    SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id"""
+
+  /** curation_full: the END-TO-END curation composite — quality filter
+    * (n_words >= 40, 80% alpha), exact dedup keeping the smallest
+    * doc_id per text, near-dup clustering of the survivors over the
+    * verified-minhash edges, then the distinct min-label cluster ids
+    * as the kept-document manifest. */
+  lazy val curationFull: String =
+    s"""WITH RECURSIVE m AS (SELECT doc_id, text,
+        cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS n_words,
+        cast(length(text) as bigint) AS n_chars,
+        cast(length(regexp_replace(text,'[^a-zA-Z]','','g')) as bigint) AS n_alpha
+      FROM documents),
+    surv AS (SELECT min(doc_id) AS doc_id, text FROM m
+      WHERE n_words >= 40 AND n_alpha*5 >= n_chars*4 GROUP BY text),
+    ${minhashCandCtes("surv")},
+    ${jaccardEdgeCtes("surv", "0.95")},
+    ${closureCtes("surv", "doc_id")},
+    lab AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT DISTINCT cluster_id AS doc_id FROM lab ORDER BY doc_id"""
 
   /** dedup_ngram_lsh: the EXACT output of Dedup.ngramLshPairs — one-
     * permutation-minhash (OPH) banded candidates over the char-3-gram
@@ -179,48 +244,92 @@ private[graft] object OracleSql {
     WHERE j >= 0.9 ORDER BY id_a, id_b"""
   }
 
-  /** dedup_embed_lsh: the EXACT output of Dedup.embeddingPairsLsh. The
-    * hyperplane weights are data-independent integers —
-    * mix64((k·1009+j)·131071+i) % 500 with Java's SIGNED % (DuckDB's %
-    * is also truncated, applied to the two's-complement view of the
-    * UBIGINT mix) — precomputed once as a 16×6 weight-list table. Each
-    * projection is the same sequential left-fold of products the Scala
-    * kernel runs, so the DOUBLE arithmetic is bit-identical and the
-    * sign bits (bucket ids) agree exactly; candidates share any tagged
-    * bucket (DISTINCT = the first-agree exactly-once emission) and the
-    * exact-cosine filter reuses the dedup_embed oracle's list_reduce
-    * arithmetic. */
-  lazy val dedupEmbedLsh: String = {
+  /** CTE block ending in `bks` (vec_id, k, b — the UNtagged base bucket
+    * per table) plus `ev` (doubles) and `nrm` (norms): the
+    * random-hyperplane machinery of Sketches.lshBase. The weights are
+    * data-independent integers — mix64((k·1009+j)·131071+i) % 500 with
+    * Java's SIGNED % (DuckDB's % is also truncated, applied to the
+    * two's-complement view of the UBIGINT mix) — precomputed once as a
+    * tables×6 weight-list table. Each projection is the same sequential
+    * left-fold of products the Scala kernel runs, so the DOUBLE
+    * arithmetic is bit-identical and the sign bits agree exactly.
+    * Shared by dedup_embed_lsh, dedup_embed_clusters, ann_lsh_topk. */
+  private def embedBucketCtes(tables: Int): String = {
     val mixed = mix64("((k*1009 + j)*131071 + i)::UBIGINT")
     val w = let(mixed) { u =>
       s"((CASE WHEN $u >= $SignBit::UBIGINT THEN $u::HUGEINT - $TwoTo64 " +
         s"ELSE $u::HUGEINT END) % 500)::DOUBLE"
     }
-    s"""WITH dims AS (SELECT unnest(range(64)) AS i),
-    kj AS (SELECT k, j FROM (SELECT unnest(range(16)) AS k)
+    s"""dims AS (SELECT unnest(range(64)) AS i),
+    kj AS (SELECT k, j FROM (SELECT unnest(range($tables)) AS k)
       CROSS JOIN (SELECT unnest(range(6)) AS j)),
     wt AS (SELECT k, j, list($w ORDER BY i) AS wl FROM kj CROSS JOIN dims GROUP BY k, j),
-    e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+    ev AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
       FROM embeddings),
     proj AS (SELECT vec_id, k, j,
         list_reduce(list_prepend(cast(0.0 as double),
           list_transform(range(64), i -> v[(i+1)::INT] * wl[(i+1)::INT])), (s, x) -> s + x) AS p
-      FROM e CROSS JOIN wt),
-    bk AS (SELECT vec_id, k,
-        (k::UBIGINT << 32) | sum(CASE WHEN p >= 0.0 THEN (1::UBIGINT << j::INT) ELSE 0::UBIGINT END)::UBIGINT AS bucket
+      FROM ev CROSS JOIN wt),
+    bks AS (SELECT vec_id, k,
+        sum(CASE WHEN p >= 0.0 THEN (1::UBIGINT << j::INT) ELSE 0::UBIGINT END)::UBIGINT AS b
       FROM proj GROUP BY vec_id, k),
+    nrm AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM ev)"""
+  }
+
+  /** Exact cosine of two `nrm` rows — the dedup_embed oracle's
+    * list_reduce arithmetic (bit-identical to graft_dot's left fold). */
+  private val cosOfAB: String =
+    """list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(a.v, b.v), pp -> pp[1]*pp[2])), (s,x) -> s+x)
+          / (sqrt(a.norm) * sqrt(b.norm))"""
+
+  /** dedup_embed_lsh: the EXACT output of Dedup.embeddingPairsLsh —
+    * candidates share any tagged bucket (DISTINCT = the first-agree
+    * exactly-once emission), exact-cosine filter at 0.4. */
+  lazy val dedupEmbedLsh: String =
+    s"""WITH ${embedBucketCtes(16)},
+    bk AS (SELECT vec_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos, 4) AS cos4 FROM (
+      SELECT id_a, id_b, $cosOfAB AS cos
+      FROM cand JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b)
+    WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+
+  /** dedup_embed_clusters: transitive closure over the dedup_embed_lsh
+    * edge set (every emitted edge is exact-cosine-verified, so the
+    * whole scale-path clustering is deterministic and oracle-able). */
+  lazy val dedupEmbedClusters: String =
+    s"""WITH RECURSIVE ${embedBucketCtes(16)},
+    bk AS (SELECT vec_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-    n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
-        list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e)
-    SELECT id_a, id_b, round(cos, 4) AS cos4 FROM (
-      SELECT id_a, id_b,
-        list_reduce(list_prepend(cast(0.0 as double),
-          list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])), (s,x) -> s+x)
-          / (sqrt(a.norm) * sqrt(b.norm)) AS cos
-      FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
-    WHERE cos >= 0.4 ORDER BY id_a, id_b"""
-  }
+    p AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, $cosOfAB AS cos
+        FROM cand JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b)
+      WHERE cos >= 0.4),
+    ${closureCtes("ev", "vec_id")}
+    SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id"""
+
+  /** ann_lsh_topk: the EXACT output of Similarity.annLshTopK — 8-table
+    * buckets, query-side multiprobe (base bucket plus every 1-bit flip:
+    * xor with 0,1,2,4,8,16,32), DISTINCT candidates (the first-agree
+    * emission), exact-cosine re-rank with the n_id tie-break, top 5. */
+  lazy val annLshTopK: String =
+    s"""WITH ${embedBucketCtes(8)},
+    cb AS (SELECT vec_id AS n_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
+    qb AS (SELECT vec_id AS q_id, (k::UBIGINT << 32) | xor(b, f::UBIGINT) AS bucket
+      FROM bks CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32]) AS f)
+      WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT q_id, n_id FROM qb JOIN cb USING (bucket) WHERE q_id <> n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM (SELECT q_id, n_id, $cosOfAB AS cos
+        FROM cand JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id))
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly

@@ -169,6 +169,10 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,
+    "dedup_clusters_lsh" -> OracleSql.dedupClustersLsh,
+    "dedup_embed_clusters" -> OracleSql.dedupEmbedClusters,
+    "curation_full" -> OracleSql.curationFull,
+    "ann_lsh_topk" -> OracleSql.annLshTopK,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
     // function-word hit counts, non-ASCII char count for zh, greatest()
     // with the zh>en>es>fr>de tie priority, 'und' when all zero
