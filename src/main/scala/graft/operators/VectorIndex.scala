@@ -106,6 +106,53 @@ object VectorIndex {
       Similarity.withNorm(corpus), k, nprobe, rerank, pruneCells = true)
   }
 
+  /** Search-only IVF (exact-vector) top-k against the prefit artifact —
+    * the EXACT-tier sibling of [[searchTopK]]: queries route through
+    * the persisted centroids, the codes table serves ONLY as the cell
+    * membership map (cell → n_id, partition-pruned to the probed
+    * cells), and ranking is exact cosine against the corpus vectors for
+    * the routed members. Still zero fit jobs. Note the routing model is
+    * the artifact's UNIT-vector quantizer, so results match the
+    * compressed tiers' routing, not Similarity.ivfTopKOf's raw-vector
+    * inline fit — both are valid IVF indexes; an artifact must be
+    * searched with its own quantizer. */
+  def searchIvfTopK(corpus: DataFrame, queries: DataFrame, dir: String,
+      k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = corpus.sparkSession
+    val (coarse, _) = loadModel(spark, dir)
+    // unit-space routing (the quantizer was fit on unit vectors)
+    val qUnit = queries.select(col("vec_id"),
+        call_function("graft_vec_scale", col("v"),
+          lit(1.0) / sqrt(col("norm"))).as("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+    val probed = qUnit
+      .select(explode(Similarity.probeCells(coarse, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val q = qUnit
+      .withColumn("cell", explode(Similarity.probeCells(coarse, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"))
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q")), "q_id")
+    val members = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probed: _*)) // parquet partition pruning
+      .select(col("cell"), col("n_id"))
+    val c = Similarity.withNorm(corpus)
+      .select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(members, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(c, "n_id")
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Approximate ADC-only search: (q_id, rnk, n_id, adc) straight off
     * the codes table — no exact re-rank, so the returned plan's ONLY
     * file scan is `dir/codes` (model tables are driver-held constants,

@@ -161,6 +161,35 @@ class IvfSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("prefit exact-tier ivf search reaches recall >= 0.6 with zero fit jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ivf").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val fitGroups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).flatMap(Option(_))
+        if (g.contains(VectorIndex.FitJobGroup)) fitGroups.add(g.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
+      val got = VectorIndex.searchIvfTopK(t.embeddings, q, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val brute = Similarity.annBruteTopK(t).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got.nonEmpty)
+      val recall = got.intersect(brute).size.toDouble / brute.size
+      info(s"prefit ivf exact-tier recall@5 = $recall")
+      assert(recall >= 0.6)
+      Thread.sleep(1000) // let async listener events drain
+      assert(fitGroups.isEmpty, s"exact-tier search launched fit jobs: $fitGroups")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("adc-only prefit search scans only the codes table") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_adc").toString
