@@ -212,6 +212,25 @@ class IvfSpec extends SparkSpec {
       s"adc search reads beyond the codes table:\n$plan")
   }
 
+  test("prefit search prunes the codes scan to the probed cells") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
+    val df = VectorIndex.searchTopK(t.embeddings, q, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cell-partitioned codes table must be read through partition
+    // pruning (the physical nprobe/kCells promise), not a full scan
+    val codesScan = plan.split("\n").find(l =>
+      l.contains("FileScan") && l.contains("codes"))
+    assert(codesScan.isDefined, s"no codes scan found in:\n$plan")
+    assert(codesScan.get.contains("PartitionFilters: [cell") ||
+      codesScan.get.contains("PartitionFilters: [isnotnull(cell") ||
+      codesScan.get.matches(".*PartitionFilters: \\[.*cell.*"),
+      s"codes scan not partition-pruned:\n${codesScan.get}")
+  }
+
   test("ivf assignment scans the corpus exactly twice end to end") {
     // one pass materializes the Lloyd working set (persisted across
     // iterations), one pass computes the returned assignment — the
