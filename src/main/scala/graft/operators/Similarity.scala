@@ -72,7 +72,7 @@ object Similarity {
         lit(i).as("cid"))
     }
 
-  private def nearestCentroid(cs: Array[Array[Double]]): org.apache.spark.sql.Column =
+  private[operators] def nearestCentroid(cs: Array[Array[Double]]): org.apache.spark.sql.Column =
     array_min(array(cellStructs(cs): _*))
 
   /** Lloyd iterations until the model stops moving (max centroid shift²

@@ -189,6 +189,34 @@ object VectorIndex {
       .orderBy("q_id", "rnk")
   }
 
+  /** INCREMENTAL maintenance — the deployment's steady state: the
+    * reference consumer ingests continuously, so new vectors must join
+    * the index without a refit. New rows are assigned to the EXISTING
+    * coarse cells and coded against the EXISTING residual codebooks
+    * (model quality degrades only as the data distribution drifts —
+    * the standard IVF+PQ operating assumption; refit on drift is a
+    * scheduled rebuild, not a per-batch cost), and their codes APPEND
+    * into the cell partitions. Zero fit jobs; a subsequent search sees
+    * old and new rows identically. */
+  def append(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (coarse, codebook) = loadModel(spark, dir)
+    val m = codebook.length
+    val flat = codebook.flatMap(_.flatMap(_.toSeq))
+    val unit = Similarity.unitized(newVecs)
+      .select(col("vec_id"), col("u").as("v"),
+        call_function("graft_norm2", col("u")).as("norm"))
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    unit
+      .withColumn("cell", Similarity.nearestCentroid(coarse).getField("cid"))
+      .withColumn("res", call_function("graft_vec_sub", col("v"),
+        element_at(coarseLit, col("cell") + 1)))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        call_function("graft_pq_assign", col("res"),
+          typedLit(flat.toSeq), lit(m)).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Builds (once, marker-gated) the index for `sfDir`'s embeddings at
     * the default ivfPqTopK parameters and returns its directory — the
     * idempotent test-side stand-in for an artifact a deployment already

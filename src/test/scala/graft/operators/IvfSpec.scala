@@ -212,6 +212,33 @@ class IvfSpec extends SparkSpec {
       s"adc search reads beyond the codes table:\n$plan")
   }
 
+  test("incremental append joins the index without refit and is searchable") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    val first = t.embeddings.filter(col("vec_id") < 250)
+    val rest = t.embeddings.filter(col("vec_id") >= 250)
+    VectorIndex.fit(first, dir)
+    VectorIndex.append(rest, dir)
+    // the codes table now covers the whole corpus
+    val nCodes = spark.read.parquet(s"$dir/codes").count()
+    assert(nCodes == t.embeddings.count(), s"codes rows $nCodes")
+    // external copies of APPENDED vectors must find their origin at
+    // cos 1.0 rank 1 — the appended rows are routed into the right
+    // cells and ranked like originally-indexed rows
+    val appendedIds = rest.select("vec_id").limit(3).collect().map(_.getLong(0))
+    val queries = Similarity.withNorm(t.embeddings)
+      .filter(col("vec_id").isin(appendedIds: _*))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val top1 = VectorIndex.searchTopK(t.embeddings, queries, dir).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => (r.getLong(0) - 1000000L, r.getLong(2), r.getDouble(3)))
+    assert(top1.length == appendedIds.length)
+    top1.foreach { case (orig, nId, cos) =>
+      assert(nId == orig, s"appended query $orig found $nId first")
+      assert(cos == 1.0)
+    }
+  }
+
   test("prefit search prunes the codes scan to the probed cells") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString
