@@ -65,8 +65,12 @@ object VectorIndex {
         c <- fitted.codebook(j).indices
       } yield (j, c, fitted.codebook(j)(c).toSeq)).toDF("j", "c", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-      // the compressed corpus, partitioned by cell for routed pruning
-      fitted.codes.write.mode("overwrite").partitionBy("cell")
+      // the compressed corpus, partitioned by (ingest_batch, cell):
+      // cell gives routed partition PRUNING; the ingest_batch level is
+      // the idempotency key incremental/streaming appends overwrite
+      // into (fit itself is batch -1 and statically overwrites all)
+      fitted.codes.withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("ingest_batch", "cell")
         .parquet(s"$dir/codes")
       fitted.residuals.unpersist(blocking = false)
       vecs.unpersist(blocking = false)
@@ -197,8 +201,19 @@ object VectorIndex {
     * the standard IVF+PQ operating assumption; refit on drift is a
     * scheduled rebuild, not a per-batch cost), and their codes APPEND
     * into the cell partitions. Zero fit jobs; a subsequent search sees
-    * old and new rows identically. */
-  def append(newVecs: DataFrame, dir: String): Unit = {
+    * old and new rows identically. `ingestBatch` tags the write's
+    * partition level (default -2 for ad-hoc batch appends; the
+    * streaming path keys it by the micro-batch id). */
+  def append(newVecs: DataFrame, dir: String,
+      ingestBatch: Long = -2L): Unit =
+    codeAgainstModel(newVecs, dir, ingestBatch)
+      .write.mode("append").partitionBy("ingest_batch", "cell")
+      .parquet(s"$dir/codes")
+
+  /** New rows assigned + coded against the PERSISTED models — the
+    * shared encode stage of [[append]] and [[appendBatch]]. */
+  private def codeAgainstModel(newVecs: DataFrame, dir: String,
+      ingestBatch: Long): DataFrame = {
     val spark = newVecs.sparkSession
     val (coarse, codebook) = loadModel(spark, dir)
     val m = codebook.length
@@ -214,8 +229,36 @@ object VectorIndex {
       .select(col("cell"), col("vec_id").as("n_id"),
         call_function("graft_pq_assign", col("res"),
           typedLit(flat.toSeq), lit(m)).as("codes"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      .withColumn("ingest_batch", lit(ingestBatch))
   }
+
+  /** One micro-batch of streaming maintenance, IDEMPOTENTLY: foreachBatch
+    * re-executes a batch after a failure, so a plain append would
+    * double-index its vectors. Dynamic partition overwrite keyed by
+    * (ingest_batch = the micro-batch id, cell) makes the retry replace
+    * exactly its own partitions — the ConsumerApp.persistBatch rule
+    * applied to index maintenance. */
+  def appendBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    codeAgainstModel(batch, dir, batchId)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cell")
+      .parquet(s"$dir/codes")
+    ()
+  }
+
+  /** STREAMING index maintenance: embeddings arriving on a stream join
+    * the prefit index per micro-batch (assigned + coded against the
+    * persisted models, replay-safe) — the consumer's feature pipeline
+    * feeding search continuously without ever refitting inline. */
+  def appendStream(vecs: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, dir)
+      }
+      .start()
 
   /** Builds (once, marker-gated) the index for `sfDir`'s embeddings at
     * the default ivfPqTopK parameters and returns its directory — the
@@ -227,7 +270,7 @@ object VectorIndex {
     // parameter change must never silently search a stale artifact left
     // by an earlier run in the shared tmpdir
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_vec_index_v1_k8_m8_pq16_i5_${math.abs(sfDir.hashCode)}")
+      s"graft_vec_index_v2_k8_m8_pq16_i5_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_INDEX_SUCCESS")
     if (!fs.exists(marker)) {

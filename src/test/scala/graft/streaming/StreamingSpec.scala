@@ -179,6 +179,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming index maintenance: arriving vectors join the prefit index replay-safely") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Similarity, VectorIndex}
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val baseCount = spark.read.parquet(s"$dir/codes").count()
+    // stream in copies of corpus vectors 0-2 under fresh ids
+    val newRows = t.embeddings.filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0) + 20000L, r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = VectorIndex.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      input.addData(newRows.toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.read.parquet(s"$dir/codes").count() == baseCount + 3)
+    // an external copy of a STREAMED vector ties at cos 1.0 with its
+    // corpus original AND its streamed twin; the n_id tie-break must
+    // rank the original first, the streamed row second — proving the
+    // streamed codes route and rank exactly like fitted ones
+    val queries = Similarity.withNorm(t.embeddings)
+      .filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+    val corpusNow = t.embeddings.select("vec_id", "embedding").unionByName(
+      newRows.toSeq.toDF("vec_id", "embedding"))
+    val got = VectorIndex.searchTopK(corpusNow, queries, dir).collect()
+      .map(r => (r.getLong(0) - 3000000L, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    (0L until 3L).foreach { i =>
+      assert(got.contains((i, 1L, i, 1.0)), s"query $i: original not rank 1")
+      assert(got.contains((i, 2L, i + 20000L, 1.0)), s"query $i: streamed twin not rank 2")
+    }
+    // replay safety: re-running a batch id must not double-index
+    VectorIndex.appendBatch(newRows.toSeq.toDF("vec_id", "embedding"), 0L, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == baseCount + 3,
+      "replayed micro-batch double-indexed its vectors")
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
