@@ -1,12 +1,17 @@
 package graft
 
-/** DuckDB twins for the SKETCH queries — generated SQL that reproduces
-  * the graft splitmix64 hash family (`graft.functions.Hashing`) in pure
-  * DuckDB arithmetic, promoting dedup_minhash and dedup_simhash from
-  * rows-only to hash-exact oracle checks: the oracle recomputes the
-  * IDENTICAL band signatures / fingerprints from the raw text, so the
-  * driver's value-hash compare pins every mix constant, byte order, and
-  * tie rule of the Scala kernels (SketchExpressions.scala).
+/** DuckDB twins for the SKETCH/LSH queries — generated SQL that
+  * reproduces the graft splitmix64 hash family
+  * (`graft.functions.Hashing`) and the hyperplane-LSH machinery
+  * (`graft.functions.Sketches`) in pure DuckDB arithmetic, promoting
+  * eight formerly rows-only queries to hash-exact oracle checks:
+  * dedup_minhash, dedup_simhash, dedup_ngram_lsh, dedup_embed_lsh,
+  * dedup_clusters_lsh, dedup_embed_clusters, curation_full, and
+  * ann_lsh_topk. Each oracle recomputes the IDENTICAL signatures,
+  * buckets, edges, and closures from the raw tables, so the driver's
+  * value-hash compare pins every mix constant, byte order, fold order,
+  * and tie rule of the Scala kernels (SketchExpressions.scala,
+  * Sketches.scala) cross-engine.
   *
   * Why generated: DuckDB has no wrap-around 64-bit multiply (BIGINT and
   * UBIGINT both raise on overflow), so each `mix64` application expands
