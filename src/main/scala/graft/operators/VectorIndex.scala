@@ -74,13 +74,27 @@ object VectorIndex {
         .parquet(s"$dir/codes")
       fitted.residuals.unpersist(blocking = false)
       vecs.unpersist(blocking = false)
+      // a refit replaced the model tables: drop any cached copy
+      modelCache.remove(dir)
+      ()
     } finally sc.clearJobGroup()
   }
 
+  /** Session-lifetime model cache: the artifact's models are immutable
+    * for a given dir+layout (appends only add codes; a refit goes
+    * through [[fit]], which invalidates), so search-many pays the two
+    * model-table reads ONCE instead of per query batch. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
   /** Driver-side model load: (coarse centroids, PQ codebook). Two tiny
-    * parquet reads — the amortized artifact, not a fit. */
+    * parquet reads on first use, cached per dir after — the amortized
+    * artifact, not a fit. */
   def loadModel(spark: SparkSession,
       dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cached = modelCache.get(dir)
+    if (cached != null) return cached
     val coarse = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -91,7 +105,9 @@ object VectorIndex {
     val kc = cbRows.map(_._2).max + 1
     val codebook = Array.ofDim[Array[Double]](m, kc)
     cbRows.foreach { case (j, c, v) => codebook(j)(c) = v }
-    (coarse, codebook)
+    val loaded = (coarse, codebook)
+    modelCache.put(dir, loaded)
+    loaded
   }
 
   /** Search-only IVF+PQ top-k against a prefit artifact: NO fit jobs —

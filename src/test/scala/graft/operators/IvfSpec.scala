@@ -256,6 +256,10 @@ class IvfSpec extends SparkSpec {
       codesScan.get.contains("PartitionFilters: [isnotnull(cell") ||
       codesScan.get.matches(".*PartitionFilters: \\[.*cell.*"),
       s"codes scan not partition-pruned:\n${codesScan.get}")
+    // the routed scan joins on the cell key with the query side
+    // broadcast — never a quadratic operator
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic scan in:\n$plan")
   }
 
   test("ivf assignment scans the corpus exactly twice end to end") {
