@@ -336,6 +336,22 @@ private[graft] object OracleSql {
         FROM cand JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id))
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** sample_k_per_source: the EXACT output of TextOps.sampleKPerSource —
+    * per stratum, the 10 rows with the smallest SIGNED mix64(doc_id)
+    * (unsigned order over sign-flipped values), doc_id tie-break. The
+    * two's-complement CASE widens a negative doc_id into the same
+    * 64-bit pattern Java hashes. */
+  lazy val sampleKPerSource: String = {
+    val idBits = s"(CASE WHEN doc_id >= 0 THEN doc_id::HUGEINT " +
+      s"ELSE doc_id::HUGEINT + $TwoTo64 END)::UBIGINT"
+    s"""WITH h AS (SELECT doc_id, source, ${mix64(idBits)} AS h FROM documents),
+    r AS (SELECT doc_id, source,
+        cast(row_number() OVER (PARTITION BY source
+          ORDER BY xor(h, $SignBit::UBIGINT), doc_id) as bigint) AS rn
+      FROM h)
+    SELECT source, rn, doc_id FROM r WHERE rn <= 10 ORDER BY source, rn"""
+  }
+
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly
     * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated

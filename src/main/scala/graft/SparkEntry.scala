@@ -143,6 +143,7 @@ object SparkEntry {
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
     "window_range_1h" -> ((s, d) => Analytics.windowRangeSum(tables(s, d))),
     "mix_sample" -> ((s, d) => TextOps.mixSampleDocs(tables(s, d))),
+    "sample_k_per_source" -> ((s, d) => TextOps.sampleKPerSource(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
@@ -169,6 +170,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,
+    "sample_k_per_source" -> OracleSql.sampleKPerSource,
     "dedup_clusters_lsh" -> OracleSql.dedupClustersLsh,
     "dedup_embed_clusters" -> OracleSql.dedupEmbedClusters,
     "curation_full" -> OracleSql.curationFull,

@@ -275,6 +275,36 @@ object TextOps {
     mixSample(t.documents,
       Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.1)
 
+  /** F9 — deterministic STRATIFIED bottom-k sampling: exactly
+    * min(k, |stratum|) docs per source, chosen as the k smallest
+    * graft_mix64(doc_id) — the distributed bottom-k sampler. Where F8
+    * fixes a keep RATE per stratum, this fixes a SIZE: uniform within
+    * the stratum under the hash's uniformity, reproducible across
+    * runs, cluster sizes, and partitionings (no RNG state), and
+    * mergeable (the bottom-k of a union is the bottom-k of merged
+    * per-part bottom-k's — the property that lets executors pre-prune
+    * before the stratum shuffle, which Spark applies here as
+    * WindowGroupLimit). The DuckDB oracle recomputes the identical
+    * hash order, so the sample is hash-exact. */
+  def sampleKPerSource(t: Tables, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    sampleKPerGroup(t.documents.select(col("doc_id"), col("source")), k)
+      .orderBy("source", "rn")
+  }
+
+  /** Library form over any (doc_id, source) frame; no output sort. */
+  def sampleKPerGroup(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", call_function("graft_mix64", col("doc_id")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"))
+  }
+
   /** F2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCounts(t: Tables): DataFrame = {

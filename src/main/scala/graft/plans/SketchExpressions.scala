@@ -289,6 +289,29 @@ case class Ngram3Hashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** splitmix64 finalizer as a native codegen expression — the scalar
+  * mixing primitive behind every graft sketch, exposed for operators
+  * whose SEMANTICS are "a uniform deterministic 64-bit hash of a long"
+  * (e.g. bottom-k stratified sampling orders rows by graft_mix64(id):
+  * reproducible across runs and partitionings, uniform per stratum,
+  * and regenerable in the DuckDB oracle). */
+case class Mix64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(a: Any): Any =
+    Hashing.mix64(a.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.Hashing.mix64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
 /** Document fingerprint as a native codegen expression (H4 pattern). */
 case class Fingerprint(child: Expression) extends UnaryExpression {
   // caller guarantees a string input

@@ -439,7 +439,9 @@ object VectorFunctions {
           IntLitArg.of("graft_pq_assign(v, codebook, m)", "m", exprs(2)))
       }),
     ("graft_vec_sum", classOf[VectorSum],
-      (exprs: Seq[Expression]) => VectorSum(exprs.head)))
+      (exprs: Seq[Expression]) => VectorSum(exprs.head)),
+    ("graft_mix64", classOf[Mix64],
+      (exprs: Seq[Expression]) => Mix64(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

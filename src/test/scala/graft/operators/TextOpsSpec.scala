@@ -128,6 +128,37 @@ class TextOpsSpec extends SparkSpec {
     assert(score == (tf * nDocs).toDouble / df)
   }
 
+  test("bottom-k stratified sample is size-exact, partition-independent, and hash-ordered") {
+    import org.apache.spark.sql.functions.col
+    val sample = TextOps.sampleKPerSource(t, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly min(k, |stratum|) per source
+    val sizes = t.documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySrc = sample.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (src, n) =>
+      assert(bySrc.getOrElse(src, 0) == math.min(10L, n), s"stratum $src")
+    }
+    // driver-side recompute: the k smallest SIGNED mix64(doc_id)
+    val all = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(r => (graft.functions.Hashing.mix64(r._1), r._1))
+        .sortBy(identity).take(10).zipWithIndex
+        .map { case ((_, id), i) => (src, i.toLong + 1, id) }
+    }.sortBy(x => (x._1, x._2))
+    assert(sample.toSeq == expected)
+    // partitioning must not change the sample (no RNG state)
+    val reshuffled = TextOps.sampleKPerGroup(
+        t.documents.select(col("doc_id"), col("source")).repartition(7), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(reshuffled.toSeq == sample.toSeq)
+    // the rank filter must prune inside the window at scale
+    val plan = TextOps.sampleKPerSource(t, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$plan")
+  }
+
   test("mix sample is a deterministic pure function of doc_id and source") {
     val weights = Map("src0" -> 1.0, "src1" -> 0.5)
     val kept = TextOps.mixSample(t.documents, weights, defaultFrac = 0.1)
