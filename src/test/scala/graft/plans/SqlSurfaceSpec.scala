@@ -51,6 +51,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT graft_pq_assign(array(0.9D, 5.1D), array(0D,1D,5D,6D), 2) AS c")
       .collect().head.getSeq[Int](0)
     assert(assign == Seq(1, 0), s"got $assign") // 0.9→cell1 (1.0), 5.1→cell0 (5.0)
+    // the scalar mixing primitive (bottom-k sampling's hash order)
+    val mixed = spark.sql("SELECT graft_mix64(1) AS h").collect().head.getLong(0)
+    assert(mixed == graft.functions.Hashing.mix64(1L))
   }
 
   test("graft_pq_adc rejects malformed shapes loudly instead of misreading") {
