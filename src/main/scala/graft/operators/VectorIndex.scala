@@ -19,11 +19,27 @@ import graft.sources.Tables
   *     quantizer over UNIT vectors; model-sized (kCells × dim).
   *   - `codebook`: (j int, c int, vec array<double>) — per-subspace
   *     residual PQ codebooks; model-sized (m × pqCells × dim/m).
-  *   - `codes`: (n_id long, codes array<int>), PARTITIONED BY cell —
-  *     the compressed corpus, ~m bytes of payload per row (the ~64×
-  *     compression), and the ONLY data-sized table. Partitioning by
-  *     cell turns query routing into parquet PARTITION PRUNING: a
-  *     search's scan physically reads nprobe/kCells of the archive.
+  *   - `codes`: (n_id long, codes array<int>), PARTITIONED BY
+  *     (ingest_batch, cell) — the compressed corpus, ~m bytes of
+  *     payload per row (the ~64× compression). Partitioning by cell
+  *     turns query routing into parquet PARTITION PRUNING: a search's
+  *     scan physically reads nprobe/kCells of the archive.
+  *   - `vectors`: (n_id long, v array<double>), PARTITIONED BY
+  *     (ingest_batch, cell) — the UNIT vectors, cell-partitioned like
+  *     `codes`, so the EXACT tier's vector read partition-prunes to the
+  *     probed cells instead of joining the full corpus (the round-5
+  *     scale flaw: `searchIvfTopK` joined the unpartitioned embeddings
+  *     table on n_id — a full-corpus scan + corpus-wide shuffle per
+  *     query batch). This is the classic IVFFlat inverted-list layout:
+  *     the index stores the vectors it ranks, trading one extra copy of
+  *     the corpus for searches that touch nprobe/kCells of it.
+  *   - `health`: (ingest_batch, n, mean_res2, p95_res2, occ_skew) —
+  *     per-ingest model-health telemetry; see [[driftReport]].
+  *   - `_MODEL_VERSION`: a fresh random stamp written by every [[fit]].
+  *     [[loadModel]] revalidates its cache against it, so a refit from
+  *     ANOTHER process (the documented deployment: long-running search
+  *     service + scheduled rebuild) is picked up instead of silently
+  *     scoring new codes against stale cached models.
   *
   * Search loads the two model tables driver-side (the same model-class
   * state as inline fits hold in memory — doubles round-trip parquet
@@ -37,6 +53,11 @@ object VectorIndex {
   /** Job-group tag on every fit-side job — lets a listener (and the
     * spec) prove the search path launches NO fit work. */
   val FitJobGroup = "graft-index-fit"
+
+  /** Base partition id: the fit's own rows, and the fold target of
+    * [[compact]]. Ad-hoc [[append]] defaults to [[AdhocBatch]]. */
+  val BaseBatch = -1L
+  val AdhocBatch = -2L
 
   /** Fit the coarse + residual-PQ models on `embeddings` and write the
     * artifact under `dir`. All Lloyd/fit jobs run inside the
@@ -68,45 +89,97 @@ object VectorIndex {
       // the compressed corpus, partitioned by (ingest_batch, cell):
       // cell gives routed partition PRUNING; the ingest_batch level is
       // the idempotency key incremental/streaming appends overwrite
-      // into (fit itself is batch -1 and statically overwrites all)
-      fitted.codes.withColumn("ingest_batch", lit(-1L))
+      // into (fit itself is the base batch and statically overwrites all)
+      fitted.codes.withColumn("ingest_batch", lit(BaseBatch))
         .write.mode("overwrite").partitionBy("ingest_batch", "cell")
         .parquet(s"$dir/codes")
+      // the exact tier's inverted lists: unit vectors under the SAME
+      // (ingest_batch, cell) layout, so its scan prunes like the codes'
+      fitted.residuals
+        .select(col("cell"), col("vec_id").as("n_id"), col("v"))
+        .withColumn("ingest_batch", lit(BaseBatch))
+        .write.mode("overwrite").partitionBy("ingest_batch", "cell")
+        .parquet(s"$dir/vectors")
+      // fit-time health baseline: residual-norm distribution + cell
+      // occupancy skew of the corpus the models were fit ON — the
+      // reference point driftReport compares ingests against
+      writeHealth(
+        fitted.residuals.select(col("cell"),
+          call_function("graft_norm2", col("res")).as("res2")),
+        dir, BaseBatch, kCells)
       fitted.residuals.unpersist(blocking = false)
       vecs.unpersist(blocking = false)
-      // a refit replaced the model tables: drop any cached copy
+      // stamp the new model generation, then drop any cached copy: a
+      // loadModel in ANY process revalidates against the stamp
+      writeVersion(spark, dir)
       modelCache.remove(dir)
       ()
     } finally sc.clearJobGroup()
   }
 
-  /** Session-lifetime model cache: the artifact's models are immutable
-    * for a given dir+layout (appends only add codes; a refit goes
-    * through [[fit]], which invalidates), so search-many pays the two
-    * model-table reads ONCE instead of per query batch. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Array[Double]], Array[Array[Array[Double]]])]()
+  private def writeVersion(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, "_MODEL_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readVersion(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir, "_MODEL_VERSION")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "unversioned"
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+  }
+
+  /** Model cache: the artifact's models are immutable for a given model
+    * GENERATION (appends only add codes; a refit rewrites the
+    * `_MODEL_VERSION` stamp), so search-many pays the two model-table
+    * reads once per generation instead of per query batch. Entries are
+    * model-sized (kCells×dim + m×pqCells×dim doubles), but dirs are
+    * unbounded over a long-lived service — LRU-bounded at
+    * [[ModelCacheBound]] so the cache can never grow past a handful of
+    * models no matter how many indexes one JVM serves. */
+  private[operators] val ModelCacheBound = 8
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        (String, (Array[Array[Double]], Array[Array[Array[Double]]]))](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (String, (Array[Array[Double]], Array[Array[Array[Double]]]))])
+          : Boolean = size() > ModelCacheBound
+    })
+
+  private[operators] def modelCacheSize: Int = modelCache.size()
 
   /** Driver-side model load: (coarse centroids, PQ codebook). Two tiny
-    * parquet reads on first use, cached per dir after — the amortized
-    * artifact, not a fit. */
+    * parquet reads on first use per model generation — the cache
+    * revalidates the `_MODEL_VERSION` stamp (one filesystem read) on
+    * every hit, so an out-of-process refit is loaded fresh instead of
+    * silently scoring against stale models (the round-5 advice). */
   def loadModel(spark: SparkSession,
       dir: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val version = readVersion(spark, dir)
     val cached = modelCache.get(dir)
-    if (cached != null) return cached
+    if (cached != null && cached._1 == version) return cached._2
+    // columns selected BY NAME before collect: the read must not depend
+    // on the artifact's written field order surviving schema evolution
     val coarse = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
+      .select("cell", "centroid").orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     val cbRows = spark.read.parquet(s"$dir/codebook")
-      .orderBy("j", "c").collect()
+      .select("j", "c", "vec").orderBy("j", "c").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cbRows.map(_._1).max + 1
     val kc = cbRows.map(_._2).max + 1
     val codebook = Array.ofDim[Array[Double]](m, kc)
     cbRows.foreach { case (j, c, v) => codebook(j)(c) = v }
     val loaded = (coarse, codebook)
-    modelCache.put(dir, loaded)
+    modelCache.put(dir, (version, loaded))
     loaded
   }
 
@@ -128,45 +201,42 @@ object VectorIndex {
 
   /** Search-only IVF (exact-vector) top-k against the prefit artifact —
     * the EXACT-tier sibling of [[searchTopK]]: queries route through
-    * the persisted centroids, the codes table serves ONLY as the cell
-    * membership map (cell → n_id, partition-pruned to the probed
-    * cells), and ranking is exact cosine against the corpus vectors for
-    * the routed members. Still zero fit jobs. Note the routing model is
-    * the artifact's UNIT-vector quantizer, so results match the
-    * compressed tiers' routing, not Similarity.ivfTopKOf's raw-vector
-    * inline fit — both are valid IVF indexes; an artifact must be
-    * searched with its own quantizer. */
-  def searchIvfTopK(corpus: DataFrame, queries: DataFrame, dir: String,
+    * the persisted centroids and rank by exact cosine against the
+    * artifact's own cell-partitioned `vectors` table, so the ONLY
+    * data-sized scan partition-prunes to the probed cells exactly like
+    * the codes scan (round 5 joined the full unpartitioned corpus on
+    * n_id here — at 100 TB a full-corpus scan + corpus-wide shuffle per
+    * query batch; now a query batch physically reads nprobe/kCells of
+    * the archive, and there is no embeddings scan in the plan at all).
+    * Cosine over unit vectors is the plain dot product, so ranking is
+    * unchanged. Still zero fit jobs. Note the routing model is the
+    * artifact's UNIT-vector quantizer, so results match the compressed
+    * tiers' routing, not Similarity.ivfTopKOf's raw-vector inline fit —
+    * both are valid IVF indexes; an artifact must be searched with its
+    * own quantizer. */
+  def searchIvfTopK(queries: DataFrame, dir: String,
       k: Int = 5, nprobe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     val (coarse, _) = loadModel(spark, dir)
-    // unit-space routing (the quantizer was fit on unit vectors)
+    // unit-space routing AND ranking (the quantizer was fit on unit
+    // vectors; cosine is scale-invariant)
     val qUnit = queries.select(col("vec_id"),
         call_function("graft_vec_scale", col("v"),
           lit(1.0) / sqrt(col("norm"))).as("v"))
       .withColumn("norm", call_function("graft_norm2", col("v")))
-    val probed = qUnit
-      .select(explode(Similarity.probeCells(coarse, nprobe)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val q = qUnit
       .withColumn("cell", explode(Similarity.probeCells(coarse, nprobe)))
-      .select(col("cell"), col("vec_id").as("q_id"))
-      .join(queries.select(col("vec_id").as("q_id"),
-        col("v").as("v_q"), col("norm").as("norm_q")), "q_id")
-    val members = spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(probed: _*)) // parquet partition pruning
-      .select(col("cell"), col("n_id"))
-    val c = Similarity.withNorm(corpus)
-      .select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("v_q"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // the artifact's inverted lists, pruned to the probed cells at the
+    // parquet partition level — the exact tier's only data-sized scan
+    val members = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col("n_id"), col("v").as("v_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(members, "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .join(c, "n_id")
-      .withColumn("cos",
-        call_function("graft_dot", col("v_q"), col("v_n")) /
-          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("cos", call_function("graft_dot", col("v_q"), col("v_n")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
@@ -214,20 +284,34 @@ object VectorIndex {
     * the index without a refit. New rows are assigned to the EXISTING
     * coarse cells and coded against the EXISTING residual codebooks
     * (model quality degrades only as the data distribution drifts —
-    * the standard IVF+PQ operating assumption; refit on drift is a
-    * scheduled rebuild, not a per-batch cost), and their codes APPEND
-    * into the cell partitions. Zero fit jobs; a subsequent search sees
-    * old and new rows identically. `ingestBatch` tags the write's
-    * partition level (default -2 for ad-hoc batch appends; the
-    * streaming path keys it by the micro-batch id). */
+    * the standard IVF+PQ operating assumption; [[driftReport]] carries
+    * the refit signal), and their codes + vectors APPEND into the cell
+    * partitions. Zero fit jobs; a subsequent search sees old and new
+    * rows identically.
+    *
+    * At-least-once semantics: mode `append` double-indexes on a job
+    * re-run after failure. For exactly-once, pass a UNIQUE
+    * `ingestBatch` per logical batch and use [[appendBatch]] (dynamic
+    * partition overwrite — the retry replaces its own partitions); the
+    * streaming path does exactly that. A later [[compact]] also
+    * deduplicates by n_id, so duplicates are self-healing. */
   def append(newVecs: DataFrame, dir: String,
-      ingestBatch: Long = -2L): Unit =
-    codeAgainstModel(newVecs, dir, ingestBatch)
+      ingestBatch: Long = AdhocBatch): Unit = {
+    val enc = codeAgainstModel(newVecs, dir, ingestBatch)
+    enc.select("cell", "n_id", "codes", "ingest_batch")
       .write.mode("append").partitionBy("ingest_batch", "cell")
       .parquet(s"$dir/codes")
+    enc.select("cell", "n_id", "v", "ingest_batch")
+      .write.mode("append").partitionBy("ingest_batch", "cell")
+      .parquet(s"$dir/vectors")
+    writeHealth(enc.select(col("cell"), col("res2")), dir, ingestBatch,
+      loadModel(newVecs.sparkSession, dir)._1.length)
+  }
 
   /** New rows assigned + coded against the PERSISTED models — the
-    * shared encode stage of [[append]] and [[appendBatch]]. */
+    * shared encode stage of [[append]] and [[appendBatch]]. Returns
+    * (cell, n_id, codes, v, res2, ingest_batch): the codes-table
+    * payload, the vectors-table payload, and the health signal. */
   private def codeAgainstModel(newVecs: DataFrame, dir: String,
       ingestBatch: Long): DataFrame = {
     val spark = newVecs.sparkSession
@@ -244,7 +328,9 @@ object VectorIndex {
         element_at(coarseLit, col("cell") + 1)))
       .select(col("cell"), col("vec_id").as("n_id"),
         call_function("graft_pq_assign", col("res"),
-          typedLit(flat.toSeq), lit(m)).as("codes"))
+          typedLit(flat.toSeq), lit(m)).as("codes"),
+        col("v"),
+        call_function("graft_norm2", col("res")).as("res2"))
       .withColumn("ingest_batch", lit(ingestBatch))
   }
 
@@ -255,26 +341,170 @@ object VectorIndex {
     * exactly its own partitions — the ConsumerApp.persistBatch rule
     * applied to index maintenance. */
   def appendBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
-    codeAgainstModel(batch, dir, batchId)
+    val enc = codeAgainstModel(batch, dir, batchId)
+    enc.select("cell", "n_id", "codes", "ingest_batch")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch", "cell")
       .parquet(s"$dir/codes")
+    enc.select("cell", "n_id", "v", "ingest_batch")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cell")
+      .parquet(s"$dir/vectors")
+    writeHealth(enc.select(col("cell"), col("res2")), dir, batchId,
+      loadModel(batch.sparkSession, dir)._1.length)
     ()
   }
 
   /** STREAMING index maintenance: embeddings arriving on a stream join
     * the prefit index per micro-batch (assigned + coded against the
     * persisted models, replay-safe) — the consumer's feature pipeline
-    * feeding search continuously without ever refitting inline. */
+    * feeding search continuously without ever refitting inline.
+    *
+    * The partition key is NAMESPACED by a run id derived from the
+    * checkpoint dir: a restart with the SAME checkpoint replays into
+    * its own partitions (idempotent), while a new checkpoint — or a
+    * second stream feeding the same index — gets disjoint ingest_batch
+    * ids instead of silently overwriting the earlier run's batches
+    * 0,1,2,... (the round-5 advice). */
   def appendStream(vecs: DataFrame, dir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = streamRunId(checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, batchId, dir)
+        appendBatch(batch, runId | batchId, dir)
       }
       .start()
+  }
+
+  /** Stable positive run id from the checkpoint path: 23 high bits of
+    * its MD5 shifted above a 40-bit batch counter — same checkpoint ⇒
+    * same namespace (replays overwrite themselves), different
+    * checkpoint ⇒ disjoint ids up to 2^40 micro-batches per run. */
+  private[graft] def streamRunId(checkpointDir: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+    ((h & 0x7FFFFFL) | 0x1L) << 40 // never 0: keeps run ids clear of raw batch ids
+  }
+
+  /** Fold settled ingest batches into the base partition — the
+    * streaming small-file fix: a long-running [[appendStream]] leaves
+    * one (ingest_batch, cell) directory per micro-batch forever, and
+    * search-side listing + scan-split cost grows without bound. Folds
+    * every batch in [0, upToBatch] (plus ad-hoc [[AdhocBatch]] rows
+    * when `upToBatch` is Long.MaxValue) into `ingest_batch=-1`,
+    * leaving at most ONE directory per cell for the settled data.
+    *
+    * Idempotent and replay-safe: the merge deduplicates by (cell,
+    * n_id) — codes for a given n_id are deterministic under a fixed
+    * model generation, so rows duplicated by a crash between the
+    * overwrite and the directory sweep collapse to the same payload,
+    * and a re-run (or a replayed compact after success) is a no-op.
+    * Searches DURING a crashed compact's window may see a duplicated
+    * candidate id; ranks behind it shift by one until the re-run
+    * sweeps the folded directories. Pass `upToBatch` = the newest
+    * batch known SETTLED (e.g. watermark-old) so in-flight streaming
+    * batches — which may still be re-delivered by a replay — are left
+    * in their own overwrite-addressable partitions. */
+  def compact(spark: SparkSession, dir: String,
+      upToBatch: Long = Long.MaxValue): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for (table <- Seq("codes", "vectors")) {
+      val root = new Path(s"$dir/$table")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        val batchDirs = fs.listStatus(root).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("ingest_batch="))
+          .filter { p =>
+            val id = p.getName.stripPrefix("ingest_batch=").toLong
+            (id >= 0L && id <= upToBatch) ||
+              (id == AdhocBatch && upToBatch == Long.MaxValue)
+          }
+        if (batchDirs.nonEmpty) {
+          val staging = new Path(s"$dir/${table}_compact_staging")
+          // the settled range as a predicate, not an isin over (possibly
+          // thousands of) listed batch ids — partition-prunes identically
+          val settled = col("ingest_batch") === BaseBatch ||
+            (col("ingest_batch") >= 0L && col("ingest_batch") <= upToBatch) ||
+            (if (upToBatch == Long.MaxValue)
+              col("ingest_batch") === AdhocBatch else lit(false))
+          // 1. stage the merged base OUTSIDE the table (never read and
+          //    overwrite the same path in one job)
+          spark.read.parquet(s"$dir/$table")
+            .filter(settled)
+            .dropDuplicates("cell", "n_id")
+            .withColumn("ingest_batch", lit(BaseBatch))
+            .write.mode("overwrite").parquet(staging.toString)
+          // 2. fold into the base partitions (dynamic overwrite:
+          //    replaces exactly the base cells, leaves live batches)
+          spark.read.parquet(staging.toString)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "cell")
+            .parquet(s"$dir/$table")
+          // 3. sweep the folded directories + staging
+          batchDirs.foreach(fs.delete(_, true))
+          fs.delete(staging, true)
+        }
+      }
+    }
+    // health rows for folded batches fold into the base row is NOT
+    // done: telemetry keeps per-ingest history by design
+  }
+
+  /** Per-ingest model-health row: n, mean/p95 of the squared residual
+    * norm (distance of each vector to its coarse centroid — the
+    * distribution-shift signal: drifted data lands far from every
+    * existing centroid), and cell-occupancy skew = max cell count ×
+    * kCells / n (1.0 = uniform routing, kCells = everything in one
+    * cell — normalized over ALL model cells, so a batch that slams one
+    * cell reads as skewed even though the empty cells never appear in
+    * the groupBy). Keyed by ingest_batch with dynamic overwrite, so a
+    * replayed streaming batch replaces its own telemetry row. */
+  private def writeHealth(resids: DataFrame, dir: String,
+      ingestBatch: Long, kCells: Int): Unit = {
+    val byCell = resids.groupBy("cell")
+      .agg(count(lit(1)).as("cnt"), sum("res2").as("s"),
+        percentile_approx(col("res2"), lit(0.95), lit(1000)).as("p95"))
+    byCell
+      .agg(sum("cnt").cast("long").as("n"),
+        (sum("s") / sum("cnt")).as("mean_res2"),
+        max("p95").as("p95_res2"),
+        (max("cnt") * lit(kCells.toDouble) / sum("cnt")).as("occ_skew"))
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(s"$dir/health")
+  }
+
+  /** The refit signal: per-ingest health vs the fit-time baseline.
+    * Two complementary signals: `res2_ratio` (the batch's mean squared
+    * residual over the baseline's — vectors the fitted centroids never
+    * saw land far from all of them) and `occ_skew` (routing imbalance —
+    * a new mode collapses onto one cell, 1.0 = uniform, kCells = all in
+    * one cell). In-distribution ingests sit near the baseline on both;
+    * a sustained excursion above the caller's thresholds is the trigger
+    * for the scheduled rebuild the scaladoc promises ([[fit]] on
+    * current data, then [[compact]]). Model-sized read; no corpus
+    * scan. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val health = spark.read.parquet(s"$dir/health")
+    val base = health.filter(col("ingest_batch") === BaseBatch)
+      .select(col("mean_res2").as("base_mean_res2"))
+    health.crossJoin(broadcast(base))
+      .withColumn("res2_ratio", col("mean_res2") / col("base_mean_res2"))
+      // partition-column read-back infers int; pin the contract type
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("n"), col("mean_res2"), col("p95_res2"), col("occ_skew"),
+        col("res2_ratio"))
+      .orderBy("ingest_batch")
+  }
 
   /** Builds (once, marker-gated) the index for `sfDir`'s embeddings at
     * the default ivfPqTopK parameters and returns its directory — the
@@ -284,9 +514,12 @@ object VectorIndex {
     val spark = t.embeddings.sparkSession
     // the dir name carries a layout version + the fit params: a code or
     // parameter change must never silently search a stale artifact left
-    // by an earlier run in the shared tmpdir
+    // by an earlier run in the shared tmpdir. NOTE hashCode of the
+    // sfDir path is a convenience key for the handful of test SF dirs,
+    // not a collision-free id — deployments name their artifact dirs
+    // explicitly.
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_vec_index_v2_k8_m8_pq16_i5_${math.abs(sfDir.hashCode)}")
+      s"graft_vec_index_v3_k8_m8_pq16_i5_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_INDEX_SUCCESS")
     if (!fs.exists(marker)) {

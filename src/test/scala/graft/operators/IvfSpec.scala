@@ -177,7 +177,7 @@ class IvfSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
-      val got = VectorIndex.searchIvfTopK(t.embeddings, q, dir).collect()
+      val got = VectorIndex.searchIvfTopK(q, dir).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       val brute = Similarity.annBruteTopK(t).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -188,6 +188,144 @@ class IvfSpec extends SparkSpec {
       Thread.sleep(1000) // let async listener events drain
       assert(fitGroups.isEmpty, s"exact-tier search launched fit jobs: $fitGroups")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("exact-tier search scans only the pruned vectors table, never the corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_exact_plan").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
+    val df = VectorIndex.searchIvfTopK(q, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-5 flaw: the exact tier joined the FULL unpartitioned
+    // embeddings table on n_id — a corpus scan + corpus-wide shuffle
+    // per query batch. Now the ranking side reads the artifact's
+    // cell-partitioned vectors table; the embeddings table may appear
+    // ONLY as the query frame's own scan, which must carry the
+    // query-sized pushdown (vec_id < 3) — never an unfiltered corpus
+    // read.
+    val scans = plan.split("\n").filter(l =>
+      l.contains("FileScan") || l.contains("BatchScan"))
+    val corpusScans = scans.filter(_.contains("embeddings"))
+    assert(corpusScans.forall(_.contains("LessThan(vec_id,3)")),
+      s"exact tier scans the corpus beyond the query rows:\n${corpusScans.mkString("\n")}")
+    val dataScans = scans.filterNot(_.contains("embeddings"))
+    assert(dataScans.exists(_.contains("vectors")),
+      s"no vectors-table scan in exact tier:\n${scans.mkString("\n")}")
+    val vecScan = dataScans.find(_.contains("vectors")).get
+    assert(vecScan.matches(".*PartitionFilters: \\[.*cell.*"),
+      s"vectors scan not partition-pruned:\n$vecScan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic scan in:\n$plan")
+  }
+
+  test("compaction folds streamed batches to one directory per cell, search-identically") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    val first = t.embeddings.filter(col("vec_id") < 300)
+    VectorIndex.fit(first, dir)
+    // three "micro-batches" land as three ingest_batch directories
+    Seq((300L, 360L, 0L), (360L, 420L, 1L), (420L, 500L, 2L)).foreach {
+      case (lo, hi, b) =>
+        VectorIndex.appendBatch(
+          t.embeddings.filter(col("vec_id") >= lo && col("vec_id") < hi), b, dir)
+    }
+    def batchDirs(table: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch=")).toSet
+    }
+    assert(batchDirs("codes") ==
+      Set("ingest_batch=-1", "ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
+    def results() = VectorIndex.searchTopK(t.embeddings, q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def exactResults() = VectorIndex.searchIvfTopK(q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val before = results()
+    val beforeExact = exactResults()
+    VectorIndex.compact(spark, dir)
+    // one directory per table level: only the base batch remains
+    assert(batchDirs("codes") == Set("ingest_batch=-1"),
+      s"codes not folded: ${batchDirs("codes")}")
+    assert(batchDirs("vectors") == Set("ingest_batch=-1"),
+      s"vectors not folded: ${batchDirs("vectors")}")
+    val n = spark.read.parquet(s"$dir/codes").count()
+    assert(n == t.embeddings.count(), s"compaction lost rows: $n")
+    assert(results() == before, "compaction changed searchTopK results")
+    assert(exactResults() == beforeExact, "compaction changed exact-tier results")
+    // a replayed compact is a no-op
+    VectorIndex.compact(spark, dir)
+    assert(batchDirs("codes") == Set("ingest_batch=-1"))
+    assert(spark.read.parquet(s"$dir/codes").count() == n)
+    assert(results() == before, "replayed compaction changed results")
+  }
+
+  test("drift report flags shifted-distribution appends, not in-distribution ones") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_drift").toString
+    VectorIndex.fit(t.embeddings.filter(col("vec_id") < 400), dir)
+    // batch 0: in-distribution — more rows drawn from the same corpus
+    VectorIndex.appendBatch(
+      t.embeddings.filter(col("vec_id") >= 400), 0L, dir)
+    // batch 1: drifted — a new MODE the fit never saw: every vector
+    // points the same direction (plus a small per-row wobble), so the
+    // whole batch routes into one cell and occupancy skew pins kCells
+    val drifted = t.embeddings.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, 64), i -> cast(1.0 + 0.001 * pmod(vec_id * i, 7) as float))"
+        ).as("embedding"))
+    VectorIndex.appendBatch(drifted, 1L, dir)
+    val rep = VectorIndex.driftReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(5), r.getDouble(4))).toMap
+    info(s"(res2_ratio, occ_skew): base=${rep(-1L)}, in-dist=${rep(0L)}, drifted=${rep(1L)}")
+    assert(math.abs(rep(-1L)._1 - 1.0) < 1e-9, "baseline must self-report ratio 1.0")
+    // in-distribution: near-baseline residuals, near-baseline routing
+    assert(rep(0L)._1 < 1.5, s"in-distribution append flagged as drift: ${rep(0L)}")
+    assert(rep(0L)._2 < rep(-1L)._2 * 2.0,
+      s"in-distribution append flagged as skewed: ${rep(0L)._2} vs base ${rep(-1L)._2}")
+    // drifted: the one-mode batch must stand clearly apart on routing
+    assert(rep(1L)._2 > 6.0 && rep(1L)._2 > rep(0L)._2 * 2.0,
+      s"drifted append not separated: occ_skew ${rep(1L)._2} vs in-dist ${rep(0L)._2}")
+  }
+
+  test("loadModel revalidates against the artifact's version stamp") {
+    import org.apache.spark.sql.functions.col
+    // simulate the deployment: a long-lived search JVM caches the
+    // model, an out-of-process refit rewrites the artifact — the next
+    // load must pick up the new generation, not serve the stale cache
+    val dirA = java.nio.file.Files.createTempDirectory("graft_idx_vA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_idx_vB").toString
+    // both slices keep vec_ids 0..k-1 (the deterministic-init contract)
+    // but differ beyond them, so the two fits produce different models
+    VectorIndex.fit(t.embeddings.filter(col("vec_id") < 100), dirA, iters = 1)
+    VectorIndex.fit(t.embeddings.filter(col("vec_id") < 300), dirB, iters = 1)
+    val staleA = VectorIndex.loadModel(spark, dirA)._1
+    // an external process replaces dirA's artifact with dirB's content
+    // (bypassing this JVM's fit-side cache invalidation entirely)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dirA).getFileSystem(conf)
+    for (f <- Seq("centroids", "codebook", "_MODEL_VERSION")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dirA/$f"), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dirB/$f"),
+        fs, new org.apache.hadoop.fs.Path(s"$dirA/$f"),
+        false, conf)
+    }
+    val fresh = VectorIndex.loadModel(spark, dirA)._1
+    val expect = VectorIndex.loadModel(spark, dirB)._1
+    assert(fresh.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq,
+      "stale cached model served after an out-of-process refit")
+    assert(fresh.map(_.toSeq).toSeq != staleA.map(_.toSeq).toSeq)
+  }
+
+  test("model cache is LRU-bounded") {
+    assert(VectorIndex.modelCacheSize <= VectorIndex.ModelCacheBound,
+      s"model cache grew past the bound: ${VectorIndex.modelCacheSize}")
   }
 
   test("adc-only prefit search scans only the codes table") {

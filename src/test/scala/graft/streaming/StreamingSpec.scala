@@ -215,10 +215,19 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((i, 1L, i, 1.0)), s"query $i: original not rank 1")
       assert(got.contains((i, 2L, i + 20000L, 1.0)), s"query $i: streamed twin not rank 2")
     }
-    // replay safety: re-running a batch id must not double-index
-    VectorIndex.appendBatch(newRows.toSeq.toDF("vec_id", "embedding"), 0L, dir)
+    // replay safety: re-running a batch id must not double-index. A
+    // foreachBatch retry re-delivers the same micro-batch id under the
+    // same checkpoint, which the stream namespaces — replay with the
+    // identical namespaced id
+    VectorIndex.appendBatch(newRows.toSeq.toDF("vec_id", "embedding"),
+      VectorIndex.streamRunId(ckpt) | 0L, dir)
     assert(spark.read.parquet(s"$dir/codes").count() == baseCount + 3,
       "replayed micro-batch double-indexed its vectors")
+    // while a DIFFERENT stream (new checkpoint) appending the same rows
+    // lands in its own namespace instead of silently overwriting this
+    // one's batch 0 (round-5 advice)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_idx_ckpt2").toString
+    assert(VectorIndex.streamRunId(ckpt2) != VectorIndex.streamRunId(ckpt))
   }
 
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
