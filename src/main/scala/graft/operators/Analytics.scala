@@ -127,6 +127,31 @@ object Analytics {
     semi.unionAll(anti).orderBy("c_custkey")
   }
 
+  /** C17 — LEFT OUTER join with an ON-clause filter (TPC-H Q13 shape):
+    * every customer keeps its row even when NO order survives the
+    * predicate, because the predicate lives in the JOIN condition — a
+    * WHERE on the right side would drop the null-extended rows and
+    * silently turn the outer join inner (the classic outer-join trap).
+    * count(o_orderkey) counts only matched rows, so zero-order
+    * customers land in the c_count=0 bucket. Output: the distribution
+    * of customers by order count.
+    *
+    * Scale: one shuffle on the customer key serves both the join and
+    * the first aggregation (the join's hash partitioning is reused);
+    * the second aggregation groups the per-customer counts — at most
+    * |distinct counts| rows, map-side partial. */
+  def outerJoinDist(t: Tables): DataFrame =
+    t.customer.select("c_custkey")
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") === "1-URGENT",
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** C9 — rollup over two grouping levels; NULL grouping keys masked so the
     * oracle comparison is order-stable. */
   def rollupAgg(t: Tables): DataFrame =

@@ -58,4 +58,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size == raw.length)
     got.foreach { case (k, v) => assert(expected(k) == v, s"event $k") }
   }
+
+  test("outer-join distribution keeps zero-order customers and filters in the ON clause") {
+    import org.apache.spark.sql.functions.col
+    val dist = Analytics.outerJoinDist(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every customer lands in exactly one bucket
+    assert(dist.values.sum == t.customer.count())
+    // null-extension: customers with no qualifying order survive in the
+    // c_count=0 bucket — a WHERE-clause filter would have dropped them.
+    // Zero-order customers = customers minus custkeys with >=1 urgent
+    // order (driver-side recompute).
+    val withOrder = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    val expectedZero = t.customer.count() -
+      t.customer.join(withOrder,
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(expectedZero > 0, "test data has no zero-order customers; filter too weak")
+    assert(dist.getOrElse(0L, 0L) == expectedZero,
+      s"c_count=0 bucket ${dist.get(0L)} != recomputed $expectedZero")
+  }
 }
