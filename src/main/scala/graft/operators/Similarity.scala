@@ -75,28 +75,118 @@ object Similarity {
   private[operators] def nearestCentroid(cs: Array[Array[Double]]): org.apache.spark.sql.Column =
     array_min(array(cellStructs(cs): _*))
 
+  /** Fixed bucket count of the canonical Lloyd reduction: buckets are
+    * `vec_id % LloydBuckets` — data-independent, so an external replay
+    * (the DuckDB oracle) reproduces the exact fold structure. */
+  private[operators] val LloydBuckets = 4096
+
   /** Lloyd iterations until the model stops moving (max centroid shift²
     * <= eps) or `maxIters` — round 2 always ran the full budget even
     * after the fixpoint. Returns (centroids, rounds actually run);
-    * `vecs` must already carry (vec_id, v, norm). */
+    * `vecs` must already carry (vec_id, v, norm).
+    *
+    * CANONICAL-ORDER reduction (round-6): the per-cell mean was the one
+    * float-nondeterministic step in the whole IVF family — the mergeable
+    * `graft_vec_sum` partials merged in shuffle-arrival order, so the
+    * fixpoint differed bit-wise run to run and no external oracle could
+    * replay it. Now the sum is a FIXED fold tree, independent of
+    * partitioning and scheduling:
+    *   - level 1: rows bucket by `vec_id % LloydBuckets`; each bucket's
+    *     rows fold in ascending vec_id order into per-cell partials
+    *     (one per-partition imperative walk over the bucketed+sorted
+    *     working set — NO shuffle per iteration; the one corpus shuffle
+    *     happens ONCE, before the loop);
+    *   - level 2: each cell's ≤LloydBuckets partials fold in ascending
+    *     bucket order (array_sort + a left-fold `aggregate`, group
+    *     payload ≤ LloydBuckets×dim doubles ≈ 2 MB at dim 64).
+    * Every float lands in the same place every run on any cluster
+    * layout, which is what lets OracleSql.ivfAssign replay the entire
+    * fit in DuckDB and the driver hash-compare the result. Cost vs the
+    * old shape: one extra corpus shuffle+sort per FIT (not per
+    * iteration) — the price of bit-reproducibility. */
   private def lloyd(vecs: DataFrame, k: Int, maxIters: Int,
       eps: Double): (Array[Array[Double]], Int) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     // deterministic init: the k lowest vec_ids
     var centroids: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
       .orderBy("vec_id").select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"lloyd needs vec_ids 0..${k - 1} present for deterministic init, " +
+        s"found ${centroids.length} (the pqModel init contract)")
+    val dim = centroids(0).length
+    val cores = spark.sparkContext.defaultParallelism
+    // the canonical working set: each bucket wholly inside one
+    // partition, rows sorted (bucket, vec_id) — built and shuffled ONCE
+    val working = vecs
+      .select(pmod(col("vec_id"), lit(LloydBuckets.toLong)).cast("int").as("b"),
+        col("vec_id"), col("v"), col("norm"))
+      .repartition(cores, col("b"))
+      .sortWithinPartitions("b", "vec_id")
+      .as[(Int, Long, Seq[Double], Double)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var moved = Double.MaxValue
     while (it < maxIters && moved > eps) {
-      // recompute means with the mergeable array aggregate: each task
-      // folds its partition into k dim-length partial sums, so the
-      // exchange carries k×dim doubles per task — NOT rows. The round-3
-      // posexplode form shuffled 64× the corpus row count (and ~3× its
-      // vector bytes) per iteration; at 100 TB every Lloyd round
-      // re-shuffled a multiple of the dataset (r3 verdict #3).
-      val means = vecs.withColumn("a", nearestCentroid(centroids))
-        .groupBy(col("a.cid").as("cid"))
-        .agg(call_function("graft_vec_sum", col("v")).as("s"),
-          count(lit(1)).as("cnt"))
+      val cen = centroids
+      val cenNorm2 = cen.map { c =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { s += c(j) * c(j); j += 1 }; s
+      }
+      // level 1: per-(bucket, cell) sums folded in vec_id order. The
+      // assignment arithmetic mirrors nearestCentroid/cellStructs
+      // exactly: d = max(0, norm − 2·⟨v,c⟩ + |c|²), left-fold dot,
+      // strict-less argmin (ties to the lowest cid).
+      val partials = working.mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Seq[Double], Long)]
+        var curB = -1
+        var acc: Array[Array[Double]] = null
+        var cnt: Array[Long] = null
+        def flush(): Unit = if (curB >= 0) {
+          var c = 0
+          while (c < k) {
+            if (cnt(c) > 0L)
+              out += ((curB, c, scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(acc(c)), cnt(c)))
+            c += 1
+          }
+        }
+        rows.foreach { case (b, _, v, norm) =>
+          if (b != curB) {
+            flush(); curB = b
+            acc = Array.fill(k)(new Array[Double](dim))
+            cnt = new Array[Long](k)
+          }
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cc = cen(c)
+            var dot = 0.0; var i = 0
+            while (i < dim) { dot += v(i) * cc(i); i += 1 }
+            val d = math.max(0.0, norm - 2.0 * dot + cenNorm2(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val a = acc(best)
+          var i = 0
+          while (i < dim) { a(i) += v(i); i += 1 }
+          cnt(best) += 1L
+        }
+        flush()
+        out.iterator
+      }.toDF("b", "cid", "s", "cnt")
+      // level 2: per-cell fold of the bucket partials in bucket order
+      val zero = typedLit(Seq.fill(dim)(0.0))
+      val means = partials
+        .groupBy("cid")
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("b"), col("s")))),
+            zero,
+            (a, e) => zip_with(a, e.getField("s"), (x, y) => x + y)).as("s"),
+          sum("cnt").as("cnt"))
         .collect()
       // a cluster that attracted no points KEEPS its previous centroid —
       // round 1 silently zeroed it, creating a phantom cell at the origin
@@ -118,6 +208,7 @@ object Similarity {
       centroids = next
       it += 1
     }
+    working.unpersist(blocking = false)
     (centroids, it)
   }
 
