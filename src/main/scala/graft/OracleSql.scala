@@ -269,7 +269,12 @@ private[graft] object OracleSql {
     kj AS (SELECT k, j FROM (SELECT unnest(range($tables)) AS k)
       CROSS JOIN (SELECT unnest(range(6)) AS j)),
     wt AS (SELECT k, j, list($w ORDER BY i) AS wl FROM kj CROSS JOIN dims GROUP BY k, j),
-    ev AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+    ev AS (SELECT vec_id,
+      CASE WHEN len(embedding) = 64
+           THEN list_transform(embedding, x -> cast(x as double))
+           ELSE error('embedBucketCtes: embedding dim ' || len(embedding)
+             || ' <> the hardcoded 64 — oracle would bucket silently wrong')
+      END AS v
       FROM embeddings),
     proj AS (SELECT vec_id, k, j,
         list_reduce(list_prepend(cast(0.0 as double),
@@ -374,4 +379,94 @@ private[graft] object OracleSql {
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= 6
     ORDER BY id_a, id_b"""
+
+  /** ivf_assign: full DuckDB replay of the CANONICAL-ORDER Lloyd fit
+    * (`Similarity.lloyd`, round-6 form) — possible only because the
+    * Spark reduction is now a fixed fold tree independent of
+    * partitioning: level 1 folds each `vec_id % 4096` bucket's vectors
+    * in ascending vec_id order, level 2 folds the bucket partials in
+    * ascending bucket order, and every dot/norm/shift is the same
+    * left-fold the JVM kernels run (the [[cosOfAB]] correspondence,
+    * proven bit-identical on the embed oracles). The replay unrolls the
+    * `iters` Lloyd rounds as CTE blocks, reproduces the k-lowest-vec_id
+    * init, the empty-cell keep-previous rule, the strict-less argmin
+    * with ties to the lowest cid, and the early-stop rule (stop before
+    * round i+1 when the max centroid shift² after round i is <= eps),
+    * then assigns every vector against the final model — the promoted
+    * hash-exact check for the formerly rows-only E3 entry. */
+  lazy val ivfAssign: String =
+    ivfAssignOracle(k = 8, iters = 3, eps = "1e-9", dim = 64, buckets = 4096)
+
+  private def ivfAssignOracle(k: Int, iters: Int, eps: String, dim: Int,
+      buckets: Int): String = {
+    val D = "cast(0.0 as double)"
+    val zeroVec = s"list_transform(range($dim), zz -> $D)"
+    // ⟨a,b⟩ as the ascending-index left fold graft_dot runs
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend($D,
+          list_transform(list_zip($a, $b), pp -> pp[1]*pp[2])), (s, x) -> s + x)"""
+    // |a|² — graft_norm2 / the driver-side centroid-norm loop
+    def norm2(a: String) =
+      s"""list_reduce(list_prepend($D,
+          list_transform($a, xx -> xx*xx)), (s, x) -> s + x)"""
+    // d(v, c) = max(0, |v|² − 2⟨v,c⟩ + |c|²), nrm alias `n`, cents alias `c`
+    def dist(cCol: String) =
+      s"""greatest($D, n.norm - cast(2.0 as double) * ${dot("n.v", cCol)}
+          + ${norm2(cCol)})"""
+    // element-wise vector-list fold in ORDER BY order — levels 1 and 2
+    def foldVecs(vecCol: String, orderCol: String) =
+      s"""list_reduce(list_prepend($zeroVec, list($vecCol ORDER BY $orderCol)),
+          (s, x) -> list_transform(list_zip(s, x), pp -> pp[1] + pp[2]))"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH ev AS (SELECT vec_id,
+        CASE WHEN len(embedding) = $dim
+             THEN list_transform(embedding, x -> cast(x as double))
+             ELSE error('ivf_assign oracle: embedding dim ' || len(embedding)
+               || ' <> the hardcoded $dim') END AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, vec_id % $buckets AS b, v, ${norm2("v")} AS norm FROM ev),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM ev WHERE vec_id < $k)""")
+    for (i <- 1 to iters) {
+      val p = s"c${i - 1}"
+      sb.append(s""",
+    d$i AS (SELECT n.vec_id, n.b, n.v, c.cid, ${dist("c.c")} AS d
+      FROM nrm n CROSS JOIN $p c),
+    asg$i AS (SELECT vec_id, b, v, cid FROM (
+        SELECT vec_id, b, v, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d$i) WHERE rn = 1),
+    p$i AS (SELECT b, cid, ${foldVecs("v", "vec_id")} AS s, count(*) AS cnt
+      FROM asg$i GROUP BY b, cid),
+    m$i AS (SELECT cid, ${foldVecs("s", "b")} AS s, sum(cnt) AS cnt
+      FROM p$i GROUP BY cid),
+    c$i AS (SELECT pc.cid,
+        CASE WHEN m.cid IS NULL THEN pc.c
+             ELSE list_transform(m.s, x -> x / cast(m.cnt as double)) END AS c
+      FROM $p pc LEFT JOIN m$i m ON pc.cid = m.cid),
+    mv$i AS (SELECT max(list_reduce(list_prepend($D,
+        list_transform(list_zip(pc.c, nc.c), pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))),
+        (s, x) -> s + x)) AS mx
+      FROM $p pc JOIN c$i nc ON pc.cid = nc.cid)""")
+    }
+    // the fixpoint's early-stop: final model = first round whose
+    // post-round shift² is <= eps, else the full budget's model
+    val earlyStops = (1 until iters).map(i =>
+      s"WHEN (SELECT mx FROM mv$i) <= cast($eps as double) THEN c$i.c")
+      .mkString("\n        ")
+    val joins = (2 to iters).map(i => s"JOIN c$i ON c1.cid = c$i.cid")
+      .mkString(" ")
+    sb.append(s""",
+    fin AS (SELECT c1.cid,
+        CASE $earlyStops
+             ELSE c$iters.c END AS c
+      FROM c1 $joins),
+    df AS (SELECT n.vec_id, f.cid, ${dist("f.c")} AS d
+      FROM nrm n CROSS JOIN fin f)
+    SELECT vec_id, cast(cid as bigint) AS cid, round(d, 4) AS dist2 FROM (
+      SELECT vec_id, cid, d,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM df) WHERE rn = 1 ORDER BY vec_id""")
+    sb.toString
+  }
 }

@@ -33,6 +33,7 @@ object SparkEntry {
     "set_ops" -> ((s, d) => Analytics.setOps(tables(s, d))),
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
+    "outer_join_dist" -> ((s, d) => Analytics.outerJoinDist(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(tables(s, d))),
     "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
@@ -158,14 +159,20 @@ object SparkEntry {
   private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
   /** DuckDB twins. Omitted only where no deterministic SQL ground truth
-    * exists (sketch estimates, LSH bucketing, model fits): ann_lsh_topk,
-    * approx_distinct, approx_percentiles, ivf/pq searches, and the
-    * LSH-edge clustering composites. dedup_minhash and dedup_simhash ARE
+    * exists (sketch estimates, float-nondeterministic PQ fits):
+    * approx_distinct, approx_percentiles, and the pq/ivfpq searches.
+    * ivf_assign IS oracle-checked — the round-6 canonical-order Lloyd
+    * reduction made the whole k-means fixpoint bit-reproducible, so
+    * [[OracleSql.ivfAssign]] replays fit + assignment in DuckDB.
+    * dedup_minhash and dedup_simhash ARE
     * oracle-checked — their signatures are deterministic splitmix64
     * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
     * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
     * is lang_id (stopword/charset counts with a fixed tie priority). */
   def oracleSql: Map[String, String] = Map(
+    // the k-means fixpoint itself, replayed in DuckDB — possible since
+    // the round-6 canonical-order reduction made the fit bit-reproducible
+    "ivf_assign" -> OracleSql.ivfAssign,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
@@ -278,6 +285,15 @@ object SparkEntry {
           CASE WHEN EXISTS(SELECT 1 FROM orders WHERE o_custkey=c_custkey)
                THEN cast(1 as bigint) ELSE cast(0 as bigint) END AS has_order
         FROM customer ORDER BY c_custkey""",
+    // the ON-clause filter must stay in the join condition: a WHERE
+    // would drop the zero-order customers the outer join exists to keep
+    "outer_join_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "rollup_agg" ->
       s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
           count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
