@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // the generated-class cache defaults to 100 entries; this 70-query
+      // × 4-pass loop compiles several hundred distinct codegen stages,
+      // so at the default every pass RE-compiles most stages (Janino,
+      // driver-side, serial) — per-query min noise that looks like plan
+      // drift (round-5/6 bench investigation). Static conf, so it must
+      // be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // local small files: split scans so every core participates
       // (cluster deploys keep the 128m default)
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -49,7 +56,13 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // optional comma-separated subset (isolation experiments: a query's
+    // in-loop min vs its alone-in-the-JVM min separates plan cost from
+    // loop-state noise — JIT/codegen/GC accumulated over 70×4 runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(materialize) // warmup: JVM + codegen + parquet footers
     // a failing query must NOT enter the totals as a fast success —
     // it reports -1 and lands in "failed" so a broken build can't

@@ -257,10 +257,13 @@ case class PqAdc(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val k = ctx.freshName("k")
       val s = ctx.freshName("s")
-      // same shape guard as the interpreted path (two int ops per ROW,
-      // not per subspace — the hot loop stays branch-light; the per-id
-      // bounds check is interpreted-only, where eval cost already
-      // dwarfs it)
+      val c = ctx.freshName("c")
+      // SAME guards as the interpreted path, including the per-code
+      // bounds check: without it, compiled execution reads adjacent
+      // memory for a malformed code id and returns a plausible distance
+      // — the silent-misread failure the guard exists to prevent — and
+      // the two execution paths disagree on malformed input (round-5
+      // advice). One well-predicted branch per subspace.
       s"""
         int $m = $b.numElements();
         if ($m == 0 || $a.numElements() % $m != 0)
@@ -270,7 +273,12 @@ case class PqAdc(left: Expression, right: Expression)
         int $k = $a.numElements() / $m;
         double $s = 0.0;
         for (int $j = 0; $j < $m; $j++) {
-          $s += $a.getDouble($j * $k + $b.getInt($j));
+          int $c = $b.getInt($j);
+          if ($c < 0 || $c >= $k)
+            throw new IllegalArgumentException(
+              "graft_pq_adc: code id " + $c + " at subspace " + $j +
+              " out of range [0, " + $k + ")");
+          $s += $a.getDouble($j * $k + $c);
         }
         ${ev.value} = $s;
       """
