@@ -155,6 +155,13 @@ object Ebml {
         val end =
           if (size < 0) to // unknown-size master: runs to container end
           else (pos + size.toInt).min(to)
+        // a LEAF whose payload runs past the buffer is a truncated tail:
+        // stop like stream end, uniformly across payload types (UINT
+        // already stopped via read bounds, but a cut STRING threw an
+        // uncaught StringIndexOutOfBounds and a cut BINARY silently
+        // zero-padded — round-6 head-only-walk pin caught both)
+        if (typ != MASTER && size >= 0 && pos + size > to)
+          throw new EbmlException("truncated leaf payload")
         typ match {
           case MASTER =>
             out += Element(id, name, typ, size, start, 0L, 0.0, null, null)
@@ -206,6 +213,8 @@ object Ebml {
         pos += szLen
         val (name, typ) = IdTable.getOrElse(id, (null, BINARY))
         val end = if (size < 0) to else (pos + size.toInt).min(to)
+        if (typ != MASTER && size >= 0 && pos + size > to)
+          throw new EbmlException("truncated leaf payload")
         if (typ == MASTER) {
           if (name != null && interesting.contains(name))
             out += Element(id, name, typ, size, start, 0L, 0.0, null, null)

@@ -1,0 +1,234 @@
+package graft.ebml
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the EBML byte-walk kernels — the
+  * round-6 replacement for the ScalaUDF family that previously carried
+  * the multimodal path (SURVEY §5 named this exact upgrade). The walk
+  * logic is unchanged ([[Ebml]]); what changes is the execution shape:
+  * a ScalaUDF pays CatalystTypeConverters both ways on every row
+  * (byte[] copies in, case-class reflection/encoder out), while these
+  * expressions read `byte[]`/UTF8String straight off the Tungsten row
+  * and emit InternalRow/ArrayData directly, staying inside whole-stage
+  * codegen (the generated code calls the static [[EbmlKernels]]
+  * helpers). The mm_* family is 8 of ~71 bench queries and the binary
+  * path is the reference's core loop (ebml.py's reader / parser.py's
+  * fragment walk), so this is the hottest per-row surface in the repo.
+  */
+object EbmlKernels {
+  import EbmlFunctions._
+
+  private def u8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** The 9-field AWS tag struct of [[EbmlFunctions.FragmentTags]]. */
+  def tagsRow(blob: Array[Byte]): InternalRow = {
+    val m = Ebml.tags(blob)
+    def g(k: String): UTF8String = m.get(k).map(u8).orNull
+    InternalRow(g(FragmentNumber), g(ServerTs), g(ProducerTs),
+      g(MillisBehind), g(ContinuationToken), g(UserIdTag), g(ValueCentsTag),
+      g(ErrorCode), g(ErrorId))
+  }
+
+  /** Known element names pre-encoded once — the walk emits shared
+    * UTF8String references instead of re-encoding per element. */
+  private val idNames: java.util.HashMap[java.lang.Long, UTF8String] = {
+    val m = new java.util.HashMap[java.lang.Long, UTF8String]()
+    Ebml.IdTable.foreach { case (id, (name, _)) => m.put(id, u8(name)) }
+    m
+  }
+
+  /** Element walk with head positions (ebml.py Position semantics).
+    * HEAD-ONLY: the (name, size, position) projection needs no payload,
+    * so unlike [[Ebml.elements]] this walk never decodes one — leaves
+    * are skipped by size (the reference's InterestingElementNames
+    * fast-forward applied to everything), no Element/String allocation
+    * per node. Traversal order, container clamping, and truncated-tail
+    * tolerance are identical to [[Ebml.elements]]; EbmlSpec pins the
+    * head fields equal between the two walks. */
+  def elementsArray(buf: Array[Byte]): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      var open = true
+      while (open && pos < to) try {
+        val start = pos
+        val (id, idLen) = Ebml.readId(buf, pos)
+        pos += idLen
+        val (size, szLen) = Ebml.readSize(buf, pos)
+        pos += szLen
+        val known = Ebml.IdTable.getOrElse(id, null)
+        val isMaster = known != null && known._2 == Ebml.MASTER
+        val end = if (size < 0) to else (pos + size.toInt).min(to)
+        // mirror the full walk's truncated-leaf rule: stop, don't emit
+        if (!isMaster && size >= 0 && pos + size > to)
+          throw new Ebml.EbmlException("truncated leaf payload")
+        val name =
+          if (known == null) u8(f"0x$id%x") else idNames.get(id: java.lang.Long)
+        out += InternalRow(name, size, start.toLong)
+        if (isMaster) walk(pos, end)
+        pos = end
+      } catch {
+        case _: Ebml.EbmlException | _: ArrayIndexOutOfBoundsException =>
+          open = false
+      }
+    }
+    walk(0, buf.length)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Continuous-stream fragment slices (parser.py:362-375 boundaries). */
+  def splitArray(blob: Array[Byte]): ArrayData =
+    new GenericArrayData(Ebml.splitFragments(blob).map {
+      case (p, b) => InternalRow(p, b): Any
+    }.toArray)
+
+  /** First media block's frame payload, or null when the fragment has
+    * no blocks. */
+  def firstBlock(blob: Array[Byte]): Array[Byte] =
+    Ebml.blocks(blob).headOption
+      .map(b => java.util.Arrays.copyOfRange(b, 4, b.length))
+      .orNull
+
+  /** Concatenate an array-of-binary column into one stream payload. */
+  def concatAll(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val parts = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { parts(i) = arr.getBinary(i); i += 1 }
+    Ebml.concat(parts.toIndexedSeq: _*)
+  }
+
+  def encode(eventId: Long, tsMs: Long, userId: Long, valueC: Long,
+      props: UTF8String): Array[Byte] =
+    EbmlFunctions.buildFragment(eventId, tsMs, userId, valueC,
+      if (props == null) "" else props.toString)
+}
+
+object EbmlExpressions {
+  /** Must mirror [[EbmlFunctions.FragmentTags]] field-for-field: the
+    * mm_* oracle schemas are pinned to these names. */
+  val tagsType: StructType = StructType(Seq(
+    "fragment_number", "server_ts", "producer_ts", "millis_behind",
+    "continuation_token", "user_id", "value_cents", "error_code",
+    "error_id").map(StructField(_, StringType)))
+
+  val elementType: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("size", LongType),
+    StructField("position", LongType)))
+
+  val sliceType: StructType = StructType(Seq(
+    StructField("position", LongType),
+    StructField("fragment", BinaryType)))
+}
+
+/** blob → the 9-string AWS tag struct. */
+case class EbmlTagsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = EbmlExpressions.tagsType
+  override def prettyName: String = "ebml_tags"
+  override def nullSafeEval(b: Any): Any =
+    EbmlKernels.tagsRow(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ebml.EbmlKernels.tagsRow($c);")
+  override protected def withNewChildInternal(newChild: Expression): EbmlTagsExpr =
+    copy(child = newChild)
+}
+
+/** blob → array of (name, size, position) element heads. */
+case class EbmlElementsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(EbmlExpressions.elementType, containsNull = false)
+  override def prettyName: String = "ebml_elements"
+  override def nullSafeEval(b: Any): Any =
+    EbmlKernels.elementsArray(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ebml.EbmlKernels.elementsArray($c);")
+  override protected def withNewChildInternal(newChild: Expression): EbmlElementsExpr =
+    copy(child = newChild)
+}
+
+/** stream blob → array of (position, fragment) slices. */
+case class EbmlSplitExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(EbmlExpressions.sliceType, containsNull = false)
+  override def prettyName: String = "ebml_split_fragments"
+  override def nullSafeEval(b: Any): Any =
+    EbmlKernels.splitArray(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ebml.EbmlKernels.splitArray($c);")
+  override protected def withNewChildInternal(newChild: Expression): EbmlSplitExpr =
+    copy(child = newChild)
+}
+
+/** fragment blob → first SimpleBlock frame payload (null if none). */
+case class EbmlFirstBlockExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ebml_first_block"
+  override def nullSafeEval(b: Any): Any =
+    EbmlKernels.firstBlock(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ebml.EbmlKernels.firstBlock($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): EbmlFirstBlockExpr =
+    copy(child = newChild)
+}
+
+/** array<binary> → one concatenated stream payload. */
+case class EbmlConcatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ebml_concat"
+  override def nullSafeEval(a: Any): Any =
+    EbmlKernels.concatAll(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ebml.EbmlKernels.concatAll($c);")
+  override protected def withNewChildInternal(newChild: Expression): EbmlConcatExpr =
+    copy(child = newChild)
+}
+
+/** (event_id, ts_ms, user_id, value_cents, props) → MKV fragment blob.
+  * Null when any numeric input is null; a null props encodes as "". */
+case class EbmlEncodeExpr(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = children.take(4).exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ebml_encode_fragment"
+  override def eval(input: InternalRow): Any = {
+    val e = children(0).eval(input)
+    val t = children(1).eval(input)
+    val u = children(2).eval(input)
+    val v = children(3).eval(input)
+    if (e == null || t == null || u == null || v == null) null
+    else EbmlKernels.encode(
+      e.asInstanceOf[Long], t.asInstanceOf[Long], u.asInstanceOf[Long],
+      v.asInstanceOf[Long], children(4).eval(input).asInstanceOf[UTF8String])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.take(4).map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      ${gens.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      byte[] ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.ebml.EbmlKernels.encode(
+          ${gens(0).value}, ${gens(1).value}, ${gens(2).value}, ${gens(3).value},
+          ${gens(4).isNull} ? null : ${gens(4).value});
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EbmlEncodeExpr =
+    copy(children = newChildren)
+}

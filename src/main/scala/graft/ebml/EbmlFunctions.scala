@@ -1,7 +1,7 @@
 package graft.ebml
 
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
 /** Column-level EBML kernels (SURVEY §2A/§2G).
   *
@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions.udf
   * one SimpleBlock holding the binary payload. `parseTags`/`parseElements`/
   * `firstBlock` are the reader side. Deterministic ⇒ the round-trip query
   * is oracle-checkable from the source rows alone.
+  *
+  * Since round 6 the column forms are native Catalyst expressions
+  * ([[EbmlExpressions]]), not ScalaUDFs: same walk code, no per-row
+  * CatalystTypeConverters / encoder reflection, whole-stage codegen
+  * intact. Call syntax is unchanged.
   */
 object EbmlFunctions {
 
@@ -94,10 +99,10 @@ object EbmlFunctions {
   }
 
   /** Encode one events row into an MKV fragment blob. */
-  val encodeFragment: UserDefinedFunction =
-    udf { (eventId: Long, tsMs: Long, userId: Long, valueC: Long, props: String) =>
-      buildFragment(eventId, tsMs, userId, valueC, if (props == null) "" else props)
-    }
+  def encodeFragment(eventId: Column, tsMs: Column, userId: Column,
+      valueC: Column, props: Column): Column =
+    column(EbmlEncodeExpr(
+      Seq(eventId, tsMs, userId, valueC, props).map(expression)))
 
   val ErrorCode = "AWS_KINESISVIDEO_ERROR_CODE"
   val ErrorId = "AWS_KINESISVIDEO_ERROR_ID"
@@ -110,50 +115,30 @@ object EbmlFunctions {
 
   /** Extract the AWS tag set from a fragment, including the error tags the
     * reference surfaces on stream faults (parser.py:352-366, 357-360). */
-  val parseTags: UserDefinedFunction =
-    udf { (blob: Array[Byte]) =>
-      val m = Ebml.tags(blob)
-      FragmentTags(
-        m.getOrElse(FragmentNumber, null), m.getOrElse(ServerTs, null),
-        m.getOrElse(ProducerTs, null), m.getOrElse(MillisBehind, null),
-        m.getOrElse(ContinuationToken, null), m.getOrElse(UserIdTag, null),
-        m.getOrElse(ValueCentsTag, null),
-        m.getOrElse(ErrorCode, null), m.getOrElse(ErrorId, null))
-    }
+  def parseTags(blob: Column): Column = column(EbmlTagsExpr(expression(blob)))
 
   final case class FragmentSlice(position: Long, fragment: Array[Byte])
 
   /** Continuous-stream splitting (parser.py:362-375 boundary semantics):
     * one blob of concatenated fragments → per-fragment slices with the
     * absolute stream position of each fragment head. */
-  val splitFragments: UserDefinedFunction =
-    udf { (blob: Array[Byte]) =>
-      if (blob == null) Array.empty[FragmentSlice]
-      else Ebml.splitFragments(blob)
-        .map { case (p, b) => FragmentSlice(p, b) }.toArray
-    }
+  def splitFragments(blob: Column): Column =
+    column(EbmlSplitExpr(expression(blob)))
 
   /** Concatenate fragment blobs into one continuous stream payload (the
     * shape GetMedia actually delivers: fragments back to back on one
     * connection). */
-  val concatBlobs: UserDefinedFunction =
-    udf { (blobs: Seq[Array[Byte]]) => Ebml.concat(blobs: _*) }
+  def concatBlobs(blobs: Column): Column =
+    column(EbmlConcatExpr(expression(blobs)))
 
   final case class ElementInfo(name: String, size: Long, position: Long)
 
   /** Element walk with head positions (ebml.py Position semantics). */
-  val parseElements: UserDefinedFunction =
-    udf { (blob: Array[Byte]) =>
-      Ebml.elements(blob).map(e => ElementInfo(
-        if (e.name == null) f"0x${e.id}%x" else e.name, e.size, e.position))
-    }
+  def parseElements(blob: Column): Column =
+    column(EbmlElementsExpr(expression(blob)))
 
   /** First media block's frame payload (after the 4-byte SimpleBlock
     * header) — the "decode" input for the multimodal stub. */
-  val firstBlock: UserDefinedFunction =
-    udf { (blob: Array[Byte]) =>
-      Ebml.blocks(blob).headOption
-        .map(b => java.util.Arrays.copyOfRange(b, 4, b.length))
-        .orNull
-    }
+  def firstBlock(blob: Column): Column =
+    column(EbmlFirstBlockExpr(expression(blob)))
 }

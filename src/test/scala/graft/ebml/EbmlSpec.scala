@@ -149,4 +149,28 @@ class EbmlSpec extends AnyFunSuite {
     val cut = blob.take(blob.length / 2)
     assert(elements(cut).nonEmpty) // parses the intact prefix
   }
+
+  test("head-only kernel walk matches the full walk's heads exactly") {
+    // EbmlKernels.elementsArray (the ebml_elements expression) skips
+    // payload decode; its (name, size, position) stream must equal the
+    // full decoding walk's on intact, truncated, AND unknown-id input
+    def heads(blob: Array[Byte]): Seq[(String, Long, Long)] = {
+      val arr = EbmlKernels.elementsArray(blob)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+      }
+    }
+    def fullHeads(blob: Array[Byte]): Seq[(String, Long, Long)] =
+      elements(blob).map(e =>
+        (if (e.name == null) f"0x${e.id}%x" else e.name, e.size, e.position))
+    val blob = EbmlFunctions.buildFragment(7L, 123456789L, 3L, 555L, "payload")
+    assert(heads(blob) == fullHeads(blob))
+    val cut = blob.take(blob.length / 2)
+    assert(heads(cut) == fullHeads(cut))
+    // unknown id: hex-formatted name, same either way
+    val unknown = element(0x6ee9L, utf8("zz")) ++ blob
+    assert(heads(unknown) == fullHeads(unknown))
+    assert(heads(unknown).head._1 == "0x6ee9")
+  }
 }

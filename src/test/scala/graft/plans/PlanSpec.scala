@@ -209,6 +209,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ebml byte-walk runs as native expressions, not ScalaUDFs") {
+    // the round-6 upgrade SURVEY §5 named: the multimodal path's
+    // hottest per-row loops (encode, tag walk, element walk, stream
+    // split) must appear in the plan as the graft expressions — no
+    // ScalaUDF/CatalystTypeConverters wrapper on the binary path
+    for ((name, df) <- Seq(
+        "mm_elements" -> graft.operators.Multimodal.mmElements(t),
+        "mm_split_stream" -> graft.operators.Multimodal.mmSplitStream(t))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")
+    }
+    val analyzed = graft.operators.Multimodal.mmElements(t)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("ebml_elements") &&
+      analyzed.contains("ebml_encode_fragment"),
+      s"mm_elements not on the native expressions:\n$analyzed")
+  }
+
   test("tf-idf keeps rank-limit pushdown and no nested-loop joins") {
     val df = graft.operators.TextOps.tfIdfTopTerms(t)
     df.collect()
