@@ -394,11 +394,57 @@ private[graft] object OracleSql {
     * round i+1 when the max centroid shift² after round i is <= eps),
     * then assigns every vector against the final model — the promoted
     * hash-exact check for the formerly rows-only E3 entry. */
-  lazy val ivfAssign: String =
-    ivfAssignOracle(k = 8, iters = 3, eps = "1e-9", dim = 64, buckets = 4096)
+  lazy val ivfAssign: String = {
+    val h = lloydReplayCtes(k = 8, iters = 3, eps = "1e-9", dim = 64,
+      buckets = 4096)
+    s"""${h.ctes},
+    df AS (SELECT n.vec_id, f.cid, ${h.dist("f.c")} AS d
+      FROM nrm n CROSS JOIN fin f)
+    SELECT vec_id, cast(cid as bigint) AS cid, round(d, 4) AS dist2 FROM (
+      SELECT vec_id, cid, d,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM df) WHERE rn = 1 ORDER BY vec_id"""
+  }
 
-  private def ivfAssignOracle(k: Int, iters: Int, eps: String, dim: Int,
-      buckets: Int): String = {
+  /** ivf_topk: the IVF SEARCH replayed end to end — the canonical Lloyd
+    * fit (shared CTE chain), query routing to the nprobe nearest cells
+    * (array_sort's (d, cid) tie rule), corpus cell assignment, and the
+    * exact cosine top-k inside the routed cells (the ann_brute_topk
+    * fold/division text verbatim, so the double arithmetic is the
+    * bit-proven one). Deterministic for the same reason ivf_assign is:
+    * round 6 made the fit itself bit-reproducible. */
+  lazy val ivfTopK: String = {
+    val h = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096)
+    s"""${h.ctes},
+    probe AS (SELECT vec_id AS q_id, cid AS cell, v AS v_q, norm AS norm_q FROM (
+        SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS pr
+        FROM nrm n CROSS JOIN fin f WHERE n.vec_id < 10) WHERE pr <= 3),
+    asgf AS (SELECT vec_id AS n_id, cid AS cell, v AS v_n, norm AS norm_n FROM (
+        SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS rn
+        FROM nrm n CROSS JOIN fin f) WHERE rn = 1),
+    cand AS (SELECT p.q_id, a.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(p.v_q, a.v_n), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(p.norm_q) * sqrt(a.norm_n)) AS cos
+      FROM probe p JOIN asgf a ON p.cell = a.cell AND p.q_id <> a.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM cand)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
+  private final case class LloydReplay(ctes: String, dist: String => String)
+
+  /** The WITH-chain replaying `Similarity.lloyd` up to a `fin` CTE
+    * holding the converged (cid, centroid) model, plus `nrm` (vec_id,
+    * b, v, norm) over the embeddings — shared by every oracle that
+    * searches or assigns against the canonical k-means fixpoint. */
+  private def lloydReplayCtes(k: Int, iters: Int, eps: String, dim: Int,
+      buckets: Int): LloydReplay = {
     val D = "cast(0.0 as double)"
     val zeroVec = s"list_transform(range($dim), zz -> $D)"
     // ⟨a,b⟩ as the ascending-index left fold graft_dot runs
@@ -409,7 +455,7 @@ private[graft] object OracleSql {
     def norm2(a: String) =
       s"""list_reduce(list_prepend($D,
           list_transform($a, xx -> xx*xx)), (s, x) -> s + x)"""
-    // d(v, c) = max(0, |v|² − 2⟨v,c⟩ + |c|²), nrm alias `n`, cents alias `c`
+    // d(v, c) = max(0, |v|² − 2⟨v,c⟩ + |c|²), vector alias `n`
     def dist(cCol: String) =
       s"""greatest($D, n.norm - cast(2.0 as double) * ${dot("n.v", cCol)}
           + ${norm2(cCol)})"""
@@ -460,13 +506,7 @@ private[graft] object OracleSql {
     fin AS (SELECT c1.cid,
         CASE $earlyStops
              ELSE c$iters.c END AS c
-      FROM c1 $joins),
-    df AS (SELECT n.vec_id, f.cid, ${dist("f.c")} AS d
-      FROM nrm n CROSS JOIN fin f)
-    SELECT vec_id, cast(cid as bigint) AS cid, round(d, 4) AS dist2 FROM (
-      SELECT vec_id, cid, d,
-        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      FROM df) WHERE rn = 1 ORDER BY vec_id""")
-    sb.toString
+      FROM c1 $joins)""")
+    LloydReplay(sb.toString, dist)
   }
 }

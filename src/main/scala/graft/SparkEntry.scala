@@ -93,7 +93,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
     "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
-    // full IVF search (rows-only; SimilaritySpec measures recall vs brute)
+    // full IVF search — hash-exact since round 6: the canonical fit
+    // makes routing + in-cell ranking replayable (OracleSql.ivfTopK)
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
@@ -161,7 +162,7 @@ object SparkEntry {
   /** DuckDB twins. Omitted only where no deterministic SQL ground truth
     * exists (sketch estimates, float-nondeterministic PQ fits):
     * approx_distinct, approx_percentiles, and the pq/ivfpq searches.
-    * ivf_assign IS oracle-checked — the round-6 canonical-order Lloyd
+    * ivf_assign and ivf_topk ARE oracle-checked — the round-6 canonical-order Lloyd
     * reduction made the whole k-means fixpoint bit-reproducible, so
     * [[OracleSql.ivfAssign]] replays fit + assignment in DuckDB.
     * dedup_minhash and dedup_simhash ARE
@@ -173,6 +174,7 @@ object SparkEntry {
     // the k-means fixpoint itself, replayed in DuckDB — possible since
     // the round-6 canonical-order reduction made the fit bit-reproducible
     "ivf_assign" -> OracleSql.ivfAssign,
+    "ivf_topk" -> OracleSql.ivfTopK,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
