@@ -394,7 +394,16 @@ private[graft] object OracleSql {
     * round i+1 when the max centroid shift² after round i is <= eps),
     * then assigns every vector against the final model — the promoted
     * hash-exact check for the formerly rows-only E3 entry. */
-  lazy val ivfAssign: String = {
+  /** Every CTE in the generated vector oracles is MATERIALIZED: the
+    * unrolled fit chains reference earlier CTEs several times each, and
+    * DuckDB's default inlining re-expands the whole upstream subtree
+    * per reference — exponential plan growth that exhausted file
+    * handles on the composed ivfpq replay. Materialization is an
+    * optimization fence only; results are unchanged. */
+  private def materialized(sql: String): String =
+    sql.replaceAll("(\\w+ AS) \\(SELECT", "$1 MATERIALIZED (SELECT")
+
+  lazy val ivfAssign: String = materialized {
     val h = lloydReplayCtes(k = 8, iters = 3, eps = "1e-9", dim = 64,
       buckets = 4096)
     s"""${h.ctes},
@@ -413,7 +422,7 @@ private[graft] object OracleSql {
     * fold/division text verbatim, so the double arithmetic is the
     * bit-proven one). Deterministic for the same reason ivf_assign is:
     * round 6 made the fit itself bit-reproducible. */
-  lazy val ivfTopK: String = {
+  lazy val ivfTopK: String = materialized {
     val h = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
       buckets = 4096)
     s"""${h.ctes},
@@ -437,6 +446,192 @@ private[graft] object OracleSql {
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** pq_topk: the full PQ search replayed — fit (m fused subspace
+    * k-means over unit vectors, canonical fold tree, joint early stop),
+    * corpus coding (per-subspace argmin), query ADC tables
+    * (adcTableOf's per-entry slice-distance fold), the ADC candidate
+    * scan (graft_pq_adc's ascending-j fold, rerank window), and the
+    * exact cosine re-rank — all in DuckDB. Deterministic since the
+    * round-6 canonical reduction landed in pqModel too. */
+  lazy val pqTopK: String = materialized {
+    val fit = pqFitCtes(m = 8, kCells = 16, iters = 5, eps = "1e-9",
+      dim = 64, buckets = 4096, srcUnit = "un")
+    s"""WITH ev AS (SELECT vec_id,
+        CASE WHEN len(embedding) = 64
+             THEN list_transform(embedding, x -> cast(x as double))
+             ELSE error('pq_topk oracle: embedding dim ' || len(embedding)
+               || ' <> the hardcoded 64') END AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM ev),
+    un AS (SELECT vec_id, vec_id % 4096 AS b,
+        list_transform(v, x -> x * (cast(1.0 as double)/sqrt(norm))) AS u
+      FROM nrm),
+    ${fit.ctes},
+    codes AS (SELECT vec_id, j, cid FROM (
+        SELECT n.vec_id, m.j, m.cid, ${fit.sliceDist("n.u", "m.vec")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id, m.j ORDER BY d, m.cid) AS rn
+        FROM un n CROSS JOIN pfin m) WHERE rn = 1),
+    qtbl AS (SELECT q.vec_id AS q_id, m.j, m.cid,
+        ${fit.sliceDist("q.u", "m.vec")} AS td
+      FROM un q CROSS JOIN pfin m WHERE q.vec_id < 10),
+    adc AS (SELECT t.q_id, c.vec_id AS n_id,
+        list_reduce(list_prepend(cast(0.0 as double), list(t.td ORDER BY t.j)),
+          (s, x) -> s + x) AS adc
+      FROM codes c JOIN qtbl t ON c.j = t.j AND c.cid = t.cid
+      WHERE t.q_id <> c.vec_id
+      GROUP BY t.q_id, c.vec_id),
+    cand AS (SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS crnk
+        FROM adc) WHERE crnk <= 100),
+    rr AS (SELECT cand.q_id, cand.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(q.v, c.v), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(q.norm) * sqrt(c.norm)) AS cos
+      FROM cand JOIN nrm q ON q.vec_id = cand.q_id
+        JOIN nrm c ON c.vec_id = cand.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM rr)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
+  /** ivfpq_topk AND ivfpq_search_prefit (identical results — IvfSpec
+    * pins the prefit artifact row-identical to the inline fit at equal
+    * parameters): the residual IVF+PQ composite replayed end to end.
+    * Coarse Lloyd on UNIT vectors (the shared replay over `unn`),
+    * corpus residuals vs the assigned cell, the residual PQ fit (the
+    * shared pqFitCtes over `resid`), per-(query, probed-cell) residual
+    * ADC tables, the routed candidate scan with the rerank window, and
+    * the exact cosine top-k over raw vectors. */
+  lazy val ivfPqTopK: String = materialized {
+    val coarse = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096, srcNrm = "unn")
+    val fit = pqFitCtes(m = 8, kCells = 16, iters = 5, eps = "1e-9",
+      dim = 64, buckets = 4096, srcUnit = "resid")
+    val D = "cast(0.0 as double)"
+    s"""WITH ev AS (SELECT vec_id,
+        CASE WHEN len(embedding) = 64
+             THEN list_transform(embedding, x -> cast(x as double))
+             ELSE error('ivfpq oracle: embedding dim ' || len(embedding)
+               || ' <> the hardcoded 64') END AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, v, list_reduce(list_prepend($D,
+        list_transform(v, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM ev),
+    un AS (SELECT vec_id, vec_id % 4096 AS b,
+        list_transform(v, x -> x * (cast(1.0 as double)/sqrt(norm))) AS u
+      FROM nrm),
+    unn AS (SELECT vec_id, b, u AS v, list_reduce(list_prepend($D,
+        list_transform(u, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM un),
+    ${coarse.ctes},
+    asgu AS (SELECT vec_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS rn
+        FROM unn n CROSS JOIN fin f) WHERE rn = 1),
+    resid AS (SELECT u.vec_id, u.b,
+        list_transform(list_zip(u.u, f.c), pp -> pp[1] - pp[2]) AS u
+      FROM un u JOIN asgu a ON u.vec_id = a.vec_id JOIN fin f ON f.cid = a.cell),
+    ${fit.ctes},
+    rcodes AS (SELECT vec_id, j, cid FROM (
+        SELECT n.vec_id, m.j, m.cid, ${fit.sliceDist("n.u", "m.vec")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id, m.j ORDER BY d, m.cid) AS rn
+        FROM resid n CROSS JOIN pfin m) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS q_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS pr
+        FROM unn n CROSS JOIN fin f WHERE n.vec_id < 10) WHERE pr <= 3),
+    qres AS (SELECT p.q_id, p.cell,
+        list_transform(list_zip(u.u, f.c), pp -> pp[1] - pp[2]) AS u
+      FROM qprobe p JOIN un u ON u.vec_id = p.q_id JOIN fin f ON f.cid = p.cell),
+    qtbl AS (SELECT r.q_id, r.cell, m.j, m.cid, ${fit.sliceDist("r.u", "m.vec")} AS td
+      FROM qres r CROSS JOIN pfin m),
+    radc AS (SELECT t.q_id, c.vec_id AS n_id,
+        list_reduce(list_prepend($D, list(t.td ORDER BY t.j)),
+          (s, x) -> s + x) AS adc
+      FROM asgu a JOIN rcodes c ON c.vec_id = a.vec_id
+        JOIN qtbl t ON t.cell = a.cell AND t.j = c.j AND t.cid = c.cid
+      WHERE t.q_id <> c.vec_id
+      GROUP BY t.q_id, c.vec_id),
+    cand AS (SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS crnk
+        FROM radc) WHERE crnk <= 100),
+    rr AS (SELECT cand.q_id, cand.n_id,
+        list_reduce(list_prepend($D,
+          list_transform(list_zip(q.v, c.v), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(q.norm) * sqrt(c.norm)) AS cos
+      FROM cand JOIN nrm q ON q.vec_id = cand.q_id
+        JOIN nrm c ON c.vec_id = cand.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM rr)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
+  private final case class PqFitReplay(ctes: String,
+      sliceDist: (String, String) => String)
+
+  /** CTE chain replaying `Similarity.pqModel` over a unit-vector CTE
+    * `srcUnit` (vec_id, b, u) up to `pfin` (j, cid, vec) — the joint
+    * m-subspace k-means with the canonical two-level fold, empty-cell
+    * keep-previous, and the joint max-shift early stop. */
+  private def pqFitCtes(m: Int, kCells: Int, iters: Int, eps: String,
+      dim: Int, buckets: Int, srcUnit: String): PqFitReplay = {
+    val sub = dim / m
+    val D = "cast(0.0 as double)"
+    val zeroSub = s"list_transform(range($sub), zz -> $D)"
+    // ‖slice − cell‖² as PqAssignKernel's ascending-x fold of diff²;
+    // ALSO adcTableOf's per-entry arithmetic (cen = null case)
+    def sliceDist(uCol: String, cellVec: String) =
+      s"""list_reduce(list_prepend($D,
+          list_transform(list_zip(list_slice($uCol, j*$sub + 1, (j+1)*$sub), $cellVec),
+            pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))), (s, x) -> s + x)"""
+    def foldSubVecs(vecCol: String, orderCol: String) =
+      s"""list_reduce(list_prepend($zeroSub, list($vecCol ORDER BY $orderCol)),
+          (s, x) -> list_transform(list_zip(s, x), pp -> pp[1] + pp[2]))"""
+    val sb = new StringBuilder
+    sb.append(s"""pc0 AS (SELECT j, cid,
+        list_slice(u, j*$sub + 1, (j+1)*$sub) AS vec FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u
+        FROM $srcUnit WHERE vec_id < $kCells)
+      CROSS JOIN (SELECT unnest(range($m)) AS j))""")
+    for (i <- 1 to iters) {
+      val p = s"pc${i - 1}"
+      sb.append(s""",
+    pa$i AS (SELECT vec_id, b, j, cid,
+        list_slice(u, j*$sub + 1, (j+1)*$sub) AS sl FROM (
+        SELECT n.vec_id, n.b, n.u, m.j, m.cid, ${sliceDist("n.u", "m.vec")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id, m.j ORDER BY d, m.cid) AS rn
+        FROM $srcUnit n CROSS JOIN $p m) WHERE rn = 1),
+    pp$i AS (SELECT b, j, cid, ${foldSubVecs("sl", "vec_id")} AS s, count(*) AS cnt
+      FROM pa$i GROUP BY b, j, cid),
+    pm$i AS (SELECT j, cid, ${foldSubVecs("s", "b")} AS s, sum(cnt) AS cnt
+      FROM pp$i GROUP BY j, cid),
+    pc$i AS (SELECT p.j, p.cid,
+        CASE WHEN m.cid IS NULL THEN p.vec
+             ELSE list_transform(m.s, x -> x / cast(m.cnt as double)) END AS vec
+      FROM $p p LEFT JOIN pm$i m ON p.j = m.j AND p.cid = m.cid),
+    pmv$i AS (SELECT max(list_reduce(list_prepend($D,
+        list_transform(list_zip(p.vec, n.vec), pp -> (pp[1]-pp[2])*(pp[1]-pp[2]))),
+        (s, x) -> s + x)) AS mx
+      FROM $p p JOIN pc$i n ON p.j = n.j AND p.cid = n.cid)""")
+    }
+    val earlyStops = (1 until iters).map(i =>
+      s"WHEN (SELECT mx FROM pmv$i) <= cast($eps as double) THEN c$i.vec")
+      .mkString("\n        ")
+    val joins = (2 to iters).map(i =>
+      s"JOIN pc$i c$i ON c1.j = c$i.j AND c1.cid = c$i.cid").mkString(" ")
+    sb.append(s""",
+    pfin AS (SELECT c1.j, c1.cid,
+        CASE $earlyStops
+             ELSE c$iters.vec END AS vec
+      FROM pc1 c1 $joins)""")
+    PqFitReplay(sb.toString, sliceDist)
+  }
+
   private final case class LloydReplay(ctes: String, dist: String => String)
 
   /** The WITH-chain replaying `Similarity.lloyd` up to a `fin` CTE
@@ -444,7 +639,7 @@ private[graft] object OracleSql {
     * b, v, norm) over the embeddings — shared by every oracle that
     * searches or assigns against the canonical k-means fixpoint. */
   private def lloydReplayCtes(k: Int, iters: Int, eps: String, dim: Int,
-      buckets: Int): LloydReplay = {
+      buckets: Int, srcNrm: String = null): LloydReplay = {
     val D = "cast(0.0 as double)"
     val zeroVec = s"list_transform(range($dim), zz -> $D)"
     // ⟨a,b⟩ as the ascending-index left fold graft_dot runs
@@ -464,20 +659,25 @@ private[graft] object OracleSql {
       s"""list_reduce(list_prepend($zeroVec, list($vecCol ORDER BY $orderCol)),
           (s, x) -> list_transform(list_zip(s, x), pp -> pp[1] + pp[2]))"""
     val sb = new StringBuilder
-    sb.append(s"""WITH ev AS (SELECT vec_id,
+    // the vector source: (vec_id, b, v, norm) — embeddings raw by
+    // default, or a caller-provided CTE (ivfpq fits on UNIT vectors)
+    val src = if (srcNrm == null) "nrm" else srcNrm
+    if (srcNrm == null)
+      sb.append(s"""WITH ev AS (SELECT vec_id,
         CASE WHEN len(embedding) = $dim
              THEN list_transform(embedding, x -> cast(x as double))
-             ELSE error('ivf_assign oracle: embedding dim ' || len(embedding)
+             ELSE error('ivf oracle: embedding dim ' || len(embedding)
                || ' <> the hardcoded $dim') END AS v
       FROM embeddings),
     nrm AS (SELECT vec_id, vec_id % $buckets AS b, v, ${norm2("v")} AS norm FROM ev),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-      FROM ev WHERE vec_id < $k)""")
+    """)
+    sb.append(s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM $src WHERE vec_id < $k)""")
     for (i <- 1 to iters) {
       val p = s"c${i - 1}"
       sb.append(s""",
     d$i AS (SELECT n.vec_id, n.b, n.v, c.cid, ${dist("c.c")} AS d
-      FROM nrm n CROSS JOIN $p c),
+      FROM $src n CROSS JOIN $p c),
     asg$i AS (SELECT vec_id, b, v, cid FROM (
         SELECT vec_id, b, v, cid,
           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn

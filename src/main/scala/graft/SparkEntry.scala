@@ -126,14 +126,16 @@ object SparkEntry {
     // broadcast gram-membership probe, corpus never shuffles
     "decontaminate" -> ((s, d) => TextOps.decontaminate(tables(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfIdfTopTerms(tables(s, d))),
-    // §2E PQ compression search (rows-only; spec: recall@5 + exactness
-    // of surfaced cosines + ADC kernel equivalence)
+    // §2E PQ compression search — hash-exact since round 6 (canonical
+    // pqModel reduction; OracleSql.pqTopK replays fit+ADC+rerank);
+    // spec additionally: recall@5 + ADC kernel equivalence
     "pq_topk" -> ((s, d) => Similarity.pqTopK(tables(s, d))),
     "ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(tables(s, d))),
     // the DEPLOYMENT shape: search-only against a persisted index
     // (fit once into tmpdir, marker-gated like the ebml archive) —
-    // rows-only; IvfSpec pins result equality with ivfpq_topk, the
-    // zero-fit-job property, and the codes-only scan
+    // hash-exact since round 6 against the SAME replay oracle as
+    // ivfpq_topk (IvfSpec separately pins prefit == inline); plus the
+    // zero-fit-job property and the codes-only scan
     "ivfpq_search_prefit" -> ((s, d) => {
       val t = tables(s, d)
       val dir = VectorIndex.materialize(t, d)
@@ -161,8 +163,9 @@ object SparkEntry {
 
   /** DuckDB twins. Omitted only where no deterministic SQL ground truth
     * exists (sketch estimates, float-nondeterministic PQ fits):
-    * approx_distinct, approx_percentiles, and the pq/ivfpq searches.
-    * ivf_assign and ivf_topk ARE oracle-checked — the round-6 canonical-order Lloyd
+    * approx_distinct and approx_percentiles (sketch estimates with no
+    * deterministic SQL ground truth). The ENTIRE vector-index family IS
+    * oracle-checked since round 6 — the round-6 canonical-order Lloyd
     * reduction made the whole k-means fixpoint bit-reproducible, so
     * [[OracleSql.ivfAssign]] replays fit + assignment in DuckDB.
     * dedup_minhash and dedup_simhash ARE
@@ -175,6 +178,9 @@ object SparkEntry {
     // the round-6 canonical-order reduction made the fit bit-reproducible
     "ivf_assign" -> OracleSql.ivfAssign,
     "ivf_topk" -> OracleSql.ivfTopK,
+    "pq_topk" -> OracleSql.pqTopK,
+    "ivfpq_topk" -> OracleSql.ivfPqTopK,
+    "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,

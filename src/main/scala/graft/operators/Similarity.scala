@@ -332,14 +332,18 @@ object Similarity {
     // quality degrades with no error (round-4 self-review finding)
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m subspaces")
     val sub = dim / m
+    val spark = unitVecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     // FUSED fit: the m subspace k-means run in lockstep — each Lloyd
-    // iteration is ONE job (explode the m (subspace, cell, slice)
-    // assignments per row, one groupBy over m×kCells groups with the
-    // mergeable array sum) instead of m independent fits × iters tiny
-    // jobs. Same bytes through the exchange (slices partition the
-    // vector), 5 jobs instead of 40: measured 14.3 s → ~4 s on the
-    // pq_topk bench at sf0.1, dominated before by task-launch overhead.
-    // Convergence is joint: stop when NO subspace's centroids move.
+    // iteration is one pass over the working set producing all m×kCells
+    // partials at once, instead of m independent fits × iters tiny
+    // jobs. Convergence is joint: stop when NO subspace's centroids
+    // move. Since round 6 the reduction is the CANONICAL fold tree of
+    // [[lloyd]] (vec_id%LloydBuckets buckets folded in vec_id order,
+    // bucket partials folded in bucket order, per (subspace, cell)) —
+    // bit-reproducible independent of partitioning, which is what lets
+    // OracleSql replay the PQ fit and the driver hash-check pq_topk.
     val initRows = unitVecs.filter(col("vec_id") < kCells).orderBy("vec_id")
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length == kCells,
@@ -347,25 +351,81 @@ object Similarity {
     var model: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       Array.tabulate(kCells)(c =>
         java.util.Arrays.copyOfRange(initRows(c), j * sub, (j + 1) * sub)))
+    val cores = spark.sparkContext.defaultParallelism
+    val working = unitVecs
+      .select(pmod(col("vec_id"), lit(LloydBuckets.toLong)).cast("int").as("b"),
+        col("vec_id"), col("v"))
+      .repartition(cores, col("b"))
+      .sortWithinPartitions("b", "vec_id")
+      .as[(Int, Long, Seq[Double])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var moved = Double.MaxValue
     while (it < iters && moved > 1e-9) {
-      // one kernel call assigns ALL subspaces (graft_pq_assign): the
-      // earlier m×kCells struct/dot tree recompiled whole-stage codegen
-      // every iteration (centroid literals change) and compilation
-      // dominated the fit
-      val subStructs = (0 until m).map { j =>
-        struct(lit(j).as("j"),
-          element_at(col("codes"), j + 1).as("cid"),
-          slice(col("v"), j * sub + 1, sub).as("s"))
-      }
-      val sums = unitVecs
-        .withColumn("codes", call_function("graft_pq_assign",
-          col("v"), typedLit(flatModel(model).toSeq), lit(m)))
-        .select(explode(array(subStructs.toIndexedSeq: _*)).as("e"))
-        .groupBy(col("e.j").as("j"), col("e.cid").as("cid"))
-        .agg(call_function("graft_vec_sum", col("e.s")).as("sum"),
-          count(lit(1)).as("cnt"))
+      val flat = flatModel(model)
+      val mL = m; val kL = kCells; val subL = sub
+      // level 1: per-(bucket, subspace, cell) slice sums folded in
+      // vec_id order; the per-subspace argmin is EXACTLY
+      // PqAssignKernel.assign's arithmetic (strict less, lowest cell)
+      val partials = working.mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Seq[Double], Long)]
+        var curB = -1
+        var acc: Array[Array[Double]] = null
+        var cnt: Array[Long] = null
+        def flush(): Unit = if (curB >= 0) {
+          var jc = 0
+          while (jc < mL * kL) {
+            if (cnt(jc) > 0L)
+              out += ((curB, jc / kL, jc % kL,
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(acc(jc)),
+                cnt(jc)))
+            jc += 1
+          }
+        }
+        rows.foreach { case (b, _, v) =>
+          if (b != curB) {
+            flush(); curB = b
+            acc = Array.fill(mL * kL)(new Array[Double](subL))
+            cnt = new Array[Long](mL * kL)
+          }
+          var j = 0
+          while (j < mL) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < kL) {
+              var d = 0.0
+              var x = 0
+              val base = (j * kL + c) * subL
+              while (x < subL) {
+                val diff = v(j * subL + x) - flat(base + x)
+                d += diff * diff
+                x += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            val a = acc(j * kL + best)
+            var x = 0
+            while (x < subL) { a(x) += v(j * subL + x); x += 1 }
+            cnt(j * kL + best) += 1L
+            j += 1
+          }
+        }
+        flush()
+        out.iterator
+      }.toDF("b", "j", "cid", "s", "cnt")
+      // level 2: per-(subspace, cell) fold of bucket partials in bucket order
+      val zero = typedLit(Seq.fill(sub)(0.0))
+      val sums = partials
+        .groupBy("j", "cid")
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("b"), col("s")))),
+            zero,
+            (a, e) => zip_with(a, e.getField("s"), (x, y) => x + y)).as("sum"),
+          sum("cnt").as("cnt"))
         .collect()
       // empty cells keep their previous centroid (the IVF rule)
       val next = model.map(_.map(_.clone))
@@ -386,6 +446,7 @@ object Similarity {
       model = next
       it += 1
     }
+    working.unpersist(blocking = false)
     model
   }
 
