@@ -124,7 +124,7 @@ object Similarity {
         col("vec_id"), col("v"), col("norm"))
       .repartition(cores, col("b"))
       .sortWithinPartitions("b", "vec_id")
-      .as[(Int, Long, Seq[Double], Double)]
+      .as[(Int, Long, Array[Double], Double)]
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var moved = Double.MaxValue
@@ -140,7 +140,7 @@ object Similarity {
       // strict-less argmin (ties to the lowest cid).
       val partials = working.mapPartitions { rows =>
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Int, Seq[Double], Long)]
+          .empty[(Int, Int, Array[Double], Long)]
         var curB = -1
         var acc: Array[Array[Double]] = null
         var cnt: Array[Long] = null
@@ -148,8 +148,7 @@ object Similarity {
           var c = 0
           while (c < k) {
             if (cnt(c) > 0L)
-              out += ((curB, c, scala.collection.immutable.ArraySeq
-                .unsafeWrapArray(acc(c)), cnt(c)))
+              out += ((curB, c, acc(c), cnt(c)))
             c += 1
           }
         }
@@ -357,7 +356,7 @@ object Similarity {
         col("vec_id"), col("v"))
       .repartition(cores, col("b"))
       .sortWithinPartitions("b", "vec_id")
-      .as[(Int, Long, Seq[Double])]
+      .as[(Int, Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var moved = Double.MaxValue
@@ -369,7 +368,7 @@ object Similarity {
       // PqAssignKernel.assign's arithmetic (strict less, lowest cell)
       val partials = working.mapPartitions { rows =>
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Int, Int, Seq[Double], Long)]
+          .empty[(Int, Int, Int, Array[Double], Long)]
         var curB = -1
         var acc: Array[Array[Double]] = null
         var cnt: Array[Long] = null
@@ -377,9 +376,7 @@ object Similarity {
           var jc = 0
           while (jc < mL * kL) {
             if (cnt(jc) > 0L)
-              out += ((curB, jc / kL, jc % kL,
-                scala.collection.immutable.ArraySeq.unsafeWrapArray(acc(jc)),
-                cnt(jc)))
+              out += ((curB, jc / kL, jc % kL, acc(jc), cnt(jc)))
             jc += 1
           }
         }
