@@ -34,6 +34,7 @@ object SparkEntry {
     "distinct_counts" -> ((s, d) => Analytics.distinctCounts(tables(s, d))),
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
     "outer_join_dist" -> ((s, d) => Analytics.outerJoinDist(tables(s, d))),
+    "outer_join_full" -> ((s, d) => Analytics.fullOuterJoinAgg(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(tables(s, d))),
     "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
@@ -302,6 +303,14 @@ object SparkEntry {
             ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
           GROUP BY c_custkey)
         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "outer_join_full" ->
+      s"""SELECT coalesce(c_mktsegment, 'NO_CUSTOMER') AS segment,
+          coalesce(o_orderpriority, 'NO_ORDER') AS priority,
+          count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c
+        FROM customer FULL OUTER JOIN orders
+          ON c_custkey = o_custkey AND c_acctbal > 5000
+            AND o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "rollup_agg" ->
       s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
           count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c

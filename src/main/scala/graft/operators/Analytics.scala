@@ -152,6 +152,29 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
 
+  /** C17b — FULL OUTER join with an ON-clause filter: both null-extension
+    * directions in one result. Customers with no urgent order (or failing
+    * the balance gate) surface as (segment, NO_ORDER); orders that miss
+    * the gate — every non-urgent order, and urgent orders of low-balance
+    * customers — surface as (NO_CUSTOMER, priority). A full-outer join
+    * cannot broadcast (either side may null-extend), so the sort-merge
+    * shuffle on the key is the correct shape at any scale; the aggregate
+    * above it is group-count-sized. */
+  def fullOuterJoinAgg(t: Tables): DataFrame =
+    t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      .join(
+        t.orders.select("o_orderkey", "o_custkey", "o_orderpriority",
+          "o_totalprice"),
+        col("c_custkey") === col("o_custkey") &&
+          col("c_acctbal") > 5000.0 &&
+          col("o_orderpriority") === "1-URGENT",
+        "full_outer")
+      .groupBy(
+        coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("NO_ORDER")).as("priority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+      .orderBy("segment", "priority")
+
   /** C9 — rollup over two grouping levels; NULL grouping keys masked so the
     * oracle comparison is order-stable. */
   def rollupAgg(t: Tables): DataFrame =

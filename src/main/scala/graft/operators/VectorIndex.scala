@@ -457,6 +457,38 @@ object VectorIndex {
     // done: telemetry keeps per-ingest history by design
   }
 
+  /** REBALANCE — the scheduled rebuild [[driftReport]] signals: refit
+    * BOTH models on the index's OWN vectors table (never the corpus)
+    * and re-code everything against them, folding every ingest
+    * partition into a fresh base generation (fit's static overwrite
+    * truncates the codes/vectors tables, so post-drift cell skew
+    * disappears along with the accumulated batch directories —
+    * rebalance subsumes [[compact]] for the data it covers).
+    * Corpus-sized by design: ONE scheduled job, amortized over the
+    * searches between rebuilds — against the per-query cost the inline
+    * operators pay to refit. The n_id space is preserved, and
+    * `_MODEL_VERSION` rotates, so long-running searchers (any process)
+    * pick the new generation up on their next [[loadModel]]
+    * revalidation instead of scoring against stale models. The vectors
+    * are snapshotted before the refit because [[fit]] overwrites the
+    * very table it would otherwise still be lazily reading. Per-ingest
+    * health HISTORY is kept; the base row becomes the new fit's
+    * baseline, so post-rebalance ingests are judged against the model
+    * that will actually score them. Inherits [[fit]]'s deterministic
+    * init contract: n_ids 0..kCells-1 must exist in the index (true
+    * for any index this library fit). */
+  def rebalance(spark: SparkSession, dir: String, kCells: Int = 8,
+      m: Int = 8, pqCells: Int = 16, iters: Int = 5): Unit = {
+    val staging = new Path(s"$dir/rebalance_snapshot")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$dir/vectors")
+      .select(col("n_id").as("vec_id"), col("v").as("embedding"))
+      .write.mode("overwrite").parquet(staging.toString)
+    fit(spark.read.parquet(staging.toString), dir, kCells, m, pqCells, iters)
+    fs.delete(staging, true)
+    ()
+  }
+
   /** Per-ingest model-health row: n, mean/p95 of the squared residual
     * norm (distance of each vector to its coarse centroid — the
     * distribution-shift signal: drifted data lands far from every

@@ -78,4 +78,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(dist.getOrElse(0L, 0L) == expectedZero,
       s"c_count=0 bucket ${dist.get(0L)} != recomputed $expectedZero")
   }
+
+  test("full-outer join null-extends BOTH sides and accounts for every row") {
+    import org.apache.spark.sql.functions.col
+    val got = Analytics.fullOuterJoinAgg(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // both extension directions must actually occur in the test data
+    assert(got.keys.exists(_._2 == "NO_ORDER"), "no left-extended rows")
+    assert(got.keys.exists(_._1 == "NO_CUSTOMER"), "no right-extended rows")
+    // row accounting: every order lands exactly once (matched or
+    // NO_CUSTOMER), every customer without a matched order exactly once
+    // (NO_ORDER) — the full-outer invariant
+    val matched = t.customer.filter(col("c_acctbal") > 5000.0)
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "inner").count()
+    val orderRows = got.collect {
+      case ((_, p), n) if p != "NO_ORDER" => n
+    }.sum
+    assert(orderRows == t.orders.count(),
+      s"order rows $orderRows != ${t.orders.count()}")
+    val custNoOrder = got.collect {
+      case ((s, "NO_ORDER"), n) if s != "NO_CUSTOMER" => n
+    }.sum
+    val custWithMatch = t.customer.filter(col("c_acctbal") > 5000.0)
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(custNoOrder == t.customer.count() - custWithMatch)
+    assert(got.values.sum == matched + custNoOrder +
+      (t.orders.count() - matched))
+  }
 }

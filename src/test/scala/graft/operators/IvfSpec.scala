@@ -293,6 +293,57 @@ class IvfSpec extends SparkSpec {
       s"drifted append not separated: occ_skew ${rep(1L)._2} vs in-dist ${rep(0L)._2}")
   }
 
+  test("rebalance refits from the artifact's own vectors and heals drift skew") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_rebal").toString
+    VectorIndex.fit(t.embeddings.filter(col("vec_id") < 400), dir)
+    VectorIndex.appendBatch(t.embeddings.filter(col("vec_id") >= 400), 0L, dir)
+    // the same one-mode drifted batch the drift-report test uses: under
+    // the original model it routes entirely into one cell
+    val drifted = t.embeddings.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, 64), i -> cast(1.0 + 0.001 * pmod(vec_id * i, 7) as float))"
+        ).as("embedding"))
+    VectorIndex.appendBatch(drifted, 1L, dir)
+    val skewBefore = VectorIndex.driftReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val oldCoarse = VectorIndex.loadModel(spark, dir)._1.map(_.toSeq).toSeq
+    val total = spark.read.parquet(s"$dir/codes").count()
+
+    VectorIndex.rebalance(spark, dir)
+
+    // every ingest partition folded into the fresh base generation
+    def dirs(table: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch=")).toSet
+    }
+    assert(dirs("codes") == Set("ingest_batch=-1"))
+    assert(dirs("vectors") == Set("ingest_batch=-1"))
+    assert(spark.read.parquet(s"$dir/codes").count() == total, "rows lost")
+    assert(!new java.io.File(s"$dir/rebalance_snapshot").exists(),
+      "snapshot not cleaned up")
+    // the model generation rotated: the refit saw the drifted mode
+    val newCoarse = VectorIndex.loadModel(spark, dir)._1.map(_.toSeq).toSeq
+    assert(newCoarse != oldCoarse, "rebalance did not refit the models")
+    // the healed baseline routes the post-drift corpus far more evenly
+    // than the old model routed the drifted batch
+    val baseSkew = VectorIndex.driftReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      .apply(VectorIndex.BaseBatch)
+    assert(baseSkew < skewBefore(1L) / 2.0,
+      s"rebalance did not heal routing skew: $baseSkew vs ${skewBefore(1L)}")
+    // search contract intact against the new generation (corpus must
+    // cover the appended ids for the exact re-rank)
+    val corpus = t.embeddings.select("vec_id", "embedding").unionByName(
+      drifted.select(col("vec_id"), col("embedding").cast("array<float>")))
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
+    val rows = VectorIndex.searchTopK(corpus, q, dir).collect()
+    assert(rows.length == 3 * 5, s"searchTopK returned ${rows.length} rows")
+  }
+
   test("loadModel revalidates against the artifact's version stamp") {
     import org.apache.spark.sql.functions.col
     // simulate the deployment: a long-lived search JVM caches the
