@@ -61,6 +61,35 @@ object EventStreams {
       }
   }
 
+  /** B22 — NATIVE stream-stream LEFT OUTER interval join: each live
+    * event picks up every marker from the same user within the
+    * preceding span; an event with none null-extends once the watermark
+    * passes its join window. [[taggedAssociation]] (B10) holds one
+    * "latest marker" per key in hand-rolled state — the as-of form;
+    * this is the engine-native association of TWO live streams: both
+    * sides buffer only watermark-deep state (the interval condition is
+    * what lets the engine evict it), so memory is bounded at any input
+    * rate and the join distributes by key — the shape that survives
+    * 1000 executors, where the reference's in-process tags_line
+    * (parser.py:421-432) cannot. */
+  def intervalJoin(events: DataFrame, markers: DataFrame,
+      span: String = "10 minutes"): DataFrame = {
+    val l = events
+      .select(col("user_id"), col("event_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 minute")
+    val r = markers
+      .select(col("user_id").as("m_user"), col("id").as("marker_id"),
+        col("ts").as("m_ts"))
+      .withWatermark("m_ts", "1 minute")
+    l.join(r,
+        col("user_id") === col("m_user") &&
+          col("m_ts") >= col("e_ts") - expr(s"INTERVAL $span") &&
+          col("m_ts") <= col("e_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("event_id"), col("e_ts"),
+        col("marker_id"), col("m_ts"))
+  }
+
   /** The full consumer pipeline as one streaming query (SURVEY §1): a
     * stream of raw MKV fragment blobs → EBML tag extraction → typed
     * fragment metadata → watermarked per-stream rate/lag aggregation.

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
-import graft.streaming.EventStreams.{Event, QueueOut}
+import graft.streaming.EventStreams.{Event, Msg, QueueOut}
 
 class StreamingSpec extends SparkSpec {
 
@@ -49,6 +49,39 @@ class StreamingSpec extends SparkSpec {
         "select user_id, n from sessions where user_id = 10 order by session_start")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(rows.toSeq == Seq((10L, 2L), (10L, 1L)))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches markers and null-extends after the watermark (B22)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = MemoryStream[Event]
+    val mk = MemoryStream[Msg]
+    val query = EventStreams.intervalJoin(ev.toDF(), mk.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // user 10: marker at t=1; event at t=2 (inside the 10-min span →
+      // matched) and event at t=30 (outside → must null-extend, but only
+      // AFTER the watermark closes its join window)
+      mk.addData(Msg(10, ts(1), "marker", 100))
+      ev.addData(Event(1, ts(2), 10, "click", 1.0),
+        Event(2, ts(30), 10, "click", 1.0))
+      query.processAllAvailable()
+      // push BOTH watermarks far past every open window (the join's
+      // watermark is the min across inputs) — two steps so the
+      // null-extension provably comes from eviction, not stream end
+      mk.addData(Msg(99, ts(120), "marker", 999))
+      ev.addData(Event(9, ts(120), 99, "click", 1.0))
+      query.processAllAvailable()
+      mk.addData(Msg(98, ts(180), "marker", 998))
+      ev.addData(Event(8, ts(180), 98, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select event_id, marker_id from ssjoin where user_id = 10 order by event_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(rows.toSeq == Seq((1L, Some(100L)), (2L, None)))
     } finally query.stop()
   }
 
