@@ -35,6 +35,7 @@ object SparkEntry {
     "semi_anti_join" -> ((s, d) => Analytics.semiAntiJoin(tables(s, d))),
     "outer_join_dist" -> ((s, d) => Analytics.outerJoinDist(tables(s, d))),
     "outer_join_full" -> ((s, d) => Analytics.fullOuterJoinAgg(tables(s, d))),
+    "correlated_min_order" -> ((s, d) => Analytics.correlatedMinOrder(tables(s, d))),
     "rollup_agg" -> ((s, d) => Analytics.rollupAgg(tables(s, d))),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(tables(s, d))),
     "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
@@ -311,6 +312,14 @@ object SparkEntry {
           ON c_custkey = o_custkey AND c_acctbal > 5000
             AND o_orderpriority = '1-URGENT'
         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "correlated_min_order" ->
+      """SELECT o_custkey, o_orderkey,
+          cast(round(o_totalprice*100) as bigint) AS price_c
+        FROM orders o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey""",
     "rollup_agg" ->
       s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
           count(*) AS n, cast(sum($centsTotal) as bigint) AS sum_c

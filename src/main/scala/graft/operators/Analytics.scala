@@ -386,6 +386,26 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** C18 — CORRELATED scalar subquery (TPC-H Q2 shape): each customer's
+    * minimum-price order rows, written as the subquery a SQL user
+    * writes. Catalyst DECORRELATES it — the per-row "run a query per
+    * outer row" reading becomes one aggregate over the inner side plus
+    * one equi-join on the correlation key (two shuffles on o_custkey,
+    * no nested execution), which is why the form survives any scale
+    * while a literal interpretation would be O(n) queries. */
+  def correlatedMinOrder(t: Tables): DataFrame = {
+    val spark = t.orders.sparkSession
+    t.orders.createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+           cast(round(o_totalprice*100) as bigint) AS price_c
+         FROM graft_orders_v o
+         WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+                               FROM graft_orders_v o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_custkey, o_orderkey""")
+  }
+
   /** C13 — scalar-aggregate filter (orders above global average price); the
     * 1-row average is broadcast, not recomputed per row. */
   def aboveAvgFilter(t: Tables): DataFrame = {

@@ -79,6 +79,24 @@ class AnalyticsSpec extends SparkSpec {
       s"c_count=0 bucket ${dist.get(0L)} != recomputed $expectedZero")
   }
 
+  test("correlated scalar subquery decorrelates into one aggregate + join") {
+    val df = Analytics.correlatedMinOrder(t)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver-side recompute: each customer's min-price order rows (ties kept)
+    val orders = t.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val minBy = orders.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).min }
+    val expected = orders.filter { case (c, _, p) => p == minBy(c) }
+      .map { case (c, o, p) => (c, o, math.round(p * 100)) }
+      .sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == expected.toSeq)
+    // the point of the form: Catalyst rewrote the per-outer-row subquery
+    // into an aggregate + equi-join — no scalar-subquery node survives
+    // into the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"), "subquery not decorrelated:\n" + plan)
+  }
+
   test("full-outer join null-extends BOTH sides and accounts for every row") {
     import org.apache.spark.sql.functions.col
     val got = Analytics.fullOuterJoinAgg(t).collect()
