@@ -120,6 +120,7 @@ object SparkEntry {
     }),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
+    "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
@@ -162,6 +163,22 @@ object SparkEntry {
   private val centsValue = "cast(round(value*100) as bigint)"
   private val revenue = s"cast(sum($centsExt*(100-$centsDisc)) as bigint)"
   private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Shared body of the text_quality oracle — quality_melt unpivots the
+    * same wide row, so both twins derive from one definition. */
+  private val qualityBody =
+    """WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z]+') AS toks FROM documents),
+        m AS (SELECT doc_id,
+          cast(length(text) as bigint) AS n_chars,
+          cast(len(toks) as bigint) AS n_words,
+          cast(len(list_filter(toks, tk -> tk IN ('the','a','an','of','in','on','and','to','is','it'))) as bigint) AS n_stop,
+          cast(length(regexp_replace(text,'[^a-zA-Z]','','g')) as bigint) AS n_alpha,
+          cast(length(regexp_replace(text,'[^ ]','','g')) as bigint) AS n_space
+        FROM d)
+        SELECT doc_id, n_chars, n_words, n_stop, n_alpha, n_space,
+          CASE WHEN n_words=0 THEN cast(0.0 as double) ELSE n_stop/n_words END AS stop_ratio,
+          CASE WHEN n_chars=0 THEN cast(0.0 as double) ELSE n_alpha/n_chars END AS alpha_ratio
+        FROM m"""
 
   /** DuckDB twins. Omitted only where no deterministic SQL ground truth
     * exists (sketch estimates, float-nondeterministic PQ fits):
@@ -541,19 +558,18 @@ object SparkEntry {
             cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk""",
-    "text_quality" ->
-      """WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z]+') AS toks FROM documents),
-        m AS (SELECT doc_id,
-          cast(length(text) as bigint) AS n_chars,
-          cast(len(toks) as bigint) AS n_words,
-          cast(len(list_filter(toks, tk -> tk IN ('the','a','an','of','in','on','and','to','is','it'))) as bigint) AS n_stop,
-          cast(length(regexp_replace(text,'[^a-zA-Z]','','g')) as bigint) AS n_alpha,
-          cast(length(regexp_replace(text,'[^ ]','','g')) as bigint) AS n_space
-        FROM d)
-        SELECT doc_id, n_chars, n_words, n_stop, n_alpha, n_space,
-          CASE WHEN n_words=0 THEN cast(0.0 as double) ELSE n_stop/n_words END AS stop_ratio,
-          CASE WHEN n_chars=0 THEN cast(0.0 as double) ELSE n_alpha/n_chars END AS alpha_ratio
-        FROM m ORDER BY doc_id""",
+    "text_quality" -> s"$qualityBody ORDER BY doc_id",
+    "quality_melt" ->
+      s"""WITH q AS ($qualityBody)
+        SELECT doc_id, metric, value FROM (
+          SELECT doc_id, 'n_chars' AS metric, cast(n_chars as double) AS value FROM q
+          UNION ALL SELECT doc_id, 'n_words', cast(n_words as double) FROM q
+          UNION ALL SELECT doc_id, 'n_stop', cast(n_stop as double) FROM q
+          UNION ALL SELECT doc_id, 'n_alpha', cast(n_alpha as double) FROM q
+          UNION ALL SELECT doc_id, 'n_space', cast(n_space as double) FROM q
+          UNION ALL SELECT doc_id, 'stop_ratio', stop_ratio FROM q
+          UNION ALL SELECT doc_id, 'alpha_ratio', alpha_ratio FROM q)
+        ORDER BY doc_id, metric""",
     "token_counts" ->
       s"""SELECT doc_id,
           cast(len(regexp_extract_all(text,'\\S+')) as bigint) AS n_ws_tokens,

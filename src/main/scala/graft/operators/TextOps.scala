@@ -45,6 +45,22 @@ object TextOps {
         .as("alpha_ratio"))
   }
 
+  /** C11b — quality-metric MELT (unpivot, the inverse of C11's pivot):
+    * the wide per-document quality row to (doc_id, metric, value) long
+    * form — the shape metric stores and monitoring dashboards ingest.
+    * Unpivot is a per-row expand with NO shuffle; rows grow 7× but the
+    * schema stays two fixed columns no matter how many metrics the wide
+    * row gains. */
+  def qualityMelt(t: Tables): DataFrame = {
+    val metrics = Seq("n_chars", "n_words", "n_stop", "n_alpha", "n_space",
+      "stop_ratio", "alpha_ratio")
+    textQuality(t).unpivot(
+      Array(col("doc_id")),
+      metrics.map(m => col(m).cast("double").as(m)).toArray,
+      "metric", "value")
+      .orderBy("doc_id", "metric")
+  }
+
   /** F5 — curation pipeline: the composite pass a training-data pipeline
     * runs before tokenization — quality-score every document, keep those
     * above the length and alpha bars (integer comparisons, no float

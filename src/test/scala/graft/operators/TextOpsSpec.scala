@@ -31,6 +31,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality melt is the lossless long form of the wide quality row") {
+    val wide = TextOps.textQuality(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val long = TextOps.qualityMelt(t).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(long.size == wide.size * 7, "melt must emit one row per metric")
+    wide.foreach { case (id, r) =>
+      assert(long((id, "n_words")) == r.getLong(2).toDouble)
+      assert(long((id, "stop_ratio")) == r.getDouble(6))
+    }
+    // unpivot is a per-row Expand, not a shuffle: the melt plan carries
+    // exactly ONE exchange more than the wide plan (its own
+    // presentation orderBy) — the 7× row expansion itself moves nothing
+    def exchanges(p: String): Int = p.linesIterator.count(_.contains("Exchange"))
+    val meltPlan = TextOps.qualityMelt(t).queryExecution.executedPlan.toString
+    val widePlan = TextOps.textQuality(t).queryExecution.executedPlan.toString
+    assert(meltPlan.contains("Expand"), "unpivot not planned as Expand:\n" + meltPlan)
+    assert(exchanges(meltPlan) == exchanges(widePlan) + 1,
+      s"unpivot added a shuffle: melt=${exchanges(meltPlan)} wide=${exchanges(widePlan)}")
+  }
+
   test("full curation composite equals an independent driver-side recompute") {
     // independent implementation: plain Scala regex/set/union-find, no
     // Spark, no shared kernels — exercises filter thresholds, exact
