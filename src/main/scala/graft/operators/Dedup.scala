@@ -561,26 +561,39 @@ object Dedup {
     * then the exact cosine kernel verifies candidates. Pairs sharing
     * several table buckets are emitted once, from the first agreeing
     * table (both sides carry the 16-bucket array; the join row's table
-    * index is its bucket's high 32 bits). Rows-only; DedupSpec measures
-    * recall against the exact D5 oracle. */
+    * index is its bucket's high 32 bits). The bucket explode carries
+    * IDS AND BUCKET ARRAYS ONLY (~150 B/row) — the 64-dim vectors are
+    * joined back by id for the candidate-sized exact verify, the
+    * rerankExact pattern ([[Similarity.annLshTopKOf]]): at 100 TB the
+    * bucket exchange is 16× the ID volume, not 16× the corpus.
+    * Rows-only; DedupSpec measures recall against the exact D5
+    * oracle. */
   def embeddingPairsLsh(t: Tables, threshold: Double = 0.4,
       tables: Int = 16, bits: Int = 6): DataFrame = {
     val cores = t.embeddings.sparkSession.sparkContext.defaultParallelism
     val vecs = Similarity.withNorm(t.embeddings)
-      .withColumn("buckets", Sketches.lshBuckets(tables, bits)(col("v")))
-    val e = vecs.select(col("vec_id"), col("v"), col("norm"), col("buckets"),
+    val bucketed = vecs.select(col("vec_id"),
+      call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits))
+        .as("buckets"))
+    val e = bucketed.select(col("vec_id"), col("buckets"),
       explode(col("buckets")).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("v_a"), col("norm").as("norm_a"), col("buckets").as("bk_a"))
+      col("buckets").as("bk_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("v_b"), col("norm").as("norm_b"), col("buckets").as("bk_b"))
+      col("buckets").as("bk_b"))
     val firstAgree = (0 until tables).reverse
       .foldLeft(lit(tables): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("bk_a").getItem(j) === col("bk_b").getItem(j), j).otherwise(acc)
       }
-    a.join(b, "bucket")
+    val cand = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
+      .select("id_a", "id_b")
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("cos",
         call_function("graft_dot", col("v_a"), col("v_b")) /
           (sqrt(col("norm_a")) * sqrt(col("norm_b"))))

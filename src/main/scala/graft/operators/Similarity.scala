@@ -722,9 +722,11 @@ object Similarity {
   def annLshTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       tables: Int = 8, bits: Int = 6): DataFrame = {
     val vecs = withNorm(corpus)
-      .withColumn("buckets", Sketches.lshBuckets(tables, bits)(col("v")))
+      .withColumn("buckets",
+        call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits)))
     val qb = queries
-      .withColumn("probes", Sketches.lshProbeBuckets(tables, bits)(col("v")))
+      .withColumn("probes",
+        call_function("graft_lsh_probes", col("v"), lit(tables), lit(bits)))
       .select(col("vec_id").as("q_id"), col("probes"),
         explode(col("probes")).as("bucket"))
     val cb = vecs.select(col("vec_id").as("n_id"), col("buckets").as("bk_n"),

@@ -210,6 +210,101 @@ object WordNgramKernel {
   }
 }
 
+/** Kernels for the hyperplane-LSH expressions: table-`k` bucket = sign
+  * bits of `bits` pseudo-random projections (weights from
+  * mix64(table, bit, dim) — regenerated per use, nothing broadcast).
+  * Identical arithmetic and accumulation order to the
+  * Sketches.lshBuckets / lshProbeBuckets reference UDFs the specs pin
+  * these against, so swapping call sites cannot move a single bucket. */
+object LshKernel {
+  def base(arr: ArrayData, k: Int, bits: Int): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val w = (Hashing.mix64((k.toLong * 1009L + j) * 131071L + i) % 500L).toDouble
+        proj += arr.getDouble(i) * w
+        i += 1
+      }
+      if (proj >= 0.0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** One bucket per table, table index in the high 32 bits. */
+  def buckets(arr: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    var k = 0
+    while (k < tables) {
+      out(k) = (k.toLong << 32) | base(arr, k, bits)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multiprobe set: each table's base bucket plus every 1-bit flip —
+    * query-side only, so recall rises without touching corpus volume. */
+  def probes(arr: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val out = new Array[Long](tables * (bits + 1))
+    var k = 0
+    while (k < tables) {
+      val b = base(arr, k, bits)
+      val tag = k.toLong << 32
+      out(k * (bits + 1)) = tag | b
+      var j = 0
+      while (j < bits) {
+        out(k * (bits + 1) + 1 + j) = tag | (b ^ (1L << j))
+        j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Hyperplane-LSH bucket ids as a native codegen expression — the
+  * corpus-side signature of every embedding LSH path (D5b candidate
+  * generation, E2 ANN). Replaces a ScalaUDF that paid Seq[Double]
+  * boxing per corpus row on the hot path (round-6 verdict #2). */
+case class LshBuckets(child: Expression, tables: Int = 8, bits: Int = 6)
+    extends UnaryExpression {
+  // caller guarantees array<double> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.buckets(a.asInstanceOf[ArrayData], tables, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.LshKernel.buckets($a, $tables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+/** Query-side multiprobe bucket set as a native codegen expression. */
+case class LshProbes(child: Expression, tables: Int = 8, bits: Int = 6)
+    extends UnaryExpression {
+  // caller guarantees array<double> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_probes"
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.probes(a.asInstanceOf[ArrayData], tables, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.LshKernel.probes($a, $tables, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbes =
+    copy(child = newChild)
+}
+
 /** Resolves an integer-literal function argument with an analysis-time
   * error naming the RIGHT function and parameter (a raw ClassCast or
   * IndexOutOfBounds deep in evaluation names neither). */

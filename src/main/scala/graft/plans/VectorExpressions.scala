@@ -449,7 +449,15 @@ object VectorFunctions {
     ("graft_vec_sum", classOf[VectorSum],
       (exprs: Seq[Expression]) => VectorSum(exprs.head)),
     ("graft_mix64", classOf[Mix64],
-      (exprs: Seq[Expression]) => Mix64(exprs.head)))
+      (exprs: Seq[Expression]) => Mix64(exprs.head)),
+    ("graft_lsh_buckets", classOf[LshBuckets],
+      (exprs: Seq[Expression]) => LshBuckets(exprs.head,
+        IntLitArg.of("graft_lsh_buckets(v, tables, bits)", "tables", exprs(1)),
+        IntLitArg.of("graft_lsh_buckets(v, tables, bits)", "bits", exprs(2)))),
+    ("graft_lsh_probes", classOf[LshProbes],
+      (exprs: Seq[Expression]) => LshProbes(exprs.head,
+        IntLitArg.of("graft_lsh_probes(v, tables, bits)", "tables", exprs(1)),
+        IntLitArg.of("graft_lsh_probes(v, tables, bits)", "bits", exprs(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

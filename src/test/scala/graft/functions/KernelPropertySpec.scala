@@ -84,6 +84,42 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lsh bucket/probe kernels agree with an independent recompute") {
+    import graft.plans.LshKernel
+    val (tables, bits) = (8, 6)
+    val gv = Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5.0, 5.0)))
+    samples(gv, 100).foreach { v =>
+      val arr = new GenericArrayData(v.toArray)
+      val got = LshKernel.buckets(arr, tables, bits).toLongArray
+      // independent recompute: per-table sign bits of the same seeded
+      // projections (Seq.sum is the same left fold as the kernel loop)
+      val want = (0 until tables).map { k =>
+        var bucket = 0L
+        (0 until bits).foreach { j =>
+          val proj = v.zipWithIndex.map { case (x, i) =>
+            x * (Hashing.mix64((k.toLong * 1009L + j) * 131071L + i) % 500L).toDouble
+          }.sum
+          if (proj >= 0.0) bucket |= (1L << j)
+        }
+        (k.toLong << 32) | bucket
+      }.toArray
+      assert(got.sameElements(want), s"buckets mismatch on $v")
+      // probes: slot 0 of each table is the base bucket; slot 1+j flips
+      // exactly bit j of the low half and keeps the table tag
+      val probes = LshKernel.probes(arr, tables, bits).toLongArray
+      assert(probes.length == tables * (bits + 1))
+      (0 until tables).foreach { k =>
+        val base = want(k)
+        assert(probes(k * (bits + 1)) == base)
+        (0 until bits).foreach { j =>
+          assert(probes(k * (bits + 1) + 1 + j) == (base ^ (1L << j)),
+            s"probe flip $j of table $k wrong")
+        }
+      }
+    }
+  }
+
   test("pq assignment is the true per-subspace argmin with lowest-id ties") {
     val g = for {
       m <- Gen.oneOf(1, 2, 4)

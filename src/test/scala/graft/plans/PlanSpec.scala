@@ -150,6 +150,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH paths run on native expressions — no ScalaUDF") {
+    // round-6 verdict #2: lshBuckets/lshProbeBuckets were live ScalaUDFs
+    // on corpus-sized inputs, paying Seq[Double] boxing per row; the
+    // graft_lsh_* expressions replace them (Sketches keeps the UDFs as
+    // the reference implementations KernelPropertySpec pins against)
+    for ((name, df) <- Seq(
+        "dedup_embed_lsh" -> Dedup.embeddingPairsLsh(t),
+        "ann_lsh_topk" -> Similarity.annLshTopK(t))) {
+      val plan = planOf(df)
+      assert(!plan.contains("UDF("), s"$name still plans a ScalaUDF:\n$plan")
+      assert(plan.contains("graft_lsh_buckets"),
+        s"$name lost the native bucket expression:\n$plan")
+    }
+  }
+
+  test("embedding LSH bucket exchange carries no vector columns") {
+    // the 16× bucket explode must ship (id, bucket, bucket-array) only;
+    // carrying the 64-dim vectors through it multiplies the corpus's
+    // vector volume 16× on BOTH join sides — at 100 TB that exchange IS
+    // the job (round-6 verdict #1). Vectors join back by id AFTER the
+    // candidate filter, candidate-sized.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // force the at-scale plan: at 100 TB neither explode side fits a
+    // broadcast, so the bucket join IS a shuffle join — that exchange is
+    // the one whose width matters
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root: SparkPlan =
+      try Dedup.embeddingPairsLsh(t).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    val bucketExchanges = root.collect {
+      case e: ShuffleExchangeExec if (e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "bucket"))
+        case _ => false
+      }) => e
+    }
+    assert(bucketExchanges.nonEmpty, s"no bucket exchange found in:\n$root")
+    for (e <- bucketExchanges; f <- e.child.schema.fields)
+      assert(f.dataType != ArrayType(DoubleType, containsNull = true) &&
+        f.dataType != ArrayType(DoubleType, containsNull = false),
+        s"bucket exchange still carries vector column ${f.name}:\n$root")
+  }
+
   test("exact dedup shuffles content hashes, never document text") {
     for ((name, df) <- Seq(
         "dedup_exact" -> Dedup.dedupExact(t),
