@@ -155,6 +155,26 @@ private[graft] object OracleSql {
     s"""WITH ${minhashCandCtes("documents")}
     SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"""
 
+  /** dedup_incremental: the EXACT output of TextIndex.dedupBatch over
+    * the % 8 == 7 ingest slice against the settled-corpus index —
+    * 'exact' rows re-derived from raw text groups (hash equality ≡ text
+    * equality, the dedup_exact acceptance), 'band' rows as the
+    * full-corpus minhash candidate set restricted to pairs involving a
+    * new document (the incremental contract: probing the persisted
+    * band table finds exactly the pairs a full recompute would). */
+  lazy val dedupIncremental: String =
+    s"""WITH ${minhashCandCtes("documents")},
+    ex AS (SELECT g.mn AS id_a, n.doc_id AS id_b, 'exact' AS reason
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 7) n
+      JOIN (SELECT text, cast(min(doc_id) as bigint) AS mn
+            FROM documents GROUP BY text) g
+        ON g.text = n.text AND g.mn < n.doc_id),
+    bd AS (SELECT id_a, id_b, 'band' AS reason FROM cand
+      WHERE id_a % 8 = 7 OR id_b % 8 = 7)
+    SELECT id_a, id_b, reason FROM ex
+    UNION ALL SELECT id_a, id_b, reason FROM bd
+    ORDER BY id_a, id_b, reason"""
+
   /** dedup_clusters_lsh: identical output contract to dedup_clusters,
     * but over the operator's ACTUAL edge set — minhash candidates
     * verified at exact Jaccard >= 0.95 — closed transitively. Every

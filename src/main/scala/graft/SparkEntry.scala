@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.operators._
 import graft.sources.Tables
 
@@ -88,6 +88,15 @@ object SparkEntry {
     // DedupSpec asserts it refines the brute-force clustering)
     "dedup_embed_clusters" -> ((s, d) => Dedup.embedClustersLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
+    // incremental dedup against the persisted text index: the % 8 == 7
+    // slice is the "new ingest", probed against the settled corpus's
+    // hash + band artifact (built once, marker-gated, full lifecycle)
+    "dedup_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = TextIndex.materialize(t, d)
+      TextIndex.dedupBatch(
+        t.documents.filter(pmod(col("doc_id"), lit(8L)) === 7L), dir)
+    }),
     // scale path: LSH-candidate edges + exact-kernel verify (rows-only;
     // DedupSpec asserts cluster equality with dedup_clusters at sf0.001)
     "dedup_clusters_lsh" -> ((s, d) => Dedup.dedupClustersLsh(tables(s, d))),
@@ -201,6 +210,7 @@ object SparkEntry {
     "ivfpq_topk" -> OracleSql.ivfPqTopK,
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_minhash" -> OracleSql.dedupMinhash,
+    "dedup_incremental" -> OracleSql.dedupIncremental,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,

@@ -203,7 +203,7 @@ object Dedup {
     * exactly-once emission key — a pair agreeing on several bands would
     * surface once per band; keeping only the row whose band is the
     * first agreement needs no distinct() shuffle over the duplicates. */
-  private def firstAgreeingBand(nBands: Int): org.apache.spark.sql.Column =
+  private[operators] def firstAgreeingBand(nBands: Int): org.apache.spark.sql.Column =
     (0 until nBands).reverse
       .foldLeft(lit(nBands): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
@@ -213,7 +213,7 @@ object Dedup {
     * (band, sig), exactly-once emission via [[firstAgreeingBand]].
     * `nBands` MUST equal the signature array's length (fewer would
     * silently drop pairs whose first agreement lies in a later band). */
-  private def candidatesOf(withSigs: DataFrame,
+  private[operators] def candidatesOf(withSigs: DataFrame,
       nBands: Int = MinhashNumBands): DataFrame = {
     val sigs = withSigs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "sig")))

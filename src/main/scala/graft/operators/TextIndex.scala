@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.words
+import graft.sources.Tables
+
+/** Persisted TEXT-dedup index — the F-side twin of [[VectorIndex]]
+  * (round-6 verdict #2 ask): the curation pipeline's exact-hash and
+  * MinHash-band state as a durable artifact, so a NEW ingest batch
+  * dedups against the settled corpus by probing the index instead of
+  * re-tokenizing and re-signing 100 TB of settled text per run — the
+  * continuous-consumer shape of the reference
+  * (SergiyStoyan/AwsKinesisConsumer parser.py:272-310 processes the
+  * stream incrementally, never re-reading settled fragments) applied
+  * to corpus curation.
+  *
+  * Artifact layout under `dir`:
+  *   - `hashes/` — (doc_id, h1, h2): the 128-bit content-hash set of
+  *     [[Dedup.dedupExact]] (~24 B/row — 0.01% of the corpus it
+  *     indexes), partitioned by (ingest_batch, hb = h1 mod 64).
+  *   - `bands/` — (doc_id, band, sig, sigs): the exploded MinHash band
+  *     signatures of [[Dedup.minhashCandidates]]' geometry (4 bands ×
+  *     10 rows), plus the full 4-sig array each row carries for the
+  *     first-agreeing-band exactly-once filter; partitioned by
+  *     (ingest_batch, sb = sig mod 64).
+  *
+  * The (ingest_batch, bucket) layout is the [[VectorIndex]] discipline:
+  * `ingest_batch` is the idempotency key replayed micro-batches
+  * dynamic-overwrite into ([[appendBatch]]), and [[compact]] folds
+  * settled batches into the base partition so directory counts stay
+  * bounded under continuous ingest. The hash-prefix bucket key keeps
+  * individual files block-sized at corpus scale and gives the probe
+  * joins a dynamic-partition-pruning handle for small batches.
+  *
+  * No raw text is ever stored — the index carries hashes and band
+  * signatures only, so every probe exchange is ids+hashes wide.
+  */
+object TextIndex {
+
+  /** Base partition id: [[build]]'s own rows, the fold target of
+    * [[compact]]. Ad-hoc [[append]] defaults to [[AdhocBatch]]. */
+  val BaseBatch = -1L
+  val AdhocBatch = -2L
+
+  /** Hash-prefix partition fanout of both tables. 64 directories per
+    * ingest batch: enough for block-sized files at 100 TB-corpus index
+    * volume (~TB-scale index), few enough that small-SF tests stay
+    * listable. */
+  val Buckets = 64
+
+  /** Band count of the default graft_minhash_bands signature — the
+    * first-agreeing-band fold MUST cover exactly this many bands. */
+  private val NumBands = 4
+
+  /** Per-document signature row: the exact-dedup content hash pair
+    * (identical arithmetic to [[Dedup.dedupExact]]) plus the MinHash
+    * band signature array (identical kernel + tokenization to
+    * [[Dedup.minhashCandidates]] — a token-empty document gets an
+    * empty array and so never lands in the bands table, mirroring the
+    * candidate path's n > 0 filter). */
+  private def signatures(docs: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      xxhash64(col("text")).as("h1"),
+      xxhash64(lit(1L), col("text")).as("h2"),
+      call_function("graft_minhash_bands",
+        array_sort(array_distinct(words(col("text"))))).as("sigs"))
+  }
+
+  /** The two artifact writes shared by [[build]] / [[append]] /
+    * [[appendBatch]] — `sigs` must already be persisted/checkpointed by
+    * the caller (two writes over an unpersisted frame would recompute
+    * the signatures and, on a non-replay-deterministic input, could
+    * desynchronize the tables). */
+  private def writeTables(sigs: DataFrame, dir: String, ingestBatch: Long,
+      mode: String, dynamic: Boolean): Unit = {
+    def w(df: DataFrame, table: String): Unit = {
+      val base = df.withColumn("ingest_batch", lit(ingestBatch))
+        .write.mode(mode)
+      (if (dynamic) base.option("partitionOverwriteMode", "dynamic") else base)
+        .partitionBy("ingest_batch", "bk")
+        .parquet(s"$dir/$table")
+    }
+    w(sigs.select(col("doc_id"), col("h1"), col("h2"),
+      pmod(col("h1"), lit(Buckets.toLong)).as("bk")), "hashes")
+    w(sigs.select(col("doc_id"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .select(col("doc_id"), col("band"), col("sig"), col("sigs"),
+        pmod(col("sig"), lit(Buckets.toLong)).as("bk")), "bands")
+  }
+
+  /** Build the index over a settled corpus: one corpus scan computes
+    * both signature families; everything written is hash-sized. */
+  def build(docs: DataFrame, dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try writeTables(sigs, dir, BaseBatch, "overwrite", dynamic = false)
+    finally { sigs.unpersist(blocking = false); () }
+  }
+
+  /** Ad-hoc append of new documents (plain append — NOT replay-safe;
+    * streaming maintenance uses [[appendBatch]]). */
+  def append(newDocs: DataFrame, dir: String,
+      ingestBatch: Long = AdhocBatch): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = signatures(newDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    try writeTables(sigs, dir, ingestBatch, "append", dynamic = false)
+    finally { sigs.unpersist(blocking = false); () }
+  }
+
+  /** One micro-batch of index maintenance, IDEMPOTENTLY: dynamic
+    * partition overwrite keyed by (ingest_batch, bucket) makes a
+    * replayed batch replace exactly its own partitions — the
+    * [[VectorIndex.appendBatch]] / ConsumerApp.persistBatch rule.
+    * Single-writer per ingest_batch id (callers namespace concurrent
+    * streams, the [[VectorIndex.appendStream]] pattern). */
+  def appendBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = signatures(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    try writeTables(sigs, dir, batchId, "overwrite", dynamic = true)
+    finally { sigs.unpersist(blocking = false); () }
+  }
+
+  /** Dedup an ingest batch against the index (and itself) WITHOUT
+    * touching settled text. Output, sorted by (id_a, id_b, reason):
+    *   - ('exact') id_b is a batch document whose text already exists
+    *     under a smaller doc_id (settled or earlier-in-batch); id_a is
+    *     the smallest such id — the keeper [[Dedup.dedupExact]] would
+    *     elect over the full corpus.
+    *   - ('band') (id_a, id_b) share a MinHash band — EXACTLY the
+    *     pairs [[Dedup.minhashCandidates]] over the full corpus emits
+    *     that involve at least one batch document (TextIndexSpec pins
+    *     the equality; the DuckDB oracle replays both rules).
+    *
+    * Scale shape: the batch signatures are computed once
+    * (localCheckpoint — the returned plan contains NO scan of the
+    * documents source), then two hash-wide probe joins against the
+    * index tables. The batch side is ingest-sized, so Catalyst
+    * broadcasts it under the threshold and the bucket equi-condition
+    * gives dynamic partition pruning a handle; above the threshold
+    * both joins shuffle on hash keys — never on text. */
+  def dedupBatch(newDocs: DataFrame, dir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bSigs = signatures(newDocs).localCheckpoint(true)
+    val idxHashes = spark.read.parquet(s"$dir/hashes")
+    val idxBands = spark.read.parquet(s"$dir/bands")
+    // exact tier: smallest same-content id over settled ∪ batch. The
+    // batch side unions in so within-batch duplicates resolve to the
+    // same keeper the full-corpus recompute would pick.
+    val pool = idxHashes.select(col("doc_id"), col("h1"), col("h2"))
+      .unionByName(bSigs.select(col("doc_id"), col("h1"), col("h2")))
+    val exact = bSigs.as("nw")
+      .join(pool.as("p"),
+        col("p.h1") === col("nw.h1") && col("p.h2") === col("nw.h2") &&
+          col("p.doc_id") < col("nw.doc_id"))
+      .groupBy(col("nw.doc_id"))
+      .agg(min(col("p.doc_id")).as("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit("exact").as("reason"))
+    // band tier, within the batch: the candidate engine itself
+    val within = Dedup.candidatesOf(bSigs.select(col("doc_id"), col("sigs")))
+      .select(col("id_a"), col("id_b"), lit("band").as("reason"))
+    // band tier, batch × settled: probe the persisted band table. The
+    // bucket equality is implied by sig equality — it's there purely as
+    // the dynamic-partition-pruning handle on the index scan.
+    val probe = bSigs.select(col("doc_id"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val cross = probe.as("x")
+      .join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("y.bk") === pmod(col("x.sig"), lit(Buckets.toLong)))
+      .filter(col("x.band") === Dedup.firstAgreeingBand(NumBands))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        lit("band").as("reason"))
+    exact.unionByName(within).unionByName(cross)
+      .orderBy("id_a", "id_b", "reason")
+  }
+
+  /** Fold settled ingest batches into the base partition — bounded
+    * directory counts under continuous ingest, search-identical
+    * results ([[VectorIndex.compact]]'s staging discipline: stage the
+    * merged base OUTSIDE the table, dynamic-overwrite the base
+    * partitions, sweep the folded directories). Idempotent: the merge
+    * deduplicates by natural key — (doc_id) for hashes, (doc_id, band)
+    * for bands — and signatures are deterministic functions of the
+    * text, so replays collapse to identical rows. Single writer per
+    * index dir assumed (the [[VectorIndex.compact]] contract). */
+  def compact(spark: SparkSession, dir: String,
+      upToBatch: Long = Long.MaxValue): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for ((table, key) <- Seq("hashes" -> Seq("doc_id"),
+        "bands" -> Seq("doc_id", "band"))) {
+      val root = new Path(s"$dir/$table")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        val batchDirs = fs.listStatus(root).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(_.getName.startsWith("ingest_batch="))
+          .filter { p =>
+            val id = p.getName.stripPrefix("ingest_batch=").toLong
+            (id >= 0L && id <= upToBatch) ||
+              (id == AdhocBatch && upToBatch == Long.MaxValue)
+          }
+        if (batchDirs.nonEmpty) {
+          val staging = new Path(s"$dir/${table}_compact_staging")
+          val settled = col("ingest_batch") === BaseBatch ||
+            (col("ingest_batch") >= 0L && col("ingest_batch") <= upToBatch) ||
+            (if (upToBatch == Long.MaxValue)
+              col("ingest_batch") === AdhocBatch else lit(false))
+          spark.read.parquet(s"$dir/$table")
+            .filter(settled)
+            .dropDuplicates(key)
+            .withColumn("ingest_batch", lit(BaseBatch))
+            .write.mode("overwrite").parquet(staging.toString)
+          spark.read.parquet(staging.toString)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "bk")
+            .parquet(s"$dir/$table")
+          batchDirs.foreach(fs.delete(_, true))
+          fs.delete(staging, true)
+        }
+      }
+    }
+  }
+
+  /** Builds (once, marker-gated) the index for `sfDir`'s SETTLED
+    * documents — doc_id % 8 in [0, 6] — exercising the full lifecycle
+    * (base build on % 8 < 6, an idempotently replayed appendBatch of
+    * % 8 == 6, then compact), and returns its directory. The % 8 == 7
+    * slice is the "new ingest" [[SparkEntry]]'s dedup_incremental
+    * query dedups against it. */
+  def materialize(t: Tables, sfDir: String): String = {
+    val spark = t.documents.sparkSession
+    val out = new Path(System.getProperty("java.io.tmpdir"),
+      s"graft_text_index_v1_b$Buckets" + s"_${math.abs(sfDir.hashCode)}")
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(out, "_INDEX_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.delete(out, true)
+      val docs = t.documents
+      build(docs.filter(pmod(col("doc_id"), lit(8L)) < 6L), out.toString)
+      val batch = docs.filter(pmod(col("doc_id"), lit(8L)) === 6L)
+      appendBatch(batch, 0L, out.toString)
+      appendBatch(batch, 0L, out.toString) // replay: must be a no-op
+      compact(spark, out.toString)
+      fs.create(marker, true).close()
+    }
+    out.toString
+  }
+}
