@@ -40,9 +40,12 @@ object SparkEntry {
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(tables(s, d))),
     "yearly_orders" -> ((s, d) => Analytics.yearlyOrders(tables(s, d))),
     "string_funcs" -> ((s, d) => Analytics.stringFuncs(tables(s, d))),
-    "approx_distinct" -> ((s, d) => Analytics.approxDistinct(tables(s, d))),
+    // sketch estimates in their ORACLE-CHECKED form: exact companion
+    // columns hash-compare against DuckDB and a within_bound boolean
+    // (oracle asserts true) turns the spec's error bound into a gate
+    "approx_distinct" -> ((s, d) => Analytics.approxDistinctChecked(tables(s, d))),
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
-    "approx_percentiles" -> ((s, d) => Analytics.approxPercentiles(tables(s, d))),
+    "approx_percentiles" -> ((s, d) => Analytics.approxPercentilesChecked(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
     "enrich_events" -> ((s, d) => Analytics.enrichEvents(tables(s, d))),
@@ -189,10 +192,11 @@ object SparkEntry {
           CASE WHEN n_chars=0 THEN cast(0.0 as double) ELSE n_alpha/n_chars END AS alpha_ratio
         FROM m"""
 
-  /** DuckDB twins. Omitted only where no deterministic SQL ground truth
-    * exists (sketch estimates, float-nondeterministic PQ fits):
-    * approx_distinct and approx_percentiles (sketch estimates with no
-    * deterministic SQL ground truth). The ENTIRE vector-index family IS
+  /** DuckDB twins — EVERY query has one since round 7: the two sketch
+    * ESTIMATES (HLL/KLL) can't be replayed in SQL, so their entries
+    * hash-compare exact companion columns plus a within_bound boolean
+    * the oracle asserts true (the estimate must sit inside its spec'd
+    * error bound or the hash gate fails). The ENTIRE vector-index family IS
     * oracle-checked since round 6 — the round-6 canonical-order Lloyd
     * reduction made the whole k-means fixpoint bit-reproducible, so
     * [[OracleSql.ivfAssign]] replays fit + assignment in DuckDB.
@@ -372,6 +376,24 @@ object SparkEntry {
           row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
           count(*) OVER (PARTITION BY event_type) AS n FROM s)
         SELECT event_type, q, v_c FROM (
+          SELECT event_type, cast(0.5 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.5)+1
+          UNION ALL
+          SELECT event_type, cast(0.9 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.9)+1
+        ) ORDER BY event_type, q""",
+    // the sketch gates: exact companion values hash-compare, and the
+    // oracle's literal TRUE makes Spark's within_bound computation
+    // (estimate inside the spec'd error bound) a pass/fail condition
+    "approx_distinct" ->
+      """SELECT event_type,
+           cast(count(DISTINCT user_id) as bigint) AS exact_users,
+           TRUE AS within_bound
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "approx_percentiles" ->
+      s"""WITH s AS (SELECT event_type, $centsValue AS v_c, event_id FROM events),
+        w AS (SELECT event_type, v_c,
+          row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM s)
+        SELECT event_type, q, v_c, TRUE AS within_bound FROM (
           SELECT event_type, cast(0.5 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.5)+1
           UNION ALL
           SELECT event_type, cast(0.9 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.9)+1

@@ -386,6 +386,51 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** C10b, ORACLE-CHECKED form: the HLL estimate can't be replayed in
+    * SQL, but its ERROR BOUND can — emit the exact distinct count
+    * (hash-compared against DuckDB's) plus a within_bound boolean
+    * (|estimate − exact| ≤ 10% relative, the AnalyticsSpec bound; the
+    * oracle asserts `true`, so an out-of-bound sketch fails the hash
+    * gate). Integer arithmetic only — nothing float-fragile. */
+  def approxDistinctChecked(t: Tables): DataFrame = {
+    val exact = t.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approxDistinct(t).join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 10L <=
+          col("exact_users")).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  /** C10c, ORACLE-CHECKED form: the exact rank-selected quantile values
+    * (the hash-exact [[percentiles]] machinery, replayed by the oracle)
+    * plus a within_bound boolean — the KLL estimate's empirical CDF
+    * must straddle the target rank within 2% (the PercentileSpec bound):
+    * count(v < est) ≤ (q+0.02)·n and count(v ≤ est) ≥ (q−0.02)·n, all
+    * in integer percent arithmetic. The oracle asserts `true`. */
+  def approxPercentilesChecked(t: Tables): DataFrame = {
+    val s = t.events.select(col("event_type"), cents(col("value")).as("v_c"))
+    val est = approxPercentiles(t)
+      .select(col("event_type"), explode(array(
+        struct(lit(0.5).as("q"), lit(50L).as("qpct"), col("p50_c").as("est_c")),
+        struct(lit(0.9).as("q"), lit(90L).as("qpct"), col("p90_c").as("est_c"))))
+        .as("e"))
+      .select(col("event_type"), col("e.q").as("q"), col("e.qpct").as("qpct"),
+        col("e.est_c").as("est_c"))
+    val within = s.join(broadcast(est), "event_type")
+      .groupBy("event_type", "q", "qpct")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v_c") < col("est_c"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("v_c") <= col("est_c"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("event_type"), col("q"),
+        (col("n_lt") * 100L <= (col("qpct") + 2L) * col("n") &&
+          col("n_le") * 100L >= (col("qpct") - 2L) * col("n"))
+          .as("within_bound"))
+    percentiles(t).join(within, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("v_c"), col("within_bound"))
+      .orderBy("event_type", "q")
+  }
+
   /** C18 — CORRELATED scalar subquery (TPC-H Q2 shape): each customer's
     * minimum-price order rows, written as the subquery a SQL user
     * writes. Catalyst DECORRELATES it — the per-row "run a query per
