@@ -440,15 +440,22 @@ object Analytics {
     * while a literal interpretation would be O(n) queries. */
   def correlatedMinOrder(t: Tables): DataFrame = {
     val spark = t.orders.sparkSession
-    t.orders.createOrReplaceTempView("graft_orders_v")
-    spark.sql(
-      """SELECT o_custkey, o_orderkey,
+    // per-call unique view name, dropped once the plan is ANALYZED
+    // (spark.sql resolves the view eagerly; execution holds the
+    // inlined relation) — a fixed name would clobber a user's view of
+    // the same name and race concurrent calls on a shared session
+    val vn = "graft_orders_v_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    t.orders.createOrReplaceTempView(vn)
+    try spark.sql(
+      s"""SELECT o_custkey, o_orderkey,
            cast(round(o_totalprice*100) as bigint) AS price_c
-         FROM graft_orders_v o
+         FROM $vn o
          WHERE o_totalprice = (SELECT min(o2.o_totalprice)
-                               FROM graft_orders_v o2
+                               FROM $vn o2
                                WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_custkey, o_orderkey""")
+    finally { spark.catalog.dropTempView(vn); () }
   }
 
   /** C13 — scalar-aggregate filter (orders above global average price); the

@@ -193,6 +193,7 @@ object VectorIndex {
   def searchTopK(corpus: DataFrame, queries: DataFrame, dir: String,
       k: Int = 5, nprobe: Int = 3, rerank: Int = 100): DataFrame = {
     val spark = corpus.sparkSession
+    warnIfCompacting(spark, dir)
     val (coarse, codebook) = loadModel(spark, dir)
     val codes = spark.read.parquet(s"$dir/codes")
     Similarity.ivfPqSearchStage(codes, coarse, codebook, queries,
@@ -217,6 +218,7 @@ object VectorIndex {
   def searchIvfTopK(queries: DataFrame, dir: String,
       k: Int = 5, nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
+    warnIfCompacting(spark, dir)
     val (coarse, _) = loadModel(spark, dir)
     // unit-space routing AND ranking (the quantizer was fit on unit
     // vectors; cosine is scale-invariant)
@@ -251,6 +253,7 @@ object VectorIndex {
   def searchAdc(queries: DataFrame, dir: String, k: Int = 5,
       nprobe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
+    warnIfCompacting(spark, dir)
     val (coarse, codebook) = loadModel(spark, dir)
     val qUnit = queries.select(col("vec_id"),
         call_function("graft_vec_scale", col("v"),
@@ -296,16 +299,36 @@ object VectorIndex {
     * streaming path does exactly that. A later [[compact]] also
     * deduplicates by n_id, so duplicates are self-healing. */
   def append(newVecs: DataFrame, dir: String,
-      ingestBatch: Long = AdhocBatch): Unit = {
-    val enc = codeAgainstModel(newVecs, dir, ingestBatch)
-    enc.select("cell", "n_id", "codes", "ingest_batch")
-      .write.mode("append").partitionBy("ingest_batch", "cell")
-      .parquet(s"$dir/codes")
-    enc.select("cell", "n_id", "v", "ingest_batch")
-      .write.mode("append").partitionBy("ingest_batch", "cell")
-      .parquet(s"$dir/vectors")
-    writeHealth(enc.select(col("cell"), col("res2")), dir, ingestBatch,
-      loadModel(newVecs.sparkSession, dir)._1.length)
+      ingestBatch: Long = AdhocBatch): Unit =
+    writeEncoded(codeAgainstModel(newVecs, dir, ingestBatch), dir,
+      ingestBatch, loadModel(newVecs.sparkSession, dir)._1.length,
+      dynamicOverwrite = false)
+
+  /** The shared write stage of [[append]] and [[appendBatch]]: the
+    * encoded frame is PERSISTED across its three consumers (codes
+    * write, vectors write, health aggregation) — without the pin each
+    * action would recompute the encode, and an input frame that is not
+    * replay-deterministic (a sample, a re-read of a changing source)
+    * could assign the same row to DIFFERENT cells in the codes and
+    * vectors tables, silently desynchronizing the ADC and exact tiers. */
+  private def writeEncoded(enc0: DataFrame, dir: String, ingestBatch: Long,
+      kCells: Int, dynamicOverwrite: Boolean): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val enc = enc0.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def writer(df: DataFrame) =
+        (if (dynamicOverwrite)
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+        else df.write.mode("append"))
+          .partitionBy("ingest_batch", "cell")
+      writer(enc.select("cell", "n_id", "codes", "ingest_batch"))
+        .parquet(s"$dir/codes")
+      writer(enc.select("cell", "n_id", "v", "ingest_batch"))
+        .parquet(s"$dir/vectors")
+      writeHealth(enc.select(col("cell"), col("res2")), dir, ingestBatch,
+        kCells)
+    } finally { enc.unpersist(blocking = false); () }
   }
 
   /** New rows assigned + coded against the PERSISTED models — the
@@ -340,22 +363,10 @@ object VectorIndex {
     * (ingest_batch = the micro-batch id, cell) makes the retry replace
     * exactly its own partitions — the ConsumerApp.persistBatch rule
     * applied to index maintenance. */
-  def appendBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
-    val enc = codeAgainstModel(batch, dir, batchId)
-    enc.select("cell", "n_id", "codes", "ingest_batch")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cell")
-      .parquet(s"$dir/codes")
-    enc.select("cell", "n_id", "v", "ingest_batch")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cell")
-      .parquet(s"$dir/vectors")
-    writeHealth(enc.select(col("cell"), col("res2")), dir, batchId,
-      loadModel(batch.sparkSession, dir)._1.length)
-    ()
-  }
+  def appendBatch(batch: DataFrame, batchId: Long, dir: String): Unit =
+    writeEncoded(codeAgainstModel(batch, dir, batchId), dir, batchId,
+      loadModel(batch.sparkSession, dir)._1.length,
+      dynamicOverwrite = true)
 
   /** STREAMING index maintenance: embeddings arriving on a stream join
     * the prefit index per micro-batch (assigned + coded against the
@@ -374,6 +385,11 @@ object VectorIndex {
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the namespace OR is only injective below 2^40 micro-batches —
+        // past it the id would silently bleed into another run's space,
+        // so fail loudly instead (2^40 batches = ~35k years at 1/sec)
+        require(batchId < (1L << 40),
+          s"micro-batch id $batchId overflows the 40-bit batch namespace")
         appendBatch(batch, runId | batchId, dir)
       }
       .start()
@@ -405,13 +421,52 @@ object VectorIndex {
     * and a re-run (or a replayed compact after success) is a no-op.
     * Searches DURING a crashed compact's window may see a duplicated
     * candidate id; ranks behind it shift by one until the re-run
-    * sweeps the folded directories. Pass `upToBatch` = the newest
+    * sweeps the folded directories. That window is OBSERVABLE: a
+    * `_COMPACT_INPROGRESS` marker is written before the first fold and
+    * cleared after the last sweep, and every search logs a warning
+    * while it is present ([[compactInProgress]]), so an operator can
+    * tell "duplicate ranks because a compact died" from silent
+    * corruption. Pass `upToBatch` = the newest
     * batch known SETTLED (e.g. watermark-old) so in-flight streaming
     * batches — which may still be re-delivered by a replay — are left
-    * in their own overwrite-addressable partitions. */
+    * in their own overwrite-addressable partitions.
+    *
+    * SINGLE-WRITER assumption: `upToBatch` is one global threshold
+    * over the raw ingest_batch ids, so with TWO streams feeding one
+    * index a threshold settled for one run also folds the other run's
+    * numerically-smaller in-flight batches — a later replay of a
+    * folded batch re-inserts rows already merged into base (transient
+    * duplicates until the next compact; never data loss, because the
+    * merge dedups by (cell, n_id)). Run compact from ONE maintenance
+    * job per index, quiesced or watermark-lagged past every feeding
+    * stream — the same discipline the reference's single consumer
+    * process embodies. */
   def compact(spark: SparkSession, dir: String,
-      upToBatch: Long = Long.MaxValue): Unit = {
+      upToBatch: Long = Long.MaxValue): Unit =
+    compactImpl(spark, dir, upToBatch, crashBeforeSweep = false)
+
+  /** True while a [[compact]] is mid-fold or died before its sweep —
+    * the search-side observability hook for the crash window. */
+  def compactInProgress(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_COMPACT_INPROGRESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def warnIfCompacting(spark: SparkSession, dir: String): Unit =
+    if (compactInProgress(spark, dir))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"search on $dir during an in-progress/crashed compact: " +
+          "candidate ids may appear twice until compact re-runs")
+
+  /** [[compact]] with a test seam: `crashBeforeSweep` aborts after the
+    * first table's fold, before any directory sweep — the exact crash
+    * window the marker exists to make visible. */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      upToBatch: Long, crashBeforeSweep: Boolean): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val markerPath = new Path(dir, "_COMPACT_INPROGRESS")
+    val markerFs = markerPath.getFileSystem(conf)
+    var wroteAny = false
     for (table <- Seq("codes", "vectors")) {
       val root = new Path(s"$dir/$table")
       val fs = root.getFileSystem(conf)
@@ -426,6 +481,7 @@ object VectorIndex {
               (id == AdhocBatch && upToBatch == Long.MaxValue)
           }
         if (batchDirs.nonEmpty) {
+          if (!wroteAny) { markerFs.create(markerPath, true).close(); wroteAny = true }
           val staging = new Path(s"$dir/${table}_compact_staging")
           // the settled range as a predicate, not an isin over (possibly
           // thousands of) listed batch ids — partition-prunes identically
@@ -448,11 +504,15 @@ object VectorIndex {
             .partitionBy("ingest_batch", "cell")
             .parquet(s"$dir/$table")
           // 3. sweep the folded directories + staging
+          if (crashBeforeSweep)
+            throw new IllegalStateException(
+              "simulated compact crash before sweep (test seam)")
           batchDirs.foreach(fs.delete(_, true))
           fs.delete(staging, true)
         }
       }
     }
+    if (wroteAny) { markerFs.delete(markerPath, false); () }
     // health rows for folded batches fold into the base row is NOT
     // done: telemetry keeps per-ingest history by design
   }
@@ -500,14 +560,19 @@ object VectorIndex {
     * replayed streaming batch replaces its own telemetry row. */
   private def writeHealth(resids: DataFrame, dir: String,
       ingestBatch: Long, kCells: Int): Unit = {
+    // p95_res2 is the BATCH-level 95th percentile, so it aggregates over
+    // the ungrouped residuals — a max over per-cell p95s would let one
+    // small hot cell overstate the batch stat the column name promises
+    val global = resids
+      .agg(percentile_approx(col("res2"), lit(0.95), lit(1000)).as("p95"))
     val byCell = resids.groupBy("cell")
-      .agg(count(lit(1)).as("cnt"), sum("res2").as("s"),
-        percentile_approx(col("res2"), lit(0.95), lit(1000)).as("p95"))
+      .agg(count(lit(1)).as("cnt"), sum("res2").as("s"))
     byCell
       .agg(sum("cnt").cast("long").as("n"),
         (sum("s") / sum("cnt")).as("mean_res2"),
-        max("p95").as("p95_res2"),
         (max("cnt") * lit(kCells.toDouble) / sum("cnt")).as("occ_skew"))
+      .crossJoin(broadcast(global.select(col("p95").as("p95_res2"))))
+      .select(col("n"), col("mean_res2"), col("p95_res2"), col("occ_skew"))
       .withColumn("ingest_batch", lit(ingestBatch))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

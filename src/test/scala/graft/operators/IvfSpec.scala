@@ -263,6 +263,42 @@ class IvfSpec extends SparkSpec {
     assert(results() == before, "replayed compaction changed results")
   }
 
+  test("crashed compact leaves the in-progress marker; the re-run clears it search-identically") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    VectorIndex.fit(t.embeddings.filter(col("vec_id") < 350), dir)
+    Seq((350L, 420L, 0L), (420L, 500L, 1L)).foreach { case (lo, hi, b) =>
+      VectorIndex.appendBatch(
+        t.embeddings.filter(col("vec_id") >= lo && col("vec_id") < hi), b, dir)
+    }
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
+    def results() = VectorIndex.searchTopK(t.embeddings, q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val before = results()
+    assert(!VectorIndex.compactInProgress(spark, dir))
+    // the crash window: fold done for the first table, no sweep yet
+    intercept[IllegalStateException] {
+      VectorIndex.compactImpl(spark, dir, Long.MaxValue, crashBeforeSweep = true)
+    }
+    assert(VectorIndex.compactInProgress(spark, dir),
+      "marker must survive a compact that died before its sweep")
+    // searches still run (and warn). Inside the window duplicated
+    // candidate ids ARE visible — the documented degradation the marker
+    // exists to flag — so assert the stable invariants instead of full
+    // equality: k rows per query, and rank-1 unchanged (a duplicate can
+    // only repeat an id, never beat the true max).
+    val during = results()
+    assert(during.size == before.size, "row count changed in crash window")
+    assert(during.filter(_._2 == 1L) == before.filter(_._2 == 1L),
+      "rank-1 results changed inside the crash window")
+    // the re-run completes the fold, sweeps, and clears the marker
+    VectorIndex.compact(spark, dir)
+    assert(!VectorIndex.compactInProgress(spark, dir),
+      "marker must clear after a completed compact")
+    assert(results() == before, "re-run compact changed search results")
+    assert(spark.read.parquet(s"$dir/codes").count() == t.embeddings.count())
+  }
+
   test("drift report flags shifted-distribution appends, not in-distribution ones") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
