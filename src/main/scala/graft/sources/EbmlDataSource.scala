@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,26 +90,139 @@ class EbmlTable(path: String, confEntries: Array[(String, String)])
 
 class EbmlScanBuilder(path: String, maxPartitionBytes: Long,
     confEntries: Array[(String, String)])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = EbmlTable.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** FILE-level predicate pushdown — the archive analog of
+    * resume_from_token: a predicate on provenance (`path`, `position`)
+    * or on the tag ranges the capture manifest records
+    * (`fragment_number`, `producer_ts`) skips whole payload files at
+    * PLANNING time, before any byte is read or walked. The skip is
+    * INEXACT (a kept file may still hold non-matching fragments), so
+    * every filter is also returned as residual for Spark to re-apply
+    * — pushdown here is pure work avoidance, never a correctness
+    * dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(EbmlFileSkip.pushable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new EbmlScan(path, required, maxPartitionBytes, confEntries)
+    new EbmlScan(path, required, pushed, maxPartitionBytes, confEntries)
+}
+
+/** File-level skip decisions for pushed filters, from listing metadata
+  * (every row of a file shares its `path`; `position` ∈ [0, fileLen))
+  * and the optional `_MANIFEST` the archive writer drops alongside the
+  * payloads (per-file min/max fragment_number and producer_ts — the
+  * parquet row-group-stats idea applied to a media archive). Decisions
+  * are conservative: unknown filter shapes, columns, or a missing
+  * manifest keep the file. */
+object EbmlFileSkip {
+  /** Test seam: payload files actually opened by readers (local-mode
+    * counter — executors share the JVM in tests). */
+  private[graft] val filesOpened = new java.util.concurrent.atomic.AtomicLong
+
+  private val TagCols = Set("fragment_number", "producer_ts")
+  private def keyed(a: String): Boolean =
+    a == "path" || a == "position" || TagCols(a)
+
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => keyed(a)
+    case In(a, _) => keyed(a)
+    case GreaterThan(a, _) => keyed(a)
+    case GreaterThanOrEqual(a, _) => keyed(a)
+    case LessThan(a, _) => keyed(a)
+    case LessThanOrEqual(a, _) => keyed(a)
+    case StringStartsWith("path", _) => true
+    case StringEndsWith("path", _) => true
+    case StringContains("path", _) => true
+    case _ => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** (minFrag, maxFrag, minTs, maxTs) per payload file NAME. */
+  type Manifest = Map[String, (Long, Long, Long, Long)]
+
+  /** May `file` (with byte length `len` and optional manifest row
+    * `range`) contain a row matching `f`? */
+  def mayMatch(f: Filter, file: String, len: Long,
+      range: Option[(Long, Long, Long, Long)]): Boolean = {
+    // interval test against a known per-file [lo, hi] column range
+    def overlaps(lo: Long, hi: Long): Filter => Boolean = {
+      case EqualTo(_, v) => asLong(v).forall(x => x >= lo && x <= hi)
+      case In(_, vs) => vs.exists(v => asLong(v).forall(x => x >= lo && x <= hi))
+      case GreaterThan(_, v) => asLong(v).forall(_ < hi)
+      case GreaterThanOrEqual(_, v) => asLong(v).forall(_ <= hi)
+      case LessThan(_, v) => asLong(v).forall(_ > lo)
+      case LessThanOrEqual(_, v) => asLong(v).forall(_ >= lo)
+      case _ => true
+    }
+    f match {
+      // path: constant per file — decidable exactly
+      case EqualTo("path", v) => v == file
+      case In("path", vs) => vs.contains(file)
+      case GreaterThan("path", v: String) => file > v
+      case GreaterThanOrEqual("path", v: String) => file >= v
+      case LessThan("path", v: String) => file < v
+      case LessThanOrEqual("path", v: String) => file <= v
+      case StringStartsWith("path", v) => file.startsWith(v)
+      case StringEndsWith("path", v) => file.endsWith(v)
+      case StringContains("path", v) => file.contains(v)
+      // position: fragment start offsets live in [0, len)
+      case g @ (EqualTo("position", _) | In("position", _) |
+                GreaterThan("position", _) | GreaterThanOrEqual("position", _) |
+                LessThan("position", _) | LessThanOrEqual("position", _)) =>
+        overlaps(0L, len - 1)(g)
+      // tag columns: decidable only when the manifest covers the file
+      case g: Filter if g.references.length == 1 && TagCols(g.references.head) =>
+        range.forall { case (minF, maxF, minT, maxT) =>
+          if (g.references.head == "fragment_number") overlaps(minF, maxF)(g)
+          else overlaps(minT, maxT)(g)
+        }
+      case _ => true
+    }
+  }
+
+  /** Loads `dir/_MANIFEST` if present: one `name,minFrag,maxFrag,
+    * minTs,maxTs` line per payload file. File-count-sized, read once
+    * per scan planning on the driver. */
+  def loadManifest(dir: Path, conf: Configuration): Manifest = {
+    val p = new Path(dir, "_MANIFEST")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(name, a, b, c, d) = line.split(",")
+        name -> ((a.toLong, b.toLong, c.toLong, d.toLong))
+      }.toMap
+    }
+  }
 }
 
 /** A bin-packed slice of the file listing: parallel arrays keep the
   * partition Java-serializable without Hadoop types. */
 case class EbmlInputPartition(files: Array[String]) extends InputPartition
 
-class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long,
-    confEntries: Array[(String, String)])
+class EbmlScan(path: String, required: StructType, pushed: Array[Filter],
+    maxPartitionBytes: Long, confEntries: Array[(String, String)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"ebml $path, ReadSchema: ${required.catalogString}"
+    s"ebml $path, ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -119,14 +232,28 @@ class EbmlScan(path: String, required: StructType, maxPartitionBytes: Long,
     val conf = HadoopConfShip.rebuild(confEntries)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = ArrayBuffer.empty[(String, Long)]
+    val allFiles = ArrayBuffer.empty[(String, Long)]
     def list(p: Path): Unit = fs.listStatus(p).foreach { st =>
       if (st.isDirectory) list(st.getPath)
       else if (!st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
-        files += ((st.getPath.toString, st.getLen))
+        allFiles += ((st.getPath.toString, st.getLen))
     }
     list(root)
+    // pushed-filter file skip: listing metadata decides path/position
+    // predicates; the capture manifest's per-file tag ranges decide
+    // fragment_number/producer_ts ones. A skipped file is never opened.
+    val manifest: EbmlFileSkip.Manifest =
+      if (pushed.exists(_.references.exists(
+          c => c == "fragment_number" || c == "producer_ts")))
+        EbmlFileSkip.loadManifest(root, conf)
+      else Map.empty
+    val files =
+      if (pushed.isEmpty) allFiles
+      else allFiles.filter { case (f, len) =>
+        val range = manifest.get(new Path(f).getName)
+        pushed.forall(EbmlFileSkip.mayMatch(_, f, len, range))
+      }
     // greedy SEQUENTIAL fill by descending size: bounds partition bytes
     // while keeping task count ~ totalBytes / maxPartitionBytes — a
     // million-fragment archive does not become a million tasks. A bin
@@ -183,6 +310,7 @@ class EbmlPartitionReader(partition: EbmlInputPartition,
     if (fileIdx >= partition.files.length) return false
     val p = new Path(partition.files(fileIdx))
     fileIdx += 1
+    EbmlFileSkip.filesOpened.incrementAndGet()
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     // whole-payload read: a payload file is seconds of media (the unit

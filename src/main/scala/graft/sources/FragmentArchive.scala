@@ -27,8 +27,11 @@ object FragmentArchive {
     val spark = t.events.sparkSession
     import graft.ebml.EbmlFunctions
     import graft.functions._
+    // v2: archives carry a _MANIFEST (per-file tag ranges for the ebml
+    // source's file-skip pushdown); the version in the name keeps a
+    // marker-gated v1 archive from being read without one
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_ebml_archive_${math.abs(sfDir.hashCode)}_$groupSize")
+      s"graft_ebml_archive_v2_${math.abs(sfDir.hashCode)}_$groupSize")
     val hconf = spark.sessionState.newHadoopConf()
     val fs = out.getFileSystem(hconf)
     val marker = new Path(out, "_SUCCESS")
@@ -59,6 +62,24 @@ object FragmentArchive {
             try os.write(r.getAs[Array[Byte]](1)) finally os.close()
           }
         }
+      // the capture MANIFEST: per-payload-file min/max of the tag
+      // columns a reader filters on (fragment_number = event_id,
+      // producer_ts = ts_ms) — the row-group-stats idea for a media
+      // archive, letting the ebml source's pushdown skip whole files.
+      // File-count-sized (one line per payload), collected and written
+      // driver-side like the listing the reader already does.
+      val manifest = t.events
+        .withColumn("ts_ms", nanosToMs(col("ts")))
+        .withColumn("grp", intDiv(col("event_id"), groupSize))
+        .groupBy("grp")
+        .agg(min("event_id").as("minF"), max("event_id").as("maxF"),
+          min("ts_ms").as("minT"), max("ts_ms").as("maxT"))
+        .collect()
+        .map(r => f"payload_${r.getLong(0)}%06d.mkv," +
+          s"${r.getLong(1)},${r.getLong(2)},${r.getLong(3)},${r.getLong(4)}")
+        .sorted.mkString("\n")
+      val mf = fs.create(new Path(out, "_MANIFEST"), true)
+      try mf.write(manifest.getBytes("UTF-8")) finally mf.close()
       fs.create(marker, true).close()
     }
     out.toString

@@ -133,6 +133,49 @@ class SourcesSpec extends SparkSpec {
     assert(narrow.count() == 3L)
   }
 
+  test("ebml source pushdown skips whole payload files before any byte walk") {
+    val dir = tmp() + "/frags_push"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    import graft.ebml.EbmlFunctions
+    // four payload files, one fragment each, disjoint tag ranges
+    val frags = (1 to 4).map(i =>
+      EbmlFunctions.buildFragment(i.toLong, i * 1000L, 10L + i, 100L, s"t$i"))
+    frags.zipWithIndex.foreach { case (f, i) =>
+      Files.write(java.nio.file.Paths.get(dir, s"p${i + 1}.mkv"), f)
+    }
+    // the capture manifest: per-file fragment_number / producer_ts ranges
+    Files.write(java.nio.file.Paths.get(dir, "_MANIFEST"),
+      (1 to 4).map(i => s"p$i.mkv,$i,$i,${i * 1000},${i * 1000}")
+        .mkString("\n").getBytes("UTF-8"))
+    def opened(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      EbmlFileSkip.filesOpened.set(0L)
+      val n = df.count()
+      (n, EbmlFileSkip.filesOpened.get())
+    }
+    val all = spark.read.format("ebml").load(dir)
+    assert(opened(all) == ((4L, 4L)), "unfiltered read must open every file")
+    // manifest-range skip: equality on fragment_number → one file
+    val byFrag = all.filter(col("fragment_number") === 2L)
+    assert(opened(byFrag) == ((1L, 1L)),
+      "fragment_number filter should open exactly the covering file")
+    // manifest-range skip on producer_ts: >= 3000 → two files
+    assert(opened(all.filter(col("producer_ts") >= 3000L)) == ((2L, 2L)))
+    // path skip needs no manifest
+    assert(opened(all.filter(col("path").endsWith("p3.mkv"))) == ((1L, 1L)))
+    // position skip via listing length: offsets can never reach 10 KB here
+    assert(opened(all.filter(col("position") > 10000L)) == ((0L, 0L)))
+    // the skip is visible in the plan, and the residual filter still
+    // applies (values, not just counts, are correct)
+    val scan = byFrag.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: ["), s"no pushdown in scan: $scan")
+    assert(byFrag.select("fragment_number", "producer_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2000L)))
+    // a manifest-less directory still answers tag filters (no skip)
+    Files.delete(java.nio.file.Paths.get(dir, "_MANIFEST"))
+    assert(opened(all.filter(col("fragment_number") === 2L)) == ((1L, 4L)),
+      "without a manifest every file must be kept, result unchanged")
+  }
+
   test("ebml source bin-packs many files into bounded input partitions") {
     val dir = tmp() + "/frags_pack"
     Files.createDirectories(java.nio.file.Paths.get(dir))
