@@ -382,6 +382,7 @@ object VectorIndex {
   def appendStream(vecs: DataFrame, dir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val runId = streamRunId(checkpointDir)
+    registerRun(vecs.sparkSession, dir, runId, checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -404,6 +405,34 @@ object VectorIndex {
       .digest(checkpointDir.getBytes("UTF-8"))
     val h = java.nio.ByteBuffer.wrap(md).getLong(0)
     ((h & 0x7FFFFFL) | 0x1L) << 40 // never 0: keeps run ids clear of raw batch ids
+  }
+
+  /** Record run-id → checkpoint ownership under `dir/_runs/` and FAIL
+    * if the 23-bit namespace ever hashes two different checkpoints to
+    * the same run id (birthday ~1% at ~400 streams sharing one index) —
+    * a collision would let one stream's dynamic-overwrite silently
+    * replace another's batches. Idempotent for the same checkpoint, so
+    * restarts of a stream re-register without error. */
+  private[graft] def registerRun(spark: SparkSession, dir: String,
+      runId: Long, checkpointDir: String): Unit = {
+    val p = new Path(
+      s"$dir/_runs/run_${java.lang.Long.toHexString(runId >>> 40)}")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val owner =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8")
+        finally in.close()
+      require(owner == checkpointDir,
+        s"stream run-id collision on index $dir: checkpoint " +
+          s"'$checkpointDir' hashes to the namespace already owned by " +
+          s"'$owner' — use a different checkpoint path")
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Fold settled ingest batches into the base partition — the

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-probe data generator (round-6 verdict #8): synthesizes an
+  * sf1-shaped `documents` + `embeddings` corpus from the driver's sf0.1
+  * tables so the LSH/cluster family can be wall-clocked at 10× the
+  * bench SF — the cheapest empirical check that the "no O(n²)
+  * anywhere" claims hold off the toy scale.
+  *
+  * This data feeds PERFORMANCE probes only, never correctness gates —
+  * the oracle queries keep reading the driver-owned testdata untouched.
+  *
+  * Replication must not inflate the near-dup structure: copying text or
+  * vectors verbatim would make every row a cross-replica exact/near
+  * duplicate, turning each original document into a clique of `factor`
+  * copies — candidate-pair output would grow quadratically in the
+  * replica count, which no real 10× corpus does. Instead each replica
+  * is decorrelated deterministically:
+  *   - documents: replica i Caesar-shifts letters by i (`translate`),
+  *     preserving whitespace/length/token structure (so per-doc work is
+  *     unchanged) while rewriting every shingle hash — replicas are
+  *     unrelated documents to every dedup tier, and the WITHIN-replica
+  *     duplicate structure is preserved exactly.
+  *   - embeddings: replica i rotates the 64-dim vector by 6i positions
+  *     — norm-preserving, and a rotation of an unstructured vector is
+  *     uncorrelated with the original, so no cross-replica near-dup
+  *     pairs appear.
+  * Ids offset by i·10^9 keep replicas disjoint. All other tables copy
+  * through unchanged (the probed queries touch only these two, but a
+  * complete directory keeps `Tables` loadable).
+  */
+object ScaleData {
+  val IdStride = 1000000000L
+
+  private def caesar(i: Int): (String, String) = {
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    def rot(s: String) = s.drop(i % 26) + s.take(i % 26)
+    (lower + upper, rot(lower) + rot(upper))
+  }
+
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      val (from, to) = caesar(i)
+      docs.select(
+        (col("doc_id") + lit(i * IdStride)).as("doc_id"),
+        (if (i == 0) col("text") else translate(col("text"), from, to))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      val r = (i * 6) % 64
+      embs.select(
+        (col("vec_id") + lit(i * IdStride)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else concat(slice(col("embedding"), r + 1, 64 - r),
+           slice(col("embedding"), 1, r))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    println(s"scaled $src -> $out x$factor")
+    spark.stop()
+  }
+}

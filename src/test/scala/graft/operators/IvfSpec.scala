@@ -506,4 +506,23 @@ class IvfSpec extends SparkSpec {
     info(s"corpus passes = $passes")
     assert(passes == 2L, s"expected 2 corpus passes, saw $passes")
   }
+
+  test("run registration is idempotent per checkpoint and fails on a namespace collision") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_runs").toString
+    val runId = VectorIndex.streamRunId("/tmp/ckpt_a")
+    // first registration claims the namespace; a restart of the same
+    // stream (same checkpoint) re-registers without error
+    VectorIndex.registerRun(spark, dir, runId, "/tmp/ckpt_a")
+    VectorIndex.registerRun(spark, dir, runId, "/tmp/ckpt_a")
+    // a DIFFERENT checkpoint that hashes to the same 23-bit namespace
+    // must fail loudly instead of silently overwriting the first
+    // stream's batches
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.registerRun(spark, dir, runId, "/tmp/ckpt_b")
+    }
+    assert(e.getMessage.contains("collision"))
+    // disjoint namespaces coexist
+    VectorIndex.registerRun(spark, dir,
+      VectorIndex.streamRunId("/tmp/ckpt_b"), "/tmp/ckpt_b")
+  }
 }
