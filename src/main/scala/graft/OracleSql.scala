@@ -162,18 +162,43 @@ private[graft] object OracleSql {
     * full-corpus minhash candidate set restricted to pairs involving a
     * new document (the incremental contract: probing the persisted
     * band table finds exactly the pairs a full recompute would). */
-  lazy val dedupIncremental: String =
-    s"""WITH ${minhashCandCtes("documents")},
-    ex AS (SELECT g.mn AS id_a, n.doc_id AS id_b, 'exact' AS reason
+  /** CTE block `ex, bd` (requires `cand` from [[minhashCandCtes]]):
+    * the incremental pair relation of TextIndex.dedupBatch over the
+    * % 8 == 7 ingest slice — shared by [[dedupIncremental]] and
+    * [[curateIncremental]]. */
+  private def incrementalPairCtes: String =
+    s"""ex AS (SELECT g.mn AS id_a, n.doc_id AS id_b, 'exact' AS reason
       FROM (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 7) n
       JOIN (SELECT text, cast(min(doc_id) as bigint) AS mn
             FROM documents GROUP BY text) g
         ON g.text = n.text AND g.mn < n.doc_id),
     bd AS (SELECT id_a, id_b, 'band' AS reason FROM cand
-      WHERE id_a % 8 = 7 OR id_b % 8 = 7)
+      WHERE id_a % 8 = 7 OR id_b % 8 = 7)"""
+
+  lazy val dedupIncremental: String =
+    s"""WITH ${minhashCandCtes("documents")},
+    $incrementalPairCtes
     SELECT id_a, id_b, reason FROM ex
     UNION ALL SELECT id_a, id_b, reason FROM bd
     ORDER BY id_a, id_b, reason"""
+
+  /** curate_incremental: TextIndex.curateKeepers' gate rule over the
+    * same ingest slice — a new document is dropped iff it is the
+    * larger id of a pair whose other side is also new (min-id keeper
+    * election), or either side of a pair whose other side is settled
+    * (the settled copy wins at any id). The keepers are what
+    * curateStream persists per micro-batch. */
+  lazy val curateIncremental: String =
+    s"""WITH ${minhashCandCtes("documents")},
+    $incrementalPairCtes,
+    pr AS (SELECT id_a, id_b FROM ex UNION ALL SELECT id_a, id_b FROM bd),
+    dropped AS (
+      SELECT id_b AS doc_id FROM pr WHERE id_b % 8 = 7
+      UNION
+      SELECT id_a FROM pr WHERE id_a % 8 = 7 AND id_b % 8 <> 7)
+    SELECT cast(doc_id as bigint) AS doc_id FROM documents
+    WHERE doc_id % 8 = 7 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY doc_id"""
 
   /** dedup_clusters_lsh: identical output contract to dedup_clusters,
     * but over the operator's ACTUAL edge set — minhash candidates

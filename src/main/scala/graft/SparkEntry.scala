@@ -100,6 +100,15 @@ object SparkEntry {
       TextIndex.dedupBatch(
         t.documents.filter(pmod(col("doc_id"), lit(8L)) === 7L), dir)
     }),
+    // the curation GATE over the same ingest slice: which new docs
+    // survive (curateStream persists exactly these per micro-batch)
+    "curate_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = TextIndex.materialize(t, d)
+      TextIndex.curateKeepers(
+        t.documents.filter(pmod(col("doc_id"), lit(8L)) === 7L), dir)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // scale path: LSH-candidate edges + exact-kernel verify (rows-only;
     // DedupSpec asserts cluster equality with dedup_clusters at sf0.001)
     "dedup_clusters_lsh" -> ((s, d) => Dedup.dedupClustersLsh(tables(s, d))),
@@ -215,6 +224,7 @@ object SparkEntry {
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_incremental" -> OracleSql.dedupIncremental,
+    "curate_incremental" -> OracleSql.curateIncremental,
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_ngram_lsh" -> OracleSql.dedupNgramLsh,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,

@@ -141,12 +141,24 @@ object TextIndex {
     * index tables. The batch side is ingest-sized, so Catalyst
     * broadcasts it under the threshold and the bucket equi-condition
     * gives dynamic partition pruning a handle; above the threshold
-    * both joins shuffle on hash keys — never on text. */
-  def dedupBatch(newDocs: DataFrame, dir: String): DataFrame = {
+    * both joins shuffle on hash keys — never on text.
+    *
+    * `excludeBatch` drops one ingest partition from BOTH index tables
+    * (partition-column filter ⇒ pruned at planning time): a replayed
+    * micro-batch that already ran [[appendBatch]] before crashing
+    * would otherwise probe its OWN signatures and flag every document
+    * as a duplicate of itself ([[curateStream]] passes its namespaced
+    * batch id here). */
+  def dedupBatch(newDocs: DataFrame, dir: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val bSigs = signatures(newDocs).localCheckpoint(true)
-    val idxHashes = spark.read.parquet(s"$dir/hashes")
-    val idxBands = spark.read.parquet(s"$dir/bands")
+    def idx(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$table")
+      excludeBatch.fold(df)(b => df.filter(col("ingest_batch") =!= b))
+    }
+    val idxHashes = idx("hashes")
+    val idxBands = idx("bands")
     // exact tier: smallest same-content id over settled ∪ batch. The
     // batch side unions in so within-batch duplicates resolve to the
     // same keeper the full-corpus recompute would pick.
@@ -177,6 +189,72 @@ object TextIndex {
         lit("band").as("reason"))
     exact.unionByName(within).unionByName(cross)
       .orderBy("id_a", "id_b", "reason")
+  }
+
+  /** The curation-gate keeper rule shared by [[curateStream]] and
+    * batch callers: a batch document is DROPPED iff it is the larger
+    * id of a [[dedupBatch]] pair whose other side is also in the
+    * batch (the min-id representative survives, the batch curation
+    * pipeline's keeper election), or EITHER side of a pair whose other
+    * side is settled — the settled copy wins at any id, because it
+    * cannot be unshipped at ingest time. Greedy per pair, like every
+    * curation tier here: a doc dropped for duplicating a settled doc
+    * still drags its own in-batch near-dups down with it. */
+  def curateKeepers(batch: DataFrame, dir: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val pairs = dedupBatch(batch, dir, excludeBatch)
+      .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint(true) // candidate-sized; feeds two branches
+    val batchIds = batch.select(col("doc_id"))
+    val asB = pairs.select(col("id_b").as("doc_id"))
+    val asA = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_anti")
+      .select(col("id_a").as("doc_id"))
+    batch.join(asB.unionByName(asA).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** D7b — the CONTINUOUS curation gate: the whole incremental-curation
+    * loop (probe the settled index, keep the novel documents, index the
+    * batch) as ONE resumable streaming query — the reference consumer's
+    * continuous shape (SergiyStoyan/AwsKinesisConsumer parser.py:272-310
+    * never re-reads settled fragments) applied to corpus curation end
+    * to end. Per micro-batch, in order:
+    *   1. [[curateKeepers]] probes the index EXCLUDING the batch's own
+    *      namespaced ingest partition (see [[dedupBatch]]'s
+    *      `excludeBatch` — the crash-replay guard);
+    *   2. keepers persist by dynamic partition overwrite keyed on the
+    *      namespaced batch id (the B19 idempotent-persist rule);
+    *   3. [[appendBatch]] indexes the FULL batch — keepers and dropped
+    *      docs alike, so a later near-dup of a dropped doc is still
+    *      caught — under the same namespaced id.
+    * Every step is a deterministic function of (index state minus own
+    * partition, batch content) and overwrites only its own partitions,
+    * so a crash anywhere replays to identical keepers and an identical
+    * index. Run-id namespacing and collision registration are
+    * [[VectorIndex.appendStream]]'s: same checkpoint ⇒ same namespace
+    * (replays overwrite themselves), different checkpoint ⇒ disjoint,
+    * collisions fail loudly at start. */
+  def curateStream(docs: DataFrame, dir: String, checkpointDir: String,
+      keepersDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = VectorIndex.streamRunId(checkpointDir)
+    VectorIndex.registerRun(docs.sparkSession, dir, runId, checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(batchId < (1L << 40),
+          s"micro-batch id $batchId overflows the 40-bit batch namespace")
+        val id = runId | batchId
+        val b = batch.localCheckpoint(true)
+        curateKeepers(b, dir, excludeBatch = Some(id))
+          .withColumn("ingest_batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(keepersDir)
+        appendBatch(b, id, dir)
+      }
+      .start()
   }
 
   /** Fold settled ingest batches into the base partition — bounded

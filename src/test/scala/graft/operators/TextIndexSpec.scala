@@ -93,6 +93,62 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("curateStream: two micro-batches equal the sequential batch-mode gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir(); val ckpt = freshDir()
+    val keepersDir = freshDir() + "/keepers"
+    TextIndex.build(settled, dir)
+    // expectation: the SAME sequence of batch-mode gate + append calls
+    // against a twin index
+    val dir2 = freshDir()
+    TextIndex.build(settled, dir2)
+    val h1 = batch.filter(pmod(col("doc_id"), lit(16L)) === 7L)
+    val h2 = batch.filter(pmod(col("doc_id"), lit(16L)) === 15L)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = ids(TextIndex.curateKeepers(h1, dir2))
+    TextIndex.appendBatch(h1, 0L, dir2)
+    val e2 = ids(TextIndex.curateKeepers(h2, dir2))
+
+    val input = MemoryStream[(Long, String)]
+    val query = TextIndex.curateStream(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt, keepersDir)
+    def feed(half: DataFrame): Unit = {
+      input.addData(half.select("doc_id", "text").as[(Long, String)]
+        .collect().toIndexedSeq: _*)
+      query.processAllAvailable()
+    }
+    try { feed(h1); feed(h2) } finally query.stop()
+
+    assert(ids(spark.read.parquet(keepersDir)) == (e1 ++ e2),
+      "streamed keepers diverged from the sequential batch-mode gate")
+    // the index absorbed BOTH full batches — keepers and dropped alike
+    assert(spark.read.parquet(s"$dir/hashes").count() ==
+      settled.count() + h1.count() + h2.count())
+  }
+
+  test("crash-replay guard: a batch that already indexed itself replays identically") {
+    val dir = freshDir()
+    TextIndex.build(settled, dir)
+    val pairsBefore = TextIndex.dedupBatch(batch, dir).collect().toSeq
+    val keepersBefore = TextIndex.curateKeepers(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the crash window: appendBatch committed, the sink/checkpoint didn't
+    TextIndex.appendBatch(batch, 7L, dir)
+    // with the exclusion guard the replay is bit-identical
+    assert(TextIndex.dedupBatch(batch, dir, Some(7L)).collect().toSeq
+      == pairsBefore)
+    assert(TextIndex.curateKeepers(batch, dir, Some(7L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet == keepersBefore)
+    // without it the batch probes its OWN band signatures: every
+    // in-batch pair re-emits through the cross tier (both orientations),
+    // so the pair report is corrupted — the guard is load-bearing
+    assert(TextIndex.dedupBatch(batch, dir).collect().length
+      > pairsBefore.length)
+  }
+
   test("the probe plan never rescans the documents source") {
     val dir = freshDir()
     TextIndex.build(settled, dir)
