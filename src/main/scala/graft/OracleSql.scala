@@ -543,6 +543,56 @@ private[graft] object OracleSql {
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** dedup_embed_incremental: VectorIndex.nearDupBatch over the
+    * % 8 == 7 ingest slice against the prefit artifact. The artifact's
+    * UNIT-vector coarse quantizer is replayed (the same canonical-fold
+    * Lloyd the ivfpq oracle shares), the slice routes to its top-3
+    * cells, exact unit-cosine ranks the SETTLED members of the probed
+    * cells (the excludeNeighbor guard: % 8 <> 7, applied BEFORE the
+    * rank window so indexed batch rows claim no rank slots), top-5 per
+    * query, kept where the ROUNDED cosine clears the dup threshold. */
+  lazy val dedupEmbedIncremental: String = materialized {
+    val coarse = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096, srcNrm = "unn")
+    val D = "cast(0.0 as double)"
+    s"""WITH ev AS (SELECT vec_id,
+        CASE WHEN len(embedding) = 64
+             THEN list_transform(embedding, x -> cast(x as double))
+             ELSE error('neardup oracle: embedding dim ' || len(embedding)
+               || ' <> the hardcoded 64') END AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, v, list_reduce(list_prepend($D,
+        list_transform(v, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM ev),
+    un AS (SELECT vec_id, vec_id % 4096 AS b,
+        list_transform(v, x -> x * (cast(1.0 as double)/sqrt(norm))) AS u
+      FROM nrm),
+    unn AS (SELECT vec_id, b, u AS v, list_reduce(list_prepend($D,
+        list_transform(u, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM un),
+    ${coarse.ctes},
+    asgu AS (SELECT vec_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS rn
+        FROM unn n CROSS JOIN fin f) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS q_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS pr
+        FROM unn n CROSS JOIN fin f WHERE n.vec_id % 8 = 7) WHERE pr <= 3),
+    prs AS (SELECT p.q_id, a.vec_id AS n_id,
+        list_reduce(list_prepend($D,
+          list_transform(list_zip(uq.u, um.u), pp -> pp[1]*pp[2])),
+          (s, x) -> s + x) AS cos
+      FROM qprobe p
+      JOIN asgu a ON a.cell = p.cell AND a.vec_id % 8 <> 7
+      JOIN un uq ON uq.vec_id = p.q_id
+      JOIN un um ON um.vec_id = a.vec_id),
+    rk AS (SELECT q_id, n_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM prs)
+    SELECT q_id, cast(rnk as bigint) AS rnk, n_id, round(cos, 4) AS cos4
+    FROM rk WHERE rnk <= 5 AND round(cos, 4) >= cast(0.4 as double)
+    ORDER BY q_id, rnk"""
+  }
+
   /** ivfpq_topk AND ivfpq_search_prefit (identical results — IvfSpec
     * pins the prefit artifact row-identical to the inline fit at equal
     * parameters): the residual IVF+PQ composite replayed end to end.

@@ -166,6 +166,18 @@ object SparkEntry {
       VectorIndex.searchTopK(t.embeddings,
         Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10), dir)
     }),
+    // incremental embedding near-dup: the % 8 == 7 ingest slice probes
+    // the prefit artifact for settled near-dups (exact-tier IVF search
+    // at the dup threshold) — the vector sibling of dedup_incremental;
+    // excludeNeighbor guards against the slice's own indexed rows
+    "dedup_embed_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = VectorIndex.materialize(t, d)
+      VectorIndex.nearDupBatch(
+        Similarity.withNorm(t.embeddings)
+          .filter(pmod(col("vec_id"), lit(8L)) === 7L),
+        dir, excludeNeighbor = Some(pmod(col("n_id"), lit(8L)) === 7L))
+    }),
     // chunked range join (Spark has no native one; naive is a BNLJ)
     "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
@@ -222,6 +234,7 @@ object SparkEntry {
     "pq_topk" -> OracleSql.pqTopK,
     "ivfpq_topk" -> OracleSql.ivfPqTopK,
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
+    "dedup_embed_incremental" -> OracleSql.dedupEmbedIncremental,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "curate_incremental" -> OracleSql.curateIncremental,

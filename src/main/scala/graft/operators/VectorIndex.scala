@@ -216,7 +216,35 @@ object VectorIndex {
     * both are valid IVF indexes; an artifact must be searched with its
     * own quantizer. */
   def searchIvfTopK(queries: DataFrame, dir: String,
-      k: Int = 5, nprobe: Int = 3): DataFrame = {
+      k: Int = 5, nprobe: Int = 3): DataFrame =
+    ivfExactSearch(queries, dir, k, nprobe, None)
+
+  /** Incremental embedding NEAR-DUP gate — the vector-side sibling of
+    * [[TextIndex.dedupBatch]]: which vectors of a new ingest batch
+    * near-duplicate the settled corpus, decided by probing the prefit
+    * artifact (exact-tier IVF search, top-k per query, kept at the dup
+    * threshold on the rounded cosine) instead of re-running the
+    * corpus-wide LSH self-join per ingest. Recall is the IVF probe
+    * recall — the scale trade every tier here prices; within-batch
+    * pairs come from the existing LSH path over the (ingest-sized)
+    * batch alone.
+    *
+    * `excludeNeighbor` is [[TextIndex.dedupBatch]]'s excludeBatch in
+    * predicate form (the artifact's inverted lists have no batch
+    * namespace to prune by — membership is decided per n_id row):
+    * when the batch is already indexed — an [[appendBatch]] replay, or
+    * a gate re-run after ingest — its own rows must not shadow the
+    * settled neighbors or claim rank slots, so the predicate filters
+    * the member side BEFORE ranking. */
+  def nearDupBatch(newVecs: DataFrame, dir: String, tau: Double = 0.4,
+      k: Int = 5, nprobe: Int = 3,
+      excludeNeighbor: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    ivfExactSearch(newVecs, dir, k, nprobe, excludeNeighbor)
+      .filter(col("cos4") >= tau)
+
+  private def ivfExactSearch(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int,
+      excludeNeighbor: Option[org.apache.spark.sql.Column]): DataFrame = {
     val spark = queries.sparkSession
     warnIfCompacting(spark, dir)
     val (coarse, _) = loadModel(spark, dir)
@@ -232,8 +260,9 @@ object VectorIndex {
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     // the artifact's inverted lists, pruned to the probed cells at the
     // parquet partition level — the exact tier's only data-sized scan
-    val members = spark.read.parquet(s"$dir/vectors")
+    val members0 = spark.read.parquet(s"$dir/vectors")
       .filter(col("cell").isin(probed: _*))
+    val members = excludeNeighbor.fold(members0)(p => members0.filter(!p))
       .select(col("cell"), col("n_id"), col("v").as("v_n"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(members, "cell")

@@ -525,4 +525,46 @@ class IvfSpec extends SparkSpec {
     VectorIndex.registerRun(spark, dir,
       VectorIndex.streamRunId("/tmp/ckpt_b"), "/tmp/ckpt_b")
   }
+
+  test("nearDupBatch at full probe equals the exact cross-slice pair set") {
+    import org.apache.spark.sql.functions._
+    val dir = VectorIndex.materialize(t, sfDir)
+    val batch = Similarity.withNorm(t.embeddings)
+      .filter(pmod(col("vec_id"), lit(8L)) === 7L)
+    // nprobe = kCells makes the exact-tier search exhaustive, so the
+    // gate must find EXACTLY the brute-force (batch, settled) pairs at
+    // the threshold — the incremental probe loses nothing but probe
+    // recall, and here probe recall is 1
+    val got = VectorIndex.nearDupBatch(batch, dir, tau = 0.4, k = 1000,
+        nprobe = 8,
+        excludeNeighbor = Some(pmod(col("n_id"), lit(8L)) === 7L))
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.embeddingPairs(t, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 8 == 7) != (b % 8 == 7) }
+      .map { case (a, b) => if (a % 8 == 7) (a, b) else (b, a) }.toSet
+    assert(want.nonEmpty, "fixture must contain cross-slice near-dups")
+    assert(got == want,
+      s"gate diverged from brute force: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("nearDupBatch's exclusion guard keeps indexed batch rows out of the ranks") {
+    import org.apache.spark.sql.functions._
+    val dir = VectorIndex.materialize(t, sfDir)
+    val batch = Similarity.withNorm(t.embeddings)
+      .filter(pmod(col("vec_id"), lit(8L)) === 7L)
+    val guarded = VectorIndex.nearDupBatch(batch, dir,
+      excludeNeighbor = Some(pmod(col("n_id"), lit(8L)) === 7L)).collect()
+    assert(guarded.forall(_.getLong(2) % 8 != 7),
+      "excluded slice leaked into the neighbor side")
+    // without the guard the batch's own indexed rows take rank slots:
+    // every batch vector's nearest neighbor set changes (its own copy
+    // is NOT emitted — the q_id <> n_id filter — but near-identical
+    // batch rows shadow settled ones), so the guard is load-bearing
+    // whenever the probed index already contains the batch
+    val unguarded = VectorIndex.nearDupBatch(batch, dir).collect()
+    assert(unguarded.exists(_.getLong(2) % 8 == 7),
+      "fixture too weak: unguarded gate never surfaced a batch row")
+  }
 }
