@@ -217,7 +217,7 @@ object VectorIndex {
     * own quantizer. */
   def searchIvfTopK(queries: DataFrame, dir: String,
       k: Int = 5, nprobe: Int = 3): DataFrame =
-    ivfExactSearch(queries, dir, k, nprobe, None)
+    ivfExactSearch(queries, dir, k, nprobe, None, broadcastQueries = true)
 
   /** Incremental embedding NEAR-DUP gate — the vector-side sibling of
     * [[TextIndex.dedupBatch]]: which vectors of a new ingest batch
@@ -239,12 +239,26 @@ object VectorIndex {
   def nearDupBatch(newVecs: DataFrame, dir: String, tau: Double = 0.4,
       k: Int = 5, nprobe: Int = 3,
       excludeNeighbor: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    ivfExactSearch(newVecs, dir, k, nprobe, excludeNeighbor)
+    ivfExactSearch(newVecs, dir, k, nprobe, excludeNeighbor,
+      broadcastQueries = false)
       .filter(col("cos4") >= tau)
 
+  /** `broadcastQueries` encodes the caller's size contract on the probe
+    * side of the cell join: [[searchIvfTopK]] vouches its frame is
+    * QUERY-sized (a handful of lookups — the broadcast hint skips the
+    * exchange), while [[nearDupBatch]] feeds an INGEST batch that is
+    * sf-proportional and, ×nprobe exploded with its vector payload,
+    * ~1.6 KB/row — a forced broadcast of a 10M-vector ingest is a
+    * ~16 GB executor OOM at exactly the scale the gate exists for. With
+    * the hint off, Catalyst/AQE size-gates the join (broadcast below
+    * the threshold, shuffle on `cell` above it) — the same discipline
+    * [[TextIndex.dedupBatch]] applies to its batch side. The
+    * Window.partitionBy(q_id) re-rank above tolerates either layout, so
+    * results are identical in both regimes. */
   private def ivfExactSearch(queries: DataFrame, dir: String, k: Int,
       nprobe: Int,
-      excludeNeighbor: Option[org.apache.spark.sql.Column]): DataFrame = {
+      excludeNeighbor: Option[org.apache.spark.sql.Column],
+      broadcastQueries: Boolean): DataFrame = {
     val spark = queries.sparkSession
     warnIfCompacting(spark, dir)
     val (coarse, _) = loadModel(spark, dir)
@@ -265,7 +279,8 @@ object VectorIndex {
     val members = excludeNeighbor.fold(members0)(p => members0.filter(!p))
       .select(col("cell"), col("n_id"), col("v").as("v_n"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    broadcast(q).join(members, "cell")
+    val probe = if (broadcastQueries) broadcast(q) else q
+    probe.join(members, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", call_function("graft_dot", col("v_q"), col("v_n")))
       .withColumn("rnk", row_number().over(w).cast("long"))
