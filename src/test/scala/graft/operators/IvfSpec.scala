@@ -549,6 +549,65 @@ class IvfSpec extends SparkSpec {
       s"gate diverged from brute force: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("nearDupBatch shuffles the cell join above the broadcast threshold; searchIvfTopK pins its broadcast") {
+    // round-7 verdict #1: ivfExactSearch force-broadcast the probe side,
+    // which is WRONG for nearDupBatch's sf-proportional ingest batch (a
+    // 10M-vector ingest is a ~16 GB broadcast — executor OOM at exactly
+    // the scale the gate exists for). The size contract is now the
+    // caller's: searchIvfTopK vouches query-sized and keeps the hint;
+    // nearDupBatch lets Catalyst/AQE size-gate. Pin BOTH regimes (the
+    // C12b pattern): results identical either way, and with broadcasts
+    // disabled the gate's cell join must plan a shuffle join while the
+    // query-sized tier still plans its hinted broadcast.
+    import org.apache.spark.sql.functions._
+    val dir = VectorIndex.materialize(t, sfDir)
+    val batch = Similarity.withNorm(t.embeddings)
+      .filter(pmod(col("vec_id"), lit(8L)) === 7L)
+    val guard = Some(pmod(col("n_id"), lit(8L)) === 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // finalize the adaptive plan
+      df.queryExecution.executedPlan.toString
+    }
+    // regime 1 (defaults): the small test batch broadcasts via AQE's
+    // own size gate — the correct below-threshold plan
+    val below = rows(VectorIndex.nearDupBatch(batch, dir, excludeNeighbor = guard))
+    // regime 2: no broadcast candidates at all — the 100 TB shape
+    val savedA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedB = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gate = VectorIndex.nearDupBatch(batch, dir, excludeNeighbor = guard)
+      val above = rows(gate)
+      val gatePlan = finalPlan(gate)
+      assert(!gatePlan.contains("BroadcastHashJoin"),
+        s"nearDupBatch still forces a broadcast of the ingest batch:\n$gatePlan")
+      assert(gatePlan.contains("SortMergeJoin") ||
+        gatePlan.contains("ShuffledHashJoin"),
+        s"no shuffle join in the above-threshold gate plan:\n$gatePlan")
+      assert(gatePlan.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("cell")),
+        s"cell join not shuffled on cell:\n$gatePlan")
+      assert(above == below,
+        "join regime changed nearDupBatch results — the re-rank must tolerate both layouts")
+      // the query-sized tier's hint must survive: a handful of lookups
+      // should never pay a corpus-wide exchange just because the session
+      // disabled automatic broadcasts
+      val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
+      val topk = VectorIndex.searchIvfTopK(q, dir)
+      val topkPlan = finalPlan(topk)
+      assert(topkPlan.contains("BroadcastHashJoin"),
+        s"searchIvfTopK lost its query-side broadcast hint:\n$topkPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedA)
+      if (savedB.nonEmpty)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedB)
+      else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("nearDupBatch's exclusion guard keeps indexed batch rows out of the ranks") {
     import org.apache.spark.sql.functions._
     val dir = VectorIndex.materialize(t, sfDir)
