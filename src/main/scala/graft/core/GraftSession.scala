@@ -20,7 +20,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // native expressions + IntersectRewrite + AsOfJoinStrategy
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // events.ts is parquet TIMESTAMP(NANOS) — read as long nanos (exact)
+      // if events.ts ships as parquet TIMESTAMP(NANOS), read it as long
+      // nanos (exact); other encodings are normalized by Tables.apply
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

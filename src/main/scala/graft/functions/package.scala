@@ -24,9 +24,10 @@ package object functions {
     * division would corrupt them). */
   def intDiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
 
-  /** Epoch milliseconds from a long-nanos column (events.ts is read with
-    * spark.sql.legacy.parquet.nanosAsLong=true). Integer floor division —
-    * identical to DuckDB `epoch_ms(ts)` on the ns-resolution original. */
+  /** Epoch milliseconds from a long-nanos column (events.ts is normalized
+    * to epoch-long ns by Tables.apply whatever its physical encoding).
+    * Integer floor division — identical to DuckDB `epoch_ms(ts)` on the
+    * same parquet. */
   def nanosToMs(c: Column): Column = intDiv(c, 1000000L)
 
   /** Exact integer-division bucketing of an epoch-ms column. */

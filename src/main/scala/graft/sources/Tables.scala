@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the ten analytics tables.
   *
@@ -28,7 +30,33 @@ final class Tables(load: String => DataFrame) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables =
-    new Tables(name => spark.read.parquet(s"$dir/$name.parquet"))
+    new Tables(name => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventsTs(df) else df
+    })
 
   def fromLoader(load: String => DataFrame): Tables = new Tables(load)
+
+  /** events.ts contract: epoch-long NANOSECONDS, whatever the parquet's
+    * physical encoding. The generator has shipped this column both as
+    * TIMESTAMP(NANOS) — which the session's `nanosAsLong=true` reads as the
+    * long we want — and as TIMESTAMP(MICROS)/TIMESTAMP_NTZ, which Spark
+    * reads as a timestamp type. Normalize the latter at the loader so every
+    * downstream operator keeps exact integer-ns semantics
+    * ([[graft.functions.nanosToMs]]): `unix_micros` is an exact long under
+    * the UTC session (NTZ wall-time is UTC by the data contract), ×1000
+    * restores the ns scale. One-sided fix: the DuckDB oracle's
+    * `epoch_ms(ts)` works on TIMESTAMP directly and floor-divides to the
+    * same millisecond values.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LONG (ns) or a timestamp")
+    }
 }

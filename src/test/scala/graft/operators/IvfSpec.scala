@@ -566,21 +566,22 @@ class IvfSpec extends SparkSpec {
     val guard = Some(pmod(col("n_id"), lit(8L)) === 7L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-      df.collect() // finalize the adaptive plan
+    // the collect in rows() already finalized the adaptive plan
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
-    }
     // regime 1 (defaults): the small test batch broadcasts via AQE's
     // own size gate — the correct below-threshold plan
     val below = rows(VectorIndex.nearDupBatch(batch, dir, excludeNeighbor = guard))
     // regime 2: no broadcast candidates at all — the 100 TB shape
     val savedA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val savedB = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+    // getOption, not get(key, ""): the bytes-typed conf entry rejects the
+    // empty-string default at read time (INVALID_CONF_VALUE.TYPE_MISMATCH)
+    val savedB = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val gate = VectorIndex.nearDupBatch(batch, dir, excludeNeighbor = guard)
-      val above = rows(gate)
+      val above = rows(gate) // also finalizes the adaptive plan
       val gatePlan = finalPlan(gate)
       assert(!gatePlan.contains("BroadcastHashJoin"),
         s"nearDupBatch still forces a broadcast of the ingest batch:\n$gatePlan")
@@ -597,14 +598,15 @@ class IvfSpec extends SparkSpec {
       // disabled automatic broadcasts
       val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 3)
       val topk = VectorIndex.searchIvfTopK(q, dir)
+      topk.collect() // finalize the adaptive plan
       val topkPlan = finalPlan(topk)
       assert(topkPlan.contains("BroadcastHashJoin"),
         s"searchIvfTopK lost its query-side broadcast hint:\n$topkPlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedA)
-      if (savedB.nonEmpty)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedB)
-      else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      savedB.fold(
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
     }
   }
 
