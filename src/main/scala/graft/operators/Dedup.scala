@@ -569,9 +569,16 @@ object Dedup {
     * Rows-only; DedupSpec measures recall against the exact D5
     * oracle. */
   def embeddingPairsLsh(t: Tables, threshold: Double = 0.4,
+      tables: Int = 16, bits: Int = 6): DataFrame =
+    embeddingPairsLshOf(t.embeddings, threshold, tables, bits)
+
+  /** [[embeddingPairsLsh]] over an explicit embeddings frame — the form
+    * [[VectorIndex.curateKeepers]] runs over an ingest batch for its
+    * within-batch tier. */
+  def embeddingPairsLshOf(embeddings: DataFrame, threshold: Double = 0.4,
       tables: Int = 16, bits: Int = 6): DataFrame = {
-    val cores = t.embeddings.sparkSession.sparkContext.defaultParallelism
-    val vecs = Similarity.withNorm(t.embeddings)
+    val cores = embeddings.sparkSession.sparkContext.defaultParallelism
+    val vecs = Similarity.withNorm(embeddings)
     val bucketed = vecs.select(col("vec_id"),
       call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits))
         .as("buckets"))

@@ -440,6 +440,83 @@ object VectorIndex {
       .start()
   }
 
+  /** Curation-gate keeper rule for VECTORS — the E-side twin of
+    * [[TextIndex.curateKeepers]]: a batch vector is DROPPED iff it
+    * near-duplicates the settled corpus at `tau` (decided by the
+    * [[nearDupBatch]] probe against the prefit artifact — the settled
+    * copy wins at any id, because it cannot be unshipped at ingest
+    * time), or it is the larger id of an LSH-verified within-batch
+    * near-dup pair ([[Dedup.embeddingPairsLshOf]] over the ingest-sized
+    * batch alone — the min-id representative survives). Greedy per
+    * pair, like the text gate: a vector dropped for duplicating settled
+    * still drags its own in-batch near-dups down with it. Recall is
+    * each tier's own: IVF probe recall against settled, LSH bucket
+    * recall within the batch — the documented scale trade of both
+    * paths.
+    *
+    * `excludeBatch` is [[TextIndex.dedupBatch]]'s crash-replay guard in
+    * this index's terms: a replayed micro-batch that already ran
+    * [[appendBatch]] before crashing would otherwise probe its OWN rows
+    * in the inverted lists (shadowing settled neighbors and claiming
+    * rank slots). The id becomes an `ingest_batch` predicate on the
+    * member side — a partition-column filter, pruned at planning time.
+    */
+  def curateKeepers(batch: DataFrame, dir: String, tau: Double = 0.4,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val settledDup =
+      nearDupBatch(Similarity.withNorm(batch), dir, tau,
+        excludeNeighbor = excludeBatch.map(id => col("ingest_batch") === id))
+        .select(col("q_id").as("vec_id"))
+    val withinDup = Dedup.embeddingPairsLshOf(batch, tau)
+      .select(col("id_b").as("vec_id"))
+    batch.join(settledDup.unionByName(withinDup).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** The CONTINUOUS curation gate for vectors — the E-side twin of
+    * [[TextIndex.curateStream]] and the missing piece of the consumer
+    * shape (the reference, SergiyStoyan/AwsKinesisConsumer
+    * parser.py:272-310, processes its stream incrementally and never
+    * re-reads settled data): probe the settled index, keep the novel
+    * vectors, index the full batch — ONE resumable streaming query.
+    * Per micro-batch, in order:
+    *   1. [[curateKeepers]] probes the artifact EXCLUDING the batch's
+    *      own namespaced ingest partition (the crash-replay guard);
+    *   2. keepers persist by dynamic partition overwrite keyed on the
+    *      namespaced batch id (the B19 idempotent-persist rule);
+    *   3. [[appendBatch]] indexes the FULL batch — keepers and dropped
+    *      vectors alike, so a later near-dup of a dropped vector is
+    *      still caught — under the same namespaced id.
+    * Every step is a deterministic function of (index state minus own
+    * partition, batch content) and overwrites only its own partitions,
+    * so a crash anywhere replays to identical keepers and an identical
+    * index. Run-id namespacing and collision registration are
+    * [[appendStream]]'s: same checkpoint ⇒ same namespace (replays
+    * overwrite themselves), different checkpoint ⇒ disjoint ids,
+    * collisions fail loudly at start. */
+  def curateStream(vecs: DataFrame, dir: String, checkpointDir: String,
+      keepersDir: String, tau: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = streamRunId(checkpointDir)
+    registerRun(vecs.sparkSession, dir, runId, checkpointDir)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(batchId < (1L << 40),
+          s"micro-batch id $batchId overflows the 40-bit batch namespace")
+        val id = runId | batchId
+        val b = batch.localCheckpoint(true)
+        curateKeepers(b, dir, tau, excludeBatch = Some(id))
+          .withColumn("ingest_batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(keepersDir)
+        appendBatch(b, id, dir)
+      }
+      .start()
+  }
+
   /** Stable positive run id from the checkpoint path: 23 high bits of
     * its MD5 shifted above a 40-bit batch counter — same checkpoint ⇒
     * same namespace (replays overwrite themselves), different
