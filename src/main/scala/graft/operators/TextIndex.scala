@@ -152,6 +152,7 @@ object TextIndex {
   def dedupBatch(newDocs: DataFrame, dir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
+    warnIfCompacting(spark, dir)
     val bSigs = signatures(newDocs).localCheckpoint(true)
     def idx(table: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$table")
@@ -187,6 +188,12 @@ object TextIndex {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         lit("band").as("reason"))
+      // candidate-sized distinct: a compact that died between its fold
+      // and its sweep leaves each settled band row in BOTH the base and
+      // its original batch directory, which would re-emit every cross
+      // pair once per copy — keeper election downstream must see each
+      // candidate pair exactly once
+      .distinct()
     exact.unionByName(within).unionByName(cross)
       .orderBy("id_a", "id_b", "reason")
   }
@@ -267,8 +274,38 @@ object TextIndex {
     * text, so replays collapse to identical rows. Single writer per
     * index dir assumed (the [[VectorIndex.compact]] contract). */
   def compact(spark: SparkSession, dir: String,
-      upToBatch: Long = Long.MaxValue): Unit = {
+      upToBatch: Long = Long.MaxValue): Unit =
+    compactImpl(spark, dir, upToBatch, crashBeforeSweep = false)
+
+  /** True while a [[compact]] is mid-fold or died before its sweep —
+    * the probe-side observability hook for the crash window (the
+    * [[VectorIndex.compactInProgress]] pattern): during it a settled
+    * band row exists in both the base and its original batch directory,
+    * so [[dedupBatch]]'s cross tier relies on its distinct() and logs a
+    * warning rather than failing. */
+  def compactInProgress(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_COMPACT_INPROGRESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def warnIfCompacting(spark: SparkSession, dir: String): Unit =
+    if (compactInProgress(spark, dir))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupBatch on $dir during an in-progress/crashed compact: " +
+          "duplicated index rows are folded by the probe's distinct; " +
+          "re-run compact to clear the marker")
+
+  /** [[compact]] with a test seam: `crashBeforeSweep` aborts after the
+    * band table's fold, before its directory sweep — the widest version
+    * of the crash window the marker exists to make visible, and the one
+    * that duplicates the rows [[dedupBatch]]'s cross-tier distinct()
+    * must fold. */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      upToBatch: Long, crashBeforeSweep: Boolean): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val markerPath = new Path(dir, "_COMPACT_INPROGRESS")
+    val markerFs = markerPath.getFileSystem(conf)
+    var wroteAny = false
     for ((table, key) <- Seq("hashes" -> Seq("doc_id"),
         "bands" -> Seq("doc_id", "band"))) {
       val root = new Path(s"$dir/$table")
@@ -284,6 +321,7 @@ object TextIndex {
               (id == AdhocBatch && upToBatch == Long.MaxValue)
           }
         if (batchDirs.nonEmpty) {
+          if (!wroteAny) { markerFs.create(markerPath, true).close(); wroteAny = true }
           val staging = new Path(s"$dir/${table}_compact_staging")
           val settled = col("ingest_batch") === BaseBatch ||
             (col("ingest_batch") >= 0L && col("ingest_batch") <= upToBatch) ||
@@ -299,11 +337,15 @@ object TextIndex {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch", "bk")
             .parquet(s"$dir/$table")
+          if (crashBeforeSweep && table == "bands")
+            throw new IllegalStateException(
+              "simulated compact crash before sweep (test seam)")
           batchDirs.foreach(fs.delete(_, true))
           fs.delete(staging, true)
         }
       }
     }
+    if (wroteAny) { markerFs.delete(markerPath, false); () }
   }
 
   /** Builds (once, marker-gated) the index for `sfDir`'s SETTLED

@@ -149,6 +149,31 @@ class TextIndexSpec extends SparkSpec {
       > pairsBefore.length)
   }
 
+  test("crashed compact leaves the marker; probes stay identical; re-run clears it") {
+    val dir = freshDir()
+    TextIndex.build(t.documents.filter(pmod(col("doc_id"), lit(8L)) < 6L), dir)
+    TextIndex.appendBatch(
+      t.documents.filter(pmod(col("doc_id"), lit(8L)) === 6L), 0L, dir)
+    val before = TextIndex.dedupBatch(batch, dir).collect().toSeq
+    assert(!TextIndex.compactInProgress(spark, dir))
+    // crash after the band fold, before its sweep: every settled band row
+    // now exists in BOTH base and its original batch directory
+    intercept[IllegalStateException] {
+      TextIndex.compactImpl(spark, dir, Long.MaxValue, crashBeforeSweep = true)
+    }
+    assert(TextIndex.compactInProgress(spark, dir),
+      "crash window is not observable: marker missing")
+    // probing DURING the window: the cross tier's distinct folds the
+    // duplicated band rows — candidate pairs surface exactly once
+    assert(TextIndex.dedupBatch(batch, dir).collect().toSeq == before,
+      "duplicated index rows leaked duplicate candidate pairs")
+    // the re-run completes the sweep, clears the marker, and probes
+    // stay identical
+    TextIndex.compact(spark, dir)
+    assert(!TextIndex.compactInProgress(spark, dir), "marker not cleared")
+    assert(TextIndex.dedupBatch(batch, dir).collect().toSeq == before)
+  }
+
   test("the probe plan never rescans the documents source") {
     val dir = freshDir()
     TextIndex.build(settled, dir)
