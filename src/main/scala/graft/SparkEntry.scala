@@ -49,6 +49,12 @@ object SparkEntry {
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
     "enrich_events" -> ((s, d) => Analytics.enrichEvents(tables(s, d))),
+    // H10 under the driver oracle: the same enrichment read from
+    // bucketed twins of events+customer (built once, catalog-gated) —
+    // the join is exchange-free (BucketingSpec pins the plan) and the
+    // result hashes identically to enrich_events
+    "enrich_events_bucketed" -> ((s, d) =>
+      Analytics.enrichEventsBucketed(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
@@ -434,6 +440,13 @@ object SparkEntry {
         FROM events WHERE cast(json_extract_string(props,'$.k') as bigint) > 50
         ORDER BY event_id""",
     "enrich_events" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+          cast(sum($centsValue) as bigint) AS sum_value_c
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the bucketed route computes the SAME aggregation — one oracle
+    // serves both layouts
+    "enrich_events_bucketed" ->
       s"""SELECT c_mktsegment, count(*) AS n,
           cast(sum($centsValue) as bigint) AS sum_value_c
         FROM events JOIN customer ON user_id = c_custkey

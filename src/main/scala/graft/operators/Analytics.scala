@@ -357,6 +357,26 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .orderBy("c_mktsegment")
 
+  /** H10 — the CO-LOCATED variant of [[enrichEvents]]: the same
+    * aggregation read from bucketed twins of events and customer
+    * ([[graft.sources.Bucketing.materializeEnrich]], built once per
+    * session), so the join consumes bucket-aligned files and plans NO
+    * exchange on the join key — the repeated-consumption shape at
+    * 100 TB, where the enrichment runs daily and the one-time bucketed
+    * write amortizes the fact⋈dim shuffle away. The aggregation still
+    * shuffles on its (tiny) group key; BucketingSpec pins the
+    * exchange-free join, the driver oracle pins result equality with
+    * the unbucketed form. */
+  def enrichEventsBucketed(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.events.sparkSession
+    val (ev, cu) = graft.sources.Bucketing.materializeEnrich(t, sfDir)
+    spark.table(ev)
+      .join(spark.table(cu), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("c_mktsegment")
+  }
+
   /** C2b — calendar aggregation: orders per year with exact-cent sums. */
   def yearlyOrders(t: Tables): DataFrame =
     t.orders

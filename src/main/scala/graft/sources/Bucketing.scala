@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Co-located joins via bucketing (SURVEY §5): writing both sides
@@ -12,4 +13,35 @@ object Bucketing {
       buckets: Int = 32): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
+
+  /** Materializes (once per session+sfDir, catalog-gated) the bucketed
+    * twins of events and customer that the H10 driver query joins —
+    * the test-side stand-in for fact tables a deployment keeps bucketed
+    * on their daily join key (at 100 TB the bucket count scales with
+    * the data; the co-location property is what's under test, not the
+    * fanout). External tables under the JVM tmpdir: the files survive
+    * the session, the catalog entry doesn't, so a fresh session deletes
+    * and rewrites instead of tripping over the stale location. Returns
+    * the (events, customer) table names. */
+  def materializeEnrich(t: Tables, sfDir: String,
+      buckets: Int = 8): (String, String) = {
+    val spark = t.events.sparkSession
+    val tag = math.abs(sfDir.hashCode).toString
+    def ensure(base: String, df: => DataFrame, key: String): String = {
+      val tbl = s"${base}_$tag"
+      if (!spark.catalog.tableExists(tbl)) {
+        val path = new Path(System.getProperty("java.io.tmpdir"),
+          s"graft_bucketed_$tbl")
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(path, true) // files left by an earlier session
+        df.write.bucketBy(buckets, key).sortBy(key)
+          .option("path", path.toString).saveAsTable(tbl)
+      }
+      tbl
+    }
+    (ensure("b_enrich_events", t.events.select("user_id", "value"),
+        "user_id"),
+      ensure("b_enrich_customer",
+        t.customer.select("c_custkey", "c_mktsegment"), "c_custkey"))
+  }
 }

@@ -36,6 +36,40 @@ class BucketingSpec extends SparkSpec {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("enrichEventsBucketed (the driver-gated H10 query) joins exchange-free") {
+    // drop catalog + files so the query's catalog-gated materialize runs
+    // from scratch in this session
+    val tag = math.abs(sfDir.hashCode).toString
+    for (base <- Seq("b_enrich_events", "b_enrich_customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_$tag")
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${base}_$tag")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    val df = graft.operators.Analytics.enrichEventsBucketed(t, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = graft.operators.Analytics.enrichEvents(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "bucketed route diverged from enrich_events")
+    // the JOIN must be exchange-free: the only allowed exchange is the
+    // aggregation's own group-key shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    val joinKeyExchanges = plan.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("user_id") || l.contains("c_custkey")))
+    assert(joinKeyExchanges.isEmpty,
+      s"bucketed join still shuffles on the join key:\n$plan")
+    // and a second call reuses the catalog tables (no re-materialize)
+    val again = graft.operators.Analytics.enrichEventsBucketed(t, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == expected)
+  }
+
   test("bucketed events-customer enrichment: no join shuffle, same result") {
     dropTables("b_events", "b_customer")
     Bucketing.writeBucketed(
