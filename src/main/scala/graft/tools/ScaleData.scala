@@ -27,9 +27,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     — norm-preserving, and a rotation of an unstructured vector is
   *     uncorrelated with the original, so no cross-replica near-dup
   *     pairs appear.
-  * Ids offset by i·10^9 keep replicas disjoint. All other tables copy
-  * through unchanged (the probed queries touch only these two, but a
-  * complete directory keeps `Tables` loadable).
+  *   - events: replica i shifts event_id by the id stride and ts by
+  *     i·(span + 1 h) — per-user history grows ×factor (the long-
+  *     retention shape), so windows, sessionization, and the range
+  *     join see genuinely longer per-key timelines, not duplicated
+  *     instants.
+  *   - orders/lineitem: replica i shifts the shared o_orderkey /
+  *     l_orderkey join key; customer/part/supplier keys stay — facts
+  *     grow ×factor over fixed dims, the realistic warehouse shape
+  *     (fan-outs stay linear).
+  * Ids offset by i·10^9 keep replicas disjoint. The remaining dims copy
+  * through unchanged.
   */
 object ScaleData {
   val IdStride = 1000000000L
@@ -41,7 +49,14 @@ object ScaleData {
     (lower + upper, rot(lower) + rot(upper))
   }
 
-  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    // the alphabet has 26 rotations: replica 26 would Caesar-shift by 0
+    // again and recreate every document verbatim — a silent quadratic
+    // near-dup clique per original, exactly what the decorrelation
+    // exists to prevent
+    require(factor <= 26,
+      s"scaleDocuments factor $factor > 26: Caesar decorrelation wraps " +
+        "at 26 replicas and would recreate exact duplicates")
     (0 until factor).map { i =>
       val (from, to) = caesar(i)
       docs.select(
@@ -50,6 +65,7 @@ object ScaleData {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
+  }
 
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { i =>
@@ -60,6 +76,25 @@ object ScaleData {
          else concat(slice(col("embedding"), r + 1, 64 - r),
            slice(col("embedding"), 1, r))).as("embedding"),
         col("label"))
+    }.reduce(_ unionByName _)
+
+  /** Replica i: event_id shifted by the id stride, ts shifted by
+    * i·spanNs — same users, ×factor longer per-user history. `events`
+    * must already carry the epoch-long-ns ts contract
+    * ([[graft.sources.Tables.normalizeEventsTs]]). */
+  def scaleEvents(events: DataFrame, factor: Int, spanNs: Long): DataFrame =
+    (0 until factor).map { i =>
+      events.select(
+        (col("event_id") + lit(i * IdStride)).as("event_id"),
+        (col("ts") + lit(i * spanNs)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
+  /** Replica i shifts the shared order join key on both fact tables;
+    * dim keys (custkey/partkey/suppkey) stay, so fan-outs are linear. */
+  def scaleByOrderKey(df: DataFrame, keyCol: String, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      df.withColumn(keyCol, col(keyCol) + lit(i * IdStride))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -80,8 +115,19 @@ object ScaleData {
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events"))
+    val ev = graft.sources.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$src/events.parquet"))
+    val tsRange = ev.agg(min("ts"), max("ts")).head()
+    val spanNs = tsRange.getLong(1) - tsRange.getLong(0) + 3600L * 1000000000L
+    scaleEvents(ev, factor, spanNs)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    scaleByOrderKey(spark.read.parquet(s"$src/orders.parquet"),
+        "o_orderkey", factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    scaleByOrderKey(spark.read.parquet(s"$src/lineitem.parquet"),
+        "l_orderkey", factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     println(s"scaled $src -> $out x$factor")
