@@ -195,7 +195,13 @@ private[graft] object OracleSql {
     dropped AS (
       SELECT id_b AS doc_id FROM pr WHERE id_b % 8 = 7
       UNION
-      SELECT id_a FROM pr WHERE id_a % 8 = 7 AND id_b % 8 <> 7)
+      SELECT id_a FROM pr WHERE id_a % 8 = 7 AND id_b % 8 <> 7
+      UNION
+      -- reverse exact probe: a settled copy at a LARGER id still wins
+      -- (ex elects only smaller-id keepers; bands need tokens)
+      SELECT n.doc_id FROM documents n JOIN documents s
+        ON s.text = n.text AND s.doc_id > n.doc_id
+      WHERE n.doc_id % 8 = 7 AND s.doc_id % 8 <> 7)
     SELECT cast(doc_id as bigint) AS doc_id FROM documents
     WHERE doc_id % 8 = 7 AND doc_id NOT IN (SELECT doc_id FROM dropped)
     ORDER BY doc_id"""

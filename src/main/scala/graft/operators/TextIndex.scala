@@ -209,6 +209,7 @@ object TextIndex {
     * still drags its own in-batch near-dups down with it. */
   def curateKeepers(batch: DataFrame, dir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
     val pairs = dedupBatch(batch, dir, excludeBatch)
       .filter(col("id_a") =!= col("id_b"))
       .localCheckpoint(true) // candidate-sized; feeds two branches
@@ -218,7 +219,24 @@ object TextIndex {
       .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
         "left_anti")
       .select(col("id_a").as("doc_id"))
-    batch.join(asB.unionByName(asA).distinct(), Seq("doc_id"), "left_anti")
+    // REVERSE exact probe: a settled document with identical text at a
+    // LARGER id still wins — [[dedupBatch]]'s exact tier elects only
+    // smaller-id keepers (its pair contract), and the band tier covers
+    // the larger-id case only when the document tokenizes; a
+    // token-empty batch doc would otherwise survive alongside its
+    // settled copy. Hash-wide probe of the settled hashes table, same
+    // exclusion guard.
+    val settledHashes = {
+      val df = spark.read.parquet(s"$dir/hashes")
+      excludeBatch.fold(df)(b => df.filter(col("ingest_batch") =!= b))
+    }
+    val revExact = signatures(batch).as("nw")
+      .join(settledHashes.as("p"),
+        col("p.h1") === col("nw.h1") && col("p.h2") === col("nw.h2") &&
+          col("p.doc_id") > col("nw.doc_id"))
+      .select(col("nw.doc_id").as("doc_id"))
+    batch.join(asB.unionByName(asA).unionByName(revExact).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** D7b — the CONTINUOUS curation gate: the whole incremental-curation

@@ -289,13 +289,23 @@ object VectorIndex {
       .orderBy("q_id", "rnk")
   }
 
+  /** Per-query ADC tables are built DRIVER-side (each is m×pqCells
+    * floats), so [[searchAdc]]'s probe frame must be query-sized, never
+    * an sf-proportional ingest — the bound turns a silent driver OOM
+    * into a loud contract error. */
+  val MaxAdcQueries = 10000
+
   /** Approximate ADC-only search: (q_id, rnk, n_id, adc) straight off
     * the codes table — no exact re-rank, so the returned plan's ONLY
     * file scan is `dir/codes` (model tables are driver-held constants,
     * queries broadcast). The first-response tier for latency-bound
-    * callers; [[searchTopK]] is the exact-scored tier. */
+    * callers; [[searchTopK]] is the exact-scored tier. The query side
+    * collects to the driver (the ADC tables are per-query model-sized
+    * constants), so it is capped at `maxQueries` ([[MaxAdcQueries]]) —
+    * batch-scale probes belong on [[searchTopK]]/[[nearDupBatch]],
+    * whose query side stays distributed. */
   def searchAdc(queries: DataFrame, dir: String, k: Int = 5,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, maxQueries: Int = MaxAdcQueries): DataFrame = {
     val spark = queries.sparkSession
     warnIfCompacting(spark, dir)
     val (coarse, codebook) = loadModel(spark, dir)
@@ -303,11 +313,16 @@ object VectorIndex {
         call_function("graft_vec_scale", col("v"),
           lit(1.0) / sqrt(col("norm"))).as("v"))
       .withColumn("norm", call_function("graft_norm2", col("v")))
-    val qRows = qUnit
+    val qRaw = qUnit
       .withColumn("probes", Similarity.probeCells(coarse, nprobe))
-      .select(col("vec_id"), col("v"), col("probes")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getSeq[Int](2).toArray))
+      .select(col("vec_id"), col("v"), col("probes"))
+      .limit(maxQueries + 1).collect()
+    require(qRaw.length <= maxQueries,
+      s"searchAdc received more than $maxQueries queries; the ADC tier " +
+        "collects its query side driver-side — route batch-scale probes " +
+        "through searchTopK or nearDupBatch")
+    val qRows = qRaw.map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+      r.getSeq[Int](2).toArray))
     val routed = qRows.flatMap { case (qid, qu, probes) =>
       probes.map(cell =>
         (qid, cell, Similarity.adcTableOf(qu, coarse(cell), codebook).toSeq))
@@ -533,13 +548,23 @@ object VectorIndex {
     * the same run id (birthday ~1% at ~400 streams sharing one index) —
     * a collision would let one stream's dynamic-overwrite silently
     * replace another's batches. Idempotent for the same checkpoint, so
-    * restarts of a stream re-register without error. */
+    * restarts of a stream re-register without error.
+    *
+    * CONCURRENCY: the exists-then-create sequence is not atomic, so
+    * `create(overwrite = false)` is the arbiter — of two streams racing
+    * to first-register the same namespace exactly one create succeeds
+    * (an atomic create-if-absent on HDFS and local filesystems; object
+    * stores without it degrade to best-effort, the documented limit of
+    * marker files there). The loser's create throws, and it falls back
+    * to reading the winner's file and arbitrating exactly as if the
+    * file had existed all along — same-checkpoint re-registration
+    * passes, a true collision fails loudly. */
   private[graft] def registerRun(spark: SparkSession, dir: String,
       runId: Long, checkpointDir: String): Unit = {
     val p = new Path(
       s"$dir/_runs/run_${java.lang.Long.toHexString(runId >>> 40)}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
+    def arbitrate(): Unit = {
       val in = fs.open(p)
       val owner =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -549,10 +574,17 @@ object VectorIndex {
         s"stream run-id collision on index $dir: checkpoint " +
           s"'$checkpointDir' hashes to the namespace already owned by " +
           s"'$owner' — use a different checkpoint path")
-    } else {
+    }
+    if (fs.exists(p)) arbitrate()
+    else {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
-      try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+      val won =
+        try {
+          val out = fs.create(p, false)
+          try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!won) arbitrate()
     }
   }
 

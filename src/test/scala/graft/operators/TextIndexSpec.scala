@@ -149,6 +149,26 @@ class TextIndexSpec extends SparkSpec {
       > pairsBefore.length)
   }
 
+  test("settled wins at any id: the reverse exact probe catches token-empty duplicates") {
+    import spark.implicits._
+    val dir = freshDir()
+    // token-empty texts (no [a-z] runs): the band tier can't see them,
+    // and the pair report's exact tier elects only smaller-id keepers —
+    // the reverse probe is the only tier that can drop batch doc 7
+    val settledDocs = Seq(
+      (20L, "1234 5678 90"),
+      (21L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (7L, "1234 5678 90"), // settled copy exists at a LARGER id — drop
+      (8L, "42 42 42 42")   // unique token-empty — keeps
+    ).toDF("doc_id", "text")
+    TextIndex.build(settledDocs, dir)
+    val kept = TextIndex.curateKeepers(batchDocs, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(8L),
+      s"settled-wins violated for a larger-id settled duplicate: kept=$kept")
+  }
+
   test("crashed compact leaves the marker; probes stay identical; re-run clears it") {
     val dir = freshDir()
     TextIndex.build(t.documents.filter(pmod(col("doc_id"), lit(8L)) < 6L), dir)

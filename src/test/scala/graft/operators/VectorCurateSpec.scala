@@ -75,6 +75,16 @@ class VectorCurateSpec extends SparkSpec {
       "index did not absorb the full batches")
   }
 
+  test("searchAdc rejects batch-scale query frames (driver-collect guard)") {
+    val dir = VectorIndex.materialize(t, sfDir)
+    val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 4)
+    intercept[IllegalArgumentException] {
+      VectorIndex.searchAdc(q, dir, maxQueries = 3)
+    }
+    // at or under the bound the tier serves normally
+    assert(VectorIndex.searchAdc(q, dir, maxQueries = 4).count() > 0)
+  }
+
   test("crash-replay guard: an already-indexed batch replays identically") {
     val dir = freshDir()
     VectorIndex.fit(settled, dir)
