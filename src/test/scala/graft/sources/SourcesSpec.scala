@@ -32,6 +32,46 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.count())
   }
 
+  test("events loader normalizes every ts encoding to epoch-long nanoseconds") {
+    import org.apache.spark.sql.types.LongType
+    // branch 1 — the current driver encoding (parquet TIMESTAMP micros,
+    // read as a timestamp type): normalized to unix_micros × 1000
+    val viaTables = Tables(spark, sfDir).events
+    assert(viaTables.schema("ts").dataType == LongType,
+      "loader must present ts as epoch-long ns")
+    // decimal sums: epoch-ns values overflow a long sum past ~5k rows
+    def dsum(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.agg(sum(c.cast("decimal(38,0)"))).head().getDecimal(0)
+    val rawSum = dsum(spark.read.parquet(s"$sfDir/events.parquet"),
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    assert(dsum(viaTables, col("ts")) == rawSum,
+      "normalized ns diverge from unix_micros×1000 of the raw encoding")
+    // branch 2 — a long-ns layout (the round-1–7 nanosAsLong shape)
+    // passes through untouched
+    val dir = tmp() + "/enc_long"
+    val slice = viaTables.filter(col("event_id") < 1000L)
+    slice.write.parquet(s"$dir/events.parquet")
+    val back = Tables(spark, dir).events
+    assert(back.schema("ts").dataType == LongType)
+    assert(dsum(back, col("ts")) == dsum(slice, col("ts")),
+      "long-ns passthrough changed values")
+    // branch 3 — an unsupported encoding fails loudly at load
+    val bad = tmp() + "/enc_bad"
+    slice.withColumn("ts", col("ts").cast("string"))
+      .write.parquet(s"$bad/events.parquet")
+    intercept[IllegalStateException] { Tables(spark, bad).events }
+  }
+
+  test("ts normalization does not block pushdown on other event columns") {
+    val df = Tables(spark, sfDir).events
+      .filter(col("event_type") === "click").select("event_id", "ts")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("events.parquet"))
+      .getOrElse(fail("no events scan in plan"))
+    assert(scan.contains("PushedFilters") && scan.contains("event_type"),
+      s"event_type filter did not reach the scan:\n$scan")
+  }
+
   test("catalog queries run identically from csv and json table sources") {
     import graft.operators._
     val dir = tmp()
