@@ -599,6 +599,62 @@ private[graft] object OracleSql {
     ORDER BY q_id, rnk"""
   }
 
+  /** curate_embed_incremental: VectorIndex.curateKeepers' gate rule
+    * over the % 8 == 7 ingest slice — a batch vector drops iff the
+    * settled tier keeps a nearDupBatch row for it (the
+    * dedup_embed_incremental replay: canonical-Lloyd routing, top-3
+    * probes, settled members only, top-5 rank, rounded cosine ≥ 0.4)
+    * or it is the larger id of an LSH-verified within-batch pair (the
+    * dedup_embed_lsh machinery restricted to the slice). Keepers are
+    * what [[graft.operators.VectorIndex.curateStream]] persists per
+    * micro-batch. */
+  lazy val curateEmbedIncremental: String = materialized {
+    val coarse = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096, srcNrm = "unn")
+    val D = "cast(0.0 as double)"
+    s"""WITH ${embedBucketCtes(16)},
+    un AS (SELECT vec_id, vec_id % 4096 AS b,
+        list_transform(v, x -> x * (cast(1.0 as double)/sqrt(norm))) AS u
+      FROM nrm),
+    unn AS (SELECT vec_id, b, u AS v, list_reduce(list_prepend($D,
+        list_transform(u, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM un),
+    ${coarse.ctes},
+    asgu AS (SELECT vec_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS rn
+        FROM unn n CROSS JOIN fin f) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS q_id, cell FROM (
+        SELECT n.vec_id, f.cid AS cell, ${coarse.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, f.cid) AS pr
+        FROM unn n CROSS JOIN fin f WHERE n.vec_id % 8 = 7) WHERE pr <= 3),
+    prs AS (SELECT p.q_id, a.vec_id AS n_id,
+        list_reduce(list_prepend($D,
+          list_transform(list_zip(uq.u, um.u), pp -> pp[1]*pp[2])),
+          (s, x) -> s + x) AS cos
+      FROM qprobe p
+      JOIN asgu a ON a.cell = p.cell AND a.vec_id % 8 <> 7
+      JOIN un uq ON uq.vec_id = p.q_id
+      JOIN un um ON um.vec_id = a.vec_id),
+    rk AS (SELECT q_id, n_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+      FROM prs),
+    settled_drop AS (SELECT DISTINCT q_id AS vec_id FROM rk
+      WHERE rnk <= 5 AND round(cos, 4) >= cast(0.4 as double)),
+    bk7 AS (SELECT vec_id, (k::UBIGINT << 32) | b AS bucket FROM bks
+      WHERE vec_id % 8 = 7),
+    wcand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk7 a JOIN bk7 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    within_drop AS (SELECT DISTINCT id_b AS vec_id FROM (
+        SELECT id_a, id_b, $cosOfAB AS cos
+        FROM wcand JOIN nrm a ON a.vec_id = id_a JOIN nrm b ON b.vec_id = id_b)
+      WHERE cos >= cast(0.4 as double))
+    SELECT cast(vec_id as bigint) AS vec_id FROM embeddings
+    WHERE vec_id % 8 = 7
+      AND vec_id NOT IN (SELECT vec_id FROM settled_drop)
+      AND vec_id NOT IN (SELECT vec_id FROM within_drop)
+    ORDER BY vec_id"""
+  }
+
   /** ivfpq_topk AND ivfpq_search_prefit (identical results — IvfSpec
     * pins the prefit artifact row-identical to the inline fit at equal
     * parameters): the residual IVF+PQ composite replayed end to end.

@@ -184,6 +184,18 @@ object SparkEntry {
           .filter(pmod(col("vec_id"), lit(8L)) === 7L),
         dir, excludeNeighbor = Some(pmod(col("n_id"), lit(8L)) === 7L))
     }),
+    // E7's keeper rule under the oracle: the ingest slice's surviving
+    // vec_ids — settled near-dups (the dedup_embed_incremental probe)
+    // and larger ids of LSH-verified within-batch pairs drop; what
+    // VectorIndex.curateStream persists per micro-batch
+    "curate_embed_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = VectorIndex.materialize(t, d)
+      VectorIndex.curateKeepers(
+        t.embeddings.filter(pmod(col("vec_id"), lit(8L)) === 7L), dir,
+        excludeNeighbor = Some(pmod(col("n_id"), lit(8L)) === 7L))
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
     // chunked range join (Spark has no native one; naive is a BNLJ)
     "range_join_events" -> ((s, d) => EventOps.rangeJoinEvents(tables(s, d))),
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
@@ -241,6 +253,7 @@ object SparkEntry {
     "ivfpq_topk" -> OracleSql.ivfPqTopK,
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_embed_incremental" -> OracleSql.dedupEmbedIncremental,
+    "curate_embed_incremental" -> OracleSql.curateEmbedIncremental,
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "curate_incremental" -> OracleSql.curateIncremental,

@@ -475,12 +475,21 @@ object VectorIndex {
     * in the inverted lists (shadowing settled neighbors and claiming
     * rank slots). The id becomes an `ingest_batch` predicate on the
     * member side — a partition-column filter, pruned at planning time.
+    * `excludeNeighbor` overrides that guard with an arbitrary member
+    * predicate for batches the artifact indexed WITHOUT a batch
+    * namespace (e.g. rows the fit itself covered — the
+    * curate_embed_incremental driver query excludes its slice by
+    * `n_id % 8 = 7`).
     */
   def curateKeepers(batch: DataFrame, dir: String, tau: Double = 0.4,
-      excludeBatch: Option[Long] = None): DataFrame = {
+      excludeBatch: Option[Long] = None,
+      excludeNeighbor: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val guard = excludeNeighbor.orElse(
+      excludeBatch.map(id => col("ingest_batch") === id))
     val settledDup =
       nearDupBatch(Similarity.withNorm(batch), dir, tau,
-        excludeNeighbor = excludeBatch.map(id => col("ingest_batch") === id))
+        excludeNeighbor = guard)
         .select(col("q_id").as("vec_id"))
     val withinDup = Dedup.embeddingPairsLshOf(batch, tau)
       .select(col("id_b").as("vec_id"))
