@@ -75,6 +75,42 @@ class VectorCurateSpec extends SparkSpec {
       "index did not absorb the full batches")
   }
 
+  test("curateStream survives a stop/restart on the same checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir(); val ckpt = freshDir()
+    val keepersDir = freshDir() + "/keepers"
+    VectorIndex.fit(settled, dir)
+    val dir2 = freshDir()
+    VectorIndex.fit(settled, dir2)
+    val e1 = ids(VectorIndex.curateKeepers(h1, dir2))
+    VectorIndex.appendBatch(h1, 0L, dir2)
+    val e2 = ids(VectorIndex.curateKeepers(h2, dir2))
+
+    // ONE source, TWO query incarnations: the restart is in the QUERY
+    // (fresh StreamingQuery on the same checkpoint — offset recovery,
+    // sink/state continuity, run re-registration), while the in-memory
+    // source keeps its offset log alive across the stop, as a durable
+    // source would
+    val input = MemoryStream[(Long, Seq[Float])]
+    def feedOnce(half: DataFrame): Unit = {
+      val query = VectorIndex.curateStream(
+        input.toDF().toDF("vec_id", "embedding"), dir, ckpt, keepersDir)
+      try {
+        input.addData(half.select("vec_id", "embedding")
+          .as[(Long, Seq[Float])].collect().toIndexedSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    feedOnce(h1) // run 1: batch, then STOP
+    feedOnce(h2) // run 2: same checkpoint — re-registration must pass
+    assert(ids(spark.read.parquet(keepersDir)) == (e1 ++ e2),
+      "restart on the same checkpoint diverged from the sequential gate")
+    assert(spark.read.parquet(s"$dir/codes").count() ==
+      settled.count() + h1.count() + h2.count())
+  }
+
   test("searchAdc rejects batch-scale query frames (driver-collect guard)") {
     val dir = VectorIndex.materialize(t, sfDir)
     val q = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 4)
