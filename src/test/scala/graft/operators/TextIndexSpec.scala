@@ -129,6 +129,42 @@ class TextIndexSpec extends SparkSpec {
       settled.count() + h1.count() + h2.count())
   }
 
+  test("curateStream survives a stop/restart on the same checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir(); val ckpt = freshDir()
+    val keepersDir = freshDir() + "/keepers"
+    TextIndex.build(settled, dir)
+    val dir2 = freshDir()
+    TextIndex.build(settled, dir2)
+    val h1 = batch.filter(pmod(col("doc_id"), lit(16L)) === 7L)
+    val h2 = batch.filter(pmod(col("doc_id"), lit(16L)) === 15L)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = ids(TextIndex.curateKeepers(h1, dir2))
+    TextIndex.appendBatch(h1, 0L, dir2)
+    val e2 = ids(TextIndex.curateKeepers(h2, dir2))
+    // one source, two query incarnations: the restart is in the QUERY
+    // (offset recovery + run re-registration on the same checkpoint)
+    val input = MemoryStream[(Long, String)]
+    def feedOnce(half: DataFrame): Unit = {
+      val query = TextIndex.curateStream(
+        input.toDF().toDF("doc_id", "text"), dir, ckpt, keepersDir)
+      try {
+        input.addData(half.select("doc_id", "text").as[(Long, String)]
+          .collect().toIndexedSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    feedOnce(h1)
+    feedOnce(h2)
+    assert(ids(spark.read.parquet(keepersDir)) == (e1 ++ e2),
+      "restart on the same checkpoint diverged from the sequential gate")
+    assert(spark.read.parquet(s"$dir/hashes").count() ==
+      settled.count() + h1.count() + h2.count())
+  }
+
   test("crash-replay guard: a batch that already indexed itself replays identically") {
     val dir = freshDir()
     TextIndex.build(settled, dir)
