@@ -96,11 +96,22 @@ object Bench {
       gcMs += math.max(0L, b.getCollectionTime) }
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // the CONFIGURED JVM flags (-Xmx, GC choice), not just the runtime
+    // heap ceiling: round-9's 8 GiB adjudication runs vs 91 GiB suite
+    // runs were indistinguishable from the artifact alone
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .asScala
+        .filter(a => a.startsWith("-Xm") || a.startsWith("-XX:"))
+        .map(a => "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    }
     val env =
       s""""env":{"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
       s""""heap_max_mb":${rt.maxMemory / (1024 * 1024)},""" +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"load_avg":$loadAvg,""" +
-      s""""jvm":"${System.getProperty("java.version")}"}"""
+      s""""jvm":"${System.getProperty("java.version")}","jvm_args":$jvmArgs}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,$env,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

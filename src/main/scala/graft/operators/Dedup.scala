@@ -559,13 +559,14 @@ object Dedup {
     * (16 tables × 6 bits) confine candidate generation to bucket-local
     * pairs — ONE shuffle on bucket id instead of the all-pairs loop —
     * then the exact cosine kernel verifies candidates. Pairs sharing
-    * several table buckets are emitted once, from the first agreeing
-    * table (both sides carry the 16-bucket array; the join row's table
-    * index is its bucket's high 32 bits). The bucket explode carries
-    * IDS AND BUCKET ARRAYS ONLY (~150 B/row) — the 64-dim vectors are
-    * joined back by id for the candidate-sized exact verify, the
-    * rerankExact pattern ([[Similarity.annLshTopKOf]]): at 100 TB the
-    * bucket exchange is 16× the ID volume, not 16× the corpus.
+    * several table buckets are emitted once: the bucket explode carries
+    * (bucket, id) ONLY (~16 B/row), and a candidate-sized DISTINCT after
+    * the bucket join collapses multi-table agreements — candidates are
+    * orders of magnitude fewer than exploded rows, so the dedup agg is
+    * cheap where slimming the 16× bucket exchange is not. The 64-dim
+    * vectors are joined back by id for the candidate-sized exact verify,
+    * the rerankExact pattern ([[Similarity.annLshTopKOf]]): at 100 TB
+    * the bucket exchange is 16× the ID volume, not 16× the corpus.
     * Rows-only; DedupSpec measures recall against the exact D5
     * oracle. */
   def embeddingPairsLsh(t: Tables, threshold: Double = 0.4,
@@ -582,20 +583,13 @@ object Dedup {
     val bucketed = vecs.select(col("vec_id"),
       call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits))
         .as("buckets"))
-    val e = bucketed.select(col("vec_id"), col("buckets"),
-      explode(col("buckets")).as("bucket"))
-    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-      col("buckets").as("bk_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-      col("buckets").as("bk_b"))
-    val firstAgree = (0 until tables).reverse
-      .foldLeft(lit(tables): org.apache.spark.sql.Column) { (acc, j) =>
-        when(col("bk_a").getItem(j) === col("bk_b").getItem(j), j).otherwise(acc)
-      }
+    val e = bucketed.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"))
     val cand = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
       .select("id_a", "id_b")
+      .distinct()
     cand
       .join(vecs.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col("norm").as("norm_a")), "id_a")

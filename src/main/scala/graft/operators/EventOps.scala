@@ -74,12 +74,16 @@ object EventOps {
       .orderBy("bucket")
 
   /** B5 — lag monitoring (MILLIS_BEHIND_NOW analog): per-user newest event
-    * vs the global stream head. The global max is a 1-row broadcast. */
+    * vs the global stream head. ONE events pass: the global head is an
+    * agg-of-agg over the per-user maxima, so both branches share the same
+    * scan + partial-agg + exchange subtree (ReuseExchange collapses them)
+    * instead of scanning events twice; the head stays a 1-row broadcast. */
   def lagMonitor(t: Tables): DataFrame = {
-    val e = withMs(t)
-    val head = e.agg(max(col("ts_ms")).as("head_ms"))
-    e.groupBy("user_id")
+    val perUser = withMs(t)
+      .groupBy("user_id")
       .agg(max(col("ts_ms")).as("user_max_ms"), count(lit(1)).as("n"))
+    val head = perUser.agg(max(col("user_max_ms")).as("head_ms"))
+    perUser
       .crossJoin(broadcast(head))
       .select(
         col("user_id"),

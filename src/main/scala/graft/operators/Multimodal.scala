@@ -196,23 +196,64 @@ object Multimodal {
       .orderBy("event_id")
   }
 
-  /** G2 — decode/feature-extract STUB: pull the first SimpleBlock's frame
-    * payload, "decode" it (UTF-8 — stands in for an image codec, which
-    * this container lacks), and compute deterministic features. The
-    * Spark-side plumbing (binary column, block walk, per-row decode,
-    * feature schema) is real; only the codec is faked. */
-  def mmFeatures(t: Tables): DataFrame = {
+  /** G2 — decode/feature-extract: pull the first SimpleBlock's frame
+    * payload and hand it to a pluggable [[FrameDecoder]] — the codec
+    * seam. The Spark-side plumbing (binary column, block walk, per-row
+    * decode, feature schema) is real and IDENTICAL whichever decoder is
+    * plugged; the default is the deterministic UTF-8 stub this container
+    * can actually run. */
+  def mmFeatures(t: Tables,
+      decoder: FrameDecoder = Utf8JsonFrameDecoder): DataFrame = {
     val frame = EbmlFunctions.firstBlock(col("blob"))
     withBlobSorted(t)
       .withColumn("frame", frame)
-      .withColumn("decoded", decode(col("frame"), "UTF-8"))
-      .select(
-        col("event_id"),
-        length(col("frame")).cast("long").as("frame_bytes"),
-        get_json_object(col("decoded"), "$.k").cast("long").as("k"),
-        size(array_distinct(
-          call_function("regexp_extract_all", col("decoded"), lit("."), lit(0))))
-          .cast("long").as("n_distinct_chars"),
-        intDiv(length(col("frame")).cast("long") + 15L, 16L).as("height"))
+      .select(col("event_id") +:
+        length(col("frame")).cast("long").as("frame_bytes") +:
+        decoder.features(col("frame")): _*)
+  }
+}
+
+/** The codec seam — the role of the reference's `packet.decode()`
+  * (SergiyStoyan/AwsKinesisConsumer parser.py:437-442, where a decoded
+  * frame becomes an nd-array and parser.py:485 writes it out as PNG).
+  * An implementation contributes the per-frame FEATURE COLUMNS computed
+  * from the raw frame-payload `binary` column; everything around the
+  * seam — EBML block walk, frame extraction, projection, ordering — is
+  * shared, so swapping codecs cannot change the plan shape
+  * (MultimodalSpec pins this).
+  *
+  * The container has no image/video libraries, so the default
+  * implementation is [[Utf8JsonFrameDecoder]], an honest deterministic
+  * stub. A real deployment implements this same trait over a public JVM
+  * codec — e.g. JavaCV/FFmpeg (`org.bytedeco:javacv`) or the pure-Java
+  * `org.jcodec:jcodec` — either as a native Catalyst expression over the
+  * byte array (preferred: stays in codegen, like the EBML kernels) or,
+  * for python-side models, a `mapInPandas` batch over (id, frame) pairs.
+  * Neither dependency is added here; the seam is the deliverable. */
+trait FrameDecoder extends Serializable {
+  /** Codec name, for logging/telemetry. */
+  def name: String
+
+  /** Feature columns over the raw frame-payload column. Every column
+    * must carry an explicit alias — they land in the output schema
+    * directly after (event_id, frame_bytes). */
+  def features(frame: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column]
+}
+
+/** The deterministic stub codec: frames in the synthetic fragments are
+  * UTF-8 JSON, so "decoding" is a charset decode and the "image
+  * features" are reproducible text statistics — fake codec, real
+  * schema/plumbing, and DuckDB-oracle-able (mm_features). */
+object Utf8JsonFrameDecoder extends FrameDecoder {
+  val name = "utf8-json-stub"
+  def features(frame: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val decoded = decode(frame, "UTF-8")
+    Seq(
+      get_json_object(decoded, "$.k").cast("long").as("k"),
+      size(array_distinct(
+        call_function("regexp_extract_all", decoded, lit("."), lit(0))))
+        .cast("long").as("n_distinct_chars"),
+      intDiv(length(frame).cast("long") + 15L, 16L).as("height"))
   }
 }

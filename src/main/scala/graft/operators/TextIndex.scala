@@ -150,10 +150,19 @@ object TextIndex {
     * as a duplicate of itself ([[curateStream]] passes its namespaced
     * batch id here). */
   def dedupBatch(newDocs: DataFrame, dir: String,
-      excludeBatch: Option[Long] = None): DataFrame = {
-    val spark = newDocs.sparkSession
+      excludeBatch: Option[Long] = None): DataFrame =
+    dedupBatchFrom(signatures(newDocs).localCheckpoint(true), dir,
+      excludeBatch)
+
+  /** [[dedupBatch]] from ALREADY-CHECKPOINTED batch signatures — the
+    * form [[curateKeepers]] uses so its reverse exact probe reads the
+    * same frame as the pair probe (one tokenize+minhash pass per batch,
+    * and no chance of the two tiers seeing different hashes under a
+    * non-replay-deterministic batch). */
+  private def dedupBatchFrom(bSigs: DataFrame, dir: String,
+      excludeBatch: Option[Long]): DataFrame = {
+    val spark = bSigs.sparkSession
     warnIfCompacting(spark, dir)
-    val bSigs = signatures(newDocs).localCheckpoint(true)
     def idx(table: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$table")
       excludeBatch.fold(df)(b => df.filter(col("ingest_batch") =!= b))
@@ -210,7 +219,10 @@ object TextIndex {
   def curateKeepers(batch: DataFrame, dir: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val pairs = dedupBatch(batch, dir, excludeBatch)
+    // ONE signature pass per batch: the pair probe and the reverse
+    // exact probe below both read this checkpointed frame
+    val bSigs = signatures(batch).localCheckpoint(true)
+    val pairs = dedupBatchFrom(bSigs, dir, excludeBatch)
       .filter(col("id_a") =!= col("id_b"))
       .localCheckpoint(true) // candidate-sized; feeds two branches
     val batchIds = batch.select(col("doc_id"))
@@ -230,7 +242,7 @@ object TextIndex {
       val df = spark.read.parquet(s"$dir/hashes")
       excludeBatch.fold(df)(b => df.filter(col("ingest_batch") =!= b))
     }
-    val revExact = signatures(batch).as("nw")
+    val revExact = bSigs.as("nw")
       .join(settledHashes.as("p"),
         col("p.h1") === col("nw.h1") && col("p.h2") === col("nw.h2") &&
           col("p.doc_id") > col("nw.doc_id"))

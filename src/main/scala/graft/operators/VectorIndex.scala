@@ -579,6 +579,14 @@ object VectorIndex {
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           "UTF-8")
         finally in.close()
+      // an empty owner file means a registering stream crashed between
+      // create and write — without this check it would permanently
+      // report a collision against every stream, including the true
+      // owner on restart
+      require(owner.nonEmpty,
+        s"corrupt run registration $p on index $dir (empty owner file — " +
+          "a registering stream died mid-write); verify no stream owns " +
+          "this namespace, then delete the marker file and restart")
       require(owner == checkpointDir,
         s"stream run-id collision on index $dir: checkpoint " +
           s"'$checkpointDir' hashes to the namespace already owned by " +
@@ -587,12 +595,20 @@ object VectorIndex {
     if (fs.exists(p)) arbitrate()
     else {
       fs.mkdirs(p.getParent)
+      // only a LOST RACE falls through to arbitration: create(p, false)
+      // is the arbiter, and the only IOException that means "someone
+      // else won" is FileAlreadyExists. A transient create failure
+      // (permissions, disk) must propagate as itself, not surface as a
+      // misleading FileNotFoundException from arbitrate()'s open
       val won =
         try {
           val out = fs.create(p, false)
           try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
       if (!won) arbitrate()
     }
   }

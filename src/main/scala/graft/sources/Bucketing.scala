@@ -26,7 +26,26 @@ object Bucketing {
   def materializeEnrich(t: Tables, sfDir: String,
       buckets: Int = 8): (String, String) = {
     val spark = t.events.sparkSession
-    val tag = math.abs(sfDir.hashCode).toString
+    // the catalog-gate tag must change whenever the SOURCE changes, not
+    // just the path string: a regenerated sfDir under a live catalog
+    // entry would otherwise silently serve stale bucketed twins. Fold a
+    // fingerprint of the two source directories (name+len+mtime of every
+    // file — two shallow listings, no data read) into a 64-bit hex tag;
+    // hex of the raw bits also kills the old abs(hashCode) traps
+    // (abs(Int.MinValue) < 0, and 32-bit path collisions).
+    val tag = {
+      val conf = spark.sessionState.newHadoopConf()
+      def fp(sub: String): Long = {
+        val p = new Path(sfDir, sub)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).map(s =>
+          s.getPath.getName.hashCode * 1000003L ^ s.getLen * 31L ^
+            s.getModificationTime).foldLeft(0L)(_ * 6364136223846793005L + _)
+      }
+      f"${sfDir.hashCode.toLong * 2862933555777941757L ^ fp("events.parquet") ^
+        java.lang.Long.rotateLeft(fp("customer.parquet"), 17)}%016x"
+    }
     def ensure(base: String, df: => DataFrame, key: String): String = {
       val tbl = s"${base}_$tag"
       if (!spark.catalog.tableExists(tbl)) {

@@ -52,9 +52,23 @@ object Tables {
   private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
+        // cast(NTZ → Timestamp) interprets the wall-time in the SESSION
+        // zone; the data contract says that wall-time is UTC, so any
+        // other session zone would silently shift every ts by the zone
+        // offset. Tables.apply accepts arbitrary sessions — fail loudly
+        // instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+          s"events.ts is TIMESTAMP_NTZ (UTC wall-time by contract) but " +
+            s"spark.sql.session.timeZone is '$tz' — the NTZ→instant cast " +
+            "would shift every ts by the zone offset; set the session " +
+            "timezone to UTC (GraftSession does)")
         df.withColumn(
           "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        // already an instant: unix_micros is zone-independent
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case other =>
         throw new IllegalStateException(
           s"events.ts has unsupported type $other; expected LONG (ns) or a timestamp")

@@ -118,6 +118,8 @@ object ScaleData {
     val ev = graft.sources.Tables.normalizeEventsTs(
       spark.read.parquet(s"$src/events.parquet"))
     val tsRange = ev.agg(min("ts"), max("ts")).head()
+    require(!tsRange.isNullAt(0),
+      s"$src/events.parquet is empty — cannot derive the replica time span")
     val spanNs = tsRange.getLong(1) - tsRange.getLong(0) + 3600L * 1000000000L
     scaleEvents(ev, factor, spanNs)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")

@@ -166,16 +166,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("embedding LSH bucket exchange carries no vector columns") {
-    // the 16× bucket explode must ship (id, bucket, bucket-array) only;
-    // carrying the 64-dim vectors through it multiplies the corpus's
-    // vector volume 16× on BOTH join sides — at 100 TB that exchange IS
-    // the job (round-6 verdict #1). Vectors join back by id AFTER the
+    // the 16× bucket explode must ship (id, bucket) only — NO arrays at
+    // all: carrying the 64-dim vectors through it multiplies the corpus's
+    // vector volume 16× on BOTH join sides (round-6 verdict #1), and even
+    // the 16-long bucket arrays (round-9's firstAgree payload) are 16× of
+    // 128 B/row across the exchange where a candidate-sized DISTINCT after
+    // the join costs almost nothing. Vectors join back by id AFTER the
     // candidate filter, candidate-sized.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import org.apache.spark.sql.types.ArrayType
     // force the at-scale plan: at 100 TB neither explode side fits a
     // broadcast, so the bucket join IS a shuffle join — that exchange is
     // the one whose width matters
@@ -195,9 +197,8 @@ class PlanSpec extends SparkSpec {
     }
     assert(bucketExchanges.nonEmpty, s"no bucket exchange found in:\n$root")
     for (e <- bucketExchanges; f <- e.child.schema.fields)
-      assert(f.dataType != ArrayType(DoubleType, containsNull = true) &&
-        f.dataType != ArrayType(DoubleType, containsNull = false),
-        s"bucket exchange still carries vector column ${f.name}:\n$root")
+      assert(!f.dataType.isInstanceOf[ArrayType],
+        s"bucket exchange still carries array column ${f.name}:\n$root")
   }
 
   test("exact dedup shuffles content hashes, never document text") {
@@ -257,6 +258,43 @@ class PlanSpec extends SparkSpec {
       assert(limits >= 2,
         s"$name: expected rank-limit pushdown on candidate AND re-rank windows, saw $limits:\n$plan")
     }
+  }
+
+  test("a custom FrameDecoder slots into mm_features with an unchanged plan shape") {
+    // the G2 codec seam (round-9 verdict #4): swapping the codec swaps
+    // only feature EXPRESSIONS inside the projection — the operator
+    // tree around the seam (scan → sort → encode/extract projection)
+    // must be identical, so a real JavaCV/jcodec decoder inherits the
+    // stub's plan. The custom decoder below derives different features
+    // from the same frame bytes (crc32 instead of JSON parse).
+    object Crc32Decoder extends graft.operators.FrameDecoder {
+      val name = "crc32-test"
+      def features(frame: org.apache.spark.sql.Column)
+          : Seq[org.apache.spark.sql.Column] = Seq(
+        org.apache.spark.sql.functions.crc32(frame).as("k"),
+        org.apache.spark.sql.functions.lit(1L).as("n_distinct_chars"),
+        org.apache.spark.sql.functions.length(frame).cast("long").as("height"))
+    }
+    val dflt = graft.operators.Multimodal.mmFeatures(t)
+    val custom = graft.operators.Multimodal.mmFeatures(t, Crc32Decoder)
+    assert(custom.schema.fieldNames.sameElements(dflt.schema.fieldNames),
+      "the decoder seam must not change the output schema contract")
+    def shape(df: DataFrame): Seq[String] = {
+      df.collect() // finalize the adaptive plan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect { case n => n.nodeName }
+    }
+    assert(shape(custom) == shape(dflt),
+      s"custom decoder changed the plan shape:\n${shape(custom)}\nvs\n${shape(dflt)}")
+    // and the custom features actually computed (not constant-folded away)
+    val row = custom.orderBy("event_id").limit(1).collect()(0)
+    assert(row.getLong(row.fieldIndex("height")) ==
+      row.getLong(row.fieldIndex("frame_bytes")),
+      "crc32 decoder's height must equal the frame byte length")
   }
 
   test("ebml byte-walk runs as native expressions, not ScalaUDFs") {

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""End-of-round closing check: bench_out.json vs BASELINE.md's actual rows.
+
+Usage: python3 tools/flagcheck.py [bench_out.json [BASELINE.md]]
+
+Round-9 verdict ("What's wrong" #1): the closing check claimed "zero
+plan-attached flags" while BASELINE.md's own min-vs-min rule flagged two
+queries — the comparison wasn't reading the baseline rows. This tool IS
+that comparison, mechanically:
+
+ - parses every markdown table row in BASELINE.md for (query, min) pairs;
+   a query appearing in a LATER table supersedes its earlier row (the
+   documented adjudication/supersession flow appends tables);
+ - applies the two-clause rule verbatim: sub-second baselines are judged
+   by ABSOLUTE delta (> 0.3 s), >= 1 s baselines by min-ratio (> 1.3x);
+ - prints one verdict line per query (OK / FLAG / NEW / MISSING) and
+   exits 1 if anything is FLAGged.
+
+A FLAG here means: run the isolated-rerun protocol (SPARK_GRAFT_BENCH_ONLY)
+and either clear it (episodic spike, clause 1 — record the adjudication in
+PROGRESS.jsonl) or supersede the BASELINE.md row with the measured, named
+cause. The round is not closeable with an unadjudicated FLAG.
+"""
+import json, re, sys
+
+bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+
+NAME = re.compile(r"^[a-z][a-z0-9_]+$")
+baseline = {}
+for line in open(base_path):
+    line = line.strip()
+    if not (line.startswith("|") and line.endswith("|")):
+        continue
+    cells = [c.strip() for c in line.strip("|").split("|")]
+    for a, b in zip(cells, cells[1:]):
+        if NAME.match(a):
+            try:
+                baseline[a] = float(b)  # later tables supersede earlier rows
+            except ValueError:
+                pass
+
+bench = json.load(open(bench_path))
+mins = bench.get("queries_min", bench["queries"])
+
+flags, new = [], []
+print(f"{'query':32s} {'base':>6s} {'min':>6s}  verdict")
+for q in sorted(set(mins) | set(baseline)):
+    if q not in mins:
+        print(f"{q:32s} {baseline[q]:6.2f} {'-':>6s}  MISSING (in baseline, not benched)")
+        continue
+    m = mins[q]
+    if m < 0:
+        flags.append(q)
+        print(f"{q:32s} {baseline.get(q, float('nan')):6.2f} {'FAIL':>6s}  FLAG (query failed)")
+        continue
+    if q not in baseline:
+        new.append(q)
+        print(f"{q:32s} {'-':>6s} {m:6.2f}  NEW (first min becomes the reference)")
+        continue
+    b = baseline[q]
+    if b < 1.0:
+        bad, why = m - b > 0.3, f"abs +{m - b:.2f}s"
+    else:
+        bad, why = m / b > 1.3, f"ratio {m / b:.2f}x"
+    if bad:
+        flags.append(q)
+        print(f"{q:32s} {b:6.2f} {m:6.2f}  FLAG ({why}) -> isolate or supersede")
+    else:
+        print(f"{q:32s} {b:6.2f} {m:6.2f}  OK ({why})")
+
+print(f"\n{len(mins)} benched, {len(flags)} flagged, {len(new)} new")
+if flags:
+    print("FLAGGED: " + ", ".join(flags))
+sys.exit(1 if flags else 0)
