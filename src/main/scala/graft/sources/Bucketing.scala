@@ -14,6 +14,29 @@ object Bucketing {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
 
+  /** The catalog-gate tag for [[materializeEnrich]]'s twins. It must
+    * change whenever the SOURCE changes, not just the path string: a
+    * regenerated sfDir under a live catalog entry would otherwise
+    * silently serve stale bucketed twins. Folds a fingerprint of the two
+    * source directories (name+len+mtime of every file — two shallow
+    * listings, no data read) into a 64-bit hex tag; hex of the raw bits
+    * also avoids the abs(hashCode) traps (abs(Int.MinValue) < 0, 32-bit
+    * path collisions). */
+  private[graft] def sourceTag(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    def fp(sub: String): Long = {
+      val p = new Path(sfDir, sub)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(s =>
+        s.getPath.getName.hashCode * 1000003L ^ s.getLen * 31L ^
+          s.getModificationTime).foldLeft(0L)(_ * 6364136223846793005L + _)
+    }
+    f"${sfDir.hashCode.toLong * 2862933555777941757L ^ fp("events.parquet") ^
+      java.lang.Long.rotateLeft(fp("customer.parquet"), 17)}%016x"
+  }
+
   /** Materializes (once per session+sfDir, catalog-gated) the bucketed
     * twins of events and customer that the H10 driver query joins —
     * the test-side stand-in for fact tables a deployment keeps bucketed
@@ -26,26 +49,7 @@ object Bucketing {
   def materializeEnrich(t: Tables, sfDir: String,
       buckets: Int = 8): (String, String) = {
     val spark = t.events.sparkSession
-    // the catalog-gate tag must change whenever the SOURCE changes, not
-    // just the path string: a regenerated sfDir under a live catalog
-    // entry would otherwise silently serve stale bucketed twins. Fold a
-    // fingerprint of the two source directories (name+len+mtime of every
-    // file — two shallow listings, no data read) into a 64-bit hex tag;
-    // hex of the raw bits also kills the old abs(hashCode) traps
-    // (abs(Int.MinValue) < 0, and 32-bit path collisions).
-    val tag = {
-      val conf = spark.sessionState.newHadoopConf()
-      def fp(sub: String): Long = {
-        val p = new Path(sfDir, sub)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) 0L
-        else fs.listStatus(p).map(s =>
-          s.getPath.getName.hashCode * 1000003L ^ s.getLen * 31L ^
-            s.getModificationTime).foldLeft(0L)(_ * 6364136223846793005L + _)
-      }
-      f"${sfDir.hashCode.toLong * 2862933555777941757L ^ fp("events.parquet") ^
-        java.lang.Long.rotateLeft(fp("customer.parquet"), 17)}%016x"
-    }
+    val tag = sourceTag(spark, sfDir)
     def ensure(base: String, df: => DataFrame, key: String): String = {
       val tbl = s"${base}_$tag"
       if (!spark.catalog.tableExists(tbl)) {

@@ -526,6 +526,25 @@ class IvfSpec extends SparkSpec {
       VectorIndex.streamRunId("/tmp/ckpt_b"), "/tmp/ckpt_b")
   }
 
+  test("an empty run marker reports corrupt registration, not a collision") {
+    // a registering stream that dies between create and write leaves a
+    // 0-byte owner file; without the dedicated check the TRUE owner's
+    // restart would forever read as a collision against ''
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_runs2").toString
+    val runId = VectorIndex.streamRunId("/tmp/ckpt_c")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/_runs"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$dir/_runs/run_${java.lang.Long.toHexString(runId >>> 40)}"),
+      Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.registerRun(spark, dir, runId, "/tmp/ckpt_c")
+    }
+    assert(e.getMessage.contains("corrupt") &&
+      e.getMessage.contains("delete the marker"),
+      s"wrong diagnosis for an empty owner file: ${e.getMessage}")
+  }
+
   test("nearDupBatch at full probe equals the exact cross-slice pair set") {
     import org.apache.spark.sql.functions._
     val dir = VectorIndex.materialize(t, sfDir)

@@ -39,7 +39,7 @@ class BucketingSpec extends SparkSpec {
   test("enrichEventsBucketed (the driver-gated H10 query) joins exchange-free") {
     // drop catalog + files so the query's catalog-gated materialize runs
     // from scratch in this session
-    val tag = math.abs(sfDir.hashCode).toString
+    val tag = Bucketing.sourceTag(spark, sfDir)
     for (base <- Seq("b_enrich_events", "b_enrich_customer")) {
       spark.sql(s"DROP TABLE IF EXISTS ${base}_$tag")
       val dir = new java.io.File(
@@ -68,6 +68,32 @@ class BucketingSpec extends SparkSpec {
     val again = graft.operators.Analytics.enrichEventsBucketed(t, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again == expected)
+  }
+
+  test("regenerating the source parquet invalidates the bucketed twins") {
+    // the stale-cache trap: a regenerated sfDir under a live catalog
+    // entry must NOT keep serving the old bucketed twins. The gate tag
+    // fingerprints the source files, so a rewrite (new len/mtime) yields
+    // a new tag → new table names → fresh materialize.
+    val dir = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    def writeSrc(userCap: Long): Unit = {
+      t.events.filter(col("user_id") <= userCap)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      t.customer.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    }
+    writeSrc(10L)
+    val t2 = Tables(spark, dir)
+    val tagBefore = Bucketing.sourceTag(spark, dir)
+    val (e1, c1) = Bucketing.materializeEnrich(t2, dir)
+    val n1 = spark.table(e1).count()
+    writeSrc(20L) // the driver regenerates the parquet in place
+    val tagAfter = Bucketing.sourceTag(spark, dir)
+    assert(tagAfter != tagBefore,
+      "source regeneration did not change the fingerprint tag")
+    val (e2, _) = Bucketing.materializeEnrich(Tables(spark, dir), dir)
+    assert(e2 != e1, "regenerated source reused the stale bucketed table")
+    assert(spark.table(e2).count() > n1,
+      "the re-materialized twin must reflect the regenerated source")
   }
 
   test("bucketed events-customer enrichment: no join shuffle, same result") {

@@ -60,6 +60,27 @@ class SourcesSpec extends SparkSpec {
     slice.withColumn("ts", col("ts").cast("string"))
       .write.parquet(s"$bad/events.parquet")
     intercept[IllegalStateException] { Tables(spark, bad).events }
+    // branch 4 — TIMESTAMP_NTZ: exact under a UTC session, and a LOUD
+    // failure under any other session zone (the NTZ→instant cast would
+    // silently shift every ts by the zone offset otherwise)
+    val ntzDir = tmp() + "/enc_ntz"
+    // integer div: `/` is double division and loses precision on
+    // epoch-ns longs (the ns values here are µs-aligned, so div is exact)
+    slice.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    val backNtz = Tables(spark, ntzDir).events
+    assert(backNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(dsum(backNtz, col("ts")) == dsum(slice, col("ts")),
+      "NTZ branch changed values under the UTC session")
+    val shifted = spark.newSession()
+    shifted.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException] {
+      Tables(shifted, ntzDir).events
+    }
+    assert(e.getMessage.contains("timeZone"),
+      s"non-UTC session must fail loudly on NTZ events: ${e.getMessage}")
   }
 
   test("ts normalization does not block pushdown on other event columns") {
