@@ -74,17 +74,22 @@ object EventOps {
       .orderBy("bucket")
 
   /** B5 — lag monitoring (MILLIS_BEHIND_NOW analog): per-user newest event
-    * vs the global stream head. ONE events pass: the global head is an
-    * agg-of-agg over the per-user maxima, so both branches share the same
-    * scan + partial-agg + exchange subtree (ReuseExchange collapses them)
-    * instead of scanning events twice; the head stays a 1-row broadcast. */
+    * vs the global stream head. ONE events pass, structurally: the head is
+    * a global-frame window over the per-user aggregates, so the plan has a
+    * single events scan by construction. (An agg-of-agg branch relies on
+    * ReuseExchange, which column pruning defeats here — the head branch's
+    * pruned partial agg no longer canonicalizes equal to the main one.)
+    * The window's single-partition exchange carries #users rows of
+    * (user_id, max, n) — per-key aggregates, not events; at 100 TB that is
+    * the same reduction every global-top-k query makes, and it replaces a
+    * second full scan of the fact table. */
   def lagMonitor(t: Tables): DataFrame = {
-    val perUser = withMs(t)
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withMs(t)
       .groupBy("user_id")
       .agg(max(col("ts_ms")).as("user_max_ms"), count(lit(1)).as("n"))
-    val head = perUser.agg(max(col("user_max_ms")).as("head_ms"))
-    perUser
-      .crossJoin(broadcast(head))
+      .withColumn("head_ms", max(col("user_max_ms")).over(w))
       .select(
         col("user_id"),
         (col("head_ms") - col("user_max_ms")).as("behind_ms"),

@@ -260,6 +260,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("lag_monitor plans exactly one events scan") {
+    // the global stream head must come from the per-user aggregates (a
+    // global-frame window), never from a second pass over the fact
+    // table: at 100 TB a second scan doubles the whole query
+    val df = EventOps.lagMonitor(t)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // string-count over the FINAL tree (query stages print their whole
+    // subtree; collectLeaves would stop at stage boundaries)
+    val scans = root.toString.split("\n").count(_.contains("events.parquet"))
+    assert(scans == 1, s"lag_monitor scans events $scans times:\n$root")
+  }
+
   test("a custom FrameDecoder slots into mm_features with an unchanged plan shape") {
     // the G2 codec seam (round-9 verdict #4): swapping the codec swaps
     // only feature EXPRESSIONS inside the projection — the operator
