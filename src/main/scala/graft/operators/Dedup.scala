@@ -575,7 +575,16 @@ object Dedup {
 
   /** [[embeddingPairsLsh]] over an explicit embeddings frame — the form
     * [[VectorIndex.curateKeepers]] runs over an ingest batch for its
-    * within-batch tier. */
+    * within-batch tier.
+    *
+    * Sizing at scale: `bits` should grow ~log2(n) so per-table bucket
+    * occupancy (hence candidate pairs per bucket, hence the post-join
+    * verify volume) stays constant as the corpus grows — measured at 10×
+    * data, bits 6→9 cut wall time 2.6× (PROGRESS round-10). Precision is
+    * always 1.0 (every emitted pair is exact-cosine-verified); recall is
+    * governed by `tables` at the operating threshold — at near-dup
+    * thresholds (cos ≥ 0.9) 16 tables × 9 bits retain ~99% pair recall,
+    * while loose thresholds (≤0.5) need the lower default bits. */
   def embeddingPairsLshOf(embeddings: DataFrame, threshold: Double = 0.4,
       tables: Int = 16, bits: Int = 6): DataFrame = {
     val cores = embeddings.sparkSession.sparkContext.defaultParallelism
