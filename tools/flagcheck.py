@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """End-of-round closing check: bench_out.json vs BASELINE.md's actual rows.
 
-Usage: python3 tools/flagcheck.py [bench_out.json [BASELINE.md]]
+Usage: python3 tools/flagcheck.py [bench_out.json ...] [BASELINE.md]
+
+Several bench artifacts combine per-query as min-of-mins (the protocol
+compares min-vs-min over >= 2 full runs); a trailing .md argument
+overrides the baseline file.
 
 Round-9 verdict ("What's wrong" #1): the closing check claimed "zero
 plan-attached flags" while BASELINE.md's own min-vs-min rule flagged two
@@ -23,8 +27,11 @@ cause. The round is not closeable with an unadjudicated FLAG.
 """
 import json, re, sys
 
-bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
-base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+args = sys.argv[1:]
+base_path = "BASELINE.md"
+if args and args[-1].endswith(".md"):
+    base_path = args.pop()
+bench_paths = args or ["bench_out.json"]
 
 NAME = re.compile(r"^[a-z][a-z0-9_]+$")
 baseline = {}
@@ -40,8 +47,14 @@ for line in open(base_path):
             except ValueError:
                 pass
 
-bench = json.load(open(bench_path))
-mins = bench.get("queries_min", bench["queries"])
+mins = {}
+for bp in bench_paths:
+    bench = json.load(open(bp))
+    for q, v in bench.get("queries_min", bench["queries"]).items():
+        # a failed query (-1) must stay flagged even if another run passed
+        prev = mins.get(q)
+        mins[q] = min(prev, v) if prev is not None and prev >= 0 and v >= 0 \
+            else (v if prev is None else -1.0)
 
 flags, new = [], []
 print(f"{'query':32s} {'base':>6s} {'min':>6s}  verdict")
