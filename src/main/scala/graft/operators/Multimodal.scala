@@ -220,7 +220,7 @@ object Multimodal {
   * from the raw frame-payload `binary` column; everything around the
   * seam — EBML block walk, frame extraction, projection, ordering — is
   * shared, so swapping codecs cannot change the plan shape
-  * (MultimodalSpec pins this).
+  * (PlanSpec pins this).
   *
   * The container has no image/video libraries, so the default
   * implementation is [[Utf8JsonFrameDecoder]], an honest deterministic

@@ -574,19 +574,30 @@ object VectorIndex {
       s"$dir/_runs/run_${java.lang.Long.toHexString(runId >>> 40)}")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def arbitrate(): Unit = {
-      val in = fs.open(p)
-      val owner =
+      def readOwner(): String = {
+        val in = fs.open(p)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           "UTF-8")
         finally in.close()
-      // an empty owner file means a registering stream crashed between
-      // create and write — without this check it would permanently
-      // report a collision against every stream, including the true
-      // owner on restart
+      }
+      // an empty read can be (a) a WINNER mid-write — its create
+      // succeeded but its payload isn't visible yet — or (b) a stream
+      // that died between create and write. Retry briefly so (a)
+      // resolves to the normal owner comparison; only a PERSISTENTLY
+      // empty file is diagnosed as corrupt. Without the corrupt branch
+      // a dead registration would forever read as a collision against
+      // '', locking out every stream including the true owner.
+      var owner = readOwner()
+      var tries = 0
+      while (owner.isEmpty && tries < 5) {
+        Thread.sleep(100L); owner = readOwner(); tries += 1
+      }
       require(owner.nonEmpty,
-        s"corrupt run registration $p on index $dir (empty owner file — " +
-          "a registering stream died mid-write); verify no stream owns " +
-          "this namespace, then delete the marker file and restart")
+        s"corrupt run registration $p on index $dir (owner file still " +
+          "empty after retries — a registering stream died between " +
+          "create and write); verify no OTHER live stream is registering " +
+          "this namespace right now, then delete the marker file and " +
+          "restart the stream")
       require(owner == checkpointDir,
         s"stream run-id collision on index $dir: checkpoint " +
           s"'$checkpointDir' hashes to the namespace already owned by " +

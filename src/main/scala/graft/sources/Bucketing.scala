@@ -14,14 +14,20 @@ object Bucketing {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)
 
-  /** The catalog-gate tag for [[materializeEnrich]]'s twins. It must
-    * change whenever the SOURCE changes, not just the path string: a
+  /** The catalog-gate tag for [[materializeEnrich]]'s twins, in two
+    * `_`-joined hex parts: a PATH part (which source directory) and a
+    * FINGERPRINT part (which generation of it — name+len+mtime of every
+    * file, two shallow listings, no data read). The tag must change
+    * whenever the SOURCE changes, not just the path string: a
     * regenerated sfDir under a live catalog entry would otherwise
-    * silently serve stale bucketed twins. Folds a fingerprint of the two
-    * source directories (name+len+mtime of every file — two shallow
-    * listings, no data read) into a 64-bit hex tag; hex of the raw bits
-    * also avoids the abs(hashCode) traps (abs(Int.MinValue) < 0, 32-bit
-    * path collisions). */
+    * silently serve stale bucketed twins. Keeping the parts separate
+    * lets [[materializeEnrich]] sweep the dead generations of the SAME
+    * source without touching other sources' live twins. Hex of the raw
+    * bits avoids the abs(hashCode) traps (abs(Int.MinValue) < 0, 32-bit
+    * collisions as names). */
+  private[graft] def dirTag(sfDir: String): String =
+    f"${sfDir.hashCode.toLong * 2862933555777941757L}%016x"
+
   private[graft] def sourceTag(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     val conf = spark.sessionState.newHadoopConf()
@@ -29,11 +35,14 @@ object Bucketing {
       val p = new Path(sfDir, sub)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) 0L
-      else fs.listStatus(p).map(s =>
+      else fs.listStatus(p).sortBy(_.getPath.getName).map(s =>
         s.getPath.getName.hashCode * 1000003L ^ s.getLen * 31L ^
           s.getModificationTime).foldLeft(0L)(_ * 6364136223846793005L + _)
+      // sortBy: listStatus order is filesystem-dependent, and the fold is
+      // order-sensitive — an unsorted fold would re-tag (and silently
+      // re-materialize) an unchanged source
     }
-    f"${sfDir.hashCode.toLong * 2862933555777941757L ^ fp("events.parquet") ^
+    f"${dirTag(sfDir)}_${fp("events.parquet") ^
       java.lang.Long.rotateLeft(fp("customer.parquet"), 17)}%016x"
   }
 
@@ -53,12 +62,25 @@ object Bucketing {
     def ensure(base: String, df: => DataFrame, key: String): String = {
       val tbl = s"${base}_$tag"
       if (!spark.catalog.tableExists(tbl)) {
-        val path = new Path(System.getProperty("java.io.tmpdir"),
-          s"graft_bucketed_$tbl")
-        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(path, true) // files left by an earlier session
+        // the fingerprint half of the tag changes on every source
+        // regeneration, so DEAD generations of this (base, source-path)
+        // pair must be swept here or their catalog entries + tmpdir
+        // files accumulate without bound. The sweep is scoped by the
+        // path half, so other sources' live twins are untouched.
+        val gen = s"${base}_${dirTag(sfDir)}_"
+        spark.catalog.listTables().collect()
+          .map(_.name).filter(n => n.startsWith(gen) && n != tbl)
+          .foreach(old => spark.sql(s"DROP TABLE IF EXISTS $old"))
+        val tmp = new Path(System.getProperty("java.io.tmpdir"))
+        val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(tmp))
+          fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith(s"graft_bucketed_$gen"))
+            .foreach(p => fs.delete(p, true)) // dead generations + this
+                                              // tag's earlier-session files
         df.write.bucketBy(buckets, key).sortBy(key)
-          .option("path", path.toString).saveAsTable(tbl)
+          .option("path",
+            new Path(tmp, s"graft_bucketed_$tbl").toString).saveAsTable(tbl)
       }
       tbl
     }

@@ -94,6 +94,13 @@ class BucketingSpec extends SparkSpec {
     assert(e2 != e1, "regenerated source reused the stale bucketed table")
     assert(spark.table(e2).count() > n1,
       "the re-materialized twin must reflect the regenerated source")
+    // the dead generation is swept (catalog + files), but only for THIS
+    // source path — twins of other sfDirs in the session stay live
+    assert(!spark.catalog.tableExists(e1),
+      "stale bucketed table generation was not dropped")
+    assert(!new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$e1").exists,
+      "stale bucketed files were not swept")
   }
 
   test("bucketed events-customer enrichment: no join shuffle, same result") {

@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """End-of-round closing check: bench_out.json vs BASELINE.md's actual rows.
 
-Usage: python3 tools/flagcheck.py [bench_out.json ...] [BASELINE.md]
+Usage: python3 tools/flagcheck.py [--partial] [bench_out.json ...] [BASELINE.md]
 
 Several bench artifacts combine per-query as min-of-mins (the protocol
 compares min-vs-min over >= 2 full runs); a trailing .md argument
-overrides the baseline file.
+overrides the baseline file. Artifacts must be the Bench-written
+bench_out.json shape (with "queries"/"queries_min"); the driver's
+BENCH_r*.json wrappers truncate the JSON line and are rejected with a
+clear error. All artifacts must come from the same sf directory — mixing
+scale factors would let a small-sf probe mask a real regression.
 
 Round-9 verdict ("What's wrong" #1): the closing check claimed "zero
 plan-attached flags" while BASELINE.md's own min-vs-min rule flagged two
@@ -18,7 +22,9 @@ that comparison, mechanically:
  - applies the two-clause rule verbatim: sub-second baselines are judged
    by ABSOLUTE delta (> 0.3 s), >= 1 s baselines by min-ratio (> 1.3x);
  - prints one verdict line per query (OK / FLAG / NEW / MISSING) and
-   exits 1 if anything is FLAGged.
+   exits nonzero on any FLAG — or on MISSING coverage, because a subset
+   run must not close a round (pass --partial for deliberate isolation
+   runs, e.g. SPARK_GRAFT_BENCH_ONLY adjudications).
 
 A FLAG here means: run the isolated-rerun protocol (SPARK_GRAFT_BENCH_ONLY)
 and either clear it (episodic spike, clause 1 — record the adjudication in
@@ -28,6 +34,8 @@ cause. The round is not closeable with an unadjudicated FLAG.
 import json, re, sys
 
 args = sys.argv[1:]
+partial = "--partial" in args
+args = [a for a in args if a != "--partial"]
 base_path = "BASELINE.md"
 if args and args[-1].endswith(".md"):
     base_path = args.pop()
@@ -47,19 +55,30 @@ for line in open(base_path):
             except ValueError:
                 pass
 
-mins = {}
+mins, sfs = {}, set()
 for bp in bench_paths:
     bench = json.load(open(bp))
-    for q, v in bench.get("queries_min", bench["queries"]).items():
+    per_q = bench.get("queries_min") or bench.get("queries")
+    if per_q is None:
+        sys.exit(f"{bp}: no 'queries'/'queries_min' key — not a Bench "
+                 "bench_out.json artifact (the driver's BENCH_r*.json "
+                 "wrappers truncate the line; keep copies of bench_out.json)")
+    sfs.add(bench.get("sf", "?"))
+    for q, v in per_q.items():
         # a failed query (-1) must stay flagged even if another run passed
         prev = mins.get(q)
         mins[q] = min(prev, v) if prev is not None and prev >= 0 and v >= 0 \
             else (v if prev is None else -1.0)
+if len(sfs) > 1:
+    sys.exit(f"artifacts mix scale factors {sorted(sfs)} — min-of-mins "
+             "across sf would mask regressions; compare one sf at a time")
 
-flags, new = [], []
+flags, new, missing = [], [], []
+print(f"sf basis: {next(iter(sfs))}")
 print(f"{'query':32s} {'base':>6s} {'min':>6s}  verdict")
 for q in sorted(set(mins) | set(baseline)):
     if q not in mins:
+        missing.append(q)
         print(f"{q:32s} {baseline[q]:6.2f} {'-':>6s}  MISSING (in baseline, not benched)")
         continue
     m = mins[q]
@@ -82,7 +101,11 @@ for q in sorted(set(mins) | set(baseline)):
     else:
         print(f"{q:32s} {b:6.2f} {m:6.2f}  OK ({why})")
 
-print(f"\n{len(mins)} benched, {len(flags)} flagged, {len(new)} new")
+print(f"\n{len(mins)} benched, {len(flags)} flagged, {len(new)} new, "
+      f"{len(missing)} missing")
 if flags:
     print("FLAGGED: " + ", ".join(flags))
-sys.exit(1 if flags else 0)
+if missing and not partial:
+    print("MISSING coverage — a subset run cannot close a round "
+          "(pass --partial for isolation runs)")
+sys.exit(1 if flags or (missing and not partial) else 0)
