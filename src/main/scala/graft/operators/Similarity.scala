@@ -727,26 +727,22 @@ object Similarity {
     val qb = queries
       .withColumn("probes",
         call_function("graft_lsh_probes", col("v"), lit(tables), lit(bits)))
-      .select(col("vec_id").as("q_id"), col("probes"),
-        explode(col("probes")).as("bucket"))
-    val cb = vecs.select(col("vec_id").as("n_id"), col("buckets").as("bk_n"),
+      .select(col("vec_id").as("q_id"), explode(col("probes")).as("bucket"))
+    val cb = vecs.select(col("vec_id").as("n_id"),
       explode(col("buckets")).as("bucket"))
     // exactly-once emission (the D5b pattern): a candidate matching in
-    // several tables would surface once per table; keep only the join row
-    // whose table is the FIRST where the carried probe set contains the
-    // carried corpus bucket — pure codegen arithmetic instead of a
-    // distinct() shuffle over the duplicates (within one table at most
-    // one probe can match, so tables are the only duplicate source).
-    val perTable = bits + 1
-    val firstAgree = (0 until tables).reverse
-      .foldLeft(lit(tables): org.apache.spark.sql.Column) { (acc, j) =>
-        when(array_contains(slice(col("probes"), j * perTable + 1, perTable),
-          col("bk_n").getItem(j)), j).otherwise(acc)
-      }
+    // several tables surfaces once per table; both explodes ship
+    // (bucket, id) ONLY and a candidate-sized DISTINCT collapses the
+    // multi-table duplicates. The alternative — carrying each side's
+    // bucket/probe arrays through the exchange to elect the first
+    // agreeing table arithmetically — inflates the corpus-side bucket
+    // exchange by the array width, which at 100 TB is the whole job
+    // (measured on the D5b twin: the slim+DISTINCT form is also faster
+    // at bench scale).
     val cand = qb.join(cb, "bucket")
       .filter(col("q_id") =!= col("n_id"))
-      .filter(call_function("shiftright", col("bucket"), lit(32)) === firstAgree)
       .select("q_id", "n_id")
+      .distinct()
     rerankExact(cand,
       queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
       vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),

@@ -189,11 +189,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
-  test("lsh candidate stage dedups via first-agree arithmetic, not distinct()") {
-    // the only aggregates allowed in the plan are none at all: candidate
-    // dedup is the carried-buckets filter, top-k is a window — a
-    // HashAggregate would mean distinct() crept back in
+  test("lsh candidate dedup is id-only: one distinct, nothing corpus-sized") {
+    // round-10 reversal of the round-6 pin: the first-agree arithmetic
+    // needed both sides' bucket/probe ARRAYS carried through the bucket
+    // exchange — at 100 TB that array payload is the job (the D5b twin
+    // measured the slim explode + candidate-sized DISTINCT strictly
+    // faster). The pin is now: exactly ONE aggregate pair in the plan
+    // (the candidate distinct — partial+final over (q_id, n_id) ids
+    // only), top-k still a window, and PlanSpec separately asserts the
+    // bucket exchange carries no array columns.
     val plan = Similarity.annLshTopK(t).queryExecution.executedPlan.toString
-    assert(!plan.contains("Aggregate"), s"distinct-style aggregate in:\n$plan")
+    val aggs = plan.split("\n").filter(_.contains("HashAggregate"))
+    assert(aggs.nonEmpty, s"candidate distinct disappeared from:\n$plan")
+    assert(aggs.forall(l => l.contains("q_id") && l.contains("n_id") &&
+      !l.contains("v#") && !l.contains("probes") && !l.contains("buckets")),
+      s"aggregate carries more than candidate ids:\n${aggs.mkString("\n")}")
   }
 }

@@ -183,22 +183,28 @@ class PlanSpec extends SparkSpec {
     // the one whose width matters
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val root: SparkPlan =
-      try Dedup.embeddingPairsLsh(t).queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
+    val roots: Seq[(String, SparkPlan)] =
+      try Seq(
+        "dedup_embed_lsh" -> Dedup.embeddingPairsLsh(t),
+        "ann_lsh_topk" -> Similarity.annLshTopK(t)).map { case (n, df) =>
+        n -> (df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        })
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-    val bucketExchanges = root.collect {
-      case e: ShuffleExchangeExec if (e.outputPartitioning match {
-        case h: HashPartitioning =>
-          h.expressions.exists(_.references.exists(_.name == "bucket"))
-        case _ => false
-      }) => e
+    for ((name, root) <- roots) {
+      val bucketExchanges = root.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.exists(_.references.exists(_.name == "bucket"))
+          case _ => false
+        }) => e
+      }
+      assert(bucketExchanges.nonEmpty, s"$name: no bucket exchange in:\n$root")
+      for (e <- bucketExchanges; f <- e.child.schema.fields)
+        assert(!f.dataType.isInstanceOf[ArrayType],
+          s"$name: bucket exchange still carries array column ${f.name}:\n$root")
     }
-    assert(bucketExchanges.nonEmpty, s"no bucket exchange found in:\n$root")
-    for (e <- bucketExchanges; f <- e.child.schema.fields)
-      assert(!f.dataType.isInstanceOf[ArrayType],
-        s"bucket exchange still carries array column ${f.name}:\n$root")
   }
 
   test("exact dedup shuffles content hashes, never document text") {
