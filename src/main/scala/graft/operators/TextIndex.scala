@@ -50,10 +50,6 @@ object TextIndex {
     * listable. */
   val Buckets = 64
 
-  /** Band count of the default graft_minhash_bands signature — the
-    * first-agreeing-band fold MUST cover exactly this many bands. */
-  private val NumBands = 4
-
   /** Per-document signature row: the exact-dedup content hash pair
     * (identical arithmetic to [[Dedup.dedupExact]]) plus the MinHash
     * band signature array (identical kernel + tokenization to
@@ -86,9 +82,12 @@ object TextIndex {
     }
     w(sigs.select(col("doc_id"), col("h1"), col("h2"),
       pmod(col("h1"), lit(Buckets.toLong)).as("bk")), "hashes")
-    w(sigs.select(col("doc_id"), col("sigs"),
+    // (doc_id, band, sig, bk) only — the round-10 slimming: the probe's
+    // exactly-once emission is its candidate distinct, so nothing reads
+    // a stored signature array and dropping it cuts the band table ~40%
+    w(sigs.select(col("doc_id"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
-      .select(col("doc_id"), col("band"), col("sig"), col("sigs"),
+      .select(col("doc_id"), col("band"), col("sig"),
         pmod(col("sig"), lit(Buckets.toLong)).as("bk")), "bands")
   }
 
@@ -186,14 +185,16 @@ object TextIndex {
       .select(col("id_a"), col("id_b"), lit("band").as("reason"))
     // band tier, batch × settled: probe the persisted band table. The
     // bucket equality is implied by sig equality — it's there purely as
-    // the dynamic-partition-pruning handle on the index scan.
-    val probe = bSigs.select(col("doc_id"), col("sigs"),
+    // the dynamic-partition-pruning handle on the index scan. The
+    // distinct below is the exactly-once emission for multi-band
+    // agreements too (the round-10 slimming: no signature arrays carried
+    // on either side, no stored array column read from the index).
+    val probe = bSigs.select(col("doc_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     val cross = probe.as("x")
       .join(idxBands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("y.bk") === pmod(col("x.sig"), lit(Buckets.toLong)))
-      .filter(col("x.band") === Dedup.firstAgreeingBand(NumBands))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
         lit("band").as("reason"))
@@ -387,7 +388,10 @@ object TextIndex {
   def materialize(t: Tables, sfDir: String): String = {
     val spark = t.documents.sparkSession
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_text_index_v1_b$Buckets" + s"_${math.abs(sfDir.hashCode)}")
+      // v2: the round-10 band-table slimming dropped the stored sigs
+      // column — the version bump rebuilds any v1 artifact rather than
+      // letting compact() union mixed schemas
+      s"graft_text_index_v2_b$Buckets" + s"_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_INDEX_SUCCESS")
     if (!fs.exists(marker)) {
