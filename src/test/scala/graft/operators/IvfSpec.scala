@@ -526,6 +526,27 @@ class IvfSpec extends SparkSpec {
       VectorIndex.streamRunId("/tmp/ckpt_b"), "/tmp/ckpt_b")
   }
 
+  test("a marker filled while the loser is retrying resolves to normal arbitration") {
+    // the race-window case: the create winner has made the file but not
+    // yet written its checkpoint path when the loser starts reading.
+    // The loser's retry loop must pick up the late payload and arbitrate
+    // normally — succeed for the same checkpoint, collision for another —
+    // rather than declaring the registration corrupt.
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_runs3").toString
+    val runId = VectorIndex.streamRunId("/tmp/ckpt_race")
+    val marker = java.nio.file.Paths.get(
+      s"$dir/_runs/run_${java.lang.Long.toHexString(runId >>> 40)}")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray) // created, unwritten
+    val writer = new Thread(() => {
+      Thread.sleep(200L)
+      java.nio.file.Files.write(marker, "/tmp/ckpt_race".getBytes("UTF-8"))
+    })
+    writer.start()
+    try VectorIndex.registerRun(spark, dir, runId, "/tmp/ckpt_race") // must not throw
+    finally writer.join()
+  }
+
   test("an empty run marker reports corrupt registration, not a collision") {
     // a registering stream that dies between create and write leaves a
     // 0-byte owner file; without the dedicated check the TRUE owner's
