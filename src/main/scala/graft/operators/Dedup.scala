@@ -182,7 +182,11 @@ object Dedup {
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
     * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
-  // graft_minhash_bands: 40 hashes in 4 bands of 10
+  /** Band count of the default graft_minhash_bands signature (40 hashes
+    * in bands of 10) — [[candidatesOf]]'s fold MUST cover exactly this
+    * many bands; fewer would silently drop every pair whose first
+    * agreement lies in a later band. */
+  private[operators] val MinhashNumBands = 40 / 10
 
   def minhashCandidates(t: Tables): DataFrame = {
     val cores = t.documents.sparkSession.sparkContext.defaultParallelism
@@ -218,7 +222,7 @@ object Dedup {
     * [[embeddingPairsLshOf]] (16-long arrays, sparse verified pairs)
     * likewise uses its distinct form. */
   private[operators] def candidatesOf(withSigs: DataFrame,
-      nBands: Int = 4): DataFrame = {
+      nBands: Int = MinhashNumBands): DataFrame = {
     val sigs = withSigs.select(col("doc_id"), col("sigs"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     sigs.as("x").join(sigs.as("y"),

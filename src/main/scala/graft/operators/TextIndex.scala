@@ -20,11 +20,15 @@ import graft.sources.Tables
   *   - `hashes/` — (doc_id, h1, h2): the 128-bit content-hash set of
   *     [[Dedup.dedupExact]] (~24 B/row — 0.01% of the corpus it
   *     indexes), partitioned by (ingest_batch, hb = h1 mod 64).
-  *   - `bands/` — (doc_id, band, sig, sigs): the exploded MinHash band
+  *   - `bands/` — (doc_id, band, sig): the exploded MinHash band
   *     signatures of [[Dedup.minhashCandidates]]' geometry (4 bands ×
-  *     10 rows), plus the full 4-sig array each row carries for the
-  *     first-agreeing-band exactly-once filter; partitioned by
-  *     (ingest_batch, sb = sig mod 64).
+  *     10 rows; exactly-once emission is the probe's candidate-sized
+  *     distinct, so no signature array is stored — the round-10 v2
+  *     format, ~40% smaller); partitioned by (ingest_batch,
+  *     sb = sig mod 64). A `_FORMAT_v2` marker gates maintenance:
+  *     writes into a pre-v2 directory fail loudly instead of mixing
+  *     schemas (rebuild the index, or keep maintaining it with the
+  *     code that built it).
   *
   * The (ingest_batch, bucket) layout is the [[VectorIndex]] discipline:
   * `ingest_batch` is the idempotency key replayed micro-batches
@@ -73,6 +77,7 @@ object TextIndex {
     * desynchronize the tables). */
   private def writeTables(sigs: DataFrame, dir: String, ingestBatch: Long,
       mode: String, dynamic: Boolean): Unit = {
+    stampOrCheckFormat(sigs.sparkSession, dir)
     def w(df: DataFrame, table: String): Unit = {
       val base = df.withColumn("ingest_batch", lit(ingestBatch))
         .write.mode(mode)
@@ -89,6 +94,28 @@ object TextIndex {
         posexplode(col("sigs")).as(Seq("band", "sig")))
       .select(col("doc_id"), col("band"), col("sig"),
         pmod(col("sig"), lit(Buckets.toLong)).as("bk")), "bands")
+  }
+
+  /** The band-table format gate: a `_FORMAT_v2` marker is stamped on
+    * first write into a dir; an EXISTING index without it was written
+    * by the pre-slimming code (its band rows carry a sigs array), and
+    * maintaining it with this code would mix parquet schemas in one
+    * table — spark.read.parquet infers from an arbitrary footer, so
+    * reads and compact() would flip schema nondeterministically. Fail
+    * loudly instead: rebuild the index (or compact/maintain it with
+    * the code that built it). */
+  private def stampOrCheckFormat(spark: SparkSession, dir: String): Unit = {
+    val marker = new Path(dir, "_FORMAT_v2")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      require(!fs.exists(new Path(dir, "bands")),
+        s"text index at $dir was written by a pre-v2 build (no _FORMAT_v2 " +
+          "marker but a bands/ table exists) — its band rows carry the old " +
+          "sigs array column; rebuild the index with TextIndex.build " +
+          "before maintaining it with this version")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
   }
 
   /** Build the index over a settled corpus: one corpus scan computes

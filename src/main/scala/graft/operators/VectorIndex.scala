@@ -587,9 +587,12 @@ object VectorIndex {
       // empty file is diagnosed as corrupt. Without the corrupt branch
       // a dead registration would forever read as a collision against
       // '', locking out every stream including the true owner.
+      // 2 s budget: generous against scheduler/GC pauses on a loaded
+      // host (this is a stream-startup path — the wait is paid once and
+      // only in the race/crash window)
       var owner = readOwner()
       var tries = 0
-      while (owner.isEmpty && tries < 5) {
+      while (owner.isEmpty && tries < 20) {
         Thread.sleep(100L); owner = readOwner(); tries += 1
       }
       require(owner.nonEmpty,

@@ -18,6 +18,21 @@ class TextIndexSpec extends SparkSpec {
   private def settled: DataFrame = t.documents.filter(!isNew)
   private def batch: DataFrame = t.documents.filter(isNew)
 
+  test("maintenance refuses a pre-v2 index directory") {
+    // a bands/ table without the _FORMAT_v2 marker was written by the
+    // pre-slimming code (band rows carry a sigs array); writing slim
+    // rows next to it would mix parquet schemas in one table — the
+    // gate must fail loudly instead
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "bands"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(batch, dir)
+    }
+    assert(e.getMessage.contains("_FORMAT_v2") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("batch dedup equals the full-corpus recompute restricted to new docs") {
     val dir = freshDir()
     TextIndex.build(settled, dir)
