@@ -77,7 +77,15 @@ object TextIndex {
     * desynchronize the tables). */
   private def writeTables(sigs: DataFrame, dir: String, ingestBatch: Long,
       mode: String, dynamic: Boolean): Unit = {
-    stampOrCheckFormat(sigs.sparkSession, dir)
+    // A full rebuild (static overwrite) replaces both tables wholesale,
+    // so a pre-v2 bands/ directory is about to be deleted anyway — it
+    // may stamp over one instead of sending the caller to "rebuild with
+    // TextIndex.build" from inside TextIndex.build itself. The stamp
+    // moves AFTER the writes on that path: a rebuild that dies mid-way
+    // must not leave a marker legitimizing a leftover old-schema table.
+    val isRebuild = mode == "overwrite" && !dynamic
+    stampOrCheckFormat(sigs.sparkSession, dir, isRebuild = isRebuild,
+      deferStamp = isRebuild)
     def w(df: DataFrame, table: String): Unit = {
       val base = df.withColumn("ingest_batch", lit(ingestBatch))
         .write.mode(mode)
@@ -94,6 +102,8 @@ object TextIndex {
         posexplode(col("sigs")).as(Seq("band", "sig")))
       .select(col("doc_id"), col("band"), col("sig"),
         pmod(col("sig"), lit(Buckets.toLong)).as("bk")), "bands")
+    if (isRebuild) stampOrCheckFormat(sigs.sparkSession, dir,
+      isRebuild = true)
   }
 
   /** The band-table format gate: a `_FORMAT_v2` marker is stamped on
@@ -103,19 +113,108 @@ object TextIndex {
     * table — spark.read.parquet infers from an arbitrary footer, so
     * reads and compact() would flip schema nondeterministically. Fail
     * loudly instead: rebuild the index (or compact/maintain it with
-    * the code that built it). */
-  private def stampOrCheckFormat(spark: SparkSession, dir: String): Unit = {
+    * the code that built it). `isRebuild` marks [[build]]'s static
+    * overwrite, which replaces the whole table and may therefore stamp
+    * over a pre-v2 directory without the check; with `deferStamp` it
+    * only checks (the rebuild stamps in a second call AFTER its writes
+    * land, so a half-done rebuild never leaves a marker over an
+    * old-schema table). */
+  private def stampOrCheckFormat(spark: SparkSession, dir: String,
+      isRebuild: Boolean = false, deferStamp: Boolean = false): Unit = {
     val marker = new Path(dir, "_FORMAT_v2")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (isRebuild) {
+      // a full rebuild replaces the tables wholesale, so any half-done
+      // migration's leftovers must go too — otherwise a later migrate
+      // re-run would rename a STALE staging table over the fresh bands
+      fs.delete(new Path(dir, MigrateSwap), false)
+      fs.delete(new Path(dir, MigrateStaging), true)
+    }
     if (!fs.exists(marker)) {
-      require(!fs.exists(new Path(dir, "bands")),
+      require(isRebuild || (!fs.exists(new Path(dir, MigrateSwap)) &&
+          !fs.exists(new Path(dir, MigrateStaging))),
+        s"text index at $dir has an in-progress v1→v2 migration — " +
+          "re-run TextIndex.migrate to completion before maintaining it")
+      require(isRebuild || !fs.exists(new Path(dir, "bands")),
         s"text index at $dir was written by a pre-v2 build (no _FORMAT_v2 " +
           "marker but a bands/ table exists) — its band rows carry the old " +
-          "sigs array column; rebuild the index with TextIndex.build " +
-          "before maintaining it with this version")
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+          "sigs array column; run TextIndex.migrate (in-place, no corpus " +
+          "re-scan) or rebuild with TextIndex.build before maintaining it " +
+          "with this version")
+      if (!deferStamp) {
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
+      }
     }
+  }
+
+  private val MigrateStaging = "bands_migrate_staging"
+  private val MigrateSwap = "_MIGRATE_SWAP"
+
+  /** In-place v1→v2 migration of a pre-slimming index: rewrites the
+    * bands table WITHOUT the stored sigs array (the round-10 format
+    * change), then stamps `_FORMAT_v2` — the alternative to "rebuild
+    * the index", which at 100 TB re-scans the corpus the incremental
+    * index exists to avoid. This touches only the band table (hash-
+    * sized rows, no text, no re-tokenization).
+    *
+    * Replay-safe in the [[appendBatch]] discipline: the slim rows are
+    * staged one ingest-batch partition at a time by dynamic partition
+    * overwrite (a crashed staging pass re-runs and overwrites exactly
+    * its own partitions), and the swap is resumable — a `_MIGRATE_SWAP`
+    * marker written only after staging completes drives the
+    * delete+rename+stamp sequence, so a crash at ANY point re-runs to
+    * the identical final state. The maintenance gate refuses the
+    * directory while either migration artifact exists, so a
+    * mid-migration index can only be migrated (or rebuilt), never
+    * appended to. Idempotent: a v2 directory returns immediately. */
+  def migrate(spark: SparkSession, dir: String): Unit =
+    migrateImpl(spark, dir, crashBeforeSwap = false)
+
+  /** [[migrate]] with a test seam: `crashBeforeSwap` dies after staging
+    * completes but before the swap marker — the widest resume window. */
+  private[graft] def migrateImpl(spark: SparkSession, dir: String,
+      crashBeforeSwap: Boolean): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new Path(dir, "_FORMAT_v2")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return
+    val bands = new Path(dir, "bands")
+    val staging = new Path(dir, MigrateStaging)
+    val swap = new Path(dir, MigrateSwap)
+    if (!fs.exists(swap)) {
+      require(fs.exists(bands), s"nothing to migrate at $dir: no bands/")
+      // stage batch-by-batch: one ingest_batch partition per write, so
+      // peak shuffle is one batch's bands, not the whole table, and a
+      // replayed pass overwrites exactly its own partitions
+      val all = spark.read.parquet(bands.toString)
+      val batchIds = fs.listStatus(bands).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("ingest_batch="))
+        .map(_.stripPrefix("ingest_batch=").toLong).sorted
+      for (id <- batchIds) {
+        all.filter(col("ingest_batch") === id)
+          .select(col("doc_id"), col("band"), col("sig"), col("bk"),
+            col("ingest_batch"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch", "bk")
+          .parquet(staging.toString)
+      }
+      if (crashBeforeSwap) throw new IllegalStateException(
+        "simulated migrate crash before swap (test seam)")
+      fs.create(swap, true).close()
+    }
+    // swap phase, resumable from the marker: staging may already have
+    // been renamed by a crashed prior run
+    if (fs.exists(staging)) {
+      if (fs.exists(bands)) fs.delete(bands, true)
+      require(fs.rename(staging, bands),
+        s"rename $staging -> $bands failed; re-run migrate")
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(swap, false)
+    ()
   }
 
   /** Build the index over a settled corpus: one corpus scan computes

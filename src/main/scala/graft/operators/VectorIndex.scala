@@ -610,10 +610,13 @@ object VectorIndex {
     else {
       fs.mkdirs(p.getParent)
       // only a LOST RACE falls through to arbitration: create(p, false)
-      // is the arbiter, and the only IOException that means "someone
-      // else won" is FileAlreadyExists. A transient create failure
-      // (permissions, disk) must propagate as itself, not surface as a
-      // misleading FileNotFoundException from arbitrate()'s open
+      // is the arbiter. The typed FileAlreadyExists exceptions always
+      // mean "someone else won"; some Hadoop FS implementations signal
+      // the same condition as a plain IOException, so that branch
+      // re-checks existence — file now present ⇒ lost race, otherwise a
+      // genuine transient failure (permissions, disk) propagates as
+      // itself, not as a misleading FileNotFoundException from
+      // arbitrate()'s open
       val won =
         try {
           val out = fs.create(p, false)
@@ -622,6 +625,8 @@ object VectorIndex {
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException =>
+            if (fs.exists(p)) false else throw e
         }
       if (!won) arbitrate()
     }

@@ -22,11 +22,16 @@ object Bucketing {
     * regenerated sfDir under a live catalog entry would otherwise
     * silently serve stale bucketed twins. Keeping the parts separate
     * lets [[materializeEnrich]] sweep the dead generations of the SAME
-    * source without touching other sources' live twins. Hex of the raw
-    * bits avoids the abs(hashCode) traps (abs(Int.MinValue) < 0, 32-bit
-    * collisions as names). */
-  private[graft] def dirTag(sfDir: String): String =
-    f"${sfDir.hashCode.toLong * 2862933555777941757L}%016x"
+    * source without touching other sources' live twins. The path part
+    * is a 64-bit half of MD5 over the UTF-8 path bytes — an Int
+    * hashCode (even widened) carries only 32 bits of entropy, and two
+    * paths colliding on it would share a generation prefix, so one
+    * source's sweep could drop the other's live twins. */
+  private[graft] def dirTag(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+    f"${java.nio.ByteBuffer.wrap(md, 0, 8).getLong}%016x"
+  }
 
   private[graft] def sourceTag(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {

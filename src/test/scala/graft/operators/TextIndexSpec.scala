@@ -30,7 +30,80 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.append(batch, dir)
     }
     assert(e.getMessage.contains("_FORMAT_v2") &&
-      e.getMessage.contains("rebuild"), e.getMessage)
+      e.getMessage.contains("migrate"), e.getMessage)
+  }
+
+  test("build over a pre-v2 directory succeeds (static overwrite replaces it)") {
+    // the gate message says "rebuild with TextIndex.build" — so build
+    // itself must not refuse the same directory it prescribes rebuilding
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "bands"))
+    TextIndex.build(settled, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_FORMAT_v2")))
+    TextIndex.append(batch, dir) // and maintenance now proceeds
+  }
+
+  /** Plants a faithful v1 artifact: a v2 build whose bands table is
+    * rewritten WITH the old stored sigs array column and whose format
+    * marker is removed. */
+  private def plantV1(docs: DataFrame): String = {
+    val dir = freshDir()
+    TextIndex.build(docs, dir)
+    val v1Rows = spark.read.parquet(s"$dir/bands")
+      .withColumn("sigs", array(col("sig"), col("sig"), col("sig"), col("sig")))
+      .select("doc_id", "band", "sig", "sigs", "bk", "ingest_batch")
+      .localCheckpoint(true)
+    v1Rows.write.mode("overwrite").partitionBy("ingest_batch", "bk")
+      .parquet(s"$dir/bands_v1_tmp")
+    val fsDir = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(fsDir, "bands"))
+    assert(new java.io.File(fsDir, "bands_v1_tmp")
+      .renameTo(new java.io.File(fsDir, "bands")))
+    new java.io.File(fsDir, "_FORMAT_v2").delete()
+    dir
+  }
+
+  test("migrate: a planted v1 directory becomes v2, search-identical, maintainable") {
+    val dir = plantV1(settled)
+    val twin = freshDir() // the v2-built expectation
+    TextIndex.build(settled, twin)
+    val want = TextIndex.dedupBatch(batch, twin).collect().toSeq
+    // pre-migration: maintenance refuses, and the old sigs column is there
+    intercept[IllegalArgumentException] { TextIndex.append(batch, dir) }
+    assert(spark.read.parquet(s"$dir/bands").columns.contains("sigs"))
+    TextIndex.migrate(spark, dir)
+    assert(!spark.read.parquet(s"$dir/bands").columns.contains("sigs"),
+      "migration kept the v1 sigs column")
+    assert(TextIndex.dedupBatch(batch, dir).collect().toSeq == want,
+      "migrated index diverged from a v2 build of the same corpus")
+    TextIndex.append(batch, dir) // maintenance proceeds post-migration
+    TextIndex.migrate(spark, dir) // idempotent no-op on a v2 dir
+    assert(TextIndex.dedupBatch(batch, twin).collect().toSeq == want)
+  }
+
+  test("migrate: crash before the swap resumes; the gate refuses mid-migration") {
+    val dir = plantV1(settled)
+    val twin = freshDir()
+    TextIndex.build(settled, twin)
+    val want = TextIndex.dedupBatch(batch, twin).collect().toSeq
+    intercept[IllegalStateException] {
+      TextIndex.migrateImpl(spark, dir, crashBeforeSwap = true)
+    }
+    // mid-migration: staging exists, no marker — maintenance must refuse
+    // with the migration message, not the v1 message
+    val e = intercept[IllegalArgumentException] { TextIndex.append(batch, dir) }
+    assert(e.getMessage.contains("in-progress"), e.getMessage)
+    // the re-run restages (idempotent dynamic overwrite) and completes
+    TextIndex.migrate(spark, dir)
+    assert(TextIndex.dedupBatch(batch, dir).collect().toSeq == want)
+    assert(!new java.io.File(dir, "bands_migrate_staging").exists())
+    assert(!new java.io.File(dir, "_MIGRATE_SWAP").exists())
   }
 
   test("batch dedup equals the full-corpus recompute restricted to new docs") {
