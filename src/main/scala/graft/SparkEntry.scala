@@ -84,6 +84,9 @@ object SparkEntry {
     "reconnect_accounting" -> ((s, d) => EventOps.reconnectAccounting(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
+    // D8 sub-document boilerplate removal (word-block paragraphs —
+    // the corpus has no newlines; DedupSpec covers blank-line prose)
+    "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraphsBlocks(tables(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(tables(s, d))),
     // scale path for the char-gram tier (rows-only; DedupSpec measures
@@ -587,6 +590,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",
+    // D8: same 8-word blocks, same global-first election ((doc_id, idx)
+    // order), same space-joined reassembly — the oracle elects by raw
+    // paragraph text where Spark elects by the 128-bit hash, so any
+    // hash collision at test SF fails this gate loudly (the D1 rule)
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS word,
+          generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+        p AS (SELECT doc_id, (i-1)//8 AS idx,
+          string_agg(word, ' ' ORDER BY i) AS para
+          FROM w GROUP BY doc_id, (i-1)//8),
+        r AS (SELECT doc_id, idx, para,
+          row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+          FROM p)
+        SELECT doc_id,
+          count(*) FILTER (WHERE rn = 1) AS n_kept,
+          count(*) FILTER (WHERE rn > 1) AS n_dropped,
+          coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')
+            AS text
+        FROM r GROUP BY doc_id ORDER BY doc_id""",
     "dedup_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
           list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,

@@ -671,4 +671,96 @@ object Dedup {
       .repartition(cores, col("id_a"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Blank-line paragraph splitter for [[dedupParagraphs]]: trimmed
+    * paragraphs between runs of blank lines, empties dropped — the
+    * conventional normalization for prose corpora. */
+  def blankLineParas(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(transform(split(text, "\\n\\s*\\n"), p => trim(p)), p => p =!= "")
+
+  /** Fixed word-block splitter: consecutive runs of `n` space-separated
+    * words. The synthetic corpus has no newlines, so the driver query
+    * uses word blocks as its deterministic paragraph surrogate —
+    * joining the blocks back with " " reconstructs the original text
+    * exactly, which makes the no-drop case a round-trip identity. */
+  def wordBlockParas(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val ws = split(text, " ")
+    transform(
+      // "/" on int columns is double division — cast back for sequence
+      sequence(lit(0), ((size(ws) + (n - 1)) / n).cast("int") - 1),
+      i => array_join(slice(ws, i * n + 1, lit(n)), " "))
+  }
+
+  /** D8 — sub-document (paragraph) exact dedup: boilerplate removal.
+    * Repeated headers/footers/license blocks recur VERBATIM across a
+    * corpus (the role suffix-array substring dedup plays in published
+    * curation pipelines, in its shuffle-friendly unit-hash form): split
+    * every document into paragraphs, keep only the globally FIRST
+    * occurrence of each distinct paragraph — first in (doc_id, idx)
+    * order — and reassemble what survives, preserving in-document
+    * order. Output per document: (doc_id, n_kept, n_dropped, text).
+    *
+    * Scale shape (the D1 exchange discipline — hashes cross the wire,
+    * never text):
+    *   1. one corpus scan splits and hashes; the exploded frame is
+    *      slimmed to (doc_id, idx, h1, h2) ≈ 28 B/paragraph and
+    *      persisted so the scan+split runs once;
+    *   2. the keeper election is ONE hash-partial-aggregated groupBy on
+    *      the 128-bit paragraph hash (min struct(doc_id, idx) +
+    *      count) — no window over the hash key, so a boilerplate
+    *      paragraph duplicated 10⁹× costs a combiner tree, not a
+    *      single-task sort;
+    *   3. only hash groups with >1 copy survive into the drop join —
+    *      at real corpus dup rates that side is a small fraction of
+    *      the corpus, so AQE broadcasts it and the slim frame is
+    *      probed in place;
+    *   4. the per-doc drop lists (ints, bounded by paragraphs-per-doc)
+    *      join back to the SOURCE docs — again broadcast-sized —
+    *      and reassembly is a per-row array filter + join. The
+    *      document text itself never enters any exchange.
+    *
+    * Ref: SergiyStoyan/AwsKinesisConsumer has no analog (parser.py
+    * consumes streams); this extends the D-family curation surface. */
+  def dedupParagraphs(docs: DataFrame,
+      paras: org.apache.spark.sql.Column,
+      delim: String): DataFrame = {
+    val base = docs.select(col("doc_id"), paras.as("paras"))
+    // LAZY localCheckpoint: the scan+split+hash runs once per action
+    // (both the election and the drop probe read the checkpointed
+    // frame), without the extra eager materialization job — and unlike
+    // persist() the block is private to this call's plan, so repeated
+    // calls (bench iterations) cannot silently reuse a warm cache
+    val slim = base
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(lit(1L), col("para")).as("h2"))
+      .localCheckpoint(false)
+    val dupFirsts = slim
+      .groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1L)
+    val drops = slim.as("p")
+      .join(dupFirsts.as("w"),
+        col("p.h1") === col("w.h1") && col("p.h2") === col("w.h2"))
+      .filter(struct(col("p.doc_id"), col("p.idx")) =!= col("first"))
+      .groupBy(col("p.doc_id"))
+      .agg(collect_list(col("p.idx")).as("drop_idxs"))
+    base.join(drops, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("paras"),
+          (p, i) => !coalesce(array_contains(col("drop_idxs"), i), lit(false))))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        coalesce(size(col("drop_idxs")), lit(0)).cast("long").as("n_dropped"),
+        array_join(col("kept"), delim).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** The driver-gated D8 query: word-block paragraphs over the
+    * documents table (see [[wordBlockParas]] for why blocks stand in
+    * for blank-line paragraphs on this corpus). */
+  def dedupParagraphsBlocks(t: Tables, n: Int = 8): DataFrame =
+    dedupParagraphs(t.documents, wordBlockParas(col("text"), n), " ")
 }

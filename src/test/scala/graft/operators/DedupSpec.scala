@@ -209,4 +209,61 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.4 - 1e-9))
   }
+
+  test("paragraph dedup strips planted cross-document boilerplate, keeps first occurrence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val header = "LICENSE: do what thou wilt"
+    val footer = "generated by a site builder"
+    val docs = Seq(
+      // doc 1: header + unique body + footer — the FIRST occurrences all keep
+      (1L, s"$header\n\nthe first document body\n\n$footer"),
+      // doc 2: same boilerplate around a different body — both strip
+      (2L, s"$header\n\nan entirely different body\n\n$footer"),
+      // doc 3: footer only, plus a paragraph repeated WITHIN the doc —
+      // the in-document repeat strips too (global first occurrence)
+      (3L, s"twice told tale\n\ntwice told tale\n\n$footer"),
+      // doc 4: pure boilerplate — reassembles to the empty string
+      (4L, s"$header\n\n$footer"),
+      // doc 5: untouched, and blank-line normalization (extra blank
+      // lines, surrounding whitespace) must not split or dirty it
+      (5L, "a clean document\n\n\n  \n\nwith two paragraphs")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs,
+        Dedup.blankLineParas(col("text")), "\n\n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, s"$header\n\nthe first document body\n\n$footer"),
+      (2L, 1L, 2L, "an entirely different body"),
+      (3L, 1L, 2L, "twice told tale"),
+      (4L, 0L, 2L, ""),
+      (5L, 2L, 0L, "a clean document\n\nwith two paragraphs")))
+  }
+
+  test("paragraph dedup word-block form: no-drop docs round-trip; exchanges carry no text") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupParagraphsBlocks(t)
+    // every undropped document reassembles to its original text exactly
+    val diff = out.filter(col("n_dropped") === 0L).as("o")
+      .join(t.documents.as("d"), Seq("doc_id"))
+      .filter(col("o.text") =!= col("d.text"))
+    assert(diff.count() == 0, "no-drop reassembly is not an identity")
+    // totals are conserved: kept + dropped = total paragraphs
+    val Array(kept, dropped) = out
+      .agg(sum("n_kept"), sum("n_dropped")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val paras = t.documents
+      .select(explode(Dedup.wordBlockParas(col("text"), 8)).as("p")).count()
+    assert(kept + dropped == paras, s"$kept + $dropped != $paras")
+    // exchange discipline: the election and drop-list plan moves hashes
+    // and ids only — document/paragraph text never enters an exchange
+    // (execute `out` first so AQE's final plan — broadcast of the small
+    // drop side — is what's inspected, not the initial estimate)
+    out.collect()
+    val planned = out.queryExecution.executedPlan.toString
+    val exchanges = planned.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("para#") && !exchanges.contains("text#"),
+      s"an exchange carries paragraph text:\n$exchanges")
+  }
 }
