@@ -87,6 +87,7 @@ object SparkEntry {
     // D8 sub-document boilerplate removal (word-block paragraphs —
     // the corpus has no newlines; DedupSpec covers blank-line prose)
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraphsBlocks(tables(s, d))),
+    "boilerplate_removal" -> ((s, d) => Dedup.removeBoilerplateBlocks(tables(s, d))),
     "dedup_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(tables(s, d))),
     "dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(tables(s, d))),
     // scale path for the char-gram tier (rows-only; DedupSpec measures
@@ -150,6 +151,8 @@ object SparkEntry {
     }),
     // §2F text analysis
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
+    "repetition_signals" -> ((s, d) => TextOps.repetitionSignals(tables(s, d))),
+    "pii_redact" -> ((s, d) => TextOps.piiRedact(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
@@ -611,6 +614,28 @@ object SparkEntry {
           coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')
             AS text
         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // D8b: same 8-word blocks; the oracle elects boilerplate by raw
+    // paragraph text (count of DISTINCT docs >= 3) where Spark elects by
+    // the 128-bit hash — a collision at test SF fails loudly (D1 rule)
+    "boilerplate_removal" ->
+      """WITH w AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS word,
+          generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+        p AS (SELECT doc_id, (i-1)//8 AS idx,
+          string_agg(word, ' ' ORDER BY i) AS para
+          FROM w GROUP BY doc_id, (i-1)//8),
+        boiler AS (SELECT para FROM p
+          GROUP BY para HAVING count(DISTINCT doc_id) >= 3),
+        r AS (SELECT p.doc_id, p.idx, p.para,
+          (b.para IS NOT NULL) AS dropped
+          FROM p LEFT JOIN boiler b USING (para))
+        SELECT doc_id,
+          count(*) FILTER (WHERE NOT dropped) AS n_kept,
+          count(*) FILTER (WHERE dropped) AS n_dropped,
+          coalesce(string_agg(para, ' ' ORDER BY idx)
+            FILTER (WHERE NOT dropped), '') AS text
+        FROM r GROUP BY doc_id ORDER BY doc_id""",
     "dedup_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
           list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
@@ -664,6 +689,86 @@ object SparkEntry {
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "text_quality" -> s"$qualityBody ORDER BY doc_id",
+    // F11: regenerate the planted contact line from doc_id, then the
+    // same three RE2/Java-common regexes; counts from the pre-mask
+    // text, masking applied email -> phone -> ipv4 ('g' = replace all,
+    // Spark's regexp_replace default)
+    "pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+          text || ' contact user' || cast(doc_id AS varchar)
+            || '@example.com or +1-555-'
+            || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+            || ' from 10.' || cast(doc_id % 250 AS varchar) || '.0.1'
+            AS t FROM documents)
+        SELECT doc_id,
+          cast(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+            AS n_emails,
+          cast(len(regexp_extract_all(t,
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS bigint) AS n_phones,
+          cast(len(regexp_extract_all(t,
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS bigint) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+            '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        FROM p ORDER BY doc_id""",
+    // F10: same 8-word blocks as D8, same raw-space word split; counts
+    // regenerated from gram TEXT on both sides (no hashes anywhere), the
+    // top-2-gram tie resolved by (count desc, gram asc) on both sides
+    "repetition_signals" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws,
+          cast(length(text) AS bigint) AS n_chars FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(
+            range(1, cast(ceil(len(ws)/8.0) AS bigint) + 1),
+            i -> array_to_string(list_slice(ws, (i-1)*8+1, (i-1)*8+8), ' ')))
+            AS blk FROM l),
+        bc AS (SELECT doc_id, blk, count(*) AS cnt,
+            cast(length(blk) AS bigint) AS blen
+          FROM b GROUP BY doc_id, blk),
+        bstat AS (SELECT doc_id,
+            cast(sum(cnt) AS bigint) AS n_blocks,
+            cast(sum(cnt - 1) AS bigint) AS n_dup_blocks,
+            cast(sum((cnt - 1) * blen) AS bigint) AS dup_chars,
+            cast(sum(cnt * blen) AS bigint) AS tot_chars
+          FROM bc GROUP BY doc_id),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> array_to_string(list_slice(ws, i, i+1), ' '))) AS g
+          FROM l WHERE len(ws) >= 2),
+        g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+        top2 AS (SELECT doc_id, cast(cnt AS bigint) AS top2_cnt,
+            cast(length(g) AS bigint) AS top2_len
+          FROM (SELECT doc_id, g, cnt, row_number() OVER
+              (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn FROM g2c)
+          WHERE rn = 1),
+        g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+            i -> array_to_string(list_slice(ws, i, i+4), ' '))) AS g
+          FROM l WHERE len(ws) >= 5),
+        g5d AS (SELECT doc_id, cast(sum(cnt * glen) AS bigint) AS dup5_chars
+          FROM (SELECT doc_id, g, count(*) AS cnt,
+              cast(length(g) AS bigint) AS glen
+            FROM g5 GROUP BY doc_id, g) s
+          WHERE cnt > 1 GROUP BY doc_id)
+        SELECT l.doc_id,
+          cast(len(ws) AS bigint) AS n_words,
+          bstat.n_blocks,
+          bstat.n_dup_blocks,
+          round(CASE WHEN bstat.n_blocks = 0 THEN 0.0
+            ELSE bstat.n_dup_blocks / cast(bstat.n_blocks AS double) END, 4)
+            AS dup_block_frac,
+          round(CASE WHEN bstat.tot_chars = 0 THEN 0.0
+            ELSE bstat.dup_chars / cast(bstat.tot_chars AS double) END, 4)
+            AS dup_block_char_frac,
+          round(CASE WHEN l.n_chars = 0 THEN 0.0
+            ELSE coalesce(top2.top2_cnt * top2.top2_len, 0)
+              / cast(l.n_chars AS double) END, 4) AS top2_frac,
+          round(CASE WHEN l.n_chars = 0 THEN 0.0
+            ELSE coalesce(g5d.dup5_chars, 0) / cast(l.n_chars AS double) END, 4)
+            AS dup5_frac
+        FROM l JOIN bstat USING (doc_id)
+          LEFT JOIN top2 USING (doc_id)
+          LEFT JOIN g5d USING (doc_id)
+        ORDER BY l.doc_id""",
     "quality_melt" ->
       s"""WITH q AS ($qualityBody)
         SELECT doc_id, metric, value FROM (

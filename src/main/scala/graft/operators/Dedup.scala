@@ -763,4 +763,63 @@ object Dedup {
     * for blank-line paragraphs on this corpus). */
   def dedupParagraphsBlocks(t: Tables, n: Int = 8): DataFrame =
     dedupParagraphs(t.documents, wordBlockParas(col("text"), n), " ")
+
+  /** D8b — frequency-thresholded boilerplate REMOVAL: drop EVERY
+    * occurrence of any paragraph appearing in >= `minDocs` distinct
+    * documents. D8 keeps one canonical copy of each repeated paragraph
+    * (dedup); this is the complementary curation pass published
+    * pipelines run on headers/footers/cookie banners — text that
+    * recurs across enough documents is template noise, and the first
+    * copy is as worthless as the rest. In-document repetition alone
+    * (a chorus, a refrain) never crosses the doc threshold and is
+    * preserved verbatim.
+    *
+    * Scale shape (shares D8's exchange discipline): one scan splits
+    * and hashes; the slim (doc_id, idx, h1, h2) frame is checkpointed;
+    * the boilerplate election is a hash-partial-aggregated
+    * count_distinct(doc_id) per 128-bit hash — a repeated-in-one-doc
+    * paragraph combines map-side to a single (hash, doc) pair, so even
+    * a per-doc chorus costs nothing extra; the surviving hash set is
+    * corpus-dup-rate-sized, AQE broadcasts it into the drop probe, and
+    * reassembly joins int drop lists back to the source docs. Text
+    * never crosses an exchange.
+    *
+    * Ref: no analog in SergiyStoyan/AwsKinesisConsumer (parser.py
+    * consumes streams); extends the D-family curation surface. */
+  def removeBoilerplate(docs: DataFrame,
+      paras: org.apache.spark.sql.Column,
+      delim: String,
+      minDocs: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), paras.as("paras"))
+    val slim = base
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"),
+        xxhash64(col("para")).as("h1"),
+        xxhash64(lit(1L), col("para")).as("h2"))
+      .localCheckpoint(false)
+    val boiler = slim
+      .groupBy("h1", "h2")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs.toLong)
+    val drops = slim.as("p")
+      .join(boiler.as("w"),
+        col("p.h1") === col("w.h1") && col("p.h2") === col("w.h2"))
+      .groupBy(col("p.doc_id"))
+      .agg(collect_list(col("p.idx")).as("drop_idxs"))
+    base.join(drops, Seq("doc_id"), "left")
+      .withColumn("kept",
+        filter(col("paras"),
+          (p, i) => !coalesce(array_contains(col("drop_idxs"), i), lit(false))))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        coalesce(size(col("drop_idxs")), lit(0)).cast("long").as("n_dropped"),
+        array_join(col("kept"), delim).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** The driver-gated D8b query: word-block paragraphs, threshold 3
+    * documents (at 8-word granularity the synthetic corpus repeats
+    * enough cross-document blocks for a non-trivial drop set). */
+  def removeBoilerplateBlocks(t: Tables, n: Int = 8, minDocs: Int = 3): DataFrame =
+    removeBoilerplate(t.documents, wordBlockParas(col("text"), n), " ", minDocs)
 }

@@ -394,4 +394,97 @@ object TextOps {
         .otherwise(lit("de")).as("pred_lang"),
       col("lang").as("true_lang"))
   }
+
+  /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
+    * regex engine (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded counts, and ASCII `\b` only — no lookaround, no
+    * backreferences (RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** F11 — PII REDACTION: mask emails, intl-format phone numbers, and
+    * IPv4 addresses with typed placeholders and count each per
+    * document — the compliance pass every published LLM training
+    * pipeline runs (C4, RefinedWeb, Dolma all strip or mask PII).
+    * Counts come from the ORIGINAL text (each type independently);
+    * masking applies email -> phone -> ipv4 on the running result.
+    *
+    * Scale shape: pure per-row regex projection — no shuffle, no UDF
+    * (regexp_replace/regexp_extract_all are codegen'd builtins), so the
+    * pass rides the corpus scan at 100 TB like F1. */
+  def redactPiiOf(docs: DataFrame): DataFrame = {
+    val raw = col("text")
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    def n(re: String): Column =
+      size(call_function("regexp_extract_all", raw, lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ips"),
+      masked.as("redacted"))
+  }
+
+  /** The driver-gated F11 query: the synthetic corpus carries no PII,
+    * so the query PLANTS a deterministic contact line per document
+    * (derived from doc_id — the DuckDB twin regenerates it exactly)
+    * before redacting; the assertion is then non-vacuous on every row. */
+  def piiRedact(t: Tables): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000L).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 250L).cast("string"), lit(".0.1"))
+    redactPiiOf(docsSorted(t).select(col("doc_id"), planted.as("text")))
+  }
+
+  /** F10 — repetition quality signals (the Gopher repetition filters,
+    * Rae et al. 2021 Table A1, as applied by RefinedWeb/Dolma): per
+    * document, the duplicate-block fraction (the duplicate-LINE
+    * fraction, on this corpus's 8-word-block paragraph surrogate — see
+    * [[Dedup.wordBlockParas]]), the fraction of characters in those
+    * duplicate blocks, the character fraction of the single most
+    * frequent word 2-gram, and the character fraction of duplicated
+    * word 5-grams. Pipelines drop documents above thresholds on these
+    * (e.g. dup-line > 0.3, top-2-gram > 0.2).
+    *
+    * Scale shape: ONE native codegen kernel call per row
+    * ([[graft.plans.RepStatsKernel]]) — all counting is per-document,
+    * so the whole pass is a shuffle-free projection over the corpus
+    * scan; at 100 TB it parallelizes embarrassingly and the only sort
+    * is the output presentation order. Fractions are single double
+    * divisions of the kernel's exact integer counters (the cross-engine
+    * determinism rule), rounded to 4 decimals like every ratio gate. */
+  def repetitionSignals(t: Tables, blockN: Int = 8): DataFrame =
+    repetitionSignalsOf(docsSorted(t), blockN)
+
+  /** The same signals over any (doc_id, text) frame; no output sort. */
+  def repetitionSignalsOf(docs: DataFrame, blockN: Int = 8): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val st = call_function("graft_rep_stats", split(col("text"), " "), lit(blockN))
+    val nChars = length(col("text")).cast("long")
+    def frac(num: Column, den: Column): Column =
+      round(when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den), 4)
+    docs
+      .withColumn("st", st)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        element_at(col("st"), 1).as("n_blocks"),
+        element_at(col("st"), 2).as("n_dup_blocks"),
+        frac(element_at(col("st"), 2), element_at(col("st"), 1))
+          .as("dup_block_frac"),
+        frac(element_at(col("st"), 3), element_at(col("st"), 4))
+          .as("dup_block_char_frac"),
+        frac(element_at(col("st"), 5) * element_at(col("st"), 6), nChars)
+          .as("top2_frac"),
+        frac(element_at(col("st"), 7), nChars).as("dup5_frac"))
+  }
 }

@@ -474,3 +474,135 @@ case class OphBands(child: Expression, numBins: Int = 64, rowsPerBand: Int = 8)
   override protected def withNewChildInternal(newChild: Expression): OphBands =
     copy(child = newChild)
 }
+
+/** Kernel for [[RepStats]] — Gopher-style per-document repetition
+  * counters in ONE pass over the token array (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", Table A1's repetition
+  * filters; also the repetition signals RefinedWeb/Dolma apply).
+  * Counting is by exact gram TEXT (a java.util.HashMap per row, ~
+  * vocabulary-of-one-document entries, transient) — not by hash — so
+  * the DuckDB oracle twin recomputes identical counts with zero
+  * collision caveats, and the top-2-gram tie (count desc, gram asc)
+  * resolves by real string order on both sides (binary order for the
+  * ASCII corpus; java String.compareTo is UTF-16 code-unit order, so
+  * supplementary-plane ties could diverge from UTF-8 binary — the
+  * corpus and specs stay in the BMP).
+  *
+  * Char counts are CODE POINTS (UTF8String.numChars), matching DuckDB
+  * `length()`. Output layout (long[7], 1-based via element_at):
+  *   1 n_blocks            blockN-word blocks (ceil(n_words/blockN))
+  *   2 n_dup_blocks        block occurrences beyond their first
+  *   3 dup_block_chars     chars of those non-first block occurrences
+  *   4 total_block_chars   chars of all block occurrences
+  *   5 top2_cnt            occurrences of the most frequent word 2-gram
+  *   6 top2_len            chars of that 2-gram
+  *   7 dup5_chars          sum over word-5-grams seen >1 times of
+  *                         count * gram chars (overlaps counted per
+  *                         occurrence — the cheap published surrogate
+  *                         for "chars in duplicated n-grams")
+  */
+object RepStatsKernel {
+  def stats(arr: ArrayData, blockN: Int): ArrayData = {
+    val m = arr.numElements()
+    val w = new Array[String](m)
+    val wlen = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val u = arr.getUTF8String(i)
+      w(i) = u.toString
+      wlen(i) = u.numChars()
+      i += 1
+    }
+    val out = new Array[Long](7)
+    // blocks
+    if (m > 0) {
+      val nb = (m + blockN - 1) / blockN
+      out(0) = nb.toLong
+      val bm = new java.util.HashMap[String, Integer](nb * 2)
+      val sb = new java.lang.StringBuilder
+      var b = 0
+      while (b < nb) {
+        sb.setLength(0)
+        var chars = 0
+        var j = b * blockN
+        val end = math.min(j + blockN, m)
+        while (j < end) {
+          if (sb.length > 0) { sb.append(' '); chars += 1 }
+          sb.append(w(j)); chars += wlen(j)
+          j += 1
+        }
+        val blk = sb.toString
+        out(3) += chars
+        val prev = bm.merge(blk, 1, (a: Integer, one: Integer) => a + one)
+        if (prev > 1) { out(1) += 1; out(2) += chars }
+        b += 1
+      }
+    }
+    // word 2-grams: count + track the top by (count desc, gram asc)
+    if (m >= 2) {
+      val g2 = new java.util.HashMap[String, Integer](m * 2)
+      i = 0
+      while (i < m - 1) {
+        g2.merge(w(i) + " " + w(i + 1), 1, (a: Integer, one: Integer) => a + one)
+        i += 1
+      }
+      var topG: String = null
+      var topC = 0
+      val it = g2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue()
+        if (c > topC || (c == topC && e.getKey.compareTo(topG) < 0)) {
+          topC = c; topG = e.getKey
+        }
+      }
+      out(4) = topC.toLong
+      out(5) = UTF8String.fromString(topG).numChars().toLong
+    }
+    // word 5-grams: chars in duplicated grams (count * len per dup gram)
+    if (m >= 5) {
+      val g5 = new java.util.HashMap[String, Array[Int]](m * 2)
+      i = 0
+      while (i <= m - 5) {
+        val g = w(i) + " " + w(i + 1) + " " + w(i + 2) + " " + w(i + 3) + " " + w(i + 4)
+        val v = g5.get(g)
+        if (v == null)
+          g5.put(g, Array(1, wlen(i) + wlen(i + 1) + wlen(i + 2) + wlen(i + 3) + wlen(i + 4) + 4))
+        else v(0) += 1
+        i += 1
+      }
+      val it = g5.values().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (v(0) > 1) out(6) += v(0).toLong * v(1)
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object RepStats {
+  def blockNOf(e: Expression): Int =
+    IntLitArg.of("graft_rep_stats(toks, block_n)", "block_n", e)
+}
+
+/** Per-document repetition counters (Gopher-style quality signals) as a
+  * native codegen expression over a token array — per-row, shuffle-free
+  * (the F10 operator's whole corpus pass is embarrassingly parallel). */
+case class RepStats(child: Expression, blockN: Int = 8)
+    extends UnaryExpression {
+  require(blockN >= 1, s"block width must be >= 1, got $blockN")
+  // caller guarantees array<string> input
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    RepStatsKernel.stats(a.asInstanceOf[ArrayData], blockN)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.RepStatsKernel.stats($a, $blockN);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}

@@ -457,7 +457,11 @@ object VectorFunctions {
     ("graft_lsh_probes", classOf[LshProbes],
       (exprs: Seq[Expression]) => LshProbes(exprs.head,
         IntLitArg.of("graft_lsh_probes(v, tables, bits)", "tables", exprs(1)),
-        IntLitArg.of("graft_lsh_probes(v, tables, bits)", "bits", exprs(2)))))
+        IntLitArg.of("graft_lsh_probes(v, tables, bits)", "bits", exprs(2)))),
+    ("graft_rep_stats", classOf[RepStats],
+      (exprs: Seq[Expression]) =>
+        if (exprs.length > 1) RepStats(exprs.head, RepStats.blockNOf(exprs(1)))
+        else RepStats(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

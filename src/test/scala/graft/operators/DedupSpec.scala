@@ -266,4 +266,62 @@ class DedupSpec extends SparkSpec {
     assert(!exchanges.contains("para#") && !exchanges.contains("text#"),
       s"an exchange carries paragraph text:\n$exchanges")
   }
+
+  test("boilerplate removal drops every copy at the doc threshold, keeps choruses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val footer = "generated by a site builder"
+    val docs = Seq(
+      // footer appears in 3 distinct docs -> ALL copies drop (doc 1's too)
+      (1L, s"first document body\n\n$footer"),
+      (2L, s"second document body\n\n$footer"),
+      // doc 3 carries the footer twice; both copies drop
+      (3L, s"$footer\n\nthird body\n\n$footer"),
+      // a chorus repeated 3x WITHIN one doc only: 1 distinct doc < 3,
+      // so in-document repetition alone never strips (unlike D8)
+      (4L, "sing the chorus\n\nsing the chorus\n\nsing the chorus"),
+      // a paragraph shared by only TWO docs stays everywhere
+      (5L, "shared by just two\n\nunique five"),
+      (6L, "shared by just two\n\nunique six")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs,
+        Dedup.blankLineParas(col("text")), "\n\n", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, "first document body"),
+      (2L, 1L, 1L, "second document body"),
+      (3L, 1L, 2L, "third body"),
+      (4L, 3L, 0L, "sing the chorus\n\nsing the chorus\n\nsing the chorus"),
+      (5L, 2L, 0L, "shared by just two\n\nunique five"),
+      (6L, 2L, 0L, "shared by just two\n\nunique six")))
+  }
+
+  test("boilerplate removal block form: conservation, monotone vs D8, no text in exchanges") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.removeBoilerplateBlocks(t)
+    // kept + dropped = total blocks
+    val Array(kept, dropped) = out
+      .agg(sum("n_kept"), sum("n_dropped")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val paras = t.documents
+      .select(explode(Dedup.wordBlockParas(col("text"), 8)).as("p")).count()
+    assert(kept + dropped == paras, s"$kept + $dropped != $paras")
+    // every block D8b drops belongs to a >1-copy group, so D8 (keep
+    // first) always drops STRICTLY fewer occurrences than D8b removes
+    // for threshold <= 2; at threshold 3 the relation is: a dropped D8b
+    // group of c copies across >=3 docs loses c, where D8 loses c-1 —
+    // hence total D8b drops >= total D8 drops restricted to those
+    // groups. The cheap corpus-level check: D8b never KEEPS fewer
+    // blocks than it would at threshold 2 (monotone in the threshold)
+    val out2 = Dedup.removeBoilerplateBlocks(t, minDocs = 2)
+      .agg(sum("n_kept")).collect()(0).getLong(0)
+    assert(kept >= out2, s"threshold monotonicity violated: $kept < $out2")
+    // exchange discipline (final adaptive plan)
+    out.collect()
+    val planned = out.queryExecution.executedPlan.toString
+    val exchanges = planned.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("para#") && !exchanges.contains("text#"),
+      s"an exchange carries paragraph text:\n$exchanges")
+  }
 }

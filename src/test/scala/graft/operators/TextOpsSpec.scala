@@ -232,4 +232,126 @@ class TextOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.forall(x => Set("en", "es", "fr", "de", "zh", "und").contains(x._2)))
   }
+
+  test("pii redaction masks planted emails, phones, and ips; clean text is untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (2L, "call +1-555-0100 or +44-201-9999 now"),
+      (3L, "server at 192.168.0.1 and 10.0.0.255"),
+      (4L, "all three: a@b.co +1-555-0042 127.0.0.1"),
+      (5L, "no pii in this document at all"),
+      // versions like 1.2.3 (three octets) must NOT match the ipv4 rule
+      (6L, "upgrade to release 1.2.3 today")).toDF("doc_id", "text")
+    val got = TextOps.redactPiiOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "reach me at <EMAIL> thanks")))
+    assert(got(2L) == ((0L, 2L, 0L, "call <PHONE> or <PHONE> now")))
+    assert(got(3L) == ((0L, 0L, 2L, "server at <IP> and <IP>")))
+    assert(got(4L) == ((1L, 1L, 1L, "all three: <EMAIL> <PHONE> <IP>")))
+    assert(got(5L) == ((0L, 0L, 0L, "no pii in this document at all")))
+    assert(got(6L) == ((0L, 0L, 0L, "upgrade to release 1.2.3 today")))
+  }
+
+  test("pii redact driver query plants one of each pii type per document") {
+    val rows = TextOps.piiRedact(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"doc ${r.getLong(0)}: expected exactly one planted pii of each type")
+      val red = r.getString(4)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+      assert(!red.contains("@example.com") && !red.contains("+1-555-"))
+    }
+    // per-row projection: only the presentation sort may shuffle
+    val plan = TextOps.piiRedact(t).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      "pii redaction must not shuffle beyond the output sort:\n" + plan)
+  }
+
+  /** Independent plain-Scala recompute of the F10 definitions (no Spark,
+    * no shared kernel code) — same 8-word blocks, raw-space word split
+    * (limit -1, like Spark's split Column), top-2-gram tie by
+    * (count desc, gram asc), HALF_UP 4-decimal rounding. */
+  private def repRecompute(text: String, blockN: Int = 8)
+      : (Long, Long, Long, Double, Double, Double, Double) = {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ws = text.split(" ", -1)
+    val m = ws.length
+    val nChars = text.length
+    val blocks = ws.grouped(blockN).map(_.mkString(" ")).toSeq
+    val bcnt = blocks.groupBy(identity).map { case (b, o) => (b, o.size) }
+    val nDup = blocks.size - bcnt.size
+    val dupChars = bcnt.collect { case (b, c) if c > 1 => (c - 1).toLong * b.length }.sum
+    val totChars = blocks.map(_.length.toLong).sum
+    val g2 = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val (topC, topL) =
+      if (g2.isEmpty) (0L, 0L)
+      else {
+        val c = g2.groupBy(identity).map { case (g, o) => (g, o.size) }
+        val mx = c.values.max
+        val g = c.collect { case (gr, n) if n == mx => gr }.min
+        (mx.toLong, g.length.toLong)
+      }
+    val g5 = ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+    val dup5 = g5.groupBy(identity)
+      .collect { case (g, o) if o.size > 1 => o.size.toLong * g.length }.sum
+    def frac(n: Long, d: Long): Double = if (d == 0) 0.0 else r4(n.toDouble / d)
+    (m.toLong, blocks.size.toLong, nDup.toLong,
+      frac(nDup, blocks.size), frac(dupChars, totChars),
+      frac(topC * topL, nChars), frac(dup5, nChars))
+  }
+
+  test("repetition signals match an independent recompute on planted fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      // one 8-word block repeated verbatim -> dup block + dup 5-grams
+      (1L, "a b c d e f g h a b c d e f g h tail words"),
+      // heavy 2-gram repetition (the top-2-gram filter's target shape)
+      (2L, "one two one two one two one two one two"),
+      (3L, "all words are distinct here today friend ok"),
+      (4L, "pair only"), // single 2-gram, no 5-gram
+      (5L, "solo"), // no 2-gram at all
+      // tie on 2-gram count: "b a" vs "a b" both twice -> "a b" wins (asc)
+      (6L, "b a b a b"),
+      (7L, "")).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignalsOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.collect().foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val exp = repRecompute(text)
+      val g = got(id)
+      assert((g.getLong(1), g.getLong(2), g.getLong(3)) ==
+        ((exp._1, exp._2, exp._3)), s"counts, doc $id")
+      assert((g.getDouble(4), g.getDouble(5), g.getDouble(6), g.getDouble(7)) ==
+        ((exp._4, exp._5, exp._6, exp._7)), s"fracs, doc $id")
+    }
+    // planted expectations, independently of the recompute helper
+    assert(got(1L).getLong(3) == 1L, "doc 1 must have exactly one dup block")
+    assert(got(2L).getDouble(6) > 0.5, "doc 2 top-2-gram frac must dominate")
+    assert(got(3L).getDouble(4) == 0.0 && got(3L).getDouble(7) == 0.0)
+    assert(got(5L).getDouble(6) == 0.0, "no 2-grams -> top2_frac 0")
+    assert(got(7L).getDouble(4) == 0.0 && got(7L).getDouble(5) == 0.0)
+  }
+
+  test("repetition signals: whole corpus matches the recompute; one exchange total") {
+    val texts = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.repetitionSignals(t).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val exp = repRecompute(texts(r.getLong(0)))
+      assert(r.getLong(1) == exp._1 && r.getLong(2) == exp._2 &&
+        r.getLong(3) == exp._3, s"counts, doc ${r.getLong(0)}")
+      assert(r.getDouble(4) == exp._4 && r.getDouble(5) == exp._5 &&
+        r.getDouble(6) == exp._6 && r.getDouble(7) == exp._7,
+        s"fracs, doc ${r.getLong(0)}")
+    }
+    // per-row kernel projection: the ONLY exchange is the presentation
+    // sort — the signals themselves shuffle nothing
+    val plan = TextOps.repetitionSignals(t).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      "repetition signals must not shuffle beyond the output sort:\n" + plan)
+  }
 }
