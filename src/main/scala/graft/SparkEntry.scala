@@ -153,6 +153,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "repetition_signals" -> ((s, d) => TextOps.repetitionSignals(tables(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(tables(s, d))),
+    "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
@@ -689,6 +690,18 @@ object SparkEntry {
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "text_quality" -> s"$qualityBody ORDER BY doc_id",
+    // C10d: the oracle runs the EXACT count (capacity 1024 >= the
+    // corpus's 31 distinct terms puts Misra-Gries in its exact regime);
+    // ties (count desc, term asc) on both sides
+    "approx_top_terms" ->
+      """SELECT rank, term, cnt FROM (
+          SELECT term, cast(count(*) AS bigint) AS cnt,
+            cast(row_number() OVER (ORDER BY count(*) DESC, term ASC)
+              AS bigint) AS rank
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+            AS term FROM documents) w
+          GROUP BY term)
+        WHERE rank <= 20 ORDER BY rank""",
     // F11: regenerate the planted contact line from doc_id, then the
     // same three RE2/Java-common regexes; counts from the pre-mask
     // text, masking applied email -> phone -> ipv4 ('g' = replace all,

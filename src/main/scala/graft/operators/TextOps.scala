@@ -395,6 +395,28 @@ object TextOps {
       col("lang").as("true_lang"))
   }
 
+  /** C10d — approximate TOP-K TERMS via the Misra–Gries frequent-items
+    * sketch ([[graft.plans.TopKFreq]]): global heavy hitters over the
+    * corpus's token stream WITHOUT shuffling the distinct-term space —
+    * each task folds its partition into a bounded (term, count) map and
+    * only those capacity-bounded partials cross the exchange (the HLL/
+    * KLL discipline applied to frequencies). At capacity >= |vocabulary|
+    * the sketch IS the exact count table, which is the regime the
+    * driver oracle gates (capacity 1024 vs the 31-term corpus); the
+    * N/capacity error bound in the saturated regime is spec-covered on
+    * planted skew. Ties: (count desc, term asc), both engines. */
+  def approxTopTerms(t: Tables, k: Int = 20, capacity: Int = 1024): DataFrame = {
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    t.documents
+      .select(explode(words(col("text"))).as("term"))
+      .agg(call_function("graft_topk_freq", col("term"), lit(capacity)).as("s"))
+      .select(posexplode(col("s")).as(Seq("i", "e")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("e.term").as("term"), col("e.cnt").as("cnt"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
     * regex engine (Spark) and RE2 (the DuckDB oracle): character
     * classes, bounded counts, and ASCII `\b` only — no lookaround, no

@@ -98,3 +98,153 @@ case class VectorSum(
   override protected def withNewChildInternal(newChild: Expression): VectorSum =
     copy(child = newChild)
 }
+
+/** Frequent-items (Misra–Gries / SpaceSaving family) top-k summary as a
+  * mergeable TypedImperativeAggregate — the third classic sketch next
+  * to HLL (C10b) and KLL (C10c). Each task folds its partition into a
+  * bounded map of at most `capacity` (term, count) entries; the
+  * exchange carries only those partials, so a global heavy-hitters
+  * query over 100 TB of terms shuffles O(tasks × capacity) bytes
+  * instead of the full distinct-term space (the groupBy form shuffles
+  * every distinct term to its reducer — fine for a 31-word toy corpus,
+  * ruinous for a trillion-token web corpus).
+  *
+  * Guarantees (Misra–Gries, Berinde et al. 2010 for the merge):
+  * reported counts are LOWER bounds; true_count - count <= N/capacity
+  * where N is the stream length, and every item with true frequency
+  * > N/capacity is present in the summary. When capacity >= distinct
+  * items the summary IS the exact count table — the driver oracle
+  * query runs in that regime (capacity 1024 vs 31 distinct corpus
+  * terms), so the gate is hash-exact while the operator's scale
+  * behavior stays sketch-shaped; the approximation regime is
+  * spec-covered on planted skew.
+  *
+  * Merge: pointwise sum, then (if over capacity) subtract the
+  * (capacity+1)-th largest combined count from every entry and drop
+  * the non-positive remainder — the standard bound-preserving MG merge.
+  * Under-capacity merges are order-independent (plain sums); the
+  * over-capacity regime inherits partition-order dependence like every
+  * distributed sketch (documented, spec'd exact only when unsaturated).
+  *
+  * eval() returns array<struct<term string, cnt long>> sorted by
+  * (cnt desc, term asc) — deterministic presentation for the exact
+  * regime's oracle gate. */
+case class TopKFreq(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "graft_topk_freq"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val term = v.asInstanceOf[UTF8String].toString
+    val cur = buf.get(term)
+    if (cur != 0L || buf.containsKey(term)) buf.put(term, cur + 1L)
+    else if (buf.size < capacity) buf.put(term, 1L)
+    else {
+      // Misra–Gries decrement step: all counters down one, zeros evicted
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val bit = b.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, cur + e.getValue)
+    }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count, drop <= 0
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val cit = a.values().iterator()
+      while (cit.hasNext) { counts(i) = cit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val thresh = counts(a.size - capacity - 1)
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= thresh) it.remove()
+        else e.setValue(e.getValue - thresh)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    if (buf == null) return null
+    val entries = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val it0 = buf.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      bytes += 4 + e.getKey.getBytes("UTF-8").length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val m = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      m.put(new String(kb, "UTF-8"), bb.getLong())
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKFreq =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKFreq =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKFreq =
+    copy(child = newChild)
+}

@@ -461,7 +461,11 @@ object VectorFunctions {
     ("graft_rep_stats", classOf[RepStats],
       (exprs: Seq[Expression]) =>
         if (exprs.length > 1) RepStats(exprs.head, RepStats.blockNOf(exprs(1)))
-        else RepStats(exprs.head)))
+        else RepStats(exprs.head)),
+    // bare AggregateFunction like graft_vec_sum: the analyzer wraps it
+    ("graft_topk_freq", classOf[TopKFreq],
+      (exprs: Seq[Expression]) => TopKFreq(exprs.head,
+        IntLitArg.of("graft_topk_freq(term, capacity)", "capacity", exprs(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -233,6 +233,57 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall(x => Set("en", "es", "fr", "de", "zh", "und").contains(x._2)))
   }
 
+  test("approx top terms: exact regime equals the groupBy counts, partition-independent") {
+    import org.apache.spark.sql.functions._
+    val exact = t.documents
+      .select(explode(graft.functions.words(col("text"))).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 1024, "fixture must stay in the unsaturated regime")
+    val got = TextOps.approxTopTerms(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // unsaturated Misra-Gries IS the exact count table
+    got.foreach { case (_, term, cnt) =>
+      assert(exact(term) == cnt, s"term $term: sketch $cnt != exact ${exact(term)}")
+    }
+    // ranks are (count desc, term asc) over the exact counts
+    val expOrder = exact.toSeq.sortBy { case (tm, c) => (-c, tm) }
+      .take(got.length).map(_._1)
+    assert(got.map(_._2).toSeq == expOrder, "rank order diverges from exact")
+    // partition count must not change the unsaturated summary
+    graft.plans.VectorFunctions.register(spark)
+    val repart = t.documents.repartition(7)
+      .select(explode(graft.functions.words(col("text"))).as("term"))
+      .agg(call_function("graft_topk_freq", col("term"), lit(1024)).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.term"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == exact, "repartitioning changed the unsaturated summary")
+  }
+
+  test("misra-gries saturated regime: heavy hitter survives, counts lower-bound truth") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    // 1000 x hot + 50 cold terms x 10 = N 1500; capacity 8 ->
+    // error <= N/capacity = 187.5; hot (freq 1000) must survive
+    val rows = Seq.fill(1000)("hot") ++
+      (0 until 50).flatMap(i => Seq.fill(10)(f"cold$i%02d"))
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.toDF("term").repartition(5)
+      .agg(call_function("graft_topk_freq", col("term"), lit(8)).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.term"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 8, s"summary exceeded capacity: ${got.size}")
+    assert(got.contains("hot"), s"heavy hitter evicted: $got")
+    got.foreach { case (term, cnt) =>
+      assert(cnt <= truth(term), s"$term: reported $cnt above true ${truth(term)}")
+    }
+    assert(got("hot") >= 1000L - 1500L / 8L,
+      s"hot count ${got("hot")} violates the N/capacity bound")
+  }
+
   test("pii redaction masks planted emails, phones, and ips; clean text is untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -91,4 +91,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaSql.sameElements(viaDf))
   }
+
+  test("round-11 kernels (rep_stats, topk_freq) work from SQL") {
+    VectorFunctions.register(spark)
+    t.documents.createOrReplaceTempView("documents_v")
+    // rep_stats: counter layout position 1 = ceil(n_words / block_n)
+    val blocks = spark.sql(
+      """SELECT doc_id,
+           element_at(graft_rep_stats(split(text, ' '), 8), 1) AS nb,
+           size(split(text, ' ')) AS nw
+         FROM documents_v ORDER BY doc_id""").collect()
+    blocks.foreach { r =>
+      assert(r.getLong(1) == (r.getInt(2) + 7L) / 8L, s"doc ${r.getLong(0)}")
+    }
+    // topk_freq from SQL equals the operator's exact-regime table
+    val viaSql = spark.sql(
+      """SELECT e.term AS term, e.cnt AS cnt FROM (
+           SELECT explode(s) AS e FROM (
+             SELECT graft_topk_freq(term, 1024) AS s FROM (
+               SELECT explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+               FROM documents_v)))""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t.documents
+      .select(explode(graft.functions.words(col("text"))).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == exact)
+  }
 }
