@@ -378,6 +378,59 @@ private[graft] object OracleSql {
     * buckets, query-side multiprobe (base bucket plus every 1-bit flip:
     * xor with 0,1,2,4,8,16,32), DISTINCT candidates (the first-agree
     * emission), exact-cosine re-rank with the n_id tie-break, top 5. */
+  /** sq8_topk: full replay of the SQ8 scalar-quantization search
+    * (Similarity.sq8TopK) — per-dim min/range fit (order-independent,
+    * so cross-engine exact), uint8 encode/dequant in the kernel's fixed
+    * double arithmetic order, approximate-cosine ADC candidate window
+    * (adc desc, n_id) to rerank=32, exact-cosine re-rank to k=5. Dim is
+    * hardcoded 64 with the pq_topk guard. */
+  lazy val sq8TopK: String = materialized {
+    s"""WITH ev AS (SELECT vec_id,
+        CASE WHEN len(embedding) = 64
+             THEN list_transform(embedding, x -> cast(x as double))
+             ELSE error('sq8_topk oracle: embedding dim ' || len(embedding)
+               || ' <> the hardcoded 64') END AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, xx -> xx*xx)), (s, x) -> s + x) AS norm FROM ev),
+    mm AS (SELECT d, min(x) AS mn, max(x) - min(x) AS sc FROM (
+        SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM ev) z
+      GROUP BY d),
+    model AS (SELECT list(mn ORDER BY d) AS mins, list(sc ORDER BY d) AS scales
+      FROM mm),
+    codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        CASE WHEN model.scales[i] = 0 THEN 0
+             ELSE cast(round((v[i] - model.mins[i]) / model.scales[i] * 255.0)
+               AS int) END) AS cd
+      FROM ev CROSS JOIN model),
+    dq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        model.mins[i] + cd[i] / 255.0 * model.scales[i]) AS dqv
+      FROM codes CROSS JOIN model),
+    dqn AS (SELECT vec_id, dqv, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(dqv, xx -> xx*xx)), (s, x) -> s + x) AS dqnorm FROM dq),
+    adc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(q.v, c.dqv), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(q.norm) * sqrt(c.dqnorm)) AS adc
+      FROM nrm q CROSS JOIN dqn c
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    cand AS (SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS crnk
+        FROM adc) WHERE crnk <= 32),
+    rr AS (SELECT cand.q_id, cand.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(q.v, c.v), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(q.norm) * sqrt(c.norm)) AS cos
+      FROM cand JOIN nrm q ON q.vec_id = cand.q_id
+        JOIN nrm c ON c.vec_id = cand.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM rr)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
   lazy val annLshTopK: String =
     s"""WITH ${embedBucketCtes(8)},
     cb AS (SELECT vec_id AS n_id, (k::UBIGINT << 32) | b AS bucket FROM bks),

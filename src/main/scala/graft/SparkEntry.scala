@@ -129,6 +129,7 @@ object SparkEntry {
     // full IVF search — hash-exact since round 6: the canonical fit
     // makes routing + in-cell ranking replayable (OracleSql.ivfTopK)
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(tables(s, d))),
+    "sq8_topk" -> ((s, d) => Similarity.sq8TopK(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
@@ -257,6 +258,7 @@ object SparkEntry {
     "ivf_assign" -> OracleSql.ivfAssign,
     "ivf_topk" -> OracleSql.ivfTopK,
     "pq_topk" -> OracleSql.pqTopK,
+    "sq8_topk" -> OracleSql.sq8TopK,
     "ivfpq_topk" -> OracleSql.ivfPqTopK,
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_embed_incremental" -> OracleSql.dedupEmbedIncremental,

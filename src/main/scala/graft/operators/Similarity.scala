@@ -748,4 +748,70 @@ object Similarity {
       vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
       k)
   }
+
+  /** E8 — SQ8 SCALAR QUANTIZATION top-k (FAISS's SQ8 / Milvus
+    * IVF_SQ8's flat tier): per-dimension affine uint8 codes against a
+    * driver-fit (min, range) model. Where PQ (E4) spends its budget on
+    * joint subspace codebooks, SQ8 keeps one byte PER DIMENSION —
+    * 8× smaller than float64 with near-exact recall, the standard
+    * memory/recall point between raw vectors and PQ.
+    *
+    * Scale shape: the fit is one partial-aggregated min/max pass (the
+    * exchange carries tasks × dim partials; only 2×dim doubles reach
+    * the driver — model-sized, like the IVF centroids). The stored
+    * table is (n_id, codes) — the 8×-compressed scan a deployment
+    * persists; the ADC pass derives the dequantized view INSIDE the
+    * scan's codegen (graft_sq8_dequant against literal model arrays —
+    * stored bytes, derived doubles, nothing materialized), scores
+    * approximate cosine, and rank-limits to `rerank` candidates per
+    * query (WindowGroupLimit). Exact cosine re-rank on the candidate
+    * set only, so surfaced scores are exact — the E-family contract.
+    *
+    * Oracle-replayable end to end: min/max is order-independent, and
+    * encode/dequant/ADC are fixed-order double arithmetic the DuckDB
+    * twin recomputes bit-identically. */
+  def sq8TopK(t: Tables, k: Int = 5, rerank: Int = 32): DataFrame =
+    sq8TopKOf(t.embeddings,
+      withNorm(t.embeddings).filter(col("vec_id") < 10), k, rerank)
+
+  /** The same search over any corpus/queries pair; queries carry
+    * (vec_id, v, norm). */
+  def sq8TopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      rerank: Int = 32): DataFrame = {
+    val vecs = withNorm(corpus)
+    // fit: per-dim (min, range) — partial-aggregated, model-sized
+    val mm = vecs
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    val dim = mm.length
+    val mins = new Array[Double](dim)
+    val scales = new Array[Double](dim)
+    mm.foreach { r =>
+      val d = r.getInt(0)
+      mins(d) = r.getDouble(1)
+      scales(d) = r.getDouble(2) - r.getDouble(1)
+    }
+    val minsC = typedLit(mins.toSeq)
+    val scalesC = typedLit(scales.toSeq)
+    // the 8x-compressed corpus: only (n_id, codes) persists/flows
+    val codes = vecs.select(col("vec_id").as("n_id"),
+      call_function("graft_sq8_encode", col("v"), minsC, scalesC).as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("v").as("v_q"), col("norm").as("norm_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val cand = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dq",
+        call_function("graft_sq8_dequant", col("codes"), minsC, scalesC))
+      .withColumn("adc",
+        call_function("graft_dot", col("v_q"), col("dq")) /
+          (sqrt(col("norm_q")) * sqrt(call_function("graft_norm2", col("dq")))))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= rerank)
+      .select("q_id", "n_id")
+    rerankExact(cand, q,
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
+  }
 }

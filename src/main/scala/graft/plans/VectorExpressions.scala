@@ -396,6 +396,87 @@ case class PqAssign(left: Expression, right: Expression, m: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Kernels for the SQ8 scalar-quantization expressions (E8): per-dim
+  * affine uint8 codes against a driver-fit (mins, scales) model. Both
+  * directions are exact double arithmetic in a FIXED evaluation order —
+  * (x - mn)/s*255 with HALF_UP rounding on encode, mn + c/255*s on
+  * decode — so the DuckDB oracle replays them bit-identically (positive
+  * operands make Java's HALF_UP and DuckDB's round-away-from-zero
+  * agree). A zero-width dimension encodes to 0 and decodes to mn. */
+object Sq8Kernel {
+  def encode(v: ArrayData, mins: ArrayData, scales: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = scales.getDouble(i)
+      out(i) =
+        if (s == 0.0) 0
+        else java.math.BigDecimal.valueOf(
+          (v.getDouble(i) - mins.getDouble(i)) / s * 255.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def dequant(codes: ArrayData, mins: ArrayData, scales: ArrayData): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mins.getDouble(i) + codes.getInt(i) / 255.0 * scales.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** uint8 scalar-quantization encode as a native codegen expression:
+  * codes = round((v - mins) / scales * 255). */
+case class Sq8Encode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  // caller guarantees (array<double>, array<double>, array<double>)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sq8_encode"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Sq8Kernel.encode(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.Sq8Kernel.encode($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Encode =
+    copy(first = f, second = s, third = t)
+}
+
+/** The inverse: dq = mins + codes / 255 * scales (the scan-time view the
+  * ADC pass scores against — stored bytes, derived doubles). */
+case class Sq8Dequant(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  // caller guarantees (array<int>, array<double>, array<double>)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_sq8_dequant"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Sq8Kernel.dequant(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.Sq8Kernel.dequant($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Dequant =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session-level registration so operators can reach the native expressions
   * through `call_function` without touching private Column constructors. */
 object VectorFunctions {
@@ -465,7 +546,11 @@ object VectorFunctions {
     // bare AggregateFunction like graft_vec_sum: the analyzer wraps it
     ("graft_topk_freq", classOf[TopKFreq],
       (exprs: Seq[Expression]) => TopKFreq(exprs.head,
-        IntLitArg.of("graft_topk_freq(term, capacity)", "capacity", exprs(1)))))
+        IntLitArg.of("graft_topk_freq(term, capacity)", "capacity", exprs(1)))),
+    ("graft_sq8_encode", classOf[Sq8Encode],
+      (exprs: Seq[Expression]) => Sq8Encode(exprs.head, exprs(1), exprs(2))),
+    ("graft_sq8_dequant", classOf[Sq8Dequant],
+      (exprs: Seq[Expression]) => Sq8Dequant(exprs.head, exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -205,4 +205,53 @@ class SimilaritySpec extends SparkSpec {
       !l.contains("v#") && !l.contains("probes") && !l.contains("buckets")),
       s"aggregate carries more than candidate ids:\n${aggs.mkString("\n")}")
   }
+
+  test("sq8 top-k reaches recall@5 >= 0.9 vs brute force") {
+    // 8 bits per dim loses almost nothing at rerank=32 — far tighter
+    // than the PQ tiers' 0.6 bar
+    val brute = topk(Similarity.annBruteTopK(t)).toSet
+    val sq8 = topk(Similarity.sq8TopK(t))
+    val recall = sq8.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"sq8 recall@5 vs brute (rerank=32) = $recall")
+    assert(recall >= 0.9)
+  }
+
+  test("sq8 encode/dequant round-trip error stays within half a quantization step") {
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // fit the same model the operator fits
+    val mm = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx")).collect()
+    val dim = mm.length
+    val mins = new Array[Double](dim); val scales = new Array[Double](dim)
+    mm.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      scales(r.getInt(0)) = r.getDouble(2) - r.getDouble(1)
+    }
+    val rows = vecs
+      .withColumn("dq", call_function("graft_sq8_dequant",
+        call_function("graft_sq8_encode", col("v"),
+          typedLit(mins.toSeq), typedLit(scales.toSeq)),
+        typedLit(mins.toSeq), typedLit(scales.toSeq)))
+      .select(col("v"), col("dq")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0); val dq = r.getSeq[Double](1)
+      v.indices.foreach { i =>
+        val halfStep = scales(i) / 255.0 / 2.0 + 1e-12
+        assert(math.abs(v(i) - dq(i)) <= halfStep,
+          s"dim $i: |${v(i)} - ${dq(i)}| > $halfStep")
+      }
+    }
+  }
+
+  test("sq8 candidate and re-rank windows keep rank-limit pushdown") {
+    val df = Similarity.sq8TopK(t)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val limits = plan.split("WindowGroupLimit").length - 1
+    assert(limits >= 2,
+      s"expected rank-limit pushdown on ADC AND re-rank windows, saw $limits:\n$plan")
+  }
 }
