@@ -211,6 +211,30 @@ object EventStreams {
     docs.filter(graft.operators.TextOps.mixKeep(weights, defaultFrac))
       .select(col("doc_id"), col("source"))
 
+  /** F11 streaming twin — PII redaction as documents ARRIVE: the SAME
+    * per-row regex projection as the batch operator (shared builder
+    * [[graft.operators.TextOps.redactPiiOf]]), so batch and stream
+    * provably agree row for row. Third stateless hygiene gate: pure
+    * projection, append mode, NO state store, no shuffle. */
+  def redactPiiStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.redactPiiOf(docs)
+
+  /** F10 streaming twin — the Gopher repetition-quality gate as
+    * documents ARRIVE: the shared per-row kernel
+    * ([[graft.operators.TextOps.repetitionSignalsOf]]) scores each doc,
+    * the published thresholds filter (Rae et al. 2021 Table A1 uses
+    * dup-line > 0.3 and top-2-gram > 0.2 as reject rules). Emits the
+    * REJECTED docs with their offending fractions — the reject-queue
+    * side of the gate; keepers are the complement. Stateless: one
+    * kernel call + filter per row, append mode, no state store. */
+  def repetitionGateStream(docs: DataFrame,
+      maxDupBlockFrac: Double = 0.3,
+      maxTop2Frac: Double = 0.2): DataFrame =
+    graft.operators.TextOps.repetitionSignalsOf(docs)
+      .filter(col("dup_block_frac") > maxDupBlockFrac ||
+        col("top2_frac") > maxTop2Frac)
+      .select(col("doc_id"), col("dup_block_frac"), col("top2_frac"))
+
   final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
   final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
 

@@ -212,6 +212,66 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming pii redaction equals batch and is stateless (F11 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane@mail.example.org thanks"),
+      (2L, "call +1-555-0100 or visit 10.0.0.7 now"),
+      (3L, "no pii in this one"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.redactPiiStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, n_emails, n_phones, n_ips, redacted from pii_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val batch = graft.operators.TextOps.redactPiiOf(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+      assert(streamed == batch)
+      assert(streamed(0)._5.contains("<EMAIL>") && streamed(1)._5.contains("<PHONE>")
+        && streamed(1)._5.contains("<IP>"))
+    } finally query.stop()
+  }
+
+  test("streaming repetition gate rejects the same docs as batch thresholds (F10 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      // one 8-word block repeated -> dup_block_frac 1/3 > 0.3: reject
+      (1L, "a b c d e f g h a b c d e f g h tail words"),
+      // dominant 2-gram -> top2_frac > 0.2: reject
+      (2L, "one two one two one two one two one two"),
+      (3L, "these words are all quite distinct today friend"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.repetitionGateStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(1): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      query.processAllAvailable()
+      val rejected = spark.sql("select doc_id from rep_gate order by doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rejected == Seq(1L, 2L), s"gate rejected $rejected")
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // shared kernel: the batch scorer agrees on who crosses a threshold
+      val batch = graft.operators.TextOps
+        .repetitionSignalsOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(4) > 0.3) || (r.getDouble(6) > 0.2))).toMap
+      assert(rejected.forall(batch(_)) && batch.count(_._2) == rejected.size)
+    } finally query.stop()
+  }
+
   test("streaming index maintenance: arriving vectors join the prefit index replay-safely") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
