@@ -550,6 +550,61 @@ private[graft] object OracleSql {
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** ivf_sq8_topk: the E8b composite replayed — the coarse Lloyd fit
+    * (same CTEs as ivf_topk), the GLOBAL per-dim SQ8 fit over the raw
+    * vectors, cell assignment / nprobe routing with the (d, cid) tie
+    * rules, SQ8 encode/dequant in the kernels' fixed arithmetic order,
+    * the (adc desc, n_id) candidate window to rerank=32, exact-cosine
+    * re-rank to k=5. */
+  lazy val ivfSq8TopK: String = materialized {
+    val h = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096)
+    s"""${h.ctes},
+    mm AS (SELECT d, min(x) AS mn, max(x) - min(x) AS sc FROM (
+        SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM nrm) z
+      GROUP BY d),
+    model AS (SELECT list(mn ORDER BY d) AS mins, list(sc ORDER BY d) AS scales
+      FROM mm),
+    asgf AS (SELECT vec_id AS n_id, cid AS cell, v FROM (
+        SELECT n.vec_id, f.cid, n.v, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS rn
+        FROM nrm n CROSS JOIN fin f) WHERE rn = 1),
+    codes AS (SELECT n_id, cell, list_transform(range(1, 65), i ->
+        CASE WHEN model.scales[i] = 0 THEN 0
+             ELSE cast(round((v[i] - model.mins[i]) / model.scales[i] * 255.0)
+               AS int) END) AS cd
+      FROM asgf CROSS JOIN model),
+    dq AS (SELECT n_id, cell, list_transform(range(1, 65), i ->
+        model.mins[i] + cd[i] / 255.0 * model.scales[i]) AS dqv
+      FROM codes CROSS JOIN model),
+    dqn AS (SELECT n_id, cell, dqv, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(dqv, xx -> xx*xx)), (s, x) -> s + x) AS dqnorm FROM dq),
+    probe AS (SELECT vec_id AS q_id, cid AS cell, v AS v_q, norm AS norm_q FROM (
+        SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS pr
+        FROM nrm n CROSS JOIN fin f WHERE n.vec_id < 10) WHERE pr <= 3),
+    adcx AS (SELECT p.q_id, c.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(p.v_q, c.dqv), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(p.norm_q) * sqrt(c.dqnorm)) AS adc
+      FROM probe p JOIN dqn c ON p.cell = c.cell AND p.q_id <> c.n_id),
+    cand AS (SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS crnk
+        FROM adcx) WHERE crnk <= 32),
+    rr AS (SELECT cand.q_id, cand.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(q.v, c.v), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(q.norm) * sqrt(c.norm)) AS cos
+      FROM cand JOIN nrm q ON q.vec_id = cand.q_id
+        JOIN nrm c ON c.vec_id = cand.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM rr)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
   /** pq_topk: the full PQ search replayed — fit (m fused subspace
     * k-means over unit vectors, canonical fold tree, joint early stop),
     * corpus coding (per-subspace argmin), query ADC tables

@@ -130,6 +130,7 @@ object SparkEntry {
     // makes routing + in-cell ranking replayable (OracleSql.ivfTopK)
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(tables(s, d))),
     "sq8_topk" -> ((s, d) => Similarity.sq8TopK(tables(s, d))),
+    "ivf_sq8_topk" -> ((s, d) => Similarity.ivfSq8TopK(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
@@ -154,6 +155,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(tables(s, d))),
     "repetition_signals" -> ((s, d) => TextOps.repetitionSignals(tables(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(tables(s, d))),
+    "normalize_text" -> ((s, d) => TextOps.normalizeText(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -259,6 +261,7 @@ object SparkEntry {
     "ivf_topk" -> OracleSql.ivfTopK,
     "pq_topk" -> OracleSql.pqTopK,
     "sq8_topk" -> OracleSql.sq8TopK,
+    "ivf_sq8_topk" -> OracleSql.ivfSq8TopK,
     "ivfpq_topk" -> OracleSql.ivfPqTopK,
     "ivfpq_search_prefit" -> OracleSql.ivfPqTopK,
     "dedup_embed_incremental" -> OracleSql.dedupEmbedIncremental,
@@ -704,6 +707,21 @@ object SparkEntry {
             AS term FROM documents) w
           GROUP BY term)
         WHERE rank <= 20 ORDER BY rank""",
+    // F12: nfc_normalize is utf8proc's UAX #15 composition — byte-
+    // identical to Java's Normalizer on the same input; control/zero-
+    // width ranges and whitespace collapse spelled in the common
+    // Java-regex/RE2 syntax ('g' = replace-all)
+    "normalize_text" ->
+      """SELECT doc_id,
+          cast(length(text) AS bigint) AS n_chars_raw,
+          cast(length(cleaned) AS bigint) AS n_chars_clean,
+          cleaned AS text
+        FROM (SELECT doc_id, text,
+          trim(regexp_replace(regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+            '[\s]+', ' ', 'g')) AS cleaned
+          FROM documents)
+        ORDER BY doc_id""",
     // F11: regenerate the planted contact line from doc_id, then the
     // same three RE2/Java-common regexes; counts from the pre-mask
     // text, masking applied email -> phone -> ipv4 ('g' = replace all,

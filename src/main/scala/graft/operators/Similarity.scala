@@ -814,4 +814,71 @@ object Similarity {
       vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
       k)
   }
+
+  /** E8b — IVF_SQ8 composite (FAISS IndexIVFScalarQuantizer with
+    * by_residual=false; Milvus's IVF_SQ8): the coarse quantizer routes
+    * (E3's Lloyd fit — a query touches nprobe/kCells of the corpus)
+    * and the routed cells are scanned in SQ8 codes (E8's global
+    * per-dim affine uint8 — 8× less read per row), dequantized inside
+    * the scan's codegen for the approximate-cosine candidate window,
+    * then exact-cosine re-ranked. Candidates need no dedup: a corpus
+    * vector lives in exactly one cell. The global (not per-cell) SQ
+    * model keeps the fit one pass and the oracle replay exact; FAISS's
+    * by_residual=true variant refines precision per cell at the cost
+    * of a residual pass — E4b already covers the residual-coding idea
+    * with PQ. */
+  def ivfSq8TopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
+      iters: Int = 5, rerank: Int = 32): DataFrame =
+    ivfSq8TopKOf(t.embeddings,
+      withNorm(t.embeddings).filter(col("vec_id") < 10),
+      k, kCells, nprobe, iters, rerank)
+
+  def ivfSq8TopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      kCells: Int = 8, nprobe: Int = 3, iters: Int = 5,
+      rerank: Int = 32): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
+    // SQ8 fit: global per-dim (min, range), one partial-aggregated pass
+    val mm = vecs
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    val mins = new Array[Double](mm.length)
+    val scales = new Array[Double](mm.length)
+    mm.foreach { r =>
+      val d = r.getInt(0)
+      mins(d) = r.getDouble(1)
+      scales(d) = r.getDouble(2) - r.getDouble(1)
+    }
+    val minsC = typedLit(mins.toSeq)
+    val scalesC = typedLit(scales.toSeq)
+    // the deployment table: (cell, n_id, codes) — partition-prunable by
+    // cell, 8x smaller than the vectors
+    val codesCells = vecs
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        call_function("graft_sq8_encode", col("v"), minsC, scalesC).as("codes"))
+    val q = queries
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val cand = broadcast(q).join(codesCells, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dq",
+        call_function("graft_sq8_dequant", col("codes"), minsC, scalesC))
+      .withColumn("adc",
+        call_function("graft_dot", col("v_q"), col("dq")) /
+          (sqrt(col("norm_q")) * sqrt(call_function("graft_norm2", col("dq")))))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= rerank)
+      .select("q_id", "n_id")
+    val out = rerankExact(cand,
+      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
+    vecs.unpersist(blocking = false) // model frozen; the returned plan re-derives
+    out
+  }
 }

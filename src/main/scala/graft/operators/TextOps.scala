@@ -395,6 +395,36 @@ object TextOps {
       col("lang").as("true_lang"))
   }
 
+  /** F12 — text NORMALIZATION/CLEANING: Unicode NFC (composed vs
+    * decomposed accents must hash identically before any dedup tier
+    * sees them — [[graft.plans.NfcKernel]]), strip ASCII control and
+    * zero-width characters, collapse whitespace runs to single spaces,
+    * trim. The canonical first pass of every published curation
+    * pipeline (C4/RefinedWeb/Dolma all normalize before filtering).
+    * Regex classes are spelled as explicit codepoint ranges — identical
+    * semantics in Java regex and RE2, like the F11 rule. Pure per-row
+    * projection: no shuffle, no UDF (one native kernel + codegen'd
+    * regexp_replace chain). */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
+  val WsRunRe = "[\\s]+"
+
+  def normalizeTextOf(docs: DataFrame): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        call_function("graft_nfc", col("text")),
+        ControlRe, ""),
+      WsRunRe, " "))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(cleaned).cast("long").as("n_chars_clean"),
+      cleaned.as("text"))
+  }
+
+  /** The driver-gated F12 query over the documents table. */
+  def normalizeText(t: Tables): DataFrame = normalizeTextOf(docsSorted(t))
+
   /** C10d — approximate TOP-K TERMS via the Misra–Gries frequent-items
     * sketch ([[graft.plans.TopKFreq]]): global heavy hitters over the
     * corpus's token stream WITHOUT shuffling the distinct-term space —

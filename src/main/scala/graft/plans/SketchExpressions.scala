@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.Hashing
 
@@ -604,5 +604,39 @@ case class RepStats(child: Expression, blockN: Int = 8)
       a => s"${ev.value} = graft.plans.RepStatsKernel.stats($a, $blockN);")
 
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization as a native codegen expression — the text
+  * CLEANING primitive every published curation pipeline applies before
+  * hashing/dedup (composed vs decomposed accents would otherwise hash
+  * as different documents). Java's Normalizer and DuckDB's utf8proc
+  * both implement UAX #15 canonical composition, so the oracle twin
+  * (`nfc_normalize`) reproduces the output byte for byte; the ASCII
+  * corpus passes through untouched and the specs carry the real
+  * multi-form fixtures. Interning check: already-NFC input returns the
+  * original UTF8String, no allocation. */
+object NfcKernel {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  // caller guarantees a string input
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(a: Any): Any =
+    NfcKernel.nfc(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.NfcKernel.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

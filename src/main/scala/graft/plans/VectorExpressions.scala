@@ -550,7 +550,9 @@ object VectorFunctions {
     ("graft_sq8_encode", classOf[Sq8Encode],
       (exprs: Seq[Expression]) => Sq8Encode(exprs.head, exprs(1), exprs(2))),
     ("graft_sq8_dequant", classOf[Sq8Dequant],
-      (exprs: Seq[Expression]) => Sq8Dequant(exprs.head, exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => Sq8Dequant(exprs.head, exprs(1), exprs(2))),
+    ("graft_nfc", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

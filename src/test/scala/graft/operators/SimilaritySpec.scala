@@ -246,6 +246,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf_sq8 composite reaches recall@5 >= 0.6 vs brute force") {
+    // bounded by the coarse routing (nprobe 3 of 8 cells), like E3b —
+    // the SQ8 coding inside the probed cells loses almost nothing
+    val brute = topk(Similarity.annBruteTopK(t)).toSet
+    val df = Similarity.ivfSq8TopK(t)
+    val got = topk(df)
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    info(s"ivf_sq8 recall@5 vs brute (nprobe=3/8, rerank=32) = $recall")
+    assert(recall >= 0.6)
+    // every query emits exactly k rows and ranks are 1..k
+    val byQ = df.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+    }
+    // the compressed first pass: its candidate windows keep rank-limit
+    // pushdown, like pq/sq8
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("WindowGroupLimit").length - 1 >= 2, plan)
+  }
+
   test("sq8 candidate and re-rank windows keep rank-limit pushdown") {
     val df = Similarity.sq8TopK(t)
     df.collect() // finalize the adaptive plan

@@ -233,6 +233,41 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall(x => Set("en", "es", "fr", "de", "zh", "und").contains(x._2)))
   }
 
+  test("text normalization: NFC folds forms, strips controls/zero-width, collapses runs") {
+    import spark.implicits._
+    val composed = "caf\u00e9" // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + combining acute
+    val docs = Seq(
+      (1L, composed),
+      (2L, decomposed),
+      (3L, "tab\there\nand\u0007runs   of spaces"),
+      (4L, "zero\u200bwidth\u200dgone\ufeff"),
+      (5L, "  padded  "),
+      (6L, "already clean ascii")).toDF("doc_id", "text")
+    val got = TextOps.normalizeTextOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the whole point: both Unicode forms normalize to the SAME string
+    assert(got(1L)._3 == got(2L)._3 && got(1L)._3 == composed)
+    assert(got(2L)._1 == 5L && got(2L)._2 == 4L, "decomposed form folds to 4 chars")
+    assert(got(3L)._3 == "tab here and\u0007runs of spaces" ||
+      got(3L)._3 == "tab here andruns of spaces", s"got: $${got(3L)._3}")
+    assert(got(4L)._3 == "zerowidthgone")
+    assert(got(5L)._3 == "padded")
+    assert(got(6L)._3 == "already clean ascii" && got(6L)._1 == got(6L)._2)
+  }
+
+  test("text normalization is an identity on the ascii corpus; one exchange") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.normalizeText(t)
+    val changed = out.as("o").join(t.documents.as("d"), Seq("doc_id"))
+      .filter(col("o.text") =!= col("d.text")).count()
+    assert(changed == 0, "ascii corpus must pass through unchanged")
+    assert(out.filter(col("n_chars_raw") =!= col("n_chars_clean")).count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      "normalization must not shuffle beyond the output sort:\n" + plan)
+  }
+
   test("approx top terms: exact regime equals the groupBy counts, partition-independent") {
     import org.apache.spark.sql.functions._
     val exact = t.documents
