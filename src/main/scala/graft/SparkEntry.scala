@@ -156,6 +156,7 @@ object SparkEntry {
     "repetition_signals" -> ((s, d) => TextOps.repetitionSignals(tables(s, d))),
     "pii_redact" -> ((s, d) => TextOps.piiRedact(tables(s, d))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(tables(s, d))),
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -707,6 +708,23 @@ object SparkEntry {
             AS term FROM documents) w
           GROUP BY term)
         WHERE rank <= 20 ORDER BY rank""",
+    // F13: same greedy concat-order rule — bin = integer-div of the
+    // running token total BEFORE the doc, per source, doc_id order
+    "pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+          cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS n_tokens
+        FROM documents),
+        c AS (SELECT source, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_after FROM d),
+        b AS (SELECT source, doc_id, n_tokens,
+          cast((cum_after - n_tokens) // 512 AS bigint) AS bin FROM c)
+        SELECT source, bin,
+          count(*) AS n_docs,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+          cast(sum(n_tokens) AS bigint) AS n_tokens
+        FROM b GROUP BY source, bin
+        ORDER BY source, bin""",
     // F12: nfc_normalize is utf8proc's UAX #15 composition — byte-
     // identical to Java's Normalizer on the same input; control/zero-
     // width ranges and whitespace collapse spelled in the common

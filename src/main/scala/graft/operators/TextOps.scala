@@ -425,6 +425,42 @@ object TextOps {
   /** The driver-gated F12 query over the documents table. */
   def normalizeText(t: Tables): DataFrame = normalizeTextOf(docsSorted(t))
 
+  /** F13 — SEQUENCE PACKING for training batches: assign documents to
+    * fixed-token-budget bins by the greedy concat-order rule (a doc
+    * lands in the bin where the running token total BEFORE it falls) —
+    * the deterministic shard-local approximation of GPT-style example
+    * packing. Packing is PER SOURCE: real pipelines pack within a
+    * shard/domain, which is also what makes this scale — the window
+    * partitions by source (one exchange on the source key), never a
+    * global single-partition sort. Output: one row per (source, bin)
+    * with its doc span, doc count, and token total; every bin except a
+    * source's last holds >= budget tokens by construction (the
+    * straddling doc closes it), and re-running at any partitioning
+    * yields the identical packing because the order key (doc_id) is
+    * total. */
+  def packSequences(t: Tables, budget: Long = 512L): DataFrame =
+    packSequencesOf(t.documents, budget)
+
+  def packSequencesOf(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(call_function("regexp_extract_all", col("text"),
+      lit("\\S+"), lit(0))).cast("long")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        graft.functions.intDiv(col("cum_after") - col("n_tokens"), budget))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("source", "bin")
+  }
+
   /** C10d — approximate TOP-K TERMS via the Misra–Gries frequent-items
     * sketch ([[graft.plans.TopKFreq]]): global heavy hitters over the
     * corpus's token stream WITHOUT shuffling the distinct-term space —

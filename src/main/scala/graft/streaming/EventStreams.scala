@@ -219,6 +219,15 @@ object EventStreams {
   def redactPiiStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.redactPiiOf(docs)
 
+  /** F12 streaming twin — normalization as documents ARRIVE: the same
+    * kernel + replace chain as the batch operator (shared builder
+    * [[graft.operators.TextOps.normalizeTextOf]]). Stateless projection,
+    * append mode, no state store — normalization belongs at INGEST so
+    * every downstream gate (dedup, decontamination, quality) sees
+    * canonical bytes. */
+  def normalizeTextStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.normalizeTextOf(docs)
+
   /** F10 streaming twin — the Gopher repetition-quality gate as
     * documents ARRIVE: the shared per-row kernel
     * ([[graft.operators.TextOps.repetitionSignalsOf]]) scores each doc,

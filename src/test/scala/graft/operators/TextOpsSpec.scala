@@ -268,6 +268,63 @@ class TextOpsSpec extends SparkSpec {
       "normalization must not shuffle beyond the output sort:\n" + plan)
   }
 
+  test("sequence packing: greedy concat-order bins, per-source, partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      // src A, budget 10: tokens 4,4,4 -> cum-before 0,4,8: bins 0,0,0
+      // (the straddling third doc closes bin 0 past the budget)
+      (1L, "a b c d", "A"), (2L, "e f g h", "A"), (3L, "i j k l", "A"),
+      // then 4 tokens at cum-before 12 -> bin 1
+      (4L, "m n o p", "A"),
+      // src B packs independently from zero
+      (5L, "q r", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.packSequencesOf(docs, budget = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 3L, 1L, 3L, 12L),
+      ("A", 1L, 1L, 4L, 4L, 4L),
+      ("B", 0L, 1L, 5L, 5L, 2L)))
+    // partitioning must not change the packing (the order key is total)
+    val repart = TextOps.packSequencesOf(docs.repartition(7), budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    assert(repart.toSeq == out.map(r => (r._1, r._2, r._6)).toSeq)
+  }
+
+  test("sequence packing fills bins to budget and never sorts globally") {
+    import org.apache.spark.sql.functions._
+    val budget = 512L
+    val out = TextOps.packSequences(t, budget)
+    // the greedy invariant: for every non-last bin b of a source, the
+    // tokens in bins 0..b have crossed the (b+1)*budget boundary —
+    // that is exactly why the next doc opened a later bin (per-bin
+    // >= budget is NOT guaranteed: a doc overshooting a boundary can
+    // leave the following bin short)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    val lastBin = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byBin = rs.sortBy(_._2)
+      var prefix = 0L
+      byBin.foreach { case (_, bin, toks) =>
+        prefix += toks
+        if (bin != lastBin(src))
+          assert(prefix >= (bin + 1) * budget,
+            s"$src bins 0..$bin hold $prefix < ${(bin + 1) * budget}")
+      }
+    }
+    // token conservation: bins sum to the corpus token total
+    val total = t.documents.select(
+      sum(size(call_function("regexp_extract_all", col("text"),
+        lit("\\S+"), lit(0))).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == total)
+    // scale shape: the window partitions by source — no single-partition
+    // global sort anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "packing must not use a single-partition window:\n" + plan)
+  }
+
   test("approx top terms: exact regime equals the groupBy counts, partition-independent") {
     import org.apache.spark.sql.functions._
     val exact = t.documents

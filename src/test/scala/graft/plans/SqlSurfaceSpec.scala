@@ -92,6 +92,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("round-11 vector/text kernels (sq8, nfc) work from SQL") {
+    VectorFunctions.register(spark)
+    // sq8 round-trip from SQL: dequant(encode(v)) stays within half a step
+    val r = spark.sql(
+      """SELECT graft_sq8_dequant(
+           graft_sq8_encode(array(0.1D, 0.5D, 0.9D), array(0D, 0D, 0D), array(1D, 1D, 1D)),
+           array(0D, 0D, 0D), array(1D, 1D, 1D)) AS dq""").collect().head.getSeq[Double](0)
+    Seq(0.1, 0.5, 0.9).zip(r).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= 0.5 / 255.0 + 1e-12, s"$x -> $d")
+    }
+    // nfc from SQL: decomposed e + combining acute folds to one codepoint
+    val n = spark.sql("SELECT length(graft_nfc('cafe\u0301')) AS l, graft_nfc('cafe\u0301') AS s")
+      .collect().head
+    assert(n.getInt(0) == 4 && n.getString(1) == "caf\u00e9")
+  }
+
   test("round-11 kernels (rep_stats, topk_freq) work from SQL") {
     VectorFunctions.register(spark)
     t.documents.createOrReplaceTempView("documents_v")

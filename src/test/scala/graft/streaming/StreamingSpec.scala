@@ -241,6 +241,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming normalization equals batch and is stateless (F12 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafe\u0301 with   runs\tand\u0007controls"),
+      (2L, "zero\u200bwidth"),
+      (3L, "plain ascii"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.normalizeTextStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, n_chars_raw, n_chars_clean, text from norm_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val batch = graft.operators.TextOps.normalizeTextOf(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(streamed == batch)
+      assert(streamed(0)._4 == "caf\u00e9 with runs and\u0007controls" ||
+        streamed(0)._4 == "caf\u00e9 with runs andcontrols")
+      assert(streamed(1)._4 == "zerowidth")
+    } finally query.stop()
+  }
+
   test("streaming repetition gate rejects the same docs as batch thresholds (F10 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
