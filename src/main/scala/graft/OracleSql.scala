@@ -461,6 +461,21 @@ private[graft] object OracleSql {
     SELECT source, rn, doc_id FROM r WHERE rn <= 10 ORDER BY source, rn"""
   }
 
+  /** shuffle_shards: the EXACT output of TextOps.shuffleShards — shard
+    * = mix64(doc_id) mod 8 (unsigned modulo ≡ Spark's signed pmod
+    * because 8 divides 2^64), per-shard sequence by SIGNED mix64 order
+    * (unsigned order over sign-flipped values), doc_id tie-break. */
+  lazy val shuffleShards: String = {
+    val idBits = s"(CASE WHEN doc_id >= 0 THEN doc_id::HUGEINT " +
+      s"ELSE doc_id::HUGEINT + $TwoTo64 END)::UBIGINT"
+    s"""WITH h AS (SELECT doc_id, source, ${mix64(idBits)} AS h FROM documents)
+    SELECT cast(h % 8 as bigint) AS shard,
+      cast(row_number() OVER (PARTITION BY h % 8
+        ORDER BY xor(h, $SignBit::UBIGINT), doc_id) as bigint) AS seq,
+      doc_id, source
+    FROM h ORDER BY shard, seq"""
+  }
+
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly
     * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated

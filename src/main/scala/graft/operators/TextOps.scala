@@ -575,4 +575,40 @@ object TextOps {
           .as("top2_frac"),
         frac(element_at(col("st"), 7), nChars).as("dup5_frac"))
   }
+
+  /** F14 — deterministic GLOBAL SHUFFLE + SHARDING: the last step of
+    * every training-data pipeline — break correlation between adjacent
+    * source documents by scattering the corpus pseudo-randomly across a
+    * fixed number of output shards, with a total per-shard order, so a
+    * training job streams the shards and sees a reproducible global
+    * permutation. The permutation key is graft_mix64(doc_id): no RNG
+    * state, so the layout is identical across runs, cluster sizes, and
+    * input partitionings (the F8/F9 discipline applied to ordering).
+    *
+    * Scale shape: ONE hash exchange on the shard id + a per-shard sort
+    * — exactly the write topology (each shard = one writer task's
+    * sorted run; at 100 TB, nShards is sized to the target output file
+    * count). There is NO global single-partition sort: the window
+    * partitions by shard. nShards must be a power of two — that is
+    * what makes Spark's signed pmod and the oracle's unsigned modulo
+    * the same function (2^64 ≡ 0 mod 2^k), and binary shard counts
+    * are the natural re-sharding unit anyway. */
+  def shuffleShards(t: Tables, nShards: Int = 8): DataFrame =
+    shuffleShardsOf(t.documents, nShards)
+
+  /** Library form over any (doc_id, source) frame. */
+  def shuffleShardsOf(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", call_function("graft_mix64", col("doc_id")))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("shard"), col("seq"), col("doc_id"), col("source"))
+      .orderBy("shard", "seq")
+  }
 }

@@ -325,6 +325,44 @@ class TextOpsSpec extends SparkSpec {
       "packing must not use a single-partition window:\n" + plan)
   }
 
+  test("shuffle shards: total permutation, driver-recomputed, partition-independent") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.shuffleShards(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nDocs = t.documents.count()
+    // conservation: every document exactly once, shard in [0, 8)
+    assert(out.length.toLong == nDocs)
+    assert(out.map(_._3).distinct.length.toLong == nDocs)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 8))
+    // per-shard sequences are contiguous 1..n
+    out.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard seq not contiguous")
+    }
+    // the permutation IS the signed mix64 order: recompute driver-side
+    val expected = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, src) =>
+        val h = graft.functions.Hashing.mix64(id)
+        (java.lang.Math.floorMod(h, 8L), h, id, src)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (shard, rs) =>
+        rs.sortBy(r => (r._2, r._3)).zipWithIndex
+          .map { case ((_, _, id, src), i) => (shard, i + 1L, id, src) }
+      }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected, "shard/seq diverges from driver recompute")
+    // reproducible at any input partitioning (no RNG state)
+    val repart = TextOps.shuffleShardsOf(
+      t.documents.select("doc_id", "source").repartition(7), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(repart.toSeq == out.toSeq, "repartitioning changed the permutation")
+    // scale shape: the window partitions by shard — never a
+    // single-partition global sort
+    val plan = TextOps.shuffleShards(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "sharding must not use a single-partition window:\n" + plan)
+  }
+
   test("approx top terms: exact regime equals the groupBy counts, partition-independent") {
     import org.apache.spark.sql.functions._
     val exact = t.documents
