@@ -476,6 +476,27 @@ private[graft] object OracleSql {
     FROM h ORDER BY shard, seq"""
   }
 
+  /** mix_token_budget: the EXACT output of TextOps.mixTokenBudget —
+    * per-source running whitespace-token total in signed-mix64 priority
+    * order (doc_id tie-break), keep while the inclusive total fits the
+    * source's budget (src0 100000 / src1 800 / default 400). */
+  lazy val mixTokenBudget: String = {
+    val idBits = s"(CASE WHEN doc_id >= 0 THEN doc_id::HUGEINT " +
+      s"ELSE doc_id::HUGEINT + $TwoTo64 END)::UBIGINT"
+    s"""WITH d AS (SELECT source, doc_id,
+        cast(len(regexp_extract_all(text, '\\S+')) AS bigint) AS n_tokens,
+        ${mix64(idBits)} AS h FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+        cast(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY xor(h, $SignBit::UBIGINT), doc_id
+          ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
+      FROM d)
+    SELECT source, doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= CASE source WHEN 'src0' THEN 100000
+      WHEN 'src1' THEN 800 ELSE 400 END
+    ORDER BY source, doc_id"""
+  }
+
   /** dedup_simhash: the 7-band pigeonhole candidate generation is
     * COMPLETE for Hamming <= 6, so the operator's output is exactly
     * "all pairs at Hamming <= 6 of the 64-bit sign-aggregated

@@ -576,6 +576,54 @@ object TextOps {
         frac(element_at(col("st"), 7), nChars).as("dup5_frac"))
   }
 
+  /** F15 — per-source TOKEN-BUDGET capping: the Dolma/Pile-style domain
+    * mixing primitive — each source gets a token budget, and the mix
+    * takes documents in a deterministic pseudo-random priority order
+    * (graft_mix64(doc_id), doc_id tie-break — no RNG state, so the mix
+    * is identical across runs, cluster sizes, and input partitionings)
+    * until the budget is exhausted: a doc is kept iff the running token
+    * total INCLUDING it stays within the source's budget. Where F8
+    * fixes a keep RATE and F9 a SIZE, this fixes the unit that actually
+    * prices a pre-training mixture: TOKENS per domain.
+    *
+    * Scale shape: one corpus scan computes the whitespace token count
+    * per row (codegen'd regex, no UDF), then ONE hash exchange on
+    * source + a per-source sort feeds the running-sum window — the F13
+    * packing topology. Sources is a mixture config (tens to hundreds of
+    * domains), so the window's key cardinality bounds per-task work at
+    * corpus/|sources|; a pathological single-domain corpus degrades to
+    * one sorted task, which is the correct semantics for a sequential
+    * budget and the config's problem to avoid. */
+  def mixTokenBudget(t: Tables): DataFrame =
+    // src0's budget never binds (take-all), src1's binds tightly, the
+    // default binds everywhere: all three regimes in one query
+    mixTokenBudgetOf(t.documents,
+      Map("src0" -> 100000L, "src1" -> 800L), defaultBudget = 400L)
+
+  /** Library form over any (doc_id, source, text) frame. */
+  def mixTokenBudgetOf(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val nTok = size(call_function("regexp_extract_all",
+      col("text"), lit("\\S+"), lit(0))).cast("long")
+    // budget as a when-chain on source (the F8 discipline: config is
+    // expression-inlined, never a join)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("h", call_function("graft_mix64", col("doc_id")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
   /** F14 — deterministic GLOBAL SHUFFLE + SHARDING: the last step of
     * every training-data pipeline — break correlation between adjacent
     * source documents by scattering the corpus pseudo-randomly across a

@@ -363,6 +363,56 @@ class TextOpsSpec extends SparkSpec {
       "sharding must not use a single-partition window:\n" + plan)
   }
 
+  test("token-budget mixing: greedy prefix semantics, driver-recomputed, partition-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted fixture: priority order is mix64 order, NOT doc_id order,
+    // and the straddling doc is dropped while later smaller docs that
+    // still fit are NOT back-filled (strict prefix-of-priority rule)
+    val docs = Seq(
+      (1L, "sA", "a b c"),          // 3 tokens
+      (2L, "sA", "d e f g"),        // 4 tokens
+      (3L, "sA", "h i"),            // 2 tokens
+      (4L, "sB", "x y z w q r s t") // 8 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.mixTokenBudgetOf(docs, Map("sB" -> 4L), defaultBudget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val h = (id: Long) => graft.functions.Hashing.mix64(id)
+    val order = Seq(1L, 2L, 3L).sortBy(id => (h(id), id))
+    // replay the greedy rule driver-side on sA's 5-token budget
+    var cum = 0L
+    val tok = Map(1L -> 3L, 2L -> 4L, 3L -> 2L)
+    val expectA = order.flatMap { id =>
+      cum += tok(id)
+      if (cum <= 5L) Some((("sA"), id, tok(id), cum)) else None
+    }
+    assert(out.filter(_._1 == "sA").sortBy(_._2).toSeq == expectA.sortBy(_._2),
+      s"sA prefix diverges (priority order was $order)")
+    // sB: 8 > 4, the lone doc straddles -> source contributes nothing
+    assert(!out.exists(_._1 == "sB"), "straddling doc must be dropped")
+    // real-corpus regimes: src0 take-all, src1/default binding
+    val full = TextOps.mixTokenBudget(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val src0All = t.documents.filter($"source" === "src0").count()
+    assert(full.count(_._1 == "src0").toLong == src0All,
+      "non-binding budget must keep the whole source")
+    full.groupBy(_._1).foreach { case (src, rs) =>
+      val cap = if (src == "src0") 100000L else if (src == "src1") 800L else 400L
+      assert(rs.map(_._3).sum <= cap, s"$src exceeds its budget")
+    }
+    // reproducible at any input partitioning (no RNG state)
+    val repart = TextOps.mixTokenBudgetOf(
+      t.documents.repartition(7), Map("src0" -> 100000L, "src1" -> 800L), 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repart.sortBy(r => (r._1, r._2)).toSeq == full.sortBy(r => (r._1, r._2)).toSeq,
+      "repartitioning changed the mix")
+    // scale shape: the window partitions by source — never a
+    // single-partition pass
+    val plan = TextOps.mixTokenBudget(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "budget capping must not use a single-partition window:\n" + plan)
+  }
+
   test("approx top terms: exact regime equals the groupBy counts, partition-independent") {
     import org.apache.spark.sql.functions._
     val exact = t.documents
