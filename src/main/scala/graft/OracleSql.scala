@@ -100,7 +100,14 @@ private[graft] object OracleSql {
     * acc = mix64(acc ^ min) per row), DISTINCT pairs sharing any band
     * (= the operator's exactly-once first-agreeing-band emission).
     * Shared by dedup_minhash, dedup_clusters_lsh, and curation_full. */
-  private def minhashCandCtes(src: String): String = {
+  private def minhashCandCtes(src: String): String =
+    s"""${minhashSigCtes(src)},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+
+  /** CTE block ending in `sigs` — the 4 × 10 minhash band signatures of
+    * every doc in `src` (the graft_minhash_bands kernel replayed). */
+  private def minhashSigCtes(src: String): String = {
     val seedMin = s"xor(min(xor(${mix64("xor(base, seed)")}, " +
       s"$SignBit::UBIGINT)), $SignBit::UBIGINT)"
     val folds = (0 until 4).map { b =>
@@ -117,10 +124,30 @@ private[graft] object OracleSql {
       FROM base CROSS JOIN (SELECT unnest(range(40))::UBIGINT AS seed)
       GROUP BY doc_id, seed),
     sigl AS (SELECT doc_id, list(mn ORDER BY seed) AS mins FROM mins GROUP BY doc_id),
-    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(4)) AS band FROM sigl),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+    sigs AS (SELECT doc_id, unnest($folds) AS sig, unnest(range(4)) AS band FROM sigl)"""
   }
+
+  /** decontaminate_fuzzy: the EXACT output of TextOps.decontaminateFuzzy
+    * — minhash band signatures over ALL documents, candidates split by
+    * the F6 rule (corpus % 100 <> 0 vs benchmark % 100 = 0), DISTINCT
+    * per pair (= the first-agreeing-band election), verified at exact
+    * word-set Jaccard >= 0.9 on string token sets. */
+  lazy val decontaminateFuzzy: String =
+    s"""WITH ${minhashSigCtes("documents")},
+    cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM sigs c JOIN sigs b ON c.band = b.band AND c.sig = b.sig
+      WHERE c.doc_id % 100 <> 0 AND b.doc_id % 100 = 0),
+    tok2 AS (SELECT doc_id,
+        list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS tk,
+        cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n
+      FROM documents)
+    SELECT doc_id, bench_id, round(j, 4) AS jaccard4 FROM (
+      SELECT cand.doc_id, bench_id,
+        cast(len(list_intersect(a.tk, b.tk)) as bigint)
+          / (a.n + b.n - cast(len(list_intersect(a.tk, b.tk)) as bigint)) AS j
+      FROM cand JOIN tok2 a ON a.doc_id = cand.doc_id
+        JOIN tok2 b ON b.doc_id = bench_id)
+    WHERE j >= 0.9 ORDER BY doc_id, bench_id"""
 
   /** CTE block `tok2, p` — the minhash candidates of `src` verified at
     * exact word-Jaccard >= threshold: the edge rule of

@@ -159,6 +159,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(tables(s, d))),
     "shuffle_shards" -> ((s, d) => TextOps.shuffleShards(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
+    "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -278,6 +279,7 @@ object SparkEntry {
     "sample_k_per_source" -> OracleSql.sampleKPerSource,
     "shuffle_shards" -> OracleSql.shuffleShards,
     "mix_token_budget" -> OracleSql.mixTokenBudget,
+    "decontaminate_fuzzy" -> OracleSql.decontaminateFuzzy,
     "dedup_clusters_lsh" -> OracleSql.dedupClustersLsh,
     "dedup_embed_clusters" -> OracleSql.dedupEmbedClusters,
     "curation_full" -> OracleSql.curationFull,

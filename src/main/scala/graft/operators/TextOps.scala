@@ -186,6 +186,72 @@ object TextOps {
       t.documents.filter(col("doc_id") % benchMod === 0L),
       n)
 
+  /** F6b — FUZZY decontamination: near-duplicate probing of the corpus
+    * against a benchmark/eval set via MinHash bands, verified at exact
+    * word-set Jaccard. Exact n-gram decontamination ([[decontaminateAgainst]])
+    * misses PARAPHRASED eval leakage — reworded answers share few
+    * verbatim 3-grams but keep a high word-set overlap; this is the
+    * standard companion pass (fuzzy dedup between train and test).
+    *
+    * Same signature family as D3 (graft_minhash_bands: 40 hashes, 4
+    * bands × 10 rows — candidate recall ≈ 0.82 at j = 0.9, ≈ 0.97 at
+    * the planted-dup 0.95; the oracle replays the bands, so the output
+    * is exact BY CONSTRUCTION over the banded candidate set).
+    *
+    * Scale shape: the benchmark is MODEL-SIZED next to a 100 TB corpus,
+    * so its band table AND token sets broadcast — the corpus never
+    * shuffles; the only exchange carries verified contaminated pairs.
+    * Exactly-once per pair via the first-agreeing-band election (no
+    * distinct over multi-band agreements, keeping the path
+    * shuffle-free). Verification runs the same zero-allocation hashed
+    * merge kernel as D2 (oracle stays on string sets). */
+  def decontaminateFuzzyAgainst(docs: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val tok = (d: DataFrame) => d
+      .select(col("doc_id"),
+        array_sort(array_distinct(words(col("text")))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("toks_h", array_sort(transform(col("toks"), tk => xxhash64(tk))))
+      .withColumn("sigs", call_function("graft_minhash_bands", col("toks")))
+    val corpus = tok(docs).select(col("doc_id"), col("n").as("n_a"),
+      col("toks_h").as("toks_a"), col("sigs").as("sigs_a"))
+    val bench = tok(benchmark).select(col("doc_id").as("bench_id"),
+      col("n").as("n_b"), col("toks_h").as("toks_b"), col("sigs").as("sigs_b"))
+    val corpusX = corpus.select(col("doc_id"), col("n_a"), col("toks_a"),
+      col("sigs_a"), posexplode(col("sigs_a")).as(Seq("band", "sig")))
+    val benchX = bench.select(col("bench_id"), col("n_b"), col("toks_b"),
+      col("sigs_b"), posexplode(col("sigs_b")).as(Seq("band", "sig")))
+    // exactly-once emission: keep only the FIRST band the two signature
+    // arrays agree on (the D3 election, cross-relation form)
+    val nBands = 4
+    val firstAgree = (0 until nBands).reverse
+      .foldLeft(lit(nBands): Column) { (acc, j) =>
+        when(col("sigs_a").getItem(j) === col("sigs_b").getItem(j), j)
+          .otherwise(acc)
+      }
+    val inter = call_function("graft_intersect_long_size",
+      col("toks_a"), col("toks_b"))
+    corpusX.join(broadcast(benchX), Seq("band", "sig"))
+      .filter(col("band") === firstAgree)
+      .withColumn("i", inter)
+      .withColumn("j",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_id"), col("bench_id"), round(col("j"), 4).as("jaccard4"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** The fuzzy-decontamination query shape: the F6 split — every 100th
+    * document plays the benchmark set, the rest are the corpus. */
+  def decontaminateFuzzy(t: Tables, threshold: Double = 0.9,
+      benchMod: Long = 100L): DataFrame =
+    decontaminateFuzzyAgainst(
+      t.documents.filter(col("doc_id") % benchMod =!= 0L),
+      t.documents.filter(col("doc_id") % benchMod === 0L),
+      threshold)
+
   /** The benchmark's distinct gram hashes as a sorted driver-side
     * array — MODEL-SIZED (eval sets are MBs), the same class of
     * driver-held state as IVF centroids. Feed to

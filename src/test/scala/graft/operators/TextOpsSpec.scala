@@ -117,6 +117,51 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
 
+  test("fuzzy decontamination: finds paraphrased leakage, corpus never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1 is a light paraphrase of the benchmark (high word-set
+    // overlap, j = 10/11); doc 2 shares topic words only; identical
+    // signatures ALWAYS band-agree, so doc 3 (verbatim copy) must hit
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight and always wins"),
+      (2L, "a fox and a dog"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight and always")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight and always")).toDF("doc_id", "text")
+    val got = TextOps.decontaminateFuzzyAgainst(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L, 3L), s"got ${got.toSeq}")
+    val j3 = got.find(_._1 == 3L).get._3
+    assert(j3 == 1.0, s"verbatim copy must verify at j=1.0, got $j3")
+    // verification is exact: every reported jaccard re-checks driver-side
+    val tokset = (s: String) => "[a-z]+".r.findAllIn(s.toLowerCase).toSet
+    got.foreach { case (id, bid, j4) =>
+      val (a, b) = (tokset(corpus.collect().find(_.getLong(0) == id).get.getString(1)),
+        tokset(bench.collect().find(_.getLong(0) == bid).get.getString(1)))
+      val jExact = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(j4 - jExact) < 5e-5, s"pair ($id,$bid): $j4 vs $jExact")
+      assert(jExact >= 0.9)
+    }
+    // scale guard: the benchmark side broadcasts — the corpus reaches
+    // the band join with NO exchange (the only shuffle is the final
+    // sort of the surviving pairs)
+    val plan = TextOps.decontaminateFuzzyAgainst(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+    // output on the real corpus is a subset of the D2-style exact
+    // cross-split truth (banding may drop sub-0.95 pairs; it must never
+    // invent one)
+    val full = TextOps.decontaminateFuzzy(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.jaccardPairs(t, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (c, bench) => c % 100 != 0 && bench % 100 == 0 }.toSet
+    assert(full.subsetOf(truth), s"invented pairs: ${full -- truth}")
+    assert(full.nonEmpty, "real corpus must surface cross-split near-dups")
+  }
+
   test("tf-idf top terms are rank-consistent and integer-grounded") {
     val rows = TextOps.tfIdfTopTerms(t, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
