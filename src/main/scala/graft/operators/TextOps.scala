@@ -642,6 +642,45 @@ object TextOps {
         frac(element_at(col("st"), 7), nChars).as("dup5_frac"))
   }
 
+  /** F16 — per-source QUALITY-PERCENTILE gating: keep each source's
+    * upper half by stopword ratio — the CCNet discipline (quality
+    * thresholds are judged WITHIN a domain: a legal corpus and a chat
+    * corpus have incomparable absolute scores, so the cut point is a
+    * per-source rank statistic, not a global constant). The threshold
+    * is the exact per-source median selected by RANK (the C10 rule:
+    * value at row floor((n-1)/2)+1 in (score, doc_id) order — no
+    * interpolation, so the cut is a value that exists in the data and
+    * replays bit-identically in the oracle); docs tied WITH the median
+    * value are kept (the filter is on value, not rank).
+    *
+    * Scale shape: one corpus scan computes the score, then ONE hash
+    * exchange on source feeds BOTH window passes — the ordered rank and
+    * the global-frame n/threshold spread share the same partitioning,
+    * so Spark plans a single shuffle (the lag_monitor pattern); no
+    * second corpus pass, no threshold join. */
+  def qualityGate(t: Tables): DataFrame = qualityGateOf(t.documents)
+
+  /** Library form over any (doc_id, source, text) frame. */
+  def qualityGateOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = words(col("text"))
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks, tk => tk.isin(StopWords: _*))).cast("long")
+    val q = docs.select(col("doc_id"), col("source"),
+      when(nWords === 0L, lit(0.0)).otherwise(nStop.cast("double") / nWords)
+        .as("stop_ratio"))
+    val wAll = Window.partitionBy("source")
+    val wOrd = Window.partitionBy("source").orderBy(col("stop_ratio"), col("doc_id"))
+    q.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("target", floor((col("n") - 1) * 0.5) + 1)
+      .withColumn("p50_thr",
+        max(when(col("rn") === col("target"), col("stop_ratio"))).over(wAll))
+      .filter(col("stop_ratio") >= col("p50_thr"))
+      .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"))
+      .orderBy("source", "doc_id")
+  }
+
   /** F15 — per-source TOKEN-BUDGET capping: the Dolma/Pile-style domain
     * mixing primitive — each source gets a token budget, and the mix
     * takes documents in a deterministic pseudo-random priority order

@@ -117,6 +117,45 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
 
+  test("quality gate: per-source rank-selected median, ties kept, one exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sX scores: doc1 0.0, doc2 0.5 ('the' of 'the fox'), doc3 0.5,
+    // doc4 1.0 -> n=4, target rank floor(3*0.5)+1 = 2 -> thr = 0.5;
+    // BOTH 0.5 docs stay (value filter), doc1 drops
+    val docs = Seq(
+      (1L, "sX", "fox wolf"),
+      (2L, "sX", "the fox"),
+      (3L, "sX", "the wolf"),
+      (4L, "sX", "the it"),
+      (5L, "sY", "badger")).toDF("doc_id", "source", "text")
+    val out = TextOps.qualityGateOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.filter(_._1 == "sX").map(_._2).sorted.toSeq == Seq(2L, 3L, 4L),
+      s"got ${out.toSeq}")
+    assert(out.filter(_._1 == "sX").forall(_._4 == 0.5))
+    // a 1-doc source: target rank 1, the doc IS the median -> kept
+    assert(out.filter(_._1 == "sY").map(_._2).toSeq == Seq(5L))
+    // real corpus: each source keeps ceil(n/2) <= kept <= n docs and
+    // every kept score clears its source's threshold
+    val full = TextOps.qualityGate(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val srcN = t.documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length >= (srcN(src) + 1) / 2 && rs.length <= srcN(src),
+        s"$src kept ${rs.length} of ${srcN(src)}")
+      assert(rs.forall(r => r._3 >= r._4), s"$src kept a sub-threshold doc")
+    }
+    // scale shape: both window passes share ONE hash exchange on source
+    val plan = TextOps.qualityGate(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "gate must not use a single-partition window:\n" + plan)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n" + plan)
+  }
+
   test("fuzzy decontamination: finds paraphrased leakage, corpus never shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
