@@ -161,6 +161,7 @@ object SparkEntry {
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "quality_gate" -> ((s, d) => TextOps.qualityGate(tables(s, d))),
+    "quality_gate_approx" -> ((s, d) => TextOps.qualityGateApproxChecked(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
@@ -300,6 +301,28 @@ object SparkEntry {
         thr AS (SELECT source, stop_ratio AS p50_thr FROM r
           WHERE rn = (n-1)//2 + 1)
         SELECT r.source AS source, doc_id, stop_ratio, p50_thr
+        FROM r JOIN thr ON r.source = thr.source
+        WHERE stop_ratio >= p50_thr ORDER BY r.source, doc_id""",
+    // F16b: exact companion rows (same as quality_gate) + the oracle's
+    // TRUE within_bound — the sketch threshold must hold its ±2% rank
+    // contract or the hash gate fails (the approx_percentiles pattern)
+    "quality_gate_approx" ->
+      """WITH d AS (SELECT doc_id, source,
+          regexp_extract_all(lower(text),'[a-z]+') AS toks FROM documents),
+        q AS (SELECT doc_id, source,
+          CASE WHEN len(toks)=0 THEN cast(0.0 as double)
+            ELSE cast(len(list_filter(toks, tk -> tk IN
+              ('the','a','an','of','in','on','and','to','is','it'))) as bigint)
+              / cast(len(toks) as bigint) END AS stop_ratio
+          FROM d),
+        r AS (SELECT doc_id, source, stop_ratio,
+          row_number() OVER (PARTITION BY source ORDER BY stop_ratio, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS n
+          FROM q),
+        thr AS (SELECT source, stop_ratio AS p50_thr FROM r
+          WHERE rn = (n-1)//2 + 1)
+        SELECT r.source AS source, doc_id, stop_ratio, p50_thr,
+          TRUE AS within_bound
         FROM r JOIN thr ON r.source = thr.source
         WHERE stop_ratio >= p50_thr ORDER BY r.source, doc_id""",
     "dedup_clusters_lsh" -> OracleSql.dedupClustersLsh,

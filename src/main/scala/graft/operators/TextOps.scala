@@ -206,8 +206,17 @@ object TextOps {
     * shuffle-free). Verification runs the same zero-allocation hashed
     * merge kernel as D2 (oracle stays on string sets). */
   def decontaminateFuzzyAgainst(docs: DataFrame, benchmark: DataFrame,
-      threshold: Double = 0.9): DataFrame = {
-    graft.plans.VectorFunctions.register(docs.sparkSession)
+      threshold: Double = 0.9): DataFrame =
+    decontaminateFuzzyCore(docs, benchmark, threshold)
+      .orderBy("doc_id", "bench_id")
+
+  /** The orderBy-free core — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.decontaminateFuzzyStream]]): pure
+    * projections + a stream-static broadcast join + per-row filters,
+    * so it runs in append mode with NO state store. */
+  private[graft] def decontaminateFuzzyCore(docs: DataFrame,
+      benchmark: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.VectorFunctions.register(benchmark.sparkSession)
     val tok = (d: DataFrame) => d
       .select(col("doc_id"),
         array_sort(array_distinct(words(col("text")))).as("toks"))
@@ -240,7 +249,6 @@ object TextOps {
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("doc_id"), col("bench_id"), round(col("j"), 4).as("jaccard4"))
-      .orderBy("doc_id", "bench_id")
   }
 
   /** The fuzzy-decontamination query shape: the F6 split — every 100th
@@ -660,15 +668,21 @@ object TextOps {
     * second corpus pass, no threshold join. */
   def qualityGate(t: Tables): DataFrame = qualityGateOf(t.documents)
 
-  /** Library form over any (doc_id, source, text) frame. */
-  def qualityGateOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The F1/F16 stopword-ratio score as a reusable column — batch gate,
+    * approx scale twin, and streaming twin all share this builder, so
+    * they provably score identically. */
+  private[graft] def stopRatioCol: Column = {
     val toks = words(col("text"))
     val nWords = size(toks).cast("long")
     val nStop = size(filter(toks, tk => tk.isin(StopWords: _*))).cast("long")
+    when(nWords === 0L, lit(0.0)).otherwise(nStop.cast("double") / nWords)
+  }
+
+  /** Library form over any (doc_id, source, text) frame. */
+  def qualityGateOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = docs.select(col("doc_id"), col("source"),
-      when(nWords === 0L, lit(0.0)).otherwise(nStop.cast("double") / nWords)
-        .as("stop_ratio"))
+      stopRatioCol.as("stop_ratio"))
     val wAll = Window.partitionBy("source")
     val wOrd = Window.partitionBy("source").orderBy(col("stop_ratio"), col("doc_id"))
     q.withColumn("rn", row_number().over(wOrd))
@@ -678,6 +692,55 @@ object TextOps {
         max(when(col("rn") === col("target"), col("stop_ratio"))).over(wAll))
       .filter(col("stop_ratio") >= col("p50_thr"))
       .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** F16b — quality gating SCALE path: the per-source threshold from a
+    * mergeable quantile sketch (percentile_approx) instead of the exact
+    * rank window — one partial+final aggregation, so source cardinality
+    * never bounds parallelism and no per-source sort of the corpus ever
+    * runs (the exact [[qualityGate]] sorts each source's full history
+    * in one task: correct as a small-SF oracle, fatal at 100 TB — the
+    * C10/C10c pairing applied to gating). The sketch threshold is then
+    * a source-count-sized broadcast joined back onto a second scoring
+    * pass. Rows-only driver check; the spec bounds the kept-set
+    * disagreement vs the exact gate to docs NEAR the cut. */
+  /** Library form over any (doc_id, source, text) frame — the deploy
+    * shape: gate on the SKETCH threshold. */
+  def qualityGateApproxOf(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val q = docs.select(col("doc_id"), col("source"),
+      stopRatioCol.as("stop_ratio"))
+    val thr = q.groupBy("source")
+      .agg(percentile_approx(col("stop_ratio"), lit(0.5), lit(accuracy))
+        .as("p50_thr"))
+    q.join(broadcast(thr), "source")
+      .filter(col("stop_ratio") >= col("p50_thr"))
+      .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** The driver-checked form (the C10c pattern): hash-exact companion
+    * rows from the EXACT gate plus a `within_bound` boolean asserting
+    * the sketch threshold's rank sits within ±2% of the median — the
+    * oracle emits TRUE, so a sketch drifting out of its contract fails
+    * the hash gate loudly. */
+  def qualityGateApproxChecked(t: Tables, accuracy: Int = 10000): DataFrame = {
+    val q = t.documents.select(col("doc_id"), col("source"),
+      stopRatioCol.as("stop_ratio"))
+    val est = q.groupBy("source")
+      .agg(percentile_approx(col("stop_ratio"), lit(0.5), lit(accuracy))
+        .as("est_thr"))
+    val within = q.join(broadcast(est), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("stop_ratio") < col("est_thr"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("stop_ratio") <= col("est_thr"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("source"),
+        (col("n_lt") * 100L <= col("n") * 52L &&
+          col("n_le") * 100L >= col("n") * 48L).as("within_bound"))
+    qualityGate(t).join(broadcast(within), "source")
+      .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"),
+        col("within_bound"))
       .orderBy("source", "doc_id")
   }
 

@@ -244,6 +244,79 @@ object EventStreams {
         col("top2_frac") > maxTop2Frac)
       .select(col("doc_id"), col("dup_block_frac"), col("top2_frac"))
 
+  /** F6b streaming twin — FUZZY decontamination as documents ARRIVE:
+    * the SAME core as the batch operator (shared builder
+    * [[graft.operators.TextOps.decontaminateFuzzyCore]] — per-row
+    * minhash band signatures, a stream-static BROADCAST join against
+    * the model-sized benchmark band table, the first-agreeing-band
+    * election, exact-Jaccard verification), minus only the batch
+    * output sort. Append mode, NO state store; a benchmark update
+    * means restarting the query with a fresh static frame, exactly
+    * like [[decontaminateStream]]'s gram array. */
+  def decontaminateFuzzyStream(docs: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    graft.operators.TextOps.decontaminateFuzzyCore(docs, benchmark, threshold)
+
+  /** F16 streaming twin — quality gating as documents ARRIVE: the SAME
+    * score as the batch gate (shared builder
+    * [[graft.operators.TextOps.stopRatioCol]]) against PINNED
+    * per-source thresholds — a stream cannot rank the corpus, so the
+    * deploy shape is exactly the CCNet one: thresholds come from a
+    * periodic batch pass over the settled corpus (the [[qualityGate]]
+    * p50_thr column, model-sized driver state like IVF centroids) and
+    * the live gate is a stateless projection + filter. Append mode, no
+    * state store, no shuffle. */
+  def qualityGateStream(docs: DataFrame,
+      thresholds: Map[String, Double],
+      defaultThr: Double = 0.0): DataFrame = {
+    val thr = thresholds.toSeq.sortBy(_._1).foldLeft(lit(defaultThr)) {
+      case (acc, (src, v)) => when(col("source") === src, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("stop_ratio", graft.operators.TextOps.stopRatioCol)
+      .withColumn("p50_thr", thr)
+      .filter(col("stop_ratio") >= col("p50_thr"))
+      .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"))
+  }
+
+  final case class Doc(doc_id: Long, source: String, text: String)
+  final case class Admitted(source: String, doc_id: Long, n_tokens: Long,
+      cum_tokens: Long)
+
+  /** F15 streaming twin — per-source TOKEN-BUDGET enforcement as
+    * documents ARRIVE: a running per-source token counter lives in
+    * keyed state; a doc is admitted iff the counter INCLUDING it stays
+    * within the source's budget, and the counter advances only on
+    * admission (the batch operator's greedy rule in arrival order — a
+    * stream cannot replay the mix64 priority order, so admission order
+    * is ingest order; within one micro-batch rows admit in doc_id
+    * order to keep replay deterministic). Once a source's budget is
+    * exhausted every later doc drops in the filter — state is one long
+    * per source, bounded by the mixture config size, never by the
+    * corpus. */
+  def tokenBudgetStream(docs: Dataset[Doc], budgets: Map[String, Long],
+      defaultBudget: Long): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    val nTok = (s: String) => s.split("\\s+").count(_.nonEmpty).toLong
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[Doc], state: GroupState[Long]) =>
+          val budget = budgets.getOrElse(source, defaultBudget)
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            val n = nTok(d.text)
+            if (cum + n <= budget) {
+              cum += n
+              Some(Admitted(source, d.doc_id, n, cum))
+            } else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   final case class Frame(stream_id: Long, ts: java.sql.Timestamp, frame_id: Long)
   final case class Kept(stream_id: Long, frame_id: Long, ts: java.sql.Timestamp)
 

@@ -156,6 +156,37 @@ class TextOpsSpec extends SparkSpec {
       s"expected exactly one hash exchange, got $hashExchanges:\n" + plan)
   }
 
+  test("approx quality gate: sketch threshold agrees with exact off the cut, no per-source sort") {
+    import org.apache.spark.sql.functions._
+    val exact = TextOps.qualityGate(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val approx = TextOps.qualityGateApproxOf(t.documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // disagreements can only be docs whose score lies between the two
+    // thresholds of their source — never a clear keep or clear drop
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val approxSet = approx.map(r => (r._1, r._2)).toSet
+    val exThr = exact.groupBy(_._1).map { case (s, rs) => s -> rs.head._4 }
+    val apThr = approx.groupBy(_._1).map { case (s, rs) => s -> rs.head._4 }
+    val scores = (exact ++ approx).map(r => (r._1, r._2) -> r._3).toMap
+    (exactSet.diff(approxSet) ++ approxSet.diff(exactSet)).foreach { k =>
+      val (lo, hi) = (math.min(exThr(k._1), apThr(k._1)),
+        math.max(exThr(k._1), apThr(k._1)))
+      assert(scores(k) >= lo && scores(k) <= hi,
+        s"doc $k disagrees off the cut: score ${scores(k)} not in [$lo,$hi]")
+    }
+    // the checked form: every within_bound is TRUE on the real corpus
+    val checked = TextOps.qualityGateApproxChecked(t).collect()
+    assert(checked.nonEmpty && checked.forall(_.getBoolean(4)))
+    // scale shape: the deploy form never sorts the corpus per source —
+    // the sketch is a hash aggregate, not a window
+    val plan = TextOps.qualityGateApproxOf(t.documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "approx gate must not use a window/sort pass:\n" + plan)
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("fuzzy decontamination: finds paraphrased leakage, corpus never shuffles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

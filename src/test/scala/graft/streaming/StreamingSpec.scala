@@ -212,6 +212,111 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming fuzzy decontamination equals batch and is stateless (F6b twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpusRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight and always wins"),
+      (2L, "a fox and a dog"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight and always"))
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight and always"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.decontaminateFuzzyStream(
+        input.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("fuzzy_decon")
+      .outputMode("append").start()
+    try {
+      input.addData(corpusRows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(corpusRows.drop(2): _*) // batch boundaries must not matter
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, bench_id, jaccard4 from fuzzy_decon order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val batch = graft.operators.TextOps.decontaminateFuzzyAgainst(
+          corpusRows.toDF("doc_id", "text"), bench)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Seq(1L, 3L),
+        "fixture must catch the paraphrase and the verbatim copy only")
+    } finally query.stop()
+  }
+
+  test("streaming quality gate applies pinned thresholds like batch scoring (F16 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // thresholds come from a batch pass over the settled corpus — here
+    // the real qualityGate run at sf0.001 supplies them
+    val t = graft.sources.Tables(spark, sfDir)
+    val thr = graft.operators.TextOps.qualityGate(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val docs = t.documents.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text"))).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val query = EventStreams.qualityGateStream(
+        input.toDF().toDF("doc_id", "source", "text"), thr)
+      .writeStream.format("memory").queryName("qgate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(200): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(200): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select source, doc_id from qgate_stream order by source, doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // same thresholds + same shared score builder = the batch kept set
+      val batch = graft.operators.TextOps.qualityGate(t).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming token budget admits greedily per source and stops at the cap (F15 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Doc]
+    val query = EventStreams.tokenBudgetStream(
+        input.toDS(), Map("sA" -> 5L), defaultBudget = 3L)
+      .writeStream.format("memory").queryName("budget_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: sA spends 3 of 5; sB spends 2 of 3
+      input.addData(
+        EventStreams.Doc(1L, "sA", "a b c"),
+        EventStreams.Doc(2L, "sB", "x y"))
+      query.processAllAvailable()
+      // batch 2: sA's 4-token doc straddles (3+4>5) -> dropped; the
+      // 2-token doc admits exactly at the cap; sB's 2-token doc
+      // straddles (2+2>3) -> dropped
+      input.addData(
+        EventStreams.Doc(3L, "sA", "d e f g"),
+        EventStreams.Doc(4L, "sA", "h i"),
+        EventStreams.Doc(5L, "sB", "z w"))
+      query.processAllAvailable()
+      // batch 3: budgets exhausted -> nothing admits
+      input.addData(EventStreams.Doc(6L, "sA", "j"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+          "select source, doc_id, n_tokens, cum_tokens from budget_stream " +
+          "order by source, doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        ("sA", 1L, 3L, 3L), ("sA", 4L, 2L, 5L), ("sB", 2L, 2L, 2L)),
+        s"got ${rows.toSeq}")
+      // the counter lives in keyed state — exactly one state operator,
+      // rows bounded by the number of SOURCES, not documents
+      val ops = query.lastProgress.stateOperators
+      assert(ops.length == 1 && ops(0).numRowsTotal <= 2,
+        s"state must be one row per source: ${ops.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming pii redaction equals batch and is stateless (F11 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
