@@ -101,6 +101,7 @@ object SparkEntry {
     // DedupSpec asserts it refines the brute-force clustering)
     "dedup_embed_clusters" -> ((s, d) => Dedup.embedClustersLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(tables(s, d))),
     // incremental dedup against the persisted text index: the % 8 == 7
     // slice is the "new ingest", probed against the settled corpus's
     // hash + band artifact (built once, marker-gated, full lifecycle)
@@ -731,6 +732,36 @@ object SparkEntry {
         )
         SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""",
+    // D6c: the same closure as dedup_clusters, canonical member
+    // elected by (stop_ratio DESC, doc_id) within each cluster
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
+            / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) >= 0.95),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+          FROM reach GROUP BY src),
+        w AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS wt FROM documents),
+        q AS (SELECT doc_id,
+          CASE WHEN len(wt)=0 THEN cast(0.0 as double)
+            ELSE cast(len(list_filter(wt, tk -> tk IN
+              ('the','a','an','of','in','on','and','to','is','it'))) as bigint)
+              / cast(len(wt) as bigint) END AS stop_ratio
+          FROM w),
+        r AS (SELECT cluster_id, c.doc_id, stop_ratio,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY stop_ratio DESC, c.doc_id) AS rn
+          FROM c JOIN q ON q.doc_id = c.doc_id)
+        SELECT cluster_id, doc_id AS keep_id, stop_ratio
+        FROM r WHERE rn = 1 ORDER BY cluster_id""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),

@@ -388,6 +388,34 @@ object Dedup {
       jaccardPairs(t).select(col("id_a"), col("id_b")),
       maxIters)
 
+  /** D6c — canonical-member election by QUALITY: production dedup
+    * keeps each near-dup cluster's BEST document, not its first —
+    * near-dup clusters typically mix a clean original with mangled
+    * re-crawls, and electing by doc_id keeps whichever leaked in
+    * first. The election key is (stop_ratio DESC, doc_id) over the D6
+    * clusters, stop_ratio being the shared F1/F16 score builder, so
+    * cluster membership, score, and election all replay bit-identically
+    * in the oracle.
+    *
+    * Scale shape: clusters come from the components engine (checkpointed
+    * label propagation — at deploy scale the D6b LSH edge source);
+    * the score is one documents-scan projection; the join keys on
+    * doc_id and the election is ONE window pass over rows already
+    * shuffled by cluster — no O(n²) stage, no driver state. */
+  def dedupKeepBest(t: Tables, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(t, maxIters)
+    val q = t.documents.select(col("doc_id"),
+      graft.operators.TextOps.stopRatioCol.as("stop_ratio"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("stop_ratio").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("stop_ratio"))
+      .orderBy("cluster_id")
+  }
+
   /** D6b — near-dup clustering at SCALE: same output contract as
     * [[dedupClusters]], but the edge list comes from MinHash LSH
     * candidates (D3, one shuffle on (band, sig)) verified by the exact

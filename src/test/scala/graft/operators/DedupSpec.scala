@@ -115,6 +115,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("keep-best election picks each cluster's max-quality member") {
+    val clusters = Dedup.dedupClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextOps.textQuality(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap // stop_ratio
+    val got = Dedup.dedupKeepBest(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // one keeper per cluster, and it IS a member of that cluster
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._1).toSet == clusters.values.toSet)
+    got.foreach { case (cid, keep, sr) =>
+      assert(clusters(keep) == cid, s"keeper $keep not in cluster $cid")
+      assert(sr == quality(keep), s"keeper $keep score mismatch")
+      // the election rule, replayed driver-side
+      val members = clusters.filter(_._2 == cid).keys
+      val best = members.minBy(id => (-quality(id), id))
+      assert(keep == best, s"cluster $cid kept $keep, best is $best")
+    }
+    // a real multi-member cluster must exist where the keeper is NOT
+    // the min id — otherwise this collapses into dedup_clusters
+    assert(got.exists { case (cid, keep, _) => keep != cid },
+      "fixture never exercises a quality election over the id order")
+  }
+
   test("connected components propagate labels across a 10-hop chain") {
     import spark.implicits._
     // chain 1-2-3-...-10 plus isolated 99: the min label must travel the
