@@ -850,4 +850,47 @@ object Dedup {
     * enough cross-document blocks for a non-trivial drop set). */
   def removeBoilerplateBlocks(t: Tables, n: Int = 8, minDocs: Int = 3): DataFrame =
     removeBoilerplate(t.documents, wordBlockParas(col("text"), n), " ", minDocs)
+
+  /** The D8b boilerplate election as a driver-side SORTED hash list —
+    * MODEL-SIZED (boilerplate is the corpus's repeated template text:
+    * headers, footers, license blocks — a bounded vocabulary no matter
+    * the corpus size), the same class of pinned state as
+    * [[graft.operators.TextOps.benchmarkGrams]]. Feed to
+    * [[removeBoilerplateWith]] or the streaming gate. Hashes are the
+    * 64-bit h1 half of the election's 128-bit key (the repo-wide
+    * ~1e-10 hash-join acceptance). */
+  def boilerplateHashes(docs: DataFrame,
+      paras: org.apache.spark.sql.Column, minDocs: Int): Array[Long] = {
+    val hs = docs.select(posexplode(paras).as(Seq("idx", "para")),
+        col("doc_id"))
+      .select(col("doc_id"), xxhash64(col("para")).as("h1"))
+      .groupBy("h1")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs.toLong)
+      .select("h1").collect().map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** D8b with a PINNED boilerplate list — the per-row half of the
+    * operator, shared by the streaming twin: split, probe each
+    * paragraph's hash against the sorted list (graft_sorted_contains —
+    * binary search, log(list) per paragraph), reassemble survivors.
+    * Pure projection: no exchange, no state, so it runs identically
+    * over a batch frame or a streaming one (append mode, no state
+    * store). */
+  def removeBoilerplateWith(docs: DataFrame,
+      paras: org.apache.spark.sql.Column,
+      delim: String,
+      sortedHashes: Array[Long]): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val lst = typedLit(sortedHashes.toSeq)
+    docs.select(col("doc_id"), paras.as("paras"))
+      .withColumn("kept", filter(col("paras"),
+        p => !call_function("graft_sorted_contains", lst, xxhash64(p))))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), delim).as("text"))
+  }
 }

@@ -167,6 +167,57 @@ case class IntersectSortedLongSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe into a SORTED long array — binary search, so a
+  * model-sized broadcast list (boilerplate hashes, block lists) costs
+  * log(n) per probe instead of array_contains' linear scan. The left
+  * side is typically a literal/broadcast sorted array; the caller owns
+  * the sortedness contract (an unsorted array silently yields wrong
+  * answers, same as the intersect kernels). */
+case class SortedContainsLong(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_sorted_contains"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[Long]
+    var lo = 0; var hi = x.numElements() - 1; var found = false
+    while (lo <= hi && !found) {
+      val mid = (lo + hi) >>> 1
+      val mv = x.getLong(mid)
+      if (mv == v) found = true
+      else if (mv < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    found
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val mv = ctx.freshName("mv")
+      s"""
+        int $lo = 0; int $hi = $a.numElements() - 1;
+        boolean ${ev.value}_found = false;
+        while ($lo <= $hi && !${ev.value}_found) {
+          int $mid = ($lo + $hi) >>> 1;
+          long $mv = $a.getLong($mid);
+          if ($mv == $b) { ${ev.value}_found = true; }
+          else if ($mv < $b) { $lo = $mid + 1; } else { $hi = $mid - 1; }
+        }
+        ${ev.value} = ${ev.value}_found;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContainsLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Array × scalar product as a codegen expression — unit-normalizing a
   * 100 TB embedding column with an interpreted transform() lambda costs
   * ~µs/element; this is the same tight loop as the other kernels. */
@@ -499,6 +550,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => IntersectSortedSize(exprs.head, exprs(1))),
     ("graft_intersect_long_size", classOf[IntersectSortedLongSize],
       (exprs: Seq[Expression]) => IntersectSortedLongSize(exprs.head, exprs(1))),
+    ("graft_sorted_contains", classOf[SortedContainsLong],
+      (exprs: Seq[Expression]) => SortedContainsLong(exprs.head, exprs(1))),
     ("graft_fingerprint", classOf[Fingerprint],
       (exprs: Seq[Expression]) => Fingerprint(exprs.head)),
     ("graft_minhash_bands", classOf[MinhashBands],

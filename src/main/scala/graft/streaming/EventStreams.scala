@@ -279,6 +279,20 @@ object EventStreams {
       .select(col("source"), col("doc_id"), col("stop_ratio"), col("p50_thr"))
   }
 
+  /** D8b streaming twin — boilerplate removal as documents ARRIVE: the
+    * boilerplate list comes from a periodic batch election over the
+    * settled corpus ([[graft.operators.Dedup.boilerplateHashes]] —
+    * model-sized, like benchmark grams or IVF centroids) and the live
+    * gate is the SAME per-row split + binary-search probe + reassembly
+    * as the pinned-list batch form (shared builder
+    * [[graft.operators.Dedup.removeBoilerplateWith]]). Stateless
+    * projection, append mode, no state store, no shuffle. */
+  def boilerplateGateStream(docs: DataFrame, sortedHashes: Array[Long],
+      blockWords: Int = 8, delim: String = " "): DataFrame =
+    graft.operators.Dedup.removeBoilerplateWith(docs,
+      graft.operators.Dedup.wordBlockParas(col("text"), blockWords),
+      delim, sortedHashes)
+
   final case class Doc(doc_id: Long, source: String, text: String)
   final case class Admitted(source: String, doc_id: Long, n_tokens: Long,
       cum_tokens: Long)

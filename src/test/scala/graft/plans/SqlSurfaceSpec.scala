@@ -108,6 +108,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n.getInt(0) == 4 && n.getString(1) == "caf\u00e9")
   }
 
+  test("round-11 sorted-contains kernel works from SQL and matches a linear probe") {
+    VectorFunctions.register(spark)
+    // membership over a sorted literal — present, absent, boundary ends
+    val rows = spark.sql(
+      """SELECT graft_sorted_contains(array(-9L, 0L, 3L, 7L, 100L), x) AS hit
+         FROM VALUES (-9L), (0L), (7L), (100L), (1L), (-10L), (101L) AS t(x)""")
+      .collect().map(_.getBoolean(0))
+    assert(rows.toSeq == Seq(true, true, true, true, false, false, false))
+    // empty list never matches
+    assert(!spark.sql("SELECT graft_sorted_contains(array(), 5L) AS h")
+      .collect().head.getBoolean(0))
+    // agreement with array_contains over a real hashed column
+    t.documents.createOrReplaceTempView("documents_sc")
+    val sorted = spark.sql(
+      "SELECT sort_array(collect_list(xxhash64(text))) FROM documents_sc " +
+      "WHERE doc_id % 7 = 0").collect().head.getSeq[Long](0)
+    val lst = sorted.map(h => s"${h}L").mkString("array(", ", ", ")")
+    val cmp = spark.sql(
+      s"""SELECT graft_sorted_contains($lst, xxhash64(text)) AS bs,
+           array_contains($lst, xxhash64(text)) AS lin
+         FROM documents_sc""").collect()
+    assert(cmp.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+    assert(cmp.exists(_.getBoolean(0)) && cmp.exists(!_.getBoolean(0)))
+  }
+
   test("round-11 kernels (rep_stats, topk_freq) work from SQL") {
     VectorFunctions.register(spark)
     t.documents.createOrReplaceTempView("documents_v")

@@ -277,6 +277,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming boilerplate gate strips the pinned blocks like batch (D8b twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, sfDir)
+    // the pinned list: the batch election over the settled corpus
+    val hashes = graft.operators.Dedup.boilerplateHashes(
+      t.documents, graft.operators.Dedup.wordBlockParas(
+        org.apache.spark.sql.functions.col("text"), 8), minDocs = 3)
+    assert(hashes.nonEmpty, "corpus must elect some boilerplate blocks")
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.boilerplateGateStream(
+        input.toDF().toDF("doc_id", "text"), hashes)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(10): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(10): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, n_kept, n_dropped, text from boiler_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // the pinned-list batch form on the same rows — shared builder
+      val batch = graft.operators.Dedup.removeBoilerplateWith(
+          docs.toDF("doc_id", "text"),
+          graft.operators.Dedup.wordBlockParas(
+            org.apache.spark.sql.functions.col("text"), 8), " ", hashes)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(streamed == batch)
+      // and the pinned-list form strips exactly what the full D8b
+      // election strips (same corpus, same threshold -> same drops)
+      val full = graft.operators.Dedup.removeBoilerplateBlocks(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(streamed == full)
+      assert(streamed.exists(_._3 > 0), "fixture must drop some blocks")
+    } finally query.stop()
+  }
+
   test("streaming token budget admits greedily per source and stops at the cap (F15 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
