@@ -530,6 +530,31 @@ private[graft] object OracleSql {
     * signature" — the oracle recomputes the signature (per-bit +1/-1
     * vote over token hashes, bit set iff the vote is positive) and
     * filters on bit_count directly, with no band machinery. */
+  /** approx_counts_cms: FULL replay of the count-min sketch — each
+    * token's hash (hashToken) derives d=4 seeded buckets
+    * (mix64(h ^ i) % 64), the sketch is the (i, bucket) count table,
+    * and a probe's estimate is the min over its d cells (0 when a cell
+    * is empty). w = 64 divides 2^64, so the unsigned modulo here equals
+    * Spark's signed pmod (the shuffle-shards divisibility rule). */
+  lazy val approxCountsCms: String = {
+    val probeList = Seq("the", "a", "an", "of", "in", "on", "and", "to", "is", "it")
+      .map(t => s"('$t')").mkString(", ")
+    val seeds = "(SELECT unnest(range(4))::UBIGINT AS i)"
+    s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    hs AS (SELECT ${hashToken("tok")} AS h FROM toks),
+    cells AS (SELECT i, ${mix64("xor(h, i)")} % 64 AS bucket
+      FROM hs CROSS JOIN $seeds),
+    sk AS (SELECT i, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY i, bucket),
+    ph AS (SELECT term, ${hashToken("term")} AS h
+      FROM (VALUES $probeList) pr(term)),
+    pb AS (SELECT term, i, ${mix64("xor(h, i)")} % 64 AS bucket
+      FROM ph CROSS JOIN $seeds)
+    SELECT term, min(coalesce(cnt, 0))::BIGINT AS est
+    FROM pb LEFT JOIN sk USING (i, bucket)
+    GROUP BY term ORDER BY term"""
+  }
+
   lazy val dedupSimhash: String =
     s"""WITH toks AS (
       SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok

@@ -164,6 +164,7 @@ object SparkEntry {
     "quality_gate" -> ((s, d) => TextOps.qualityGate(tables(s, d))),
     "quality_gate_approx" -> ((s, d) => TextOps.qualityGateApproxChecked(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
+    "approx_counts_cms" -> ((s, d) => TextOps.approxCountsCms(tables(s, d))),
     "quality_melt" -> ((s, d) => TextOps.qualityMelt(tables(s, d))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
@@ -218,6 +219,7 @@ object SparkEntry {
     "grouping_sets_agg" -> ((s, d) => Analytics.groupingSetsAgg(tables(s, d))),
     "window_range_1h" -> ((s, d) => Analytics.windowRangeSum(tables(s, d))),
     "mix_sample" -> ((s, d) => TextOps.mixSampleDocs(tables(s, d))),
+    "sample_temperature" -> ((s, d) => TextOps.sampleTemperatureDocs(tables(s, d))),
     "sample_k_per_source" -> ((s, d) => TextOps.sampleKPerSource(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
@@ -649,6 +651,27 @@ object SparkEntry {
                WHEN source = 'src1' THEN 500000
                ELSE 100000 END
         ORDER BY doc_id""",
+    // F17: replays temperatureRates' EXACT IEEE operation sequence —
+    // sqrt is correctly rounded on both engines (the reason α = 1/2),
+    // Z folds sqrt(n) in source-name order from 0.0 (list_reduce over
+    // an ORDER BY source list), and every mul/div runs in the Scala
+    // order — then the same Knuth-hash keep decision as mix_sample
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+          FROM documents GROUP BY source),
+        z AS (SELECT
+            list_reduce(list_prepend(0.0::DOUBLE,
+              list(sqrt(n::DOUBLE) ORDER BY source)), (a, b) -> a + b) AS z,
+            sum(n)::BIGINT AS total FROM c),
+        r AS (SELECT source, n,
+            least(1000000::BIGINT,
+              floor(((floor(0.5 * total) * (sqrt(n::DOUBLE) / z)) / n::DOUBLE)
+                * 1000000.0)::BIGINT) AS ppm
+          FROM c CROSS JOIN z)
+        SELECT d.source, d.doc_id, r.ppm
+        FROM documents d JOIN r USING (source)
+        WHERE ((abs(d.doc_id) % 1000000007) * 2654435761) % 1000000007 % 1000000 < r.ppm
+        ORDER BY source, doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",
@@ -781,6 +804,7 @@ object SparkEntry {
     // C10d: the oracle runs the EXACT count (capacity 1024 >= the
     // corpus's 31 distinct terms puts Misra-Gries in its exact regime);
     // ties (count desc, term asc) on both sides
+    "approx_counts_cms" -> OracleSql.approxCountsCms,
     "approx_top_terms" ->
       """SELECT rank, term, cnt FROM (
           SELECT term, cast(count(*) AS bigint) AS cnt,

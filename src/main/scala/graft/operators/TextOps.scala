@@ -333,8 +333,17 @@ object TextOps {
       defaultFrac: Double = 0.0): org.apache.spark.sql.Column = {
     // threshold in parts-per-million; floor keeps fractions exact
     def ppm(f: Double): Long = math.floor(f * 1e6).toLong
-    val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(ppm(defaultFrac))) {
-      case (acc, (src, f)) => when(col("source") === src, lit(ppm(f))).otherwise(acc)
+    keepByPpm(weights.toSeq.map { case (s, f) => (s, ppm(f)) }, ppm(defaultFrac))
+  }
+
+  /** The keep decision for PRECOMPUTED parts-per-million thresholds —
+    * the shared tail of [[mixKeep]] (fixed fractions) and
+    * [[sampleTemperature]] (rates derived from source counts), and of
+    * their streaming twins. */
+  def keepByPpm(ppm: Seq[(String, Long)],
+      defaultPpm: Long = 0L): org.apache.spark.sql.Column = {
+    val thr = ppm.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (acc, (src, v)) => when(col("source") === src, lit(v)).otherwise(acc)
     }
     // Knuth multiplicative hash with the id pre-reduced mod a large
     // prime so the product PROVABLY fits int64 for EVERY int64 id:
@@ -364,6 +373,61 @@ object TextOps {
   def mixSampleDocs(t: Tables): DataFrame =
     mixSample(t.documents,
       Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.1)
+
+  /** F17 — TEMPERATURE-based source re-weighting (the multilingual /
+    * multi-domain sampling rule of mC4 and XLM-R: sample probability
+    * q_d ∝ p_d^α with α < 1, up-weighting low-resource domains
+    * relative to their corpus share). α is fixed at 1/2 because sqrt
+    * is IEEE-correctly-rounded on every engine while pow(x, 0.3) is
+    * not — the one temperature where the rates (and therefore the
+    * sample itself) are hash-exact against an independent engine.
+    *
+    * With n_d the source's row count, N = Σ n_d, and T =
+    * floor(targetFrac·N) the sample budget: q_d = sqrt(n_d)/Z with
+    * Z = Σ sqrt(n_d) folded in source-name order, per-row keep rate
+    * r_d = min(1, T·q_d/n_d), held as floor(r_d·1e6) ppm. Every IEEE
+    * operation here runs in a FIXED order (sorted sources, explicit
+    * folds) because the DuckDB oracle replays the identical sequence —
+    * do not "simplify" the arithmetic. */
+  def temperatureRates(docs: DataFrame,
+      targetFrac: Double = 0.5): Seq[(String, Long)] = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val z = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val total = counts.foldLeft(0L) { case (acc, (_, n)) => acc + n }
+    val t = math.floor(targetFrac * total)
+    counts.map { case (s, n) =>
+      val r = (t * (math.sqrt(n.toDouble) / z)) / n.toDouble
+      (s, math.min(1000000L, math.floor(r * 1e6).toLong))
+    }
+  }
+
+  /** The F17 sample: rates from [[temperatureRates]] applied by the F8
+    * Knuth-hash threshold — reproducible across runs, cluster sizes,
+    * and partitionings.
+    *
+    * Scale shape: the counts pass is a source-keyed agg whose exchange
+    * carries tasks × |sources| partial rows (sources are a handful);
+    * the rates are MODEL-SIZED driver state (the IVF-centroid class);
+    * the sample itself is a pure projection filter riding a
+    * (doc_id, source) column scan. At 100 TB that is one stats pass
+    * over a dictionary-encoded column plus one filter scan — no corpus
+    * shuffle anywhere — and a catalog that already records per-file
+    * row counts per source skips the stats pass outright (the rates
+    * are a pure function of the counts). */
+  def sampleTemperature(docs: DataFrame,
+      targetFrac: Double = 0.5): DataFrame = {
+    val rates = temperatureRates(docs, targetFrac)
+    val ppmCol = rates.foldLeft(lit(0L)) {
+      case (acc, (src, v)) => when(col("source") === src, lit(v)).otherwise(acc)
+    }
+    docs.filter(keepByPpm(rates))
+      .select(col("source"), col("doc_id"), ppmCol.as("ppm"))
+      .orderBy("source", "doc_id")
+  }
+
+  def sampleTemperatureDocs(t: Tables): DataFrame =
+    sampleTemperature(t.documents)
 
   /** F9 — deterministic STRATIFIED bottom-k sampling: exactly
     * min(k, |stratum|) docs per source, chosen as the k smallest
@@ -555,6 +619,68 @@ object TextOps {
         col("e.term").as("term"), col("e.cnt").as("cnt"))
       .filter(col("rank") <= k)
       .orderBy("rank")
+  }
+
+  /** C10e — COUNT-MIN SKETCH point-frequency estimates (Cormode &
+    * Muthukrishnan 2005), completing the sketch family: HLL answers
+    * "how many distinct", KLL "what quantile", Misra–Gries "which are
+    * frequent", CMS "how often is THIS one" — without ever shuffling
+    * the distinct-term space. The sketch is built IN THE PLAN: each
+    * token hashes once (graft_hash_str) and derives d seeded buckets
+    * (graft_mix64(h ^ i) mod w); the (row, bucket) groupBy has only
+    * d×w distinct keys, so map-side combine collapses every partition
+    * to ≤ d×w partial rows — the HLL/KLL discipline applied to
+    * frequencies, with the sketch living as a TABLE instead of a
+    * binary blob (so probing is a relational join, not a UDF).
+    *
+    * Probes are a pinned driver-side term list; their buckets come
+    * from the SAME scalar kernels (Hashing.hashString / mix64), so
+    * operator and sketch provably agree. Estimate = min over the d
+    * rows; CMS guarantees est ≥ true count, and est ≤ true + εN with
+    * high probability (ε = e/w). w stays a power of two so the bucket
+    * arithmetic (pmod of a signed long) coincides with the oracle's
+    * unsigned modulo — the shuffle-shards divisibility rule.
+    *
+    * Scale shape at 100 TB: one token-explode corpus pass into a
+    * 256-key agg (exchange carries tasks × d×w rows), then a
+    * probe-sized join — the sketch table itself is O(d·w) independent
+    * of corpus size, and widening w trades memory for ε with no plan
+    * change. */
+  def approxCountsCms(t: Tables, d: Int = 4, w: Int = 64,
+      probes: Seq[String] = StopWords): DataFrame =
+    approxCountsCmsOf(t.documents, d, w, probes)
+
+  def approxCountsCmsOf(docs: DataFrame, d: Int = 4, w: Int = 64,
+      probes: Seq[String] = StopWords): DataFrame = {
+    require((w & (w - 1)) == 0, s"w=$w must be a power of two (pmod ≡ unsigned mod)")
+    val spark = docs.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    import spark.implicits._
+    val buckets = (0 until d).map { i =>
+      pmod(call_function("graft_mix64",
+        col("h").bitwiseXOR(lit(i.toLong))), lit(w.toLong))
+    }
+    val sketch = docs
+      .select(explode(words(col("text"))).as("term"))
+      .select(call_function("graft_hash_str", col("term")).as("h"))
+      .select(posexplode(array(buckets: _*)).as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val probeRows = probes.flatMap { term =>
+      val h = graft.functions.Hashing.hashString(term)
+      (0 until d).map { i =>
+        (term, i, java.lang.Math.floorMod(
+          graft.functions.Hashing.mix64(h ^ i.toLong), w.toLong))
+      }
+    }.toDF("term", "row_i", "bucket")
+    // the sketch is O(d·w) regardless of corpus size → broadcast it
+    // into the probe-sized left join (a right-join probe broadcast is
+    // unsupported: the build side must be the non-preserved side); a
+    // missing sketch cell means no token hashed there → estimate 0
+    probeRows.join(broadcast(sketch), Seq("row_i", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .orderBy("term")
   }
 
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's

@@ -31,6 +31,10 @@ object SketchKernels {
     h
   }
 
+  /** Hashing.hashString over a Tungsten string — shared by the HashStr
+    * expression's interpreted and generated paths. */
+  def hashStr(s: UTF8String): Long = Hashing.hashString(s.toString)
+
   /** 64-bit SimHash over the token set — the Sketches.simhashSig logic
     * reading tokens straight from Tungsten ArrayData. */
   def simhashSig(arr: ArrayData): Long = {
@@ -404,6 +408,27 @@ case class Mix64(child: Expression) extends UnaryExpression
       a => s"${ev.value} = graft.functions.Hashing.mix64($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+/** Hashing.hashString as a native codegen expression — the per-token
+  * 64-bit hash behind every graft sketch, exposed for operators whose
+  * sketch is built IN THE PLAN rather than inside a kernel (the C10e
+  * count-min bucket projection hashes each token once and derives d
+  * seeded buckets from the one hash). */
+case class HashStr(child: Expression) extends UnaryExpression {
+  // caller guarantees a string input
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash_str"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchKernels.hashStr(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.SketchKernels.hashStr($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashStr =
     copy(child = newChild)
 }
 

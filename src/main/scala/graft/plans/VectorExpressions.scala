@@ -554,6 +554,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SortedContainsLong(exprs.head, exprs(1))),
     ("graft_fingerprint", classOf[Fingerprint],
       (exprs: Seq[Expression]) => Fingerprint(exprs.head)),
+    ("graft_hash_str", classOf[HashStr],
+      (exprs: Seq[Expression]) => HashStr(exprs.head)),
     ("graft_minhash_bands", classOf[MinhashBands],
       (exprs: Seq[Expression]) => MinhashBands(exprs.head)),
     ("graft_oph_bands", classOf[OphBands],

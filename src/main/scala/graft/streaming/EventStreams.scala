@@ -211,6 +211,17 @@ object EventStreams {
     docs.filter(graft.operators.TextOps.mixKeep(weights, defaultFrac))
       .select(col("doc_id"), col("source"))
 
+  /** F17 streaming twin — temperature sampling as documents ARRIVE:
+    * the per-source rates are pinned driver-side state computed from a
+    * settled corpus snapshot (the IVF-centroid class of state), so the
+    * gate is a pure projection filter — append mode, no state store,
+    * no shuffle — and provably the batch keep decision row for row
+    * (shared [[graft.operators.TextOps.keepByPpm]] builder). */
+  def sampleTemperatureStream(docs: DataFrame,
+      rates: Seq[(String, Long)]): DataFrame =
+    docs.filter(graft.operators.TextOps.keepByPpm(rates))
+      .select(col("doc_id"), col("source"))
+
   /** F11 streaming twin — PII redaction as documents ARRIVE: the SAME
     * per-row regex projection as the batch operator (shared builder
     * [[graft.operators.TextOps.redactPiiOf]]), so batch and stream

@@ -317,6 +317,69 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq == kept.toSeq)
   }
 
+  test("temperature sampling: inverse-size rate ordering, cap, determinism (F17)") {
+    import spark.implicits._
+    // skewed fixture so the temperature effect is visible
+    val docs = ((0L until 1000L).map(d => (d, "src_big")) ++
+      (1000L until 1100L).map(d => (d, "src_mid")) ++
+      (1100L until 1104L).map(d => (d, "src_tiny"))).toDF("doc_id", "source")
+    val rates = TextOps.temperatureRates(docs, targetFrac = 0.3).toMap
+    // hand replay of the exact formula (same fold order: sorted sources)
+    val z = 0.0 + math.sqrt(1000.0) + math.sqrt(100.0) + math.sqrt(4.0)
+    val budget = math.floor(0.3 * 1104L)
+    Map("src_big" -> 1000L, "src_mid" -> 100L, "src_tiny" -> 4L).foreach {
+      case (s, n) =>
+        val r = (budget * (math.sqrt(n.toDouble) / z)) / n.toDouble
+        assert(rates(s) == math.min(1000000L, math.floor(r * 1e6).toLong), s)
+    }
+    // α = 1/2 up-weights small sources: keep RATE orders inverse to size
+    assert(rates("src_tiny") > rates("src_mid"))
+    assert(rates("src_mid") > rates("src_big"))
+    // the tiny source's T·q/n exceeds 1 → capped, so it keeps ALL rows
+    assert(rates("src_tiny") == 1000000L)
+    val kept = TextOps.sampleTemperature(docs, 0.3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.count(_._1 == "src_tiny") == 4)
+    // ppm column matches the rates; sample is partition-independent
+    kept.foreach { case (src, _, ppm) => assert(ppm == rates(src)) }
+    val again = TextOps.sampleTemperature(docs.repartition(7), 0.3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == kept.toSeq)
+    assert(kept.nonEmpty && kept.length < 1104,
+      "fixture must exercise both keep and drop")
+  }
+
+  test("count-min estimates match an independent replay and dominate exact counts (C10e)") {
+    import graft.functions.Hashing
+    val (d, w) = (4, 64)
+    val est = TextOps.approxCountsCms(t, d, w).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == TextOps.StopWords.toSet)
+    // independent driver-side CMS over the collected token stream
+    val toks = t.documents.select("text").collect().flatMap(r =>
+      "[a-z]+".r.findAllIn(r.getString(0).toLowerCase).toSeq)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    toks.foreach { tok =>
+      val h = Hashing.hashString(tok)
+      (0 until d).foreach { i =>
+        cells((i, java.lang.Math.floorMod(Hashing.mix64(h ^ i.toLong), w.toLong))) += 1L
+      }
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    TextOps.StopWords.foreach { term =>
+      val h = Hashing.hashString(term)
+      val replay = (0 until d).map { i =>
+        cells((i, java.lang.Math.floorMod(Hashing.mix64(h ^ i.toLong), w.toLong)))
+      }.min
+      assert(est(term) == replay, s"$term: operator vs driver replay")
+      // the CMS guarantee: never an underestimate
+      assert(est(term) >= exact.getOrElse(term, 0L), s"$term: est < true")
+    }
+    // the sketch is capacity-bounded: at most d×w cells exist at ANY scale
+    assert(cells.size <= d * w)
+  }
+
   test("lang id reaches 0.9 accuracy on real multilingual snippets") {
     // the corpus `lang` labels are synthetic noise, so the corpus query
     // can't validate the heuristic — this fixture of real sentences can

@@ -54,6 +54,9 @@ class SqlSurfaceSpec extends SparkSpec {
     // the scalar mixing primitive (bottom-k sampling's hash order)
     val mixed = spark.sql("SELECT graft_mix64(1) AS h").collect().head.getLong(0)
     assert(mixed == graft.functions.Hashing.mix64(1L))
+    // the per-token hash primitive (the C10e sketch's plan-level hash)
+    val hs = spark.sql("SELECT graft_hash_str('the') AS h").collect().head.getLong(0)
+    assert(hs == graft.functions.Hashing.hashString("the"))
   }
 
   test("graft_pq_adc rejects malformed shapes loudly instead of misreading") {

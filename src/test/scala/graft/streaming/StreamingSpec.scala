@@ -212,6 +212,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming temperature sampling keeps the same rows as batch, statelessly (F17 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // skewed fixture; rates pinned from the settled snapshot, as deployed
+    val docs = (0L until 300L).map(d =>
+      (d, if (d < 200) "big" else if (d < 290) "mid" else "tiny"))
+    val batchDf = docs.toDF("doc_id", "source")
+    val rates = graft.operators.TextOps.temperatureRates(batchDf, targetFrac = 0.5)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.sampleTemperatureStream(
+        input.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("temp_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(150): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(150): _*) // batch boundaries must not matter
+      query.processAllAvailable()
+      val streamed = spark.sql("select doc_id, source from temp_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      // shared keepByPpm builder ⇒ row-for-row agreement with batch
+      val batch = graft.operators.TextOps.sampleTemperature(batchDf, 0.5)
+        .collect().map(r => (r.getLong(1), r.getString(0))).toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        "fixture must exercise both keep and drop")
+    } finally query.stop()
+  }
+
   test("streaming fuzzy decontamination equals batch and is stateless (F6b twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
