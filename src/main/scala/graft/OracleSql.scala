@@ -472,6 +472,22 @@ private[graft] object OracleSql {
         FROM cand JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id))
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** ann_radius: the annLshTopK candidate machinery (hyperplane buckets
+    * + 1-bit multiprobe, DISTINCT pairs) with the per-query rank window
+    * replaced by the exact-cosine ≥ τ cut — the cosine is the same
+    * bit-stable fold, so the threshold cannot waver cross-engine. */
+  lazy val annRadius: String =
+    s"""WITH ${embedBucketCtes(8)},
+    cb AS (SELECT vec_id AS n_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
+    qb AS (SELECT vec_id AS q_id, (k::UBIGINT << 32) | xor(b, f::UBIGINT) AS bucket
+      FROM bks CROSS JOIN (SELECT unnest([0,1,2,4,8,16,32]) AS f)
+      WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT q_id, n_id FROM qb JOIN cb USING (bucket) WHERE q_id <> n_id)
+    SELECT q_id, n_id, round(cos, 4) AS cos4 FROM
+      (SELECT q_id, n_id, $cosOfAB AS cos
+        FROM cand JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id)
+    WHERE cos >= 0.35 ORDER BY q_id, n_id"""
+
   /** sample_k_per_source: the EXACT output of TextOps.sampleKPerSource —
     * per stratum, the 10 rows with the smallest SIGNED mix64(doc_id)
     * (unsigned order over sign-flipped values), doc_id tie-break. The

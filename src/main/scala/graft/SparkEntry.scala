@@ -126,6 +126,7 @@ object SparkEntry {
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
+    "ann_radius" -> ((s, d) => Similarity.annRadius(tables(s, d))),
     "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
     // full IVF search — hash-exact since round 6: the canonical fit
     // makes routing + in-cell ranking replayable (OracleSql.ivfTopK)
@@ -161,6 +162,7 @@ object SparkEntry {
     "shuffle_shards" -> ((s, d) => TextOps.shuffleShards(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
+    "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
     "quality_gate" -> ((s, d) => TextOps.qualityGate(tables(s, d))),
     "quality_gate_approx" -> ((s, d) => TextOps.qualityGateApproxChecked(tables(s, d))),
     "approx_top_terms" -> ((s, d) => TextOps.approxTopTerms(tables(s, d))),
@@ -332,6 +334,7 @@ object SparkEntry {
     "dedup_embed_clusters" -> OracleSql.dedupEmbedClusters,
     "curation_full" -> OracleSql.curationFull,
     "ann_lsh_topk" -> OracleSql.annLshTopK,
+    "ann_radius" -> OracleSql.annRadius,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
     // function-word hit counts, non-ASCII char count for zh, greatest()
     // with the zh>en>es>fr>de tie priority, 'und' when all zero
@@ -973,6 +976,24 @@ object SparkEntry {
           FROM grams gr JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 100 <> 0)
         SELECT doc_id, cast(count(*) as bigint) AS n_hits
         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    // F6c: per-doc DISTINCT gram totals and hit counts; ratio is ONE
+    // double division of exact ints (tfidf rule) and the verdict an
+    // exact integer cross-multiplication — no double threshold anywhere
+    "decontaminate_ratio" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS ws FROM documents),
+        grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+        agg AS (SELECT c.doc_id,
+            cast(count(*) as bigint) AS n_grams,
+            cast(count(b.g) as bigint) AS n_hits
+          FROM (SELECT doc_id, g FROM grams WHERE doc_id % 100 <> 0) c
+          LEFT JOIN bench b ON c.g = b.g
+          GROUP BY c.doc_id)
+        SELECT doc_id, n_grams, n_hits,
+          n_hits / n_grams AS ratio,
+          n_hits * 100 >= n_grams * 50 AS contaminated
+        FROM agg ORDER BY doc_id""",
     // tf, df, N exact integers; score = one UNROUNDED double division
     // of exact ints — correctly-rounded IEEE division is bit-identical
     // across engines, while round(x, 4) is not (Spark rounds the

@@ -721,6 +721,19 @@ object Similarity {
     * unconditional repartition would tax the common small-query case). */
   def annLshTopKOf(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       tables: Int = 8, bits: Int = 6): DataFrame = {
+    val (cand, vecs) = lshCandidates(corpus, queries, tables, bits)
+    rerankExact(cand,
+      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
+      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
+      k)
+  }
+
+  /** The shared E2/E9 candidate stage: multiprobed query buckets joined
+    * to corpus buckets, exactly-once per (q, n) pair. Returns the
+    * candidate pairs and the norm'd corpus frame the caller re-ranks
+    * against. */
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      tables: Int, bits: Int): (DataFrame, DataFrame) = {
     val vecs = withNorm(corpus)
       .withColumn("buckets",
         call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits)))
@@ -743,11 +756,40 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id")
       .distinct()
-    rerankExact(cand,
-      queries.select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q")),
-      vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n")),
-      k)
+    (cand, vecs)
   }
+
+  /** E9 — RADIUS (threshold) search: every bucket-candidate neighbor at
+    * exact cosine ≥ τ, the range-query twin of E2's top-k ("everything
+    * this similar", not "the 5 most similar") — the retrieval shape
+    * semantic dedup and near-dup auditing run against external query
+    * sets. Candidate generation is exactly the E2 stage (multiprobed
+    * LSH buckets, exactly-once pairs); the re-rank window is replaced
+    * by a pure cosine filter, so unlike top-k there is NO per-query
+    * window pass — the verdict is per-pair and the plan stays one
+    * bucket-join + one filter. Exact over the banded candidate set BY
+    * CONSTRUCTION (the F6b framing); candidate recall is the E2
+    * multiprobe's. Cosine arithmetic is the bit-stable graft_dot fold,
+    * so the ≥ τ cut cannot waver on an engine's ULP. */
+  def annRadiusOf(corpus: DataFrame, queries: DataFrame, tau: Double = 0.35,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val (cand, vecs) = lshCandidates(corpus, queries, tables, bits)
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q"))), "q_id")
+      .join(vecs.select(col("vec_id").as("n_id"),
+        col("v").as("v_n"), col("norm").as("norm_n")), "n_id")
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "n_id")
+  }
+
+  /** The E9 query shape: corpus vectors vec_id < 10 as the query set. */
+  def annRadius(t: Tables, tau: Double = 0.35): DataFrame =
+    annRadiusOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10), tau)
 
   /** E8 — SQ8 SCALAR QUANTIZATION top-k (FAISS's SQ8 / Milvus
     * IVF_SQ8's flat tier): per-dimension affine uint8 codes against a

@@ -178,6 +178,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F6c — thresholded contamination VERDICT (the PaLM/GPT-4 eval-
+    * decontamination rule: a document is contaminated when a high
+    * FRACTION of its n-grams appears in the benchmark, not merely when
+    * one does — one shared idiom is noise, a mostly-shared doc is a
+    * leaked eval row). Per doc: distinct-gram total, benchmark-hit
+    * count, their ratio (ONE double division of exact integers — the
+    * tfidf bit-stability rule), and the verdict decided in exact
+    * integer cross-multiplication (n_hits·100 ≥ n_grams·pct), so the
+    * threshold cannot waver on an engine's ULP. Docs with fewer than n
+    * words have no grams and are definitionally clean — excluded, as
+    * in F6.
+    *
+    * Scale shape: the benchmark gram set broadcasts (eval sets are
+    * MBs); every corpus gram row flows into a doc_id groupBy whose
+    * partial agg combines map-side, so the one exchange carries
+    * ~n_docs count rows, never grams — unlike F6's inner join, the
+    * left join keeps zero-hit docs so the verdict column is total. */
+  def decontaminateRatioAgainst(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, pct: Int = 50): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val grams = (d: DataFrame) => d.select(col("doc_id"),
+      explode(call_function("graft_word_ngrams", words(col("text")), lit(n))).as("g"))
+    val bench = grams(benchmark).select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+    // per-doc grams are already distinct (the kernel dedups), so
+    // count(1) IS the distinct-gram total and sum(hit) the hit count
+    grams(docs)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("ratio", col("n_hits").cast("double") / col("n_grams"))
+      .withColumn("contaminated",
+        col("n_hits") * lit(100L) >= col("n_grams") * lit(pct.toLong))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateRatio(t: Tables, n: Int = 3, pct: Int = 50,
+      benchMod: Long = 100L): DataFrame =
+    decontaminateRatioAgainst(
+      t.documents.filter(col("doc_id") % benchMod =!= 0L),
+      t.documents.filter(col("doc_id") % benchMod === 0L),
+      n, pct)
+
   /** The decontamination query shape over the test corpus: every 100th
     * document plays the benchmark set, the rest are the corpus. */
   def decontaminate(t: Tables, n: Int = 3, benchMod: Long = 100L): DataFrame =

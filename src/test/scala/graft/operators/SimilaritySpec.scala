@@ -189,6 +189,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6)
   }
 
+  test("radius search: every pair verifies, agrees with top-k, no window pass (E9)") {
+    val tau = 0.35
+    val radius = Similarity.annRadius(t, tau)
+    val got = radius.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture must produce in-radius candidates")
+    // every emitted pair verifies against a driver-side exact cosine
+    val vecs = t.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case ((q, n), c4) =>
+      val c = cos(vecs(q), vecs(n))
+      assert(c >= tau, s"($q,$n) below radius: $c")
+      assert(math.abs(c - c4) < 5e-5, s"($q,$n) cos4 drifted from exact")
+    }
+    // shared candidate stage: every E2 top-k hit at cos4 ≥ τ must be
+    // in the radius set (the two operators differ only in the cut)
+    val pairs = got.map(_._1).toSet
+    Similarity.annLshTopK(t).collect()
+      .filter(_.getDouble(3) >= tau + 1e-4)
+      .foreach(r => assert(pairs.contains((r.getLong(0), r.getLong(2))),
+        s"top-k pair (${r.getLong(0)},${r.getLong(2)}) missing from radius"))
+    // the per-pair verdict needs NO per-query window pass (unlike top-k)
+    val plan = radius.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"radius must not plan a window:\n$plan")
+  }
+
   test("lsh candidate dedup is id-only: one distinct, nothing corpus-sized") {
     // round-10 reversal of the round-6 pin: the first-agree arithmetic
     // needed both sides' bucket/probe ARRAYS carried through the bucket

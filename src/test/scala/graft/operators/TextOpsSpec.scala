@@ -117,6 +117,34 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
 
+  test("contamination ratio: total verdict column with planted leak (F6c)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: every 3-gram shared with the benchmark → contaminated
+    // doc 2: 1 of 8 grams shared (12.5%) → below the 50% bar
+    // doc 3: zero hits → retained with a FALSE verdict (unlike F6)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma completely different tail words here now ok"),
+      (3L, "nothing in common at all today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextOps.decontaminateRatioAgainst(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1.0, true),
+      (2L, 8L, 1L, 0.125, false),
+      (3L, 4L, 0L, 0.0, false)), s"got $got")
+    // exactly-50% boundary: 1 hit of 2 grams → contaminated (≥, not >)
+    val edge = Seq((9L, "alpha beta gamma tail")).toDF("doc_id", "text")
+    val e = TextOps.decontaminateRatioAgainst(edge, bench).collect().head
+    assert(e.getLong(2) == 1L && e.getBoolean(4), s"boundary: $e")
+    // scale guard: the benchmark probes as a broadcast
+    val plan = TextOps.decontaminateRatioAgainst(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+  }
+
   test("quality gate: per-source rank-selected median, ties kept, one exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
