@@ -519,6 +519,22 @@ private[graft] object OracleSql {
     FROM h ORDER BY shard, seq"""
   }
 
+  /** split_assign: mix64(doc_id) mod 2^20 (unsigned ≡ Spark's signed
+    * pmod because 2^20 divides 2^64) against the exact integer
+    * thresholds floor(2^20·98/100) = 1027604 and floor(2^20·99/100) =
+    * 1038090 — the identical pure function of doc_id. */
+  lazy val splitAssign: String = {
+    val idBits = s"(CASE WHEN doc_id >= 0 THEN doc_id::HUGEINT " +
+      s"ELSE doc_id::HUGEINT + $TwoTo64 END)::UBIGINT"
+    s"""WITH h AS (SELECT doc_id, source,
+        ${mix64(idBits)} % 1048576 AS bucket FROM documents)
+    SELECT doc_id, source,
+      CASE WHEN bucket < 1027604 THEN 'train'
+           WHEN bucket < 1038090 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM h ORDER BY doc_id"""
+  }
+
   /** mix_token_budget: the EXACT output of TextOps.mixTokenBudget —
     * per-source running whitespace-token total in signed-mix64 priority
     * order (doc_id tie-break), keep while the inclusive total fits the

@@ -160,6 +160,7 @@ object SparkEntry {
     "normalize_text" -> ((s, d) => TextOps.normalizeText(tables(s, d))),
     "pack_sequences" -> ((s, d) => TextOps.packSequences(tables(s, d))),
     "shuffle_shards" -> ((s, d) => TextOps.shuffleShards(tables(s, d))),
+    "split_assign" -> ((s, d) => TextOps.splitAssign(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -285,6 +286,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh,
     "sample_k_per_source" -> OracleSql.sampleKPerSource,
     "shuffle_shards" -> OracleSql.shuffleShards,
+    "split_assign" -> OracleSql.splitAssign,
     "mix_token_budget" -> OracleSql.mixTokenBudget,
     "decontaminate_fuzzy" -> OracleSql.decontaminateFuzzy,
     // F16: the same stop_ratio as qualityBody, per-source rank-selected

@@ -979,6 +979,43 @@ object TextOps {
     * what makes Spark's signed pmod and the oracle's unsigned modulo
     * the same function (2^64 ≡ 0 mod 2^k), and binary shard counts
     * are the natural re-sharding unit anyway. */
+  /** F18 — deterministic TRAIN/VALID/TEST split assignment: every
+    * published pipeline's final step before packing. The split is a
+    * pure function of doc_id — bucket = mix64(doc_id) mod 2^20 against
+    * integer thresholds — so it is reproducible across runs, cluster
+    * sizes, and partitionings, and STABLE UNDER GROWTH: ingesting more
+    * data never reassigns an existing document's split (the property
+    * that keeps eval sets honest across corpus versions; a
+    * row_number()-based split silently reshuffles everything on every
+    * append). The bucket space is a power of two so Spark's signed
+    * pmod coincides with the oracle's unsigned modulo (the
+    * shuffle-shards divisibility rule), and the thresholds are exact
+    * integer floor((2^20·pct)/100) — no doubles anywhere.
+    *
+    * Scale shape: one pure projection riding a 2-column scan — no
+    * shuffle, no state; at 100 TB the split is free. */
+  def splitAssignCore(docs: DataFrame, trainPct: Int = 98,
+      validPct: Int = 1): DataFrame = {
+    require(trainPct > 0 && validPct > 0 && trainPct + validPct < 100,
+      s"split pcts must leave room for test: train=$trainPct valid=$validPct")
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val buckets = 1L << 20
+    val t1 = buckets * trainPct / 100L
+    val t2 = buckets * (trainPct + validPct) / 100L
+    docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket",
+        pmod(call_function("graft_mix64", col("doc_id")), lit(buckets)))
+      .withColumn("split",
+        when(col("bucket") < t1, "train")
+          .when(col("bucket") < t2, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
+  def splitAssign(t: Tables): DataFrame =
+    splitAssignCore(t.documents).orderBy("doc_id")
+
   def shuffleShards(t: Tables, nShards: Int = 8): DataFrame =
     shuffleShardsOf(t.documents, nShards)
 

@@ -222,6 +222,15 @@ object EventStreams {
     docs.filter(graft.operators.TextOps.keepByPpm(rates))
       .select(col("doc_id"), col("source"))
 
+  /** F18 streaming twin — split assignment as documents ARRIVE: the
+    * split is a pure function of doc_id (shared
+    * [[graft.operators.TextOps.splitAssignCore]] builder), so the gate
+    * is a stateless projection — append mode, no state store, no
+    * shuffle — and a document gets the SAME split whether it arrived
+    * in the batch bootstrap or on the stream. */
+  def splitAssignStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.splitAssignCore(docs)
+
   /** F11 streaming twin — PII redaction as documents ARRIVE: the SAME
     * per-row regex projection as the batch operator (shared builder
     * [[graft.operators.TextOps.redactPiiOf]]), so batch and stream

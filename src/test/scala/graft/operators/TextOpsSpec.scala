@@ -377,6 +377,36 @@ class TextOpsSpec extends SparkSpec {
       "fixture must exercise both keep and drop")
   }
 
+  test("split assignment: total, growth-stable, partition-independent (F18)") {
+    import graft.functions.Hashing
+    val got = TextOps.splitAssign(t).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val n = t.documents.count()
+    // total: every document gets exactly one split
+    assert(got.length == n && got.map(_._1).distinct.length == n)
+    // the split is the documented pure function of doc_id
+    got.foreach { case (id, split) =>
+      val bucket = java.lang.Math.floorMod(Hashing.mix64(id), 1L << 20)
+      val expect = if (bucket < 1027604L) "train"
+        else if (bucket < 1038090L) "valid" else "test"
+      assert(split == expect, s"doc $id")
+    }
+    // proportions land near 98/1/1 (loose: hash uniformity at small n)
+    val frac = got.count(_._2 == "train").toDouble / n
+    assert(frac > 0.9 && frac < 1.0, s"train fraction $frac")
+    // growth stability: assignments on a PREFIX corpus are unchanged
+    // when the rest arrives — the property row_number splits lack
+    val prefix = TextOps.splitAssignCore(
+        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") < 100))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val full = got.toMap
+    prefix.foreach { case (id, s) => assert(full(id) == s, s"doc $id reassigned") }
+    // partition invariance
+    val again = TextOps.splitAssignCore(t.documents.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(again == full)
+  }
+
   test("count-min estimates match an independent replay and dominate exact counts (C10e)") {
     import graft.functions.Hashing
     val (d, w) = (4, 64)

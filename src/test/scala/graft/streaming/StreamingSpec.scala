@@ -242,6 +242,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming split assignment equals batch and is stateless (F18 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = (0L until 400L).map(d => (d, s"src${d % 3}"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.splitAssignStream(
+        input.toDF().toDF("doc_id", "source"))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(250): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(250): _*) // arrival order must not matter
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, split from split_stream order by doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val batch = graft.operators.TextOps.splitAssignCore(
+          docs.toDF("doc_id", "source"))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSeq.sorted
+      assert(streamed == batch)
+      // the fixture is big enough to hit more than one split
+      assert(streamed.map(_._2).distinct.length > 1)
+    } finally query.stop()
+  }
+
   test("streaming fuzzy decontamination equals batch and is stateless (F6b twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
