@@ -229,6 +229,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one hash exchange, plan:\n$plan")
   }
 
+  test("round-11 additions keep their scale shapes (F6c, C10e, F17, F18)") {
+    // F6c: the benchmark probes as a broadcast; exactly two hash
+    // exchanges exist — the bench-side gram distinct (benchmark-sized)
+    // and the corpus doc_id agg whose partials carry counts, not grams
+    val ratio = planOf(TextOps.decontaminateRatio(t))
+    assert(ratio.contains("BroadcastHashJoin"), ratio)
+    val rEx = ratio.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(rEx.length == 2 && rEx.exists(_.contains("doc_id#")),
+      s"decontaminate_ratio exchanges drifted:\n$ratio")
+    // C10e: the corpus-side exchange is keyed (row_i, bucket) — the
+    // bounded d×w sketch key space — and the sketch broadcasts into the
+    // probe join; the only other hash exchange is the probe-sized
+    // per-term final agg
+    val cms = planOf(TextOps.approxCountsCms(t))
+    val cEx = cms.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(cEx.exists(l => l.contains("row_i#") && l.contains("bucket#")),
+      s"cms sketch agg not keyed on (row_i, bucket):\n$cms")
+    assert(cEx.length == 2, s"cms exchanges drifted:\n$cms")
+    assert(cms.contains("BroadcastExchange"), s"sketch not broadcast:\n$cms")
+    // F17: rates are driver state — the sample pass is scan + codegen'd
+    // filter + presentation sort only: no join, no hash exchange
+    val temp = planOf(TextOps.sampleTemperature(t.documents))
+    assert(!temp.contains("Join"), temp)
+    assert(!temp.contains("Exchange hashpartitioning"), temp)
+    // F18: a pure whole-stage-codegen projection — no exchange at all
+    val split = planOf(TextOps.splitAssignCore(t.documents))
+    assert(!split.contains("Exchange") && !split.contains("Join"), split)
+    assert(split.contains("*(1)"), s"split fell out of codegen:\n$split")
+  }
+
   test("sketch kernels stay in whole-stage codegen") {
     val fp = TextOps.fingerprint(t)
     fp.collect()
