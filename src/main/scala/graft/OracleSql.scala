@@ -519,6 +519,29 @@ private[graft] object OracleSql {
     FROM h ORDER BY shard, seq"""
   }
 
+  /** profile_documents: exact replay of the profile's exact tier (null
+    * counts, distinct cardinalities, min/max as strings — both engines
+    * compare strings bytewise); the HLL column is the C10b bound gate,
+    * so the oracle asserts TRUE. */
+  lazy val profileDocuments: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val m = cols.flatMap { c => Seq(
+      s"cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint) AS ${c}_nulls",
+      s"cast(count(DISTINCT $c) as bigint) AS ${c}_dist",
+      s"min($c)::VARCHAR AS ${c}_min",
+      s"max($c)::VARCHAR AS ${c}_max")
+    }.mkString(",\n      ")
+    val rows = cols.map { c =>
+      s"SELECT '$c' AS col_name, n_rows, ${c}_nulls AS n_nulls, " +
+        s"${c}_dist AS n_distinct, TRUE AS within_bound, " +
+        s"${c}_min AS min_str, ${c}_max AS max_str FROM m"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH m AS (SELECT cast(count(*) as bigint) AS n_rows,
+      $m
+    FROM documents)
+    SELECT * FROM ($rows) ORDER BY col_name"""
+  }
+
   /** split_assign: mix64(doc_id) mod 2^20 (unsigned ≡ Spark's signed
     * pmod because 2^20 divides 2^64) against the exact integer
     * thresholds floor(2^20·98/100) = 1027604 and floor(2^20·99/100) =

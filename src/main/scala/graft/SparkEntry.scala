@@ -44,6 +44,7 @@ object SparkEntry {
     // columns hash-compare against DuckDB and a within_bound boolean
     // (oracle asserts true) turns the spec's error bound into a gate
     "approx_distinct" -> ((s, d) => Analytics.approxDistinctChecked(tables(s, d))),
+    "profile_documents" -> ((s, d) => Analytics.profileDocuments(tables(s, d))),
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
     "approx_percentiles" -> ((s, d) => Analytics.approxPercentilesChecked(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
@@ -287,6 +288,7 @@ object SparkEntry {
     "sample_k_per_source" -> OracleSql.sampleKPerSource,
     "shuffle_shards" -> OracleSql.shuffleShards,
     "split_assign" -> OracleSql.splitAssign,
+    "profile_documents" -> OracleSql.profileDocuments,
     "mix_token_budget" -> OracleSql.mixTokenBudget,
     "decontaminate_fuzzy" -> OracleSql.decontaminateFuzzy,
     // F16: the same stop_ratio as qualityBody, per-source rank-selected

@@ -396,6 +396,52 @@ object Analytics {
       length(col("p_name")).cast("long").as("name_len"))
       .orderBy("p_partkey")
 
+  /** C20 — one-pass TABLE PROFILING (the Deequ / data-quality class of
+    * operator a curation pipeline runs before trusting a new corpus
+    * drop): per column, null count, exact distinct cardinality, min and
+    * max (cast to string so the long form is type-uniform), and the HLL
+    * estimate's bound gate (|approx − exact|·10 ≤ exact, the C10b
+    * discipline — the profile carries its own evidence that the
+    * approx tier is trustworthy).
+    *
+    * Scale shape: ONE corpus scan into a single global agg row — the
+    * exact multi-column countDistinct plans as the standard Expand
+    * (×|cols| row inflation pre-partial-agg), which is the price of the
+    * exact tier; a 100 TB deploy drops the exact column and keeps the
+    * HLL partials (no Expand, tasks × |cols| sketch partials on the
+    * wire — the C10b shape). The per-column long form is a driver-side
+    * explode of the ONE agg row, not a second pass. */
+  def profileTableOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_dist"),
+      approx_count_distinct(col(c), 0.02).as(s"${c}_adist"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val all = count(lit(1)).as("n_rows") +: aggs
+    val one = df.agg(all.head, all.tail: _*)
+    val entries = cols.map { c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_dist").as("n_distinct"),
+      (abs(col(s"${c}_adist") - col(s"${c}_dist")) * lit(10L) <=
+        col(s"${c}_dist")).as("within_bound"),
+      col(s"${c}_min").as("min_str"),
+      col(s"${c}_max").as("max_str"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"),
+        col("e.within_bound").as("within_bound"),
+        col("e.min_str").as("min_str"), col("e.max_str").as("max_str"))
+      .orderBy("col_name")
+  }
+
+  def profileDocuments(t: Tables): DataFrame =
+    profileTableOf(t.documents,
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
   /** C10b — HLL sketch: approximate distinct users per event type.
     * Rows-only oracle (sketch estimates are engine-specific); the spec
     * bounds the estimate against the exact count. */

@@ -126,4 +126,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.sum == matched + custNoOrder +
       (t.orders.count() - matched))
   }
+
+  test("table profile: nulls, distincts, min/max per column (C20)") {
+    import spark.implicits._
+    // planted fixture with a null and a duplicate
+    val docs = Seq(
+      (1L, Option("bb"), "en"),
+      (2L, Option.empty[String], "de"),
+      (3L, Option("aa"), "en")).toDF("doc_id", "text", "lang")
+    val got = Analytics.profileTableOf(docs, Seq("doc_id", "text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getString(5), r.getString(6))).toMap
+    assert(got("doc_id") == ((3L, 0L, 3L, true, "1", "3")))
+    // count(DISTINCT) and min/max ignore the null; the null is counted
+    assert(got("text") == ((3L, 1L, 2L, true, "aa", "bb")))
+    assert(got("lang") == ((3L, 0L, 2L, true, "de", "en")))
+    // real corpus: doc_id is a key (distinct == rows), every HLL gate
+    // holds, and no column is all-null
+    val full = Analytics.profileDocuments(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    val n = t.documents.count()
+    assert(full("doc_id")._1 == n && full("doc_id")._3 == n)
+    full.foreach { case (c, (rows, nulls, _, bound)) =>
+      assert(rows == n && nulls < n && bound, s"column $c") }
+  }
 }
