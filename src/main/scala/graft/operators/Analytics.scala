@@ -411,16 +411,32 @@ object Analytics {
     * HLL partials (no Expand, tasks × |cols| sketch partials on the
     * wire — the C10b shape). The per-column long form is a driver-side
     * explode of the ONE agg row, not a second pass. */
-  def profileTableOf(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c => Seq(
+  def profileTableOf(df: DataFrame, cols: Seq[String],
+      hashDistinct: Set[String] = Set.empty): DataFrame = {
+    graft.plans.VectorFunctions.register(df.sparkSession)
+    // wide text columns count distinct over a 64-bit content hash — the
+    // D1 exchange discipline (the Expand branch and the distinct agg
+    // carry 8 bytes, never the document); the oracle counts raw
+    // strings, so a hash collision fails the gate loudly
+    def d(c: String) =
+      if (hashDistinct(c)) call_function("graft_hash_str", col(c)) else col(c)
+    // TWO single-row aggs over the scan, not one: mixing exact
+    // multi-distinct with imperative sketches forces every agg through
+    // the Expand's two exchange rounds (measured 4.8 s vs 2.3 s split
+    // at sf0.1) — the exact tier keeps its Expand over narrow/hashed
+    // columns only, the streaming-friendly tier (HLL, nulls, min/max)
+    // runs as one straight partial agg, and a 1×1 broadcast cross join
+    // reunites them
+    val exactAggs = count(lit(1)).as("n_rows") +:
+      cols.map(c => countDistinct(d(c)).as(s"${c}_dist"))
+    val restAggs = cols.flatMap { c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_dist"),
-      approx_count_distinct(col(c), 0.02).as(s"${c}_adist"),
+      approx_count_distinct(d(c), 0.02).as(s"${c}_adist"),
       min(col(c)).cast("string").as(s"${c}_min"),
       max(col(c)).cast("string").as(s"${c}_max"))
     }
-    val all = count(lit(1)).as("n_rows") +: aggs
-    val one = df.agg(all.head, all.tail: _*)
+    val one = df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(restAggs.head, restAggs.tail: _*)))
     val entries = cols.map { c => struct(
       lit(c).as("col_name"),
       col(s"${c}_nulls").as("n_nulls"),
@@ -440,7 +456,8 @@ object Analytics {
 
   def profileDocuments(t: Tables): DataFrame =
     profileTableOf(t.documents,
-      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      Seq("doc_id", "text", "lang", "source", "n_chars"),
+      hashDistinct = Set("text"))
 
   /** C10b — HLL sketch: approximate distinct users per event type.
     * Rows-only oracle (sketch estimates are engine-specific); the spec
