@@ -181,7 +181,8 @@ object Dedup {
     * Docs sharing any band signature become a candidate pair — ONE shuffle
     * on (band, sig). Signatures are the native codegen expression
     * (SketchExpressions; DedupSpec pins it to the Sketches UDF reference).
-    * Rows-only oracle; DedupSpec checks recall vs exact Jaccard (D2). */
+    * Hash-exact oracle (the DuckDB twin regenerates the band
+    * signatures); DedupSpec checks recall vs exact Jaccard (D2). */
   /** Band count of the default graft_minhash_bands signature (40 hashes
     * in bands of 10) — [[candidatesOf]]'s fold MUST cover exactly this
     * many bands; fewer would silently drop every pair whose first
@@ -271,8 +272,9 @@ object Dedup {
   /** D4 — SimHash: 64-bit signature from token hashes (sign-aggregated
     * bits); candidates = pairs sharing one of the 7 pigeonhole bands
     * ([[simhashBandLayout]]), verified at Hamming <= maxHamming inside the
-    * join condition. Rows-only oracle; DedupSpec checks completeness
-    * against brute-force Hamming pairs.
+    * join condition. Hash-exact oracle (the DuckDB twin recomputes the
+    * signature and filters on bit_count directly); DedupSpec checks
+    * completeness against brute-force Hamming pairs.
     *
     * Skew: near-uniform corpora make some band values very hot (measured
     * round 1: one group holding 30% of docs ⇒ one quadratic sort-merge

@@ -266,7 +266,9 @@ object Similarity {
     * exact-rank inside them. The search shuffle is one join keyed on the
     * cell id with the query side broadcast — the IVF promise that a
     * query scans nprobe/kCells of the corpus instead of all of it.
-    * Rows-only oracle; SimilaritySpec measures recall@5 vs brute. */
+    * Hash-exact oracle since round 6 (OracleSql.ivfTopK replays the
+    * canonical fit + routing + re-rank); SimilaritySpec measures
+    * recall@5 vs brute. */
   def ivfTopK(t: Tables, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
       iters: Int = 5): DataFrame =
     ivfTopKOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10),
@@ -703,7 +705,8 @@ object Similarity {
     * any table bucket; exact cosine re-ranks candidates. The query side
     * MULTIPROBES: base bucket plus every 1-bit flip per table (round-1
     * recall@5 was 0.2 with exact-bucket probing; multiprobe lifts it
-    * without adding corpus-side volume). Rows-only oracle; SimilaritySpec
+    * without adding corpus-side volume). Hash-exact oracle (OracleSql
+    * .annLshTopK replays buckets + multiprobe + re-rank); SimilaritySpec
     * asserts recall@5 >= 0.6 vs E1. ONE shuffle on bucket id. */
   def annLshTopK(t: Tables, k: Int = 5, tables: Int = 8, bits: Int = 6): DataFrame =
     annLshTopKOf(t.embeddings, withNorm(t.embeddings).filter(col("vec_id") < 10),
