@@ -83,6 +83,12 @@ object SparkEntry {
     "resume_from_token" -> ((s, d) => EventOps.resumeFromToken(tables(s, d))),
     "sessionize" -> ((s, d) => EventOps.sessionize(tables(s, d))),
     "reconnect_accounting" -> ((s, d) => EventOps.reconnectAccounting(tables(s, d))),
+    // B23-B25 CDC/state shapes over the change log: latest-wins
+    // compaction (partial-agg max-struct, no window sort), SCD-2
+    // validity intervals, and the z-score alerting layer over B4
+    "latest_state" -> ((s, d) => EventOps.latestState(tables(s, d))),
+    "scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(tables(s, d))),
+    "rate_anomaly" -> ((s, d) => EventOps.rateAnomaly(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     // D8 sub-document boilerplate removal (word-block paragraphs —
@@ -624,6 +630,48 @@ object SparkEntry {
           cast(CASE WHEN sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) > 10
             THEN 1 ELSE 0 END as bigint) AS gave_up
         FROM s GROUP BY user_id ORDER BY user_id""",
+    // B23: the oracle elects the newest version by the window form; the
+    // Spark side's max(struct) partial agg must land on the same row
+    // because (ts_ms, event_id) is a total order
+    "latest_state" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+          cast(round(value*100) as bigint) AS value_c FROM events),
+        r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n_versions FROM e)
+        SELECT user_id, event_id AS last_event_id, ts_ms AS last_ms,
+          event_type AS last_type, value_c AS last_value_c,
+          cast(n_versions as bigint) AS n_versions
+        FROM r WHERE rn = 1 ORDER BY user_id""",
+    "scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        SELECT user_id, event_id, ts_ms AS valid_from_ms,
+          lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to_ms,
+          cast(CASE WHEN lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+            THEN 1 ELSE 0 END as bigint) AS is_current
+        FROM e ORDER BY user_id, valid_from_ms, event_id""",
+    // B25: trailing stats are EXACT int64 sums; the float sequence
+    // (deviation division, variance division, sqrt, z division, one 4dp
+    // round) replays the Spark expression op-for-op
+    "rate_anomaly" ->
+      """WITH c AS (SELECT epoch_ms(ts)//600000 AS bucket, count(*) AS n
+          FROM events GROUP BY 1),
+        w AS (SELECT bucket, n,
+            count(*) OVER win AS t_cnt,
+            sum(n) OVER win AS t_sum,
+            sum(n*n) OVER win AS t_sumsq
+          FROM c WINDOW win AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        z AS (SELECT *,
+            CASE WHEN t_cnt = 24 AND t_cnt*t_sumsq - t_sum*t_sum > 0
+              THEN round((cast(n*t_cnt - t_sum as double) / cast(t_cnt as double))
+                / sqrt(cast(t_cnt*t_sumsq - t_sum*t_sum as double)
+                  / cast(t_cnt*t_cnt as double)), 4)
+            END AS z4
+          FROM w)
+        SELECT bucket, cast(n as bigint) AS n, cast(t_cnt as bigint) AS t_cnt,
+          cast(t_sum as bigint) AS t_sum, cast(t_sumsq as bigint) AS t_sumsq, z4,
+          CASE WHEN z4 IS NOT NULL THEN cast(abs(z4) > 3.0 as bigint) END AS is_spike
+        FROM z ORDER BY bucket""",
     "range_join_events" ->
       """WITH iv AS (SELECT event_id AS iv_id, epoch_ms(ts) AS start_ms,
           epoch_ms(ts) + 3600000 AS end_ms FROM events WHERE event_id % 100 = 0),

@@ -156,6 +156,103 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** B23 — changelog compaction (CDC upsert, latest-wins MERGE): fold a
+    * keyed change stream down to each key's current state. The reference
+    * consumer keeps exactly this per-stream "newest tag set" state
+    * (parser.py:421-432 holds the latest tag snapshot per stream); the
+    * batch form is the compaction every CDC/event-sourced table needs
+    * before serving point lookups.
+    *
+    * Scale shape: ONE partial-aggregated hash agg — the latest version is
+    * `max(struct(ts_ms, event_id, ...))` (struct comparison is
+    * lexicographic and (ts_ms, event_id) is a total order), so every map
+    * task combines its partitions' versions down to one row per key
+    * before the exchange. The obvious row_number()-over-window form
+    * instead shuffles and SORTS every version of every key — at 100 TB of
+    * change history the combiner-tree agg is the difference between
+    * shuffling #keys rows and shuffling the whole log. */
+  def latestState(t: Tables): DataFrame =
+    withMs(t)
+      .select(col("user_id"),
+        struct(col("ts_ms"), col("event_id"), col("event_type"),
+          cents(col("value")).as("value_c")).as("st"))
+      .groupBy("user_id")
+      .agg(max(col("st")).as("st"), count(lit(1)).as("n_versions"))
+      .select(col("user_id"),
+        col("st.event_id").as("last_event_id"),
+        col("st.ts_ms").as("last_ms"),
+        col("st.event_type").as("last_type"),
+        col("st.value_c").as("last_value_c"),
+        col("n_versions"))
+      .orderBy("user_id")
+
+  /** B24 — SCD-2 validity intervals: turn the same keyed change log into
+    * slowly-changing-dimension rows, each version valid from its own
+    * timestamp until the key's next change ([valid_from_ms, valid_to_ms),
+    * NULL = still current). The standard warehouse shape for "what was
+    * this key's state at time T" joins (then served by [[rangeJoin]]).
+    * One window pass over rows hash-partitioned by key — the same single
+    * user_id exchange as sessionize; no self-join, no correlated
+    * subquery. */
+  def scd2Intervals(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    withMs(t)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("long"))
+      .select(col("user_id"), col("event_id"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
+  /** B25 — rate ANOMALY detection: flag tumbling windows whose event
+    * count is a z-score outlier against the trailing `trail` windows —
+    * the alerting layer over B4's rate monitor (the reference's
+    * frames-per-interval logging exists to be eyeballed for exactly
+    * these spikes; this puts the threshold in the plan).
+    *
+    * Bit-stability discipline (SURVEY §4): the trailing mean/variance are
+    * carried as EXACT int64 sums (count, Σn, Σn²) inside the window
+    * frame; the float leaves integers only in the final z expression,
+    * which is a fixed sequence of correctly-rounded ops — one division
+    * for the deviation, one for the variance, one sqrt, one division for
+    * z — then a single 4dp round. The oracle replays the identical
+    * sequence, so z4 is hash-exact, not approximately-equal.
+    *
+    * Scale shape: the corpus-sized work is the B4 bucket agg (partial-
+    * aggregated, one exchange); the window runs over the BUCKET rows —
+    * data already reduced to one row per 10 minutes, the lag_monitor
+    * rule for a justified global-order window (a year of 10-minute
+    * buckets is ~53k rows). The frame is ROWS over observed buckets:
+    * empty buckets don't emit rows, so a gap widens the baseline span
+    * rather than zero-filling it (documented; a zero-filled variant
+    * would sequence() the bucket range first). z is NULL until the
+    * baseline is fully warmed (t_cnt = trail) or when the baseline is
+    * flat (variance 0). */
+  def rateAnomaly(t: Tables, widthMs: Long = 600000L, trail: Int = 24,
+      zThreshold: Double = 3.0): DataFrame = {
+    val counts = withMs(t)
+      .withColumn("bucket", msBucket(col("ts_ms"), widthMs))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bucket").rowsBetween(-trail, -1)
+    val varNum = col("t_cnt") * col("t_sumsq") - col("t_sum") * col("t_sum")
+    val z = (col("n") * col("t_cnt") - col("t_sum")).cast("double") /
+      col("t_cnt").cast("double") /
+      sqrt(varNum.cast("double") / (col("t_cnt") * col("t_cnt")).cast("double"))
+    counts
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("t_sum", sum(col("n")).over(w))
+      .withColumn("t_sumsq", sum(col("n") * col("n")).over(w))
+      .withColumn("z4",
+        when(col("t_cnt") === trail.toLong && varNum > 0L, round(z, 4)))
+      .withColumn("is_spike",
+        when(col("z4").isNotNull, (abs(col("z4")) > zThreshold).cast("long")))
+      .select(col("bucket"), col("n"), col("t_cnt"), col("t_sum"),
+        col("t_sumsq"), col("z4"), col("is_spike"))
+      .orderBy("bucket")
+  }
+
   /** C16 — RANGE (interval-containment) JOIN via chunking. Spark has no
     * native range join: `ON pt >= start AND pt < end` plans as a
     * BroadcastNestedLoopJoin — O(|points| × |intervals|) scans at any

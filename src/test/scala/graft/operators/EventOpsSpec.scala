@@ -114,4 +114,60 @@ class EventOpsSpec extends SparkSpec {
       chunkMs = 60000L, maxChunksPerInterval = 1000000L).collect()
     assert(raised.length == 1)
   }
+
+  test("latest-state compaction elects each key's newest version, agg-only plan") {
+    val got = EventOps.latestState(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    val expected = raw.groupBy(_._2).map { case (u, es) =>
+      val newest = es.maxBy(e => (e._3, e._1))
+      (u, newest._1, newest._3, es.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // the scale claim: compaction is a partial-aggregated hash agg, not
+    // a per-key sort — no Window/Sort-based election in the plan
+    val plan = EventOps.latestState(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window election in:\n$plan")
+  }
+
+  test("scd2 intervals tile each key's history with one current row") {
+    val got = EventOps.scd2Intervals(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    assert(got.length == raw.length)
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      // each version's valid_to is exactly the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"gap at user $u")
+        case _ =>
+      }
+      // exactly one open (current) interval per key, and it is the last
+      assert(rows.count(_._5 == 1L) == 1)
+      assert(sorted.last._5 == 1L && sorted.last._4.isEmpty)
+    }
+  }
+
+  test("rate anomaly z-scores match a driver-side recompute of the trailing stats") {
+    val trail = 24
+    val got = EventOps.rateAnomaly(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val counts = got.map(g => (g._1, g._2)).sortBy(_._1)
+    val expected = counts.zipWithIndex.map { case ((bucket, n), i) =>
+      val win = counts.slice(math.max(0, i - trail), i).map(_._2)
+      val (tc, ts, tq) = (win.length.toLong, win.sum, win.map(x => x * x).sum)
+      val varNum = tc * tq - ts * ts
+      if (tc == trail && varNum > 0) {
+        val z = (n * tc - ts).toDouble / tc.toDouble /
+          math.sqrt(varNum.toDouble / (tc * tc).toDouble)
+        val z4 = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (bucket, n, Some(z4), Some(if (math.abs(z4) > 3.0) 1L else 0L))
+      } else (bucket, n, None, None)
+    }
+    assert(got.toSeq == expected.toSeq)
+    // warmup rows (first `trail` buckets) carry no verdict
+    assert(got.take(trail).forall(_._3.isEmpty))
+    assert(got.drop(trail).exists(_._3.nonEmpty))
+  }
 }
