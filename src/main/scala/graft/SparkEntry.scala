@@ -109,6 +109,11 @@ object SparkEntry {
     "dedup_embed_clusters" -> ((s, d) => Dedup.embedClustersLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(tables(s, d))),
+    // D9 corpus version audit; D10 incremental components (oracle = the
+    // full-recompute closure — hash equality IS the incremental claim)
+    "snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(tables(s, d))),
+    "dedup_clusters_incremental" -> ((s, d) =>
+      Dedup.dedupClustersIncremental(tables(s, d))),
     // incremental dedup against the persisted text index: the % 8 == 7
     // slice is the "new ingest", probed against the settled corpus's
     // hash + band artifact (built once, marker-gated, full lifecycle)
@@ -168,6 +173,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(tables(s, d))),
     "shuffle_shards" -> ((s, d) => TextOps.shuffleShards(tables(s, d))),
     "split_assign" -> ((s, d) => TextOps.splitAssign(tables(s, d))),
+    // F19/F20 tokenizer-adjacent corpus statistics
+    "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
+    "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -235,6 +243,25 @@ object SparkEntry {
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
   )
+
+  /** Shared by dedup_clusters and dedup_clusters_incremental: the
+    * incremental operator's whole contract is hash-equality with the
+    * full-recompute closure. */
+  private val clustersClosureOracle: String =
+    """WITH RECURSIVE
+      t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+        cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
+          / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) >= 0.95),
+      e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+      )
+      SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id"""
 
   private val centsQty = "cast(round(l_quantity*100) as bigint)"
   private val centsExt = "cast(round(l_extendedprice*100) as bigint)"
@@ -795,21 +822,42 @@ object SparkEntry {
               / (sqrt(a.norm)*sqrt(b.norm)) AS cos
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE
-        t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
-          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
-            / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) >= 0.95),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
-        )
-        SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
-        FROM reach GROUP BY src ORDER BY doc_id""",
+    "dedup_clusters" -> clustersClosureOracle,
+    // D10: the incremental path must land on the FULL recompute's
+    // clusters exactly — same oracle text by construction
+    "dedup_clusters_incremental" -> clustersClosureOracle,
+    // D9: the oracle diffs RAW text where Spark diffs 128-bit content
+    // hashes (the D1 rule: a collision fails loudly)
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 5 THEN text || ' draft' ELSE text END AS text
+          FROM documents WHERE doc_id % 7 <> 3),
+        v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 4)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.text = v2.text THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id""",
+    // F19: ln is taken once per DISTINCT word and quantized to integer
+    // micro-nats immediately; per-doc arithmetic is exact int64 + the
+    // same two-division 4dp-rounded average as the Spark side
+    "lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
+        c AS (SELECT word, cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS cost_u
+          FROM v CROSS JOIN tot)
+        SELECT t.doc_id, count(*) AS n_tokens, cast(sum(c.cost_u) as bigint) AS nll_micro,
+          round(cast(sum(c.cost_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
+        FROM tok t JOIN c USING (word) GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "bpe_pair_counts" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        wf AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        p AS (SELECT substr(word, cast(i as integer), 2) AS pair, n FROM
+          (SELECT word, n, unnest(range(1, length(word))) AS i FROM wf WHERE length(word) >= 2))
+        SELECT pair, cast(sum(n) as bigint) AS n_occ FROM p GROUP BY pair
+        ORDER BY n_occ DESC, pair LIMIT 20""",
     // D6c: the same closure as dedup_clusters, canonical member
     // elected by (stop_ratio DESC, doc_id) within each cluster
     "dedup_keep_best" ->

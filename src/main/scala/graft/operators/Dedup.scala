@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{words, Sketches}
 import graft.sources.Tables
@@ -416,6 +416,115 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("keep_id"), col("stop_ratio"))
       .orderBy("cluster_id")
+  }
+
+  /** D9 — corpus SNAPSHOT DIFF: classify every doc_id across two corpus
+    * versions as added / removed / changed / unchanged — the audit pass
+    * run before promoting a new corpus drop (paired with C20's profile:
+    * the profile says whether the new version is trustworthy, the diff
+    * says what it changed). The test shape derives both versions
+    * deterministically from the one table: v1 lacks doc_id%7==3 (added
+    * later) and carries a mangled %7==5 (changed later); v2 lacks %7==4
+    * (removed).
+    *
+    * Scale shape: the D1 exchange discipline — each side reduces to
+    * (doc_id, 128-bit content hash) at the scan, so the full-outer join
+    * shuffles ~24 B/row, never text; both sides hash-partition on
+    * doc_id, the partitioning every keyed table already has. The oracle
+    * compares RAW text, so a hash collision at any SF fails loudly. */
+  def snapshotDiff(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7L)) === 5L,
+          concat(col("text"), lit(" draft"))).otherwise(col("text")))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 4L)
+    snapshotDiffOf(v1, v2)
+  }
+
+  /** Library form over any two (doc_id, text) snapshots. */
+  def snapshotDiffOf(old: DataFrame, neu: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, p: String) = df.select(col("doc_id"),
+      xxhash64(col("text")).as(s"${p}h1"),
+      xxhash64(lit(1L), col("text")).as(s"${p}h2"))
+    hashed(old, "o_")
+      .join(hashed(neu, "n_"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_h1").isNull, "added")
+          .when(col("n_h1").isNull, "removed")
+          .when(col("o_h1") === col("n_h1") && col("o_h2") === col("n_h2"),
+            "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  /** D10 — INCREMENTAL connected components: extend the settled corpus's
+    * clustering with a new ingest batch WITHOUT regenerating any
+    * settled×settled edge. Prior state enters the propagation as label
+    * edges — each settled component collapses to a star on its label —
+    * and only pairs TOUCHING a fresh doc are candidate-generated, so the
+    * per-batch cost scales with |fresh| × (candidates per doc), never
+    * with the settled corpus (the D7/TextIndex discipline applied to
+    * clustering: at deploy scale the fresh-touching edges come from
+    * probing the persisted band index; here the oracle-tier verified
+    * Jaccard join plays that role at test SF).
+    *
+    * Correctness: replacing a component's internal edges by a spanning
+    * star preserves connectivity, and every fresh-touching edge is
+    * present, so the components — and their min-doc_id labels — equal
+    * the full recompute's exactly. A fresh doc near-dup to TWO settled
+    * clusters merges them, exactly as a full recompute would
+    * (DedupSpec plants this case). */
+  def dedupClustersIncremental(t: Tables, threshold: Double = 0.95,
+      maxIters: Int = 50): DataFrame =
+    dedupClustersIncrementalOf(
+      t.documents, pmod(col("doc_id"), lit(8L)) === 7L, threshold, maxIters)
+
+  /** Library form: `isFresh` marks the new ingest slice of `docs`. */
+  def dedupClustersIncrementalOf(docs: DataFrame, isFresh: Column,
+      threshold: Double = 0.95, maxIters: Int = 50): DataFrame = {
+    val settled = docs.filter(!isFresh)
+    val fresh = docs.filter(isFresh)
+    // prior state: the settled corpus's labels — computed here so the
+    // query is self-contained; a deployment reads the previous run's
+    // output instead (the settled side then never re-tokenizes)
+    val settledLabels = connectedComponents(
+      settled.select(col("doc_id")),
+      jaccardEdgesBetween(settled, settled, threshold), maxIters)
+    val labelEdges = settledLabels
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    // every edge with >=1 fresh endpoint (fresh×all covers settled-fresh
+    // once and fresh-fresh twice — connectedComponents symmetrizes, so
+    // duplicate/directed edges are harmless)
+    val freshEdges = jaccardEdgesBetween(fresh, docs, threshold)
+    connectedComponents(docs.select(col("doc_id")),
+      freshEdges.unionByName(labelEdges), maxIters)
+  }
+
+  /** Verified-Jaccard edges between two doc sets (directed a×b,
+    * id_a != id_b) — the D2 hashed-merge pair stage generalized off the
+    * self-join. Small-SF tier: the b side broadcasts like
+    * [[jaccardPairs]]'s; the 100 TB path generates candidates from the
+    * persisted band index instead (TextIndex.dedupBatch). */
+  private[operators] def jaccardEdgesBetween(a0: DataFrame, b0: DataFrame,
+      threshold: Double): DataFrame = {
+    val cores = a0.sparkSession.sparkContext.defaultParallelism
+    def hashed(df: DataFrame) = tokenizedDocs(df).withColumn("toks_h",
+      array_sort(transform(col("toks"), tk => xxhash64(tk))))
+    val a = hashed(a0).select(
+      col("doc_id").as("id_a"), col("toks_h").as("toks_a"), col("n").as("n_a"))
+      .repartition(cores * 4, col("id_a"))
+    val b = hashed(b0).select(
+      col("doc_id").as("id_b"), col("toks_h").as("toks_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("id_a") =!= col("id_b") && sizeRatioGuard(threshold))
+      .withColumn("i",
+        call_function("graft_intersect_long_size", col("toks_a"), col("toks_b")))
+      .withColumn("j",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** D6b — near-dup clustering at SCALE: same output contract as

@@ -1034,4 +1034,79 @@ object TextOps {
       .select(col("shard"), col("seq"), col("doc_id"), col("source"))
       .orderBy("shard", "seq")
   }
+
+  /** F19 — unigram LANGUAGE-MODEL quality score: per-document average
+    * negative log-likelihood under the corpus's own unigram model — the
+    * CCNet/KenLM perplexity filter in its distributed, self-trained
+    * form (docs full of rare/garbled tokens score high; fluent docs
+    * built from common words score low).
+    *
+    * Bit-stability (SURVEY §4): the only non-correctly-rounded float op
+    * is ln, so it is taken ONCE PER DISTINCT WORD and immediately
+    * quantized to integer micro-nats (round(-ln(p)·1e6) — a 1-ulp ln
+    * disagreement survives only if that product sits within ~1e-10 of a
+    * rounding boundary, per distinct word, and then fails the hash gate
+    * loudly). Everything per-document is exact int64 — token count and
+    * summed micro-nat cost — and the average is a fixed two-division
+    * sequence rounded once to 4dp.
+    *
+    * Scale shape: one corpus tokenization feeding a partial-aggregated
+    * vocab count (the exchange carries (word, count), vocab-sized); the
+    * total is a 1-row broadcast (C20); the per-doc pass re-joins tokens
+    * to costs on the word key — vocab is corpus-vocab-sized, so AQE
+    * broadcasts it at any realistic SF — and reduces through another
+    * partial agg. The corpus text itself never crosses an exchange. */
+  def lmQuality(t: Tables): DataFrame = lmQualityOf(t.documents)
+
+  /** Library form over any (doc_id, text) frame. */
+  def lmQualityOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    val costs = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(-log(col("n_w").cast("double") / col("n_total").cast("double"))
+          * 1e6).cast("long").as("cost_u"))
+    toks.join(costs, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cost_u")).as("nll_micro"))
+      .withColumn("avg_nll4",
+        round(col("nll_micro").cast("double") / col("n_tokens").cast("double")
+          / 1e6, 4))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("avg_nll4"))
+      .orderBy("doc_id")
+  }
+
+  /** F20 — distributed BPE pair statistics (tokenizer training, stage
+    * 1): the merge-candidate table of byte-pair encoding — adjacent
+    * character-pair counts over the corpus, weighted by word frequency,
+    * top-k in the canonical (count DESC, pair ASC) merge order. This is
+    * the stage that must be distributed when training a tokenizer on
+    * 100 TB (Sennrich et al. 2016 §3: pair statistics are gathered over
+    * a word-frequency dict, not the raw corpus); subsequent merge
+    * rounds re-run it over the re-segmented vocab, whose size — not the
+    * corpus's — bounds every round after this one.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the word-frequency agg
+    * (partial-combined, the exchange carries (word, count) = the
+    * vocabulary); the pair explode runs over DISTINCT words — a
+    * ~10⁵-row frame at any corpus size — and reduces through a second
+    * vocab-sized partial agg. Exact int64 throughout; the top-k total
+    * order makes the limit deterministic. */
+  def bpePairCounts(t: Tables, k: Int = 20): DataFrame =
+    bpePairCountsOf(t.documents, k)
+
+  /** Library form over any frame with a text column. */
+  def bpePairCountsOf(docs: DataFrame, k: Int): DataFrame = {
+    val wf = docs
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    wf.filter(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+  }
 }

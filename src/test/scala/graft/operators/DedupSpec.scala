@@ -348,4 +348,57 @@ class DedupSpec extends SparkSpec {
     assert(!exchanges.contains("para#") && !exchanges.contains("text#"),
       s"an exchange carries paragraph text:\n$exchanges")
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged; no text in exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiffOf(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // identical snapshots diff to all-unchanged (identity)
+    val same = Dedup.snapshotDiffOf(old, old).collect().map(_.getString(1))
+    assert(same.forall(_ == "unchanged") && same.length == 3)
+    // the exchange discipline: the full-outer join carries content
+    // hashes, never the text column
+    val q = Dedup.snapshotDiff(t)
+    q.collect()
+    val exchanges = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"snapshot diff shuffles document text:\n$exchanges")
+  }
+
+  test("incremental clustering equals full recompute, incl. a fresh doc merging two settled clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // token universe: w1..w42. a={w1..w39, w41}, b={w1..w39, w42},
+    // f={w1..w40}: j(f,a)=j(f,b)=39/41≈0.951 >= 0.95 but
+    // j(a,b)=38/42≈0.905 < 0.95 — the fresh doc (id 15, %8==7) BRIDGES
+    // two settled singletons that a settled-only pass keeps apart
+    def txt(idx: Seq[Int]) = idx.map(i => s"w$i").mkString(" ")
+    val a = txt((1 to 39) :+ 41)
+    val b = txt((1 to 39) :+ 42)
+    val f = txt(1 to 40)
+    val docs = Seq(
+      (1L, a), (2L, a),            // settled cluster {1,2}
+      (3L, b), (4L, b),            // settled cluster {3,4}
+      (5L, "completely different text about nothing shared"),
+      (15L, f)                     // fresh bridge
+    ).toDF("doc_id", "text")
+    val isFresh = pmod(col("doc_id"), lit(8L)) === 7L
+    val inc = Dedup.dedupClustersIncrementalOf(docs, isFresh).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recompute over the same corpus (brute exact edges — no LSH
+    // recall caveat in the equality claim)
+    val full = Dedup.connectedComponents(docs.select(col("doc_id")),
+        Dedup.jaccardEdgesBetween(docs, docs, 0.95)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    // and the merge actually happened: 1,2,3,4,15 share one cluster
+    assert(Seq(2L, 3L, 4L, 15L).forall(id => inc(id) == inc(1L)))
+    assert(inc(5L) == 5L)
+  }
 }

@@ -821,4 +821,52 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
       "repetition signals must not shuffle beyond the output sort:\n" + plan)
   }
+
+  test("lm quality: micro-nat scores match a driver-side unigram recompute; fluent < garbled") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),         // common words
+      (2L, "the the the the the the"),        // most common word only
+      (3L, "zyx qwv jkq zyx phl brr")         // rare words
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmQualityOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // driver-side recompute of the exact pipeline
+    val words = Seq(1L -> "the cat sat on the mat", 2L -> "the the the the the the",
+      3L -> "zyx qwv jkq zyx phl brr")
+      .flatMap { case (id, s) => s.split(" ").map(id -> _) }
+    val counts = words.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val total = counts.values.sum
+    val cost = counts.map { case (w, n) =>
+      w -> math.round(-math.log(n.toDouble / total.toDouble) * 1e6)
+    }
+    val expected = words.groupBy(_._1).map { case (id, ws) =>
+      val nll = ws.map(w => cost(w._2)).sum
+      val avg = BigDecimal(nll.toDouble / ws.length.toDouble / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.length.toLong, nll, avg)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // fluency ordering: all-stopword doc < mixed doc < rare-word doc
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(2L) < byId(1L) && byId(1L) < byId(3L))
+  }
+
+  test("bpe pair counts: planted fixture + occurrence conservation on the corpus") {
+    import spark.implicits._
+    // "banana" x3, "bane" x1: pairs ba(4), an(7), na(6), ne(1)
+    val docs = Seq((1L, "banana banana bane"), (2L, "banana")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCountsOf(docs, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("an" -> 7L, "na" -> 6L, "ba" -> 4L, "ne" -> 1L),
+      s"got ${got.toSeq}")
+    // conservation over the real corpus: sum of pair occurrences (no
+    // limit) == sum over words of freq * (len - 1)
+    val all = TextOps.bpePairCountsOf(t.documents, Int.MaxValue).collect()
+      .map(_.getLong(1)).sum
+    val expectTotal = t.documents.selectExpr(
+        "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) as w")
+      .selectExpr("sum(length(w) - 1) as s").collect()(0).getLong(0)
+    assert(all == expectTotal, s"$all != $expectTotal")
+  }
 }
