@@ -172,8 +172,15 @@ object EventOps {
     * change history the combiner-tree agg is the difference between
     * shuffling #keys rows and shuffling the whole log. */
   def latestState(t: Tables): DataFrame =
-    withMs(t)
-      .select(col("user_id"),
+    latestStateCore(withMs(t)).orderBy("user_id")
+
+  /** The orderBy-free election core — shared with the streaming twin
+    * ([[graft.streaming.EventStreams.latestStateStream]]): a plain
+    * streaming-legal aggregation, so in Update mode the per-key state IS
+    * the compacted row. Input needs (user_id, ts_ms, event_id,
+    * event_type, value). */
+  private[graft] def latestStateCore(e: DataFrame): DataFrame =
+    e.select(col("user_id"),
         struct(col("ts_ms"), col("event_id"), col("event_type"),
           cents(col("value")).as("value_c")).as("st"))
       .groupBy("user_id")
@@ -184,7 +191,6 @@ object EventOps {
         col("st.event_type").as("last_type"),
         col("st.value_c").as("last_value_c"),
         col("n_versions"))
-      .orderBy("user_id")
 
   /** B24 — SCD-2 validity intervals: turn the same keyed change log into
     * slowly-changing-dimension rows, each version valid from its own

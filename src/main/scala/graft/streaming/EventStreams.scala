@@ -313,6 +313,19 @@ object EventStreams {
       graft.operators.Dedup.wordBlockParas(col("text"), blockWords),
       delim, sortedHashes)
 
+  /** B23 streaming twin — LIVE changelog compaction: the identical
+    * max-struct election as [[graft.operators.EventOps.latestState]]
+    * (shared core), run as a streaming aggregation in Update mode. The
+    * per-key state IS the compacted row — one struct per key, never the
+    * change history — and each micro-batch emits only the keys whose
+    * current state changed: exactly the maintenance pattern of a
+    * serving-layer upsert sink (foreachBatch MERGE). No watermark: the
+    * compacted table is keyed by a bounded entity id, so state size is
+    * #keys, not time. */
+  def latestStateStream(events: DataFrame): DataFrame =
+    graft.operators.EventOps.latestStateCore(
+      events.withColumn("ts_ms", unix_millis(col("ts"))))
+
   final case class Doc(doc_id: Long, source: String, text: String)
   final case class Admitted(source: String, doc_id: Long, n_tokens: Long,
       cum_tokens: Long)
