@@ -679,7 +679,11 @@ object SparkEntry {
         FROM e ORDER BY user_id, valid_from_ms, event_id""",
     // B25: trailing stats are EXACT int64 sums; the float sequence
     // (deviation division, variance division, sqrt, z division, one 4dp
-    // round) replays the Spark expression op-for-op
+    // round) replays the Spark expression op-for-op. The variance
+    // numerator products are widened past int64 on BOTH sides (Spark
+    // decimal(38,0), DuckDB HUGEINT — both exact integers here), so the
+    // hash-exact contract survives buckets past ~1.3e8 events where the
+    // int64 product would wrap (Spark, ANSI off) or raise (DuckDB)
     "rate_anomaly" ->
       """WITH c AS (SELECT epoch_ms(ts)//600000 AS bucket, count(*) AS n
           FROM events GROUP BY 1),
@@ -689,9 +693,10 @@ object SparkEntry {
             sum(n*n) OVER win AS t_sumsq
           FROM c WINDOW win AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
         z AS (SELECT *,
-            CASE WHEN t_cnt = 24 AND t_cnt*t_sumsq - t_sum*t_sum > 0
+            CASE WHEN t_cnt = 24
+                AND cast(t_cnt as HUGEINT)*t_sumsq - cast(t_sum as HUGEINT)*t_sum > 0
               THEN round((cast(n*t_cnt - t_sum as double) / cast(t_cnt as double))
-                / sqrt(cast(t_cnt*t_sumsq - t_sum*t_sum as double)
+                / sqrt(cast(cast(t_cnt as HUGEINT)*t_sumsq - cast(t_sum as HUGEINT)*t_sum as double)
                   / cast(t_cnt*t_cnt as double)), 4)
             END AS z4
           FROM w)

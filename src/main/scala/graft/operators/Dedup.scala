@@ -495,10 +495,15 @@ object Dedup {
     val labelEdges = settledLabels
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-    // every edge with >=1 fresh endpoint (fresh×all covers settled-fresh
+    // every edge with >=1 fresh endpoint (all×fresh covers settled-fresh
     // once and fresh-fresh twice — connectedComponents symmetrizes, so
-    // duplicate/directed edges are harmless)
-    val freshEdges = jaccardEdgesBetween(fresh, docs, threshold)
+    // duplicate/directed edges are harmless). Argument order matters:
+    // jaccardEdgesBetween broadcasts its SECOND side, which must be the
+    // small fresh batch, never the settled corpus — the per-batch cost
+    // claim (scales with |fresh|) only holds with fresh on the broadcast
+    // side (round-11 advice: the swapped form hit broadcast limits as
+    // soon as the settled corpus outgrew the batch).
+    val freshEdges = jaccardEdgesBetween(docs, fresh, threshold)
     connectedComponents(docs.select(col("doc_id")),
       freshEdges.unionByName(labelEdges), maxIters)
   }

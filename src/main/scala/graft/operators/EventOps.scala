@@ -242,7 +242,15 @@ object EventOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
     val w = Window.orderBy("bucket").rowsBetween(-trail, -1)
-    val varNum = col("t_cnt") * col("t_sumsq") - col("t_sum") * col("t_sum")
+    // the trailing sums stay int64 outputs (safe to ~6e8 events/bucket),
+    // but their PRODUCTS t_cnt*t_sumsq and t_sum² wrap int64 at ~1.3e8
+    // events per 10-minute bucket (~210k events/s — a plausible deploy
+    // rate), and with ANSI off the wrap is silent. The products are
+    // therefore computed in decimal(38,0) — exact to 38 digits, matching
+    // the oracle's int128 — before the >0 test and the double cast.
+    val d38 = "decimal(38,0)"
+    val varNum = col("t_cnt").cast(d38) * col("t_sumsq").cast(d38) -
+      col("t_sum").cast(d38) * col("t_sum").cast(d38)
     val z = (col("n") * col("t_cnt") - col("t_sum")).cast("double") /
       col("t_cnt").cast("double") /
       sqrt(varNum.cast("double") / (col("t_cnt") * col("t_cnt")).cast("double"))

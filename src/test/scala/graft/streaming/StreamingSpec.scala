@@ -806,6 +806,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("latestStateStream compacts a change stream in Update mode and ends at the batch latestState (B23 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.5),
+      Event(3, ts(1), 11, "click", 3.0),
+      Event(5, ts(4), 12, "buy", 7.0))
+    // batch 2: user 10 advances, user 11 gets an OLDER (losing) version
+    // — its last_* stay put but n_versions moves — user 12 is untouched
+    val b2 = Seq(
+      Event(6, ts(9), 10, "buy", 4.0),
+      Event(0, ts(0), 11, "view", 9.0))
+    val input = MemoryStream[Event]
+    // starting in Update mode without a watermark is itself an assertion:
+    // an aggregation that required Append-mode legality would throw here
+    val query = EventStreams.latestStateStream(input.toDF())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      val rowsAfter1 = spark.sql("select * from latest_state").count()
+      assert(rowsAfter1 == 3, "batch 1 emits one compacted row per key")
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val emitted2 = spark.table("latest_state").collect().length - rowsAfter1
+      assert(emitted2 == 2,
+        "batch 2 re-emits only the two keys whose state changed (12 is silent)")
+      // final state per key = the emission with the largest n_versions
+      // (monotone per key); must equal the batch election over the union
+      val finalState = spark.sql(
+        """select user_id, last_event_id, last_ms, last_type, last_value_c, n_versions
+           from latest_state a where n_versions =
+             (select max(n_versions) from latest_state b where b.user_id = a.user_id)""")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.EventOps.latestStateCore(
+        (b1 ++ b2).toDF().withColumn("ts_ms",
+          org.apache.spark.sql.functions.unix_millis($"ts")))
+        .collect().map(_.toSeq).toSet
+      assert(finalState == batch,
+        "stream end state must equal EventOps.latestState on the union")
+    } finally query.stop()
+  }
+
   test("stateful bounded queue caps per-key state (B9, parser.py:470-481)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
