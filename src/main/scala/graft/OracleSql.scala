@@ -1117,4 +1117,57 @@ private[graft] object OracleSql {
       FROM c1 $joins)""")
     LloydReplay(sb.toString, dist)
   }
+
+  /** F20b replay — the k-round BPE merge loop as k chained CTE blocks.
+    *
+    * Segmentations travel as LIST(VARCHAR); pair counting unnests the
+    * list with a lockstep index unnest (overlapping adjacencies count,
+    * matching the Spark transform over i..i+1); election replays the
+    * (count DESC, lhs, rhs) total order with LIMIT 1.
+    *
+    * Greedy left-to-right re-segmentation uses the space-encoding
+    * trick: symbols are [a-z]+ (space-free), so join with TWO spaces,
+    * pad ONE space each end, and `replace(' l  r ' -> ' lr ')` — each
+    * match consumes one space from each doubled boundary, so chained
+    * occurrences ([a,a,a,a] + (a,a)) merge non-overlapping left-to-
+    * right exactly like the Spark fold (standard replace() semantics:
+    * scan the source once, never rescan replacements). The invariant
+    * (ends 1 space, boundaries 2) survives every replacement, so
+    * trim + split on '  ' recovers the symbol list. */
+  def bpeMerges(k: Int): String = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor ~5 times
+    // (pair scan + 3 scalar-subquery elections + re-segment) — inlined,
+    // the corpus scan would replay 5^k times (observed: fd exhaustion
+    // at k=8 before any row was produced)
+    val sb = new StringBuilder(
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        wf AS MATERIALIZED (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        seg0 AS MATERIALIZED (SELECT word, n,
+          list_transform(range(1, length(word) + 1), i -> word[i]) AS syms FROM wf)""")
+    for (r <- 1 to k) {
+      val p = s"seg${r - 1}"
+      sb.append(s""",
+        p$r AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(n) AS n_occ
+          FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                FROM $p WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        top$r AS MATERIALIZED (SELECT lhs, rhs, n_occ FROM p$r
+          ORDER BY n_occ DESC, lhs, rhs LIMIT 1),
+        seg$r AS MATERIALIZED (SELECT word, n, string_split(trim(
+            replace(' ' || array_to_string(syms, '  ') || ' ',
+              ' ' || (SELECT lhs FROM top$r) || '  ' || (SELECT rhs FROM top$r) || ' ',
+              ' ' || (SELECT lhs FROM top$r) || (SELECT rhs FROM top$r) || ' ')),
+            '  ') AS syms
+          FROM $p)""")
+    }
+    val rows = (1 to k).map(r =>
+      s"""SELECT cast($r as bigint) AS merge_round, lhs, rhs,
+          lhs || rhs AS merged, cast(n_occ as bigint) AS n_occ FROM top$r""")
+      .mkString("\n        UNION ALL ")
+    sb.append(s"""
+        $rows
+        ORDER BY merge_round""")
+    sb.toString
+  }
 }

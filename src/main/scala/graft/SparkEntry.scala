@@ -175,7 +175,9 @@ object SparkEntry {
     "split_assign" -> ((s, d) => TextOps.splitAssign(tables(s, d))),
     // F19/F20 tokenizer-adjacent corpus statistics
     "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
+    "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
+    "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -856,6 +858,31 @@ object SparkEntry {
         SELECT t.doc_id, count(*) AS n_tokens, cast(sum(c.cost_u) as bigint) AS nll_micro,
           round(cast(sum(c.cost_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
         FROM tok t JOIN c USING (word) GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // F19b: bigram model, self-scored — every scoring bigram and first
+    // token is in the training tables, so the backoff branches are
+    // legitimately absent here (the spec exercises them on an external
+    // score set); ln once per distinct (bi)gram, micro-nat quantized
+    "lm_quality2" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        tok AS (SELECT unnest(ws) AS word FROM d),
+        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
+        uni AS (SELECT word, cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS uni_u
+          FROM v CROSS JOIN tot),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+        bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(n_big) AS n_ctx FROM bc GROUP BY 1),
+        bcost AS (SELECT w1, w2,
+            cast(round(-ln(cast(n_big as double) / cast(n_ctx as double)) * 1000000.0) as bigint) AS cost_u
+          FROM bc JOIN ctx USING (w1)),
+        fc AS (SELECT doc_id, uni_u AS c FROM
+          (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
+        gc AS (SELECT doc_id, cost_u AS c FROM bg JOIN bcost USING (w1, w2)),
+        allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
+        SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
+          round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
+        FROM allc GROUP BY doc_id ORDER BY doc_id""",
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
         wf AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
@@ -863,6 +890,9 @@ object SparkEntry {
           (SELECT word, n, unnest(range(1, length(word))) AS i FROM wf WHERE length(word) >= 2))
         SELECT pair, cast(sum(n) as bigint) AS n_occ FROM p GROUP BY pair
         ORDER BY n_occ DESC, pair LIMIT 20""",
+    // F20b: generated k-round merge-loop replay (elect / re-segment /
+    // recount over the vocab CTEs — OracleSql.bpeMerges)
+    "bpe_merges" -> OracleSql.bpeMerges(8),
     // D6c: the same closure as dedup_clusters, canonical member
     // elected by (stop_ratio DESC, doc_id) within each cluster
     "dedup_keep_best" ->

@@ -1077,6 +1077,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F19b — BIGRAM language-model quality with stupid backoff: the
+    * CCNet-shaped fluency filter in its distributed, self-trained form.
+    * Each doc's score is its average per-token negative log prob under
+    * a 2-gram model: the first token is priced by the unigram model,
+    * every later token by p(w|prev) = count(prev,w)/count(prev,·); a
+    * token whose bigram was never seen in training backs off to
+    * alpha·p_uni(w) (Brants et al. 2007's stupid backoff — the
+    * normalization-free form that actually runs at corpus scale), and
+    * a fully-OOV token to alpha/N. Fluent docs built from common word
+    * SEQUENCES now score low where F19 only rewarded common WORDS —
+    * word-salad from frequent words is caught by its unseen bigrams.
+    *
+    * Bit-stability (same discipline as [[lmQualityOf]]): ln is taken
+    * once per DISTINCT bigram / word and quantized to integer
+    * micro-nats; per-doc accumulation is exact int64; the average is a
+    * fixed two-division sequence rounded once to 4dp — hash-exact vs
+    * the DuckDB replay.
+    *
+    * Scale shape: two corpus-sized partial aggs whose exchanges carry
+    * the (bi)gram vocabularies, never tokens; context counts derive
+    * from the bigram table (vocab-sized); scoring joins tokens to the
+    * cost tables on word keys (AQE broadcasts them at any realistic
+    * SF) and reduces through a per-doc partial agg. The corpus text
+    * itself never crosses an exchange. */
+  def lmQuality2(t: Tables): DataFrame = lmQuality2Of(t.documents, t.documents)
+
+  /** Library form: train the model on `train`, score `score` — the
+    * deployment shape trains on a trusted reference corpus (CCNet uses
+    * Wikipedia) and scores the crawl. */
+  def lmQuality2Of(train: DataFrame, score: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val toMicro = (c: Column) => round(c * 1e6).cast("long")
+    // unigram model (first-token + backoff pricing)
+    val vocab = train.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    val uniCost = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        toMicro(-log(col("n_w").cast("double") / col("n_total").cast("double")))
+          .as("uni_u"),
+        toMicro(-log(lit(alpha) * col("n_w").cast("double")
+          / col("n_total").cast("double"))).as("back_u"))
+    // bigram model; context counts derive from the bigram table so the
+    // two stay consistent by construction (count(prev,·) = Σ_w count(prev,w))
+    def bigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainWs = train.select(col("doc_id"), words(col("text")).as("ws"))
+    val scoreWs = score.select(col("doc_id"), words(col("text")).as("ws"))
+    val bigCounts = bigrams(trainWs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_big"))
+    val ctx = bigCounts.groupBy("w1").agg(sum(col("n_big")).as("n_ctx"))
+    val bigCost = bigCounts.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        toMicro(-log(col("n_big").cast("double") / col("n_ctx").cast("double")))
+          .as("cost_u"))
+    // scoring: first token at the unigram price, the rest at the bigram
+    // price with stupid backoff; OOV prices need n_total in-plan (1-row
+    // broadcast, as in lmQualityOf)
+    val firsts = scoreWs.filter(size(col("ws")) > 0)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(uniCost, Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("uni_u"),
+        toMicro(-log(lit(1.0) / col("n_total").cast("double")))).as("c"))
+    val rest = bigrams(scoreWs)
+      .join(bigCost, Seq("w1", "w2"), "left")
+      .join(uniCost.select(col("word").as("w2"), col("back_u")), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("cost_u"), col("back_u"),
+        toMicro(-log(lit(alpha) / col("n_total").cast("double")))).as("c"))
+    firsts.unionByName(rest)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("nll_micro"))
+      .withColumn("avg_nll4",
+        round(col("nll_micro").cast("double") / col("n_tokens").cast("double")
+          / 1e6, 4))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("avg_nll4"))
+      .orderBy("doc_id")
+  }
+
   /** F20 — distributed BPE pair statistics (tokenizer training, stage
     * 1): the merge-candidate table of byte-pair encoding — adjacent
     * character-pair counts over the corpus, weighted by word frequency,
@@ -1109,4 +1192,87 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(k)
   }
+
+  /** F20b — the BPE MERGE LOOP (tokenizer training, stage 2): k rounds
+    * of elect-top-pair / re-segment / recount over the word-frequency
+    * vocabulary, emitting the merge table — the artifact a tokenizer
+    * trainer actually ships (Sennrich et al. 2016 §3: after the corpus
+    * is reduced to a frequency dict, every round operates on the DICT's
+    * segmentations, never the corpus again).
+    *
+    * Merge semantics (pinned by the planted-fixture spec and the
+    * generated DuckDB replay [[graft.OracleSql.bpeMerges]]):
+    *  - pair counts include overlapping adjacencies ([a,a,a] counts
+    *    (a,a) twice, weighted by word frequency);
+    *  - election order is total: count DESC, then (lhs, rhs) ASC —
+    *    ties break identically cross-engine (ASCII [a-z] symbols);
+    *  - re-segmentation merges occurrences GREEDILY left-to-right
+    *    ([a,a,a,a] + (a,a) -> [aa, aa]), via a fold whose accumulator
+    *    tail can only equal `lhs` at a mergeable original symbol
+    *    (lhs++rhs != lhs since rhs is nonempty);
+    *  - the loop stops early when no pair remains.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the word-frequency agg
+    * (partial-combined, exchange carries the vocabulary); each round is
+    * two vocab-sized jobs — a pair agg feeding a 1-row collect (the
+    * elected pair is model-sized driver state, like IVF centroids) and
+    * a localCheckpoint of the re-segmented dict that truncates lineage
+    * so round k's plan does not nest k HOF folds. At 100 TB the vocab
+    * is still ~1e6 rows, so the per-round cost is fixed-overhead-bound
+    * and independent of corpus size — exactly why Sennrich's dict
+    * reduction is THE published algorithm. */
+  def bpeMerges(t: Tables, k: Int = 8): DataFrame = bpeMergesOf(t.documents, k)
+
+  /** Library form over any frame with a text column. */
+  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val wf = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    // initial segmentation: one symbol per character; checkpoint also
+    // materializes the corpus-sized tokenization exactly once
+    var seg = wf.select(col("word"), col("n"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
+      val top = seg.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, l, r, l + r, c))
+        val next = seg
+          .select(col("word"), col("n"), mergeGreedy(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+        seg.unpersist()
+        seg = next
+        round += 1
+      }
+    }
+    seg.unpersist()
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_occ")
+      .orderBy("merge_round")
+  }
+
+  /** Greedy left-to-right merge of adjacent (l, r) symbol occurrences:
+    * fold each symbol into the output, replacing the tail when it is a
+    * mergeable `l` (the tail equals `l` only for original symbols —
+    * this round's merged symbol l++r can't collide since r != ""). */
+  private def mergeGreedy(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
 }

@@ -852,6 +852,53 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(2L) < byId(1L) && byId(1L) < byId(3L))
   }
 
+  test("lm quality 2: bigram scores match driver recompute; backoff penalizes unseen bigrams from seen words") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"), // every bigram seen in training
+      (11L, "mat the on cat sat the"), // all words seen, bigrams unseen
+      (12L, "the zyxq cat")            // OOV token
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmQuality2Of(train, score).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // driver-side recompute of the exact arithmetic
+    val trainDocs = Seq("the cat sat on the mat", "the cat ate the fish",
+      "the dog sat on the rug").map(_.split(" ").toSeq)
+    val uni = trainDocs.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nTotal = uni.values.sum
+    val big = trainDocs.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val micro = (p: Double) => math.round(-math.log(p) * 1e6)
+    def tokCost(prev: Option[String], w: String): Long = prev match {
+      case None =>
+        uni.get(w).map(n => micro(n.toDouble / nTotal.toDouble))
+          .getOrElse(micro(1.0 / nTotal.toDouble))
+      case Some(p) =>
+        big.get((p, w)).map(n => micro(n.toDouble / ctx(p).toDouble))
+          .orElse(uni.get(w).map(n => micro(0.4 * n.toDouble / nTotal.toDouble)))
+          .getOrElse(micro(0.4 / nTotal.toDouble))
+    }
+    val expected = Seq(10L -> "the cat sat on the mat",
+      11L -> "mat the on cat sat the", 12L -> "the zyxq cat").map { case (id, s) =>
+      val ws = s.split(" ").toSeq
+      val costs = tokCost(None, ws.head) +:
+        ws.zip(ws.tail).map { case (a, b) => tokCost(Some(a), b) }
+      val nll = costs.sum
+      val avg = BigDecimal(nll.toDouble / ws.size.toDouble / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.size.toLong, nll, avg)
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // fluency ordering: seen bigrams < backed-off word salad < OOV-laden
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(10L) < byId(11L) && byId(11L) < byId(12L))
+  }
+
   test("bpe pair counts: planted fixture + occurrence conservation on the corpus") {
     import spark.implicits._
     // "banana" x3, "bane" x1: pairs ba(4), an(7), na(6), ne(1)
@@ -868,5 +915,26 @@ class TextOpsSpec extends SparkSpec {
         "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) as w")
       .selectExpr("sum(length(w) - 1) as s").collect()(0).getLong(0)
     assert(all == expectTotal, s"$all != $expectTotal")
+  }
+
+  test("bpe merges: round 3 depends on round 2's re-segmentation; overlaps merge greedily; loop stops dry") {
+    import spark.implicits._
+    // word freqs: abc x5, aaaa x3
+    val docs = Seq((1L, "abc abc abc abc abc"), (2L, "aaaa aaaa aaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOf(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // r1: (a,a) counts OVERLAPPING adjacencies — 3 per "aaaa" x3 = 9 —
+    //     beating (a,b)/(b,c) at 5; greedy reseg: [a,a,a,a] -> [aa,aa]
+    // r2: tie (a,b)=(b,c)=5 breaks lexicographically to (a,b)
+    // r3: (ab,c) exists ONLY because r2 re-segmented "abc" to [ab,c]
+    // r4: (aa,aa)=3 from r1's greedy pairing
+    // then no pair remains: 4 rows despite k=8
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 9L),
+      (2L, "a", "b", "ab", 5L),
+      (3L, "ab", "c", "abc", 5L),
+      (4L, "aa", "aa", "aaaa", 3L)), s"got ${got.toSeq}")
   }
 }
