@@ -1118,6 +1118,70 @@ private[graft] object OracleSql {
     LloydReplay(sb.toString, dist)
   }
 
+  /** The G2/G6 frame-pattern CTE: per event, the 64-bit dHash pattern
+    * its synthetic BMP frame encodes (Multimodal.framePattern replayed
+    * — mix64(user_id) XOR a single-bit flip on every 5th event, else
+    * XOR mix64(event_id + 7777)). Ends in `pat(event_id, d)`, d
+    * UBIGINT. */
+  private def framePatternCte: String = {
+    def widen(c: String) = s"(CASE WHEN $c >= 0 THEN $c::HUGEINT " +
+      s"ELSE $c::HUGEINT + $TwoTo64 END)::UBIGINT"
+    val base = mix64(widen("user_id"))
+    val noise = mix64(widen("(event_id + 7777)"))
+    // 1::UBIGINT << 63 raises in DuckDB (the shift runs in BIGINT), so
+    // the flip goes through HUGEINT
+    val flip = s"((1::HUGEINT << (event_id % 64)::INT))::UBIGINT"
+    s"""pat AS MATERIALIZED (SELECT event_id,
+      xor($base, CASE WHEN event_id % 5 = 0 THEN $flip ELSE $noise END) AS d
+    FROM events)"""
+  }
+
+  private def signed(e: String): String =
+    s"cast(CASE WHEN $e < $SignBit::UBIGINT THEN $e::HUGEINT " +
+      s"ELSE $e::HUGEINT - $TwoTo64 END as bigint)"
+
+  /** mm_features_bmp: every feature recomputed ARITHMETICALLY from the
+    * pattern spec — dhash is the pattern itself (the ±1 gray ramp makes
+    * adjacent-pixel recovery lossless); the mean comes from the ramp's
+    * closed form (a bit at row offset x brightens the 8-x pixels right
+    * of it): pixel_sum = 72·128 + Σ_i (8 - i%8)(2·b_i - 1), mean_milli
+    * = pixel_sum·1000 // 72; frame_bytes = 54 + 28·8 = 278 (stride-
+    * padded BMP). Any defect in the encoder, the EBML block transport,
+    * or the decoder breaks the hash match. */
+  lazy val mmFeaturesBmp: String =
+    s"""WITH ${framePatternCte},
+    bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),
+    adj AS (SELECT event_id,
+        sum((8 - (i % 8)) * (2 * ((d >> i::INT) & 1::UBIGINT)::BIGINT - 1)) AS a
+      FROM bits GROUP BY event_id)
+    SELECT p.event_id, cast(278 as bigint) AS frame_bytes,
+      cast(9 as bigint) AS width, cast(8 as bigint) AS height,
+      cast((9216 + adj.a) * 1000 // 72 as bigint) AS mean_milli,
+      ${signed("p.d")} AS dhash
+    FROM pat p JOIN adj ON p.event_id = adj.event_id
+    ORDER BY p.event_id"""
+
+  /** mm_frame_dedup: the 7-band pigeonhole layout replayed on the
+    * pattern (complete for Hamming <= 6), DISTINCT band-bucket pairs,
+    * bit_count verification — the same candidate set the operator's
+    * band join produces, never all-pairs. */
+  lazy val mmFrameDedup: String = {
+    val layout = Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+    val bandRows = layout.map { case (off, w) =>
+      s"($off, ${(BigInt(1) << w) - 1})"
+    }.mkString(", ")
+    s"""WITH ${framePatternCte},
+    bands AS (SELECT event_id, d, bl.off AS k, (d >> bl.off::INT) & bl.mask::UBIGINT AS cv
+      FROM pat, (VALUES $bandRows) AS bl(off, mask)),
+    cand AS (SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
+        a.d AS da, b.d AS db
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.cv = b.cv AND a.event_id < b.event_id)
+    SELECT id_a, id_b, cast(bit_count(xor(da, db)) as bigint) AS hamming
+    FROM cand WHERE bit_count(xor(da, db)) <= 6
+    ORDER BY id_a, id_b"""
+  }
+
   /** F20b replay — the k-round BPE merge loop as k chained CTE blocks.
     *
     * Segmentations travel as LIST(VARCHAR); pair counting unnests the

@@ -149,6 +149,8 @@ object SparkEntry {
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
+    "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
+    "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
     "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
     "mm_frame_sample_time" -> ((s, d) => Multimodal.mmFrameSampleByTime(tables(s, d))),
@@ -1214,6 +1216,10 @@ object SparkEntry {
           cast(json_extract_string(props,'$.k') as bigint) AS k,
           cast(len(list_distinct(regexp_extract_all(props,'.'))) as bigint) AS n_distinct_chars,
           (length(props)+15)//16 AS height
-        FROM events ORDER BY event_id"""
+        FROM events ORDER BY event_id""",
+    // G2 real-decoder / G6 perceptual-dedup oracles: generated mix64
+    // replays of the frame pattern (OracleSql.framePatternCte)
+    "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
+    "mm_frame_dedup" -> OracleSql.mmFrameDedup
   )
 }

@@ -107,6 +107,11 @@ object EbmlKernels {
       props: UTF8String): Array[Byte] =
     EbmlFunctions.buildFragment(eventId, tsMs, userId, valueC,
       if (props == null) "" else props.toString)
+
+  def encodeFrame(eventId: Long, tsMs: Long, userId: Long, valueC: Long,
+      frame: Array[Byte]): Array[Byte] =
+    EbmlFunctions.buildFragmentFrame(eventId, tsMs, userId, valueC,
+      if (frame == null) Array.emptyByteArray else frame)
 }
 
 object EbmlExpressions {
@@ -230,5 +235,42 @@ case class EbmlEncodeExpr(children: Seq[Expression]) extends Expression {
   }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): EbmlEncodeExpr =
+    copy(children = newChildren)
+}
+
+/** [[EbmlEncodeExpr]] with a BINARY 5th argument — the media frame
+  * payload lands in the SimpleBlock verbatim (real codec bytes instead
+  * of the JSON props string). */
+case class EbmlEncodeFrameExpr(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = children.take(4).exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ebml_encode_fragment_frame"
+  override def eval(input: InternalRow): Any = {
+    val e = children(0).eval(input)
+    val t = children(1).eval(input)
+    val u = children(2).eval(input)
+    val v = children(3).eval(input)
+    if (e == null || t == null || u == null || v == null) null
+    else EbmlKernels.encodeFrame(
+      e.asInstanceOf[Long], t.asInstanceOf[Long], u.asInstanceOf[Long],
+      v.asInstanceOf[Long], children(4).eval(input).asInstanceOf[Array[Byte]])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.take(4).map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      ${gens.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      byte[] ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.ebml.EbmlKernels.encodeFrame(
+          ${gens(0).value}, ${gens(1).value}, ${gens(2).value}, ${gens(3).value},
+          ${gens(4).isNull} ? null : ${gens(4).value});
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EbmlEncodeFrameExpr =
     copy(children = newChildren)
 }

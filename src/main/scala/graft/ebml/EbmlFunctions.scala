@@ -56,14 +56,21 @@ object EbmlFunctions {
     * ~4× through its nesting levels, which at bench scale was ~1.5 s per
     * mm query. EbmlSpec pins the two byte-identical. */
   def buildFragment(eventId: Long, tsMs: Long, userId: Long, valueC: Long,
-      props: String): Array[Byte] = {
+      props: String): Array[Byte] =
+    buildFragmentFrame(eventId, tsMs, userId, valueC, Ebml.utf8(props))
+
+  /** [[buildFragment]] with an ARBITRARY binary media payload in the
+    * SimpleBlock — the shape a real image/video pipeline ships (opaque
+    * codec bytes, not JSON); identical layout otherwise, so every
+    * parser/splitter path is payload-agnostic. */
+  def buildFragmentFrame(eventId: Long, tsMs: Long, userId: Long, valueC: Long,
+      frame: Array[Byte]): Array[Byte] = {
     import Ebml._
     val docType = utf8("matroska")
     val names = Array(FragmentNumber, ServerTs, ProducerTs, MillisBehind,
       ContinuationToken, UserIdTag, ValueCentsTag).map(utf8)
     val values = Array(eventId.toString, tsMs.toString, tsMs.toString, "0",
       s"tok-$eventId", userId.toString, valueC.toString).map(utf8)
-    val frame = utf8(props)
     // per-element payload sizes; overhead = idLen + 8-byte size varint
     def tagPayload(i: Int): Long =
       (10L + names(i).length) + (10L + values(i).length)
@@ -103,6 +110,12 @@ object EbmlFunctions {
       valueC: Column, props: Column): Column =
     column(EbmlEncodeExpr(
       Seq(eventId, tsMs, userId, valueC, props).map(expression)))
+
+  /** Encode with a binary media frame as the SimpleBlock payload. */
+  def encodeFragmentFrame(eventId: Column, tsMs: Column, userId: Column,
+      valueC: Column, frame: Column): Column =
+    column(EbmlEncodeFrameExpr(
+      Seq(eventId, tsMs, userId, valueC, frame).map(expression)))
 
   val ErrorCode = "AWS_KINESISVIDEO_ERROR_CODE"
   val ErrorId = "AWS_KINESISVIDEO_ERROR_ID"

@@ -264,7 +264,7 @@ object Dedup {
     * Hamming <= 6 shares at least one full band by pigeonhole —
     * candidate generation is COMPLETE for the default maxHamming = 6.
     * (Round-1 defect: 4 x 16-bit chunks were complete only for <= 3.) */
-  private val simhashBandLayout: Seq[(Int, Int)] = {
+  private[operators] val simhashBandLayout: Seq[(Int, Int)] = {
     val widths = Seq(10, 9, 9, 9, 9, 9, 9)
     widths.scanLeft(0)(_ + _).zip(widths)
   }

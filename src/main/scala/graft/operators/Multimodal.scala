@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ebml.EbmlFunctions
 import graft.functions._
@@ -203,13 +203,120 @@ object Multimodal {
     * plugged; the default is the deterministic UTF-8 stub this container
     * can actually run. */
   def mmFeatures(t: Tables,
-      decoder: FrameDecoder = Utf8JsonFrameDecoder): DataFrame = {
+      decoder: FrameDecoder = Utf8JsonFrameDecoder): DataFrame =
+    featuresCore(withBlobSorted(t), decoder)
+
+  private def featuresCore(blobbed: DataFrame, decoder: FrameDecoder): DataFrame = {
     val frame = EbmlFunctions.firstBlock(col("blob"))
-    withBlobSorted(t)
+    blobbed
       .withColumn("frame", frame)
       .select(col("event_id") +:
         length(col("frame")).cast("long").as("frame_bytes") +:
         decoder.features(col("frame")): _*)
+  }
+
+  /** The deterministic dHash pattern rendered into each event's
+    * synthetic frame: a per-user base image (mix64 of the user id) that
+    * every 5th event reproduces with a single-bit perturbation — a
+    * planted near-duplicate family per user, Hamming <= 2 apart — while
+    * other events get an unrelated pattern (mix64 of the event id,
+    * ~32 bits from everything). Every constant is replayed by the
+    * DuckDB mix64 oracle, so the decode+hash pipeline is hash-exact. */
+  private def framePattern: Column = {
+    val base = call_function("graft_mix64", col("user_id"))
+    val flip = call_function("shiftleft", lit(1L),
+      (col("event_id") % 64L).cast("int"))
+    val noise = call_function("graft_mix64", col("event_id") + lit(7777L))
+    base.bitwiseXOR(
+      when(col("event_id") % 5L === 0L, flip).otherwise(noise))
+  }
+
+  private def bmpBlobCol: Column = EbmlFunctions.encodeFragmentFrame(
+    col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+    call_function("graft_bmp_encode", framePattern))
+
+  private def withBmpBlob(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .withColumn("blob", bmpBlobCol)
+  }
+
+  /** Sorted-before-encode variant (the [[withBlobSorted]] rule: range
+    * sampling for the sort must not evaluate the encode twice). */
+  private def withBmpBlobSorted(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", bmpBlobCol)
+  }
+
+  /** G2 with a REAL decoder: fragments whose SimpleBlock payload is an
+    * uncompressed 24-bit BMP ([[graft.plans.ImageKernels]]), decoded by
+    * [[BmpFrameDecoder]] — header parse, padded bottom-up pixel walk,
+    * integer luma stats, standard dHash. Same plan shape as
+    * [[mmFeatures]] (shared core; PlanSpec pins the seam), but the
+    * decode stage is a genuine binary-format parser, not a charset
+    * cast. The oracle recomputes every feature arithmetically from the
+    * pattern spec, pinning encoder ∘ EBML transport ∘ block walk ∘
+    * decoder end to end. */
+  def mmFeaturesBmp(t: Tables): DataFrame =
+    featuresCore(withBmpBlobSorted(t), BmpFrameDecoder)
+
+  /** G6 — PERCEPTUAL near-duplicate detection over the binary frames
+    * themselves (the multimodal twin of D4): decode each fragment's
+    * frame, dHash it, and emit pairs within `maxHamming` via the same
+    * 7-band pigeonhole layout as [[Dedup.simhashPairs]] — complete for
+    * Hamming <= 6, candidates only from band-equality buckets, never
+    * all-pairs. Output: (id_a, id_b, hamming).
+    *
+    * Scale shape: per-row encode/decode kernels feed a vocab... frame-
+    * count-sized band explode (7 rows/frame, 16 B each); the only
+    * exchange is the band-bucket join; verification (bit_count of the
+    * xor) happens inside the join projection. Hot-band salting as in
+    * simhashPairs applies unchanged if a degenerate corpus makes one
+    * band value hot (dHash patterns here are mix64-spread). */
+  def mmFrameDedup(t: Tables, maxHamming: Int = 6): DataFrame = {
+    val sigs = withBmpBlob(t)
+      .select(col("event_id"),
+        call_function("graft_bmp_features",
+          EbmlFunctions.firstBlock(col("blob"))).getField("dhash").as("sig"))
+    val bands = array(Dedup.simhashBandLayout.zipWithIndex.map { case ((off, w), k) =>
+      struct(lit(k).as("k"),
+        call_function("shiftright", col("sig"), lit(off))
+          .bitwiseAND(lit((1L << w) - 1L)).as("cv"))
+    }: _*)
+    val banded = sigs
+      .select(col("event_id"), col("sig"), explode(bands).as("c"))
+      .select(col("event_id"), col("sig"), col("c.k").as("k"), col("c.cv").as("cv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
+          col("a.event_id") < col("b.event_id"))
+      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+}
+
+/** The real toy-codec decoder over [[graft.plans.ImageKernels]]'s BMP
+  * frames: width/height/mean-luma/dHash from an actual header-and-
+  * pixels parse (one codegen kernel; Spark's subexpression elimination
+  * evaluates the decode once per row across the four fields). */
+object BmpFrameDecoder extends FrameDecoder {
+  val name = "bmp-24"
+  def features(frame: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val f = call_function("graft_bmp_features", frame)
+    Seq(f.getField("width").as("width"),
+      f.getField("height").as("height"),
+      f.getField("mean_milli").as("mean_milli"),
+      f.getField("dhash").as("dhash"))
   }
 }
 

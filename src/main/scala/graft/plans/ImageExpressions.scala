@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** A pure-JVM toy codec for the multimodal decode path (SURVEY §2 G2):
+  * uncompressed 24-bit BMP, the simplest real image container — fixed
+  * 54-byte header, bottom-up rows, 4-byte-aligned strides. The encoder
+  * renders a deterministic 9×8 grayscale image whose dHash equals a
+  * given 64-bit pattern; the decoder is a GENERIC (small-)BMP parser:
+  * it reads the header fields, walks padded pixel rows, and computes
+  * integer luma statistics plus the standard dHash (Krawetz) — so the
+  * decode stage of mm_features_bmp / mm_frame_dedup exercises a real
+  * binary format end to end, not a charset cast. The oracle recomputes
+  * every feature arithmetically from the hash pattern, pinning
+  * encoder, EBML transport, block walk, AND decoder in one hash gate.
+  *
+  * Both stages are per-row codegen kernels (H4 pattern): interpreted
+  * eval and generated code call the same statics, no UDF boxing. */
+object ImageKernels {
+
+  val Width = 9
+  val Height = 8
+
+  /** Render the 9×8 gray BMP whose row-wise dHash is exactly `bits`:
+    * each row starts at gray 128 and steps ±1 per bit (bit i = y*8+x
+    * set ⇒ pixel x+1 brighter than pixel x in row y), so values stay
+    * in [120,136] and the adjacent-pixel comparisons recover `bits`
+    * losslessly. Layout: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40),
+    * bottom-up rows, stride 28 (27 pixel bytes + 1 pad). */
+  def bmpEncode(bits: Long): Array[Byte] = {
+    val stride = ((Width * 3 + 3) / 4) * 4
+    val imgSize = stride * Height
+    val buf = new Array[Byte](54 + imgSize)
+    def le32(off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte
+      buf(off + 1) = ((v >>> 8) & 0xff).toByte
+      buf(off + 2) = ((v >>> 16) & 0xff).toByte
+      buf(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    buf(0) = 'B'; buf(1) = 'M'
+    le32(2, 54 + imgSize) // file size
+    le32(10, 54)          // pixel data offset
+    le32(14, 40)          // info header size
+    le32(18, Width)
+    le32(22, Height)      // positive: bottom-up
+    buf(26) = 1           // planes
+    buf(28) = 24          // bpp
+    le32(34, imgSize)
+    var y = 0
+    while (y < Height) {
+      val rowOff = 54 + (Height - 1 - y) * stride // bottom-up storage
+      var v = 128
+      var x = 0
+      while (x < Width) {
+        if (x > 0) {
+          val bit = (bits >>> (y * 8 + (x - 1))) & 1L
+          v += (if (bit == 1L) 1 else -1)
+        }
+        val o = rowOff + x * 3
+        buf(o) = v.toByte; buf(o + 1) = v.toByte; buf(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    buf
+  }
+
+  /** Generic 24-bit-BMP feature extraction: (width, height, mean_milli,
+    * dhash). mean_milli = floor(1000 * mean integer luma) with luma =
+    * (b+g+r)/3 per pixel (exact integer arithmetic throughout); dhash
+    * bit y*(w-1)+x = luma(x+1,y) > luma(x,y), rows top-down, capped at
+    * 64 bits. Returns null for anything that is not a parseable
+    * bottom-up 24-bit BMP. */
+  def bmpFeatures(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return null
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || w <= 0 || h <= 0) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+    val luma = new Array[Int](w * h)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val rowOff = dataOff + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3
+        val l = ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+        luma(y * w + x) = l
+        sum += l
+        x += 1
+      }
+      y += 1
+    }
+    val meanMilli = sum * 1000L / (w.toLong * h.toLong)
+    var dhash = 0L
+    var i = 0
+    var yy = 0
+    while (yy < h && i < 64) {
+      var xx = 0
+      while (xx < w - 1 && i < 64) {
+        if (luma(yy * w + xx + 1) > luma(yy * w + xx)) dhash |= (1L << i)
+        i += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    InternalRow(w.toLong, h.toLong, meanMilli, dhash)
+  }
+}
+
+/** `graft_bmp_encode(bits)` — deterministic 9×8 gray BMP from a 64-bit
+  * dHash pattern (the toy-codec generator). */
+case class BmpEncode(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bmp_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    ImageKernels.bmpEncode(a.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.plans.ImageKernels.bmpEncode($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpEncode =
+    copy(child = newChild)
+}
+
+/** `graft_bmp_features(frame)` — decode a 24-bit BMP into
+  * struct(width, height, mean_milli, dhash); null on non-BMP bytes. */
+case class BmpFeatures(child: Expression) extends UnaryExpression {
+  // caller guarantees a binary input
+  override def nullable: Boolean = true
+  override def dataType: DataType = BmpFeatures.featureType
+  override def prettyName: String = "graft_bmp_features"
+
+  override def nullSafeEval(a: Any): Any =
+    ImageKernels.bmpFeatures(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.ImageKernels.bmpFeatures($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+    res
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BmpFeatures =
+    copy(child = newChild)
+}
+
+object BmpFeatures {
+  val featureType: StructType = StructType(Seq(
+    StructField("width", LongType), StructField("height", LongType),
+    StructField("mean_milli", LongType), StructField("dhash", LongType)))
+}

@@ -607,7 +607,11 @@ object VectorFunctions {
     ("graft_sq8_dequant", classOf[Sq8Dequant],
       (exprs: Seq[Expression]) => Sq8Dequant(exprs.head, exprs(1), exprs(2))),
     ("graft_nfc", classOf[NfcNormalize],
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    ("graft_bmp_encode", classOf[BmpEncode],
+      (exprs: Seq[Expression]) => BmpEncode(exprs.head)),
+    ("graft_bmp_features", classOf[BmpFeatures],
+      (exprs: Seq[Expression]) => BmpFeatures(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Hashing
+
+/** The toy BMP codec (G2): encoder/decoder kernel properties, pure JVM.
+  * The Spark-side pipeline (mm_features_bmp / mm_frame_dedup) is pinned
+  * by the DuckDB oracle; these pin the kernels themselves, including on
+  * inputs the generator never produces. */
+class ImageSpec extends AnyFunSuite {
+
+  private def meanMilliOf(bits: Long): Long = {
+    // closed form: pixel_sum = 72*128 + sum_i (8 - i%8) * (2*b_i - 1)
+    var adj = 0L
+    for (i <- 0 until 64) {
+      val b = (bits >>> i) & 1L
+      adj += (8 - (i % 8)) * (2 * b - 1)
+    }
+    (9216L + adj) * 1000L / 72L
+  }
+
+  test("encode->decode recovers dhash losslessly and the closed-form mean") {
+    val patterns = Seq(0L, -1L, Long.MaxValue, Long.MinValue,
+      0x5555555555555555L, 0xAAAAAAAAAAAAAAAAL) ++
+      (1 to 50).map(i => Hashing.mix64(i.toLong))
+    for (d <- patterns) {
+      val row = ImageKernels.bmpFeatures(ImageKernels.bmpEncode(d))
+      assert(row != null, s"decode failed for pattern $d")
+      assert(row.getLong(0) == 9 && row.getLong(1) == 8)
+      assert(row.getLong(3) == d, s"dhash mismatch for pattern $d")
+      assert(row.getLong(2) == meanMilliOf(d), s"mean mismatch for pattern $d")
+    }
+  }
+
+  test("decoder is a generic 24-bit parser: hand-built 2x2 image, padding and bottom-up rows") {
+    // 2x2 image, stride = ((2*3+3)/4)*4 = 8 (2 pad bytes per row).
+    // Top row lumas (10, 20), bottom row (30, 5) -> stored bottom-first.
+    val stride = 8
+    val buf = new Array[Byte](54 + stride * 2)
+    def le32(off: Int, v: Int): Unit = for (j <- 0 until 4)
+      buf(off + j) = ((v >>> (8 * j)) & 0xff).toByte
+    buf(0) = 'B'; buf(1) = 'M'; le32(10, 54); le32(14, 40)
+    le32(18, 2); le32(22, 2); buf(26) = 1; buf(28) = 24
+    def px(off: Int, v: Int): Unit = { buf(off) = v.toByte; buf(off + 1) = v.toByte; buf(off + 2) = v.toByte }
+    px(54, 30); px(57, 5)    // stored first = bottom = visual row 1
+    px(62, 10); px(65, 20)   // stored second = top = visual row 0
+    val row = ImageKernels.bmpFeatures(buf)
+    assert(row.getLong(0) == 2 && row.getLong(1) == 2)
+    assert(row.getLong(2) == (10L + 20 + 30 + 5) * 1000 / 4)
+    // dhash bits: i = y*(w-1)+x -> bit0 = top row 20>10 = 1, bit1 = bottom 5>30 = 0
+    assert(row.getLong(3) == 1L)
+  }
+
+  test("decoder rejects malformed bytes with null, never throws") {
+    assert(ImageKernels.bmpFeatures(null) == null)
+    assert(ImageKernels.bmpFeatures(Array.emptyByteArray) == null)
+    assert(ImageKernels.bmpFeatures("not a bitmap at all, just text!!!!!!!!!!!!!!!!!!!!!!!!!!"
+      .getBytes("UTF-8")) == null)
+    // valid magic, truncated pixel data
+    val truncated = ImageKernels.bmpEncode(42L).take(60)
+    assert(ImageKernels.bmpFeatures(truncated) == null)
+    // 8bpp flag rejected
+    val wrongBpp = ImageKernels.bmpEncode(42L).clone()
+    wrongBpp(28) = 8
+    assert(ImageKernels.bmpFeatures(wrongBpp) == null)
+  }
+}

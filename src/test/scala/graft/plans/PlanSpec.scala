@@ -357,7 +357,9 @@ class PlanSpec extends SparkSpec {
     // ScalaUDF/CatalystTypeConverters wrapper on the binary path
     for ((name, df) <- Seq(
         "mm_elements" -> graft.operators.Multimodal.mmElements(t),
-        "mm_split_stream" -> graft.operators.Multimodal.mmSplitStream(t))) {
+        "mm_split_stream" -> graft.operators.Multimodal.mmSplitStream(t),
+        "mm_features_bmp" -> graft.operators.Multimodal.mmFeaturesBmp(t),
+        "mm_frame_dedup" -> graft.operators.Multimodal.mmFrameDedup(t))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")
