@@ -1123,7 +1123,7 @@ private[graft] object OracleSql {
     * — mix64(user_id) XOR a single-bit flip on every 5th event, else
     * XOR mix64(event_id + 7777)). Ends in `pat(event_id, d)`, d
     * UBIGINT. */
-  private def framePatternCte: String = {
+  private def framePatternCte(where: String = ""): String = {
     def widen(c: String) = s"(CASE WHEN $c >= 0 THEN $c::HUGEINT " +
       s"ELSE $c::HUGEINT + $TwoTo64 END)::UBIGINT"
     val base = mix64(widen("user_id"))
@@ -1132,8 +1132,8 @@ private[graft] object OracleSql {
     // the flip goes through HUGEINT
     val flip = s"((1::HUGEINT << (event_id % 64)::INT))::UBIGINT"
     s"""pat AS MATERIALIZED (SELECT event_id,
-      xor($base, CASE WHEN event_id % 5 = 0 THEN $flip ELSE $noise END) AS d
-    FROM events)"""
+      xor($base, CASE WHEN event_id % 4 = 0 THEN $flip ELSE $noise END) AS d
+    FROM events $where)"""
   }
 
   private def signed(e: String): String =
@@ -1149,7 +1149,7 @@ private[graft] object OracleSql {
     * padded BMP). Any defect in the encoder, the EBML block transport,
     * or the decoder breaks the hash match. */
   lazy val mmFeaturesBmp: String =
-    s"""WITH ${framePatternCte},
+    s"""WITH ${framePatternCte()},
     bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),
     adj AS (SELECT event_id,
         sum((8 - (i % 8)) * (2 * ((d >> i::INT) & 1::UBIGINT)::BIGINT - 1)) AS a
@@ -1170,7 +1170,7 @@ private[graft] object OracleSql {
     val bandRows = layout.map { case (off, w) =>
       s"($off, ${(BigInt(1) << w) - 1})"
     }.mkString(", ")
-    s"""WITH ${framePatternCte},
+    s"""WITH ${framePatternCte("WHERE event_id % 10 = 0")},
     bands AS (SELECT event_id, d, bl.off AS k, (d >> bl.off::INT) & bl.mask::UBIGINT AS cv
       FROM pat, (VALUES $bandRows) AS bl(off, mask)),
     cand AS (SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
