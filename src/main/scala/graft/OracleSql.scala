@@ -1165,14 +1165,15 @@ private[graft] object OracleSql {
     * pattern (complete for Hamming <= 6), DISTINCT band-bucket pairs,
     * bit_count verification — the same candidate set the operator's
     * band join produces, never all-pairs. */
-  lazy val mmFrameDedup: String = {
-    val layout = Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
-    val bandRows = layout.map { case (off, w) =>
-      s"($off, ${(BigInt(1) << w) - 1})"
-    }.mkString(", ")
+  private val bandLayoutValues: String =
+    Seq((0, 10), (10, 9), (19, 9), (28, 9), (37, 9), (46, 9), (55, 9))
+      .map { case (off, w) => s"($off, ${(BigInt(1) << w) - 1})" }
+      .mkString(", ")
+
+  lazy val mmFrameDedup: String =
     s"""WITH ${framePatternCte("WHERE event_id % 10 = 0")},
     bands AS (SELECT event_id, d, bl.off AS k, (d >> bl.off::INT) & bl.mask::UBIGINT AS cv
-      FROM pat, (VALUES $bandRows) AS bl(off, mask)),
+      FROM pat, (VALUES $bandLayoutValues) AS bl(off, mask)),
     cand AS (SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
         a.d AS da, b.d AS db
       FROM bands a JOIN bands b
@@ -1180,7 +1181,24 @@ private[graft] object OracleSql {
     SELECT id_a, id_b, cast(bit_count(xor(da, db)) as bigint) AS hamming
     FROM cand WHERE bit_count(xor(da, db)) <= 6
     ORDER BY id_a, id_b"""
-  }
+
+  /** mm_frame_dedup_incremental: the G7 probe replayed — exactly the
+    * [[mmFrameDedup]] pairs that involve >= 1 frame of the seq == 6
+    * ingest slice of the sampled sequence (fresh(e) = (e//10) % 8 = 6);
+    * the index side is the settled remainder, so the pair set equals
+    * "band-candidates with a fresh endpoint, Hamming-verified". */
+  lazy val mmFrameDedupIncremental: String =
+    s"""WITH ${framePatternCte("WHERE event_id % 10 = 0")},
+    bands AS (SELECT event_id, d, bl.off AS k, (d >> bl.off::INT) & bl.mask::UBIGINT AS cv
+      FROM pat, (VALUES $bandLayoutValues) AS bl(off, mask)),
+    cand AS (SELECT DISTINCT a.event_id AS id_a, b.event_id AS id_b,
+        a.d AS da, b.d AS db
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.cv = b.cv AND a.event_id < b.event_id
+      WHERE (a.event_id // 10) % 8 = 6 OR (b.event_id // 10) % 8 = 6)
+    SELECT id_a, id_b, cast(bit_count(xor(da, db)) as bigint) AS hamming
+    FROM cand WHERE bit_count(xor(da, db)) <= 6
+    ORDER BY id_a, id_b"""
 
   /** F20b replay — the k-round BPE merge loop as k chained CTE blocks.
     *

@@ -151,6 +151,18 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
+    // G7: incremental frame dedup against the persisted dHash-band
+    // index — the seq == 6 slice of the sampled library (seq =
+    // (frame_id/10) % 8; an even slice, so it carries planted family
+    // frames) is the "new ingest", probed without re-decoding settled
+    // media
+    "mm_frame_dedup_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = FrameIndex.materialize(t, d)
+      val seq = pmod(graft.functions.intDiv(col("frame_id"), 10L), lit(8L))
+      FrameIndex.dedupBatch(
+        Multimodal.sampledFrames(t).filter(seq === 6L), dir)
+    }),
     "mm_split_stream" -> ((s, d) => Multimodal.mmSplitStream(tables(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(tables(s, d))),
     "mm_frame_sample_time" -> ((s, d) => Multimodal.mmFrameSampleByTime(tables(s, d))),
@@ -1220,6 +1232,7 @@ object SparkEntry {
     // G2 real-decoder / G6 perceptual-dedup oracles: generated mix64
     // replays of the frame pattern (OracleSql.framePatternCte)
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
-    "mm_frame_dedup" -> OracleSql.mmFrameDedup
+    "mm_frame_dedup" -> OracleSql.mmFrameDedup,
+    "mm_frame_dedup_incremental" -> OracleSql.mmFrameDedupIncremental
   )
 }

@@ -264,6 +264,16 @@ object Multimodal {
   def mmFeaturesBmp(t: Tables): DataFrame =
     featuresCore(withBmpBlobSorted(t), BmpFrameDecoder)
 
+  /** The sampled frame library as a plain (frame_id, frame) binary
+    * frame table — the shared input of [[mmFrameDedup]] and the
+    * persisted [[FrameIndex]] lifecycle (decode happens downstream of
+    * this seam, so any fragment source slots in). */
+  def sampledFrames(t: Tables, every: Long = 10L): DataFrame =
+    withBmpBlob(t)
+      .filter(col("event_id") % every === 0L)
+      .select(col("event_id").as("frame_id"),
+        EbmlFunctions.firstBlock(col("blob")).as("frame"))
+
   /** G6 — PERCEPTUAL near-duplicate detection over the binary frames
     * themselves (the multimodal twin of D4): decode each fragment's
     * frame, dHash it, and emit pairs within `maxHamming` via the same
