@@ -1217,6 +1217,19 @@ private[graft] object OracleSql {
     * (ends 1 space, boundaries 2) survives every replacement, so
     * trim + split on '  ' recovers the symbol list. */
   def bpeMerges(k: Int): String = {
+    val rows = (1 to k).map(r =>
+      s"""SELECT cast($r as bigint) AS merge_round, lhs, rhs,
+          lhs || rhs AS merged, cast(n_occ as bigint) AS n_occ FROM top$r""")
+      .mkString("\n        UNION ALL ")
+    s"""${bpeTrainCtes(k)}
+        $rows
+        ORDER BY merge_round"""
+  }
+
+  /** The k-round training CTE chain, ending in `seg$k` (the final
+    * vocabulary segmentation) and `top1..top$k` (the elected merges) —
+    * shared by [[bpeMerges]] and [[bpeTokenize]]. */
+  private def bpeTrainCtes(k: Int): String = {
     // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     // reference, and each round references its predecessor ~5 times
     // (pair scan + 3 scalar-subquery elections + re-segment) — inlined,
@@ -1243,13 +1256,18 @@ private[graft] object OracleSql {
             '  ') AS syms
           FROM $p)""")
     }
-    val rows = (1 to k).map(r =>
-      s"""SELECT cast($r as bigint) AS merge_round, lhs, rhs,
-          lhs || rhs AS merged, cast(n_occ as bigint) AS n_occ FROM top$r""")
-      .mkString("\n        UNION ALL ")
-    sb.append(s"""
-        $rows
-        ORDER BY merge_round""")
     sb.toString
   }
+
+  /** F20c replay — encode the corpus with the trained segmentation:
+    * the training chain's seg$k maps every word to its symbol count;
+    * per-doc counts are one join + agg (self-trained, so no OOV). */
+  def bpeTokenize(k: Int): String =
+    s"""${bpeTrainCtes(k)},
+        v AS (SELECT word, cast(len(syms) as bigint) AS n_sym FROM seg$k),
+        tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+        SELECT doc_id, count(*) AS n_words, cast(sum(n_sym) as bigint) AS n_tokens,
+          cast(sum(n_sym) * 1000 // count(*) as bigint) AS tok_permille
+        FROM tk JOIN v USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -192,6 +192,7 @@ object SparkEntry {
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
+    "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -907,6 +908,8 @@ object SparkEntry {
     // F20b: generated k-round merge-loop replay (elect / re-segment /
     // recount over the vocab CTEs — OracleSql.bpeMerges)
     "bpe_merges" -> OracleSql.bpeMerges(8),
+    // F20c: the same generated training chain, applied as the encoder
+    "bpe_tokenize" -> OracleSql.bpeTokenize(8),
     // D6c: the same closure as dedup_clusters, canonical member
     // elected by (stop_ratio DESC, doc_id) within each cluster
     "dedup_keep_best" ->

@@ -1225,7 +1225,19 @@ object TextOps {
 
   /** Library form over any frame with a text column. */
   def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
+    val (merges, seg) = bpeTrain(docs, k)
+    seg.unpersist()
+    docs.sparkSession.createDataFrame(merges)
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_occ")
+      .orderBy("merge_round")
+  }
+
+  /** The training loop itself: returns (merge table, final vocabulary
+    * segmentation). The segmentation IS the trained tokenizer's apply
+    * function over in-vocab words — [[bpeTokenize]] joins against it
+    * directly. Caller owns unpersisting the returned checkpoint. */
+  private def bpeTrain(docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val wf = docs.select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     // initial segmentation: one symbol per character; checkpoint also
@@ -1260,10 +1272,48 @@ object TextOps {
         round += 1
       }
     }
-    seg.unpersist()
-    spark.createDataFrame(merges.toSeq)
-      .toDF("merge_round", "lhs", "rhs", "merged", "n_occ")
-      .orderBy("merge_round")
+    (merges.toSeq, seg)
+  }
+
+  /** F20c — APPLY the trained tokenizer (stage 3, the encode step a
+    * user actually runs on the corpus): per-document BPE token counts
+    * under the k-merge vocabulary. The training loop's final
+    * segmentation table maps every corpus word to its symbol sequence —
+    * encoding a corpus the tokenizer was trained on is therefore ONE
+    * vocab-sized join (word → len(syms)) plus a per-doc partial agg:
+    * no per-row merge loop, no corpus re-segmentation (the greedy
+    * left-to-right merge result is a pure function of the word, so
+    * identical words share one apply). Output per doc: whitespace-word
+    * count, BPE token count, and the compression ratio in exact
+    * per-mille (tokens·1000 // words — integer, hash-stable).
+    *
+    * Scale shape: the training stages are F20b's (corpus-sized word
+    * count once, vocab-sized rounds); the encode adds one corpus
+    * token explode joined to the broadcast vocab and a per-doc
+    * partial agg — text never crosses an exchange. An OOV word (never
+    * possible self-trained; possible for a held-out corpus) falls
+    * back to its character count, the base-alphabet encoding. */
+  def bpeTokenize(t: Tables, k: Int = 8): DataFrame =
+    bpeTokenizeOf(t.documents, t.documents, k)
+
+  /** Library form: train on `train`, encode `score`. */
+  def bpeTokenizeOf(train: DataFrame, score: DataFrame, k: Int): DataFrame = {
+    val (_, seg) = bpeTrain(train, k)
+    val vocab = seg.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    val out = score
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sym"), length(col("word")).cast("long")).as("n_sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        // exact int64 division (not floor-of-double: a double quotient
+        // can round across the floor boundary at large counts)
+        call_function("div", col("n_tokens") * 1000L, col("n_words"))
+          .as("tok_permille"))
+      .orderBy("doc_id")
+    out
   }
 
   /** Greedy left-to-right merge of adjacent (l, r) symbol occurrences:

@@ -899,6 +899,24 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(10L) < byId(11L) && byId(11L) < byId(12L))
   }
 
+  test("bpe tokenize: learned merges compress trained words; OOV falls back to characters") {
+    import spark.implicits._
+    // training: "abab" dominates -> merges learn ab, then abab
+    val train = Seq((1L, "abab abab abab abab"), (2L, "cd cd")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "abab abab"),  // fully merged: 1 token each
+      (11L, "cd"),         // merged once ab? no — cd learned iff budget allows
+      (12L, "zzzz")        // OOV: never trained -> 4 chars
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeTokenizeOf(train, score, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // merges (count desc, pair asc): (a,b)x8 -> ab; (ab,ab)x4 -> abab;
+    // (c,d)x2 -> cd; then dry. "abab" -> 1 sym, "cd" -> 1 sym.
+    assert(got(10L) == (2L, 2L, 1000L), s"got ${got(10L)}")
+    assert(got(11L) == (1L, 1L, 1000L), s"got ${got(11L)}")
+    assert(got(12L) == (1L, 4L, 4000L), s"got ${got(12L)}")
+  }
+
   test("bpe pair counts: planted fixture + occurrence conservation on the corpus") {
     import spark.implicits._
     // "banana" x3, "bane" x1: pairs ba(4), an(7), na(6), ne(1)
