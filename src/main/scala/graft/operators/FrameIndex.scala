@@ -191,6 +191,64 @@ object FrameIndex {
       }
       .start()
 
+  /** Fold settled ingest batches into the base partition so directory
+    * counts stay bounded under continuous ingest ([[TextIndex.compact]]
+    * discipline, single-table form): stage the deduped union (one row
+    * per (frame_id, k) — a replayed-then-crashed append leaves copies),
+    * dynamic-overwrite the base, then sweep the folded batch
+    * directories. A crash between fold and sweep leaves settled rows in
+    * both places — visible via [[compactInProgress]], and harmless to
+    * the probe, whose distinct() folds duplicate candidates
+    * (FrameIndexSpec pins this with the crash seam). */
+  def compact(spark: SparkSession, dir: String,
+      upToBatch: Long = Long.MaxValue): Unit =
+    compactImpl(spark, dir, upToBatch, crashBeforeSweep = false)
+
+  def compactInProgress(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir, "_COMPACT_INPROGRESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      upToBatch: Long, crashBeforeSweep: Boolean): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val markerPath = new Path(dir, "_COMPACT_INPROGRESS")
+    val markerFs = markerPath.getFileSystem(conf)
+    val root = new Path(s"$dir/bands")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .filter { p =>
+        val id = p.getName.stripPrefix("ingest_batch=").toLong
+        id >= 0L && id <= upToBatch
+      }
+    if (batchDirs.isEmpty) return
+    markerFs.create(markerPath, true).close()
+    val staging = new Path(s"$dir/bands_compact_staging")
+    val settled = col("ingest_batch") === BaseBatch ||
+      (col("ingest_batch") >= 0L && col("ingest_batch") <= upToBatch)
+    spark.read.parquet(s"$dir/bands")
+      .filter(settled)
+      .dropDuplicates("frame_id", "k")
+      .withColumn("ingest_batch", lit(BaseBatch))
+      .write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(staging.toString)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cb")
+      .parquet(s"$dir/bands")
+    if (crashBeforeSweep)
+      throw new IllegalStateException(
+        "simulated compact crash before sweep (test seam)")
+    batchDirs.foreach(fs.delete(_, true))
+    fs.delete(staging, true)
+    markerFs.delete(markerPath, false)
+    ()
+  }
+
   /** Build-once cache of the settled sampled-frame index for the
     * oracle queries (the [[TextIndex.materialize]] pattern): settled =
     * sampled frames outside the seq == 6 ingest slice (seq = sample
@@ -212,6 +270,7 @@ object FrameIndex {
       val batch = frames.filter(seq === 5L)
       appendBatch(batch, 0L, out.toString)
       appendBatch(batch, 0L, out.toString) // replay: must be a no-op
+      compact(spark, out.toString)
       fs.create(marker, true).close()
     }
     out.toString

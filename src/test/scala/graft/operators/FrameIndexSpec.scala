@@ -55,6 +55,33 @@ class FrameIndexSpec extends SparkSpec {
     assert(kept == Set(200L, 300L), s"kept $kept")
   }
 
+  test("compact folds batches into base; a crash before the sweep leaves duplicates the probe's distinct folds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fi_compact").toString
+    FrameIndex.build(Seq((1L, frame(0x1111L))).toDF("frame_id", "frame"), dir)
+    FrameIndex.appendBatch(Seq((2L, frame(0x2222_0000_FFFFL))).toDF("frame_id", "frame"), 3L, dir)
+    // crash seam: base now holds the folded rows AND batch 3 still exists
+    intercept[IllegalStateException] {
+      FrameIndex.compactImpl(spark, dir, Long.MaxValue, crashBeforeSweep = true)
+    }
+    assert(FrameIndex.compactInProgress(spark, dir))
+    val rows = spark.read.parquet(s"$dir/bands")
+    assert(rows.filter("frame_id = 2").count() == 14,
+      "crash window: frame 2's 7 band rows duplicated across base + batch dir")
+    // the probe still emits each candidate pair exactly once
+    val pairs = FrameIndex.dedupBatch(
+      Seq((20L, frame(0x2222_0000_FFFEL))).toDF("frame_id", "frame"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((2L, 20L)), s"got ${pairs.toSeq}")
+    // re-running compact clears the window and the marker
+    FrameIndex.compact(spark, dir)
+    assert(!FrameIndex.compactInProgress(spark, dir))
+    assert(spark.read.parquet(s"$dir/bands").filter("frame_id = 2").count() == 7)
+    assert(spark.read.parquet(s"$dir/bands")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(FrameIndex.BaseBatch))
+  }
+
   test("curateStream: probe-keep-index loop drops cross-batch near-dups (G7b)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
