@@ -190,6 +190,7 @@ object SparkEntry {
     // F19/F20 tokenizer-adjacent corpus statistics
     "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
+    "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
@@ -317,6 +318,29 @@ object SparkEntry {
     * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
     * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
     * is lang_id (stopword/charset counts with a fixed tie priority). */
+  // F19b oracle body, shared with the F19c tercile replay
+  private val Lm2Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        tok AS (SELECT unnest(ws) AS word FROM d),
+        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
+        uni AS (SELECT word, cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS uni_u
+          FROM v CROSS JOIN tot),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+        bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(n_big) AS n_ctx FROM bc GROUP BY 1),
+        bcost AS (SELECT w1, w2,
+            cast(round(-ln(cast(n_big as double) / cast(n_ctx as double)) * 1000000.0) as bigint) AS cost_u
+          FROM bc JOIN ctx USING (w1)),
+        fc AS (SELECT doc_id, uni_u AS c FROM
+          (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
+        gc AS (SELECT doc_id, cost_u AS c FROM bg JOIN bcost USING (w1, w2)),
+        allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
+        SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
+          round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
+        FROM allc GROUP BY doc_id ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     // the k-means fixpoint itself, replayed in DuckDB — possible since
     // the round-6 canonical-order reduction made the fit bit-reproducible
@@ -877,27 +901,18 @@ object SparkEntry {
     // token is in the training tables, so the backoff branches are
     // legitimately absent here (the spec exercises them on an external
     // score set); ln once per distinct (bi)gram, micro-nat quantized
-    "lm_quality2" ->
-      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-        tok AS (SELECT unnest(ws) AS word FROM d),
-        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
-        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
-        uni AS (SELECT word, cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS uni_u
-          FROM v CROSS JOIN tot),
-        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
-        bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY 1, 2),
-        ctx AS (SELECT w1, sum(n_big) AS n_ctx FROM bc GROUP BY 1),
-        bcost AS (SELECT w1, w2,
-            cast(round(-ln(cast(n_big as double) / cast(n_ctx as double)) * 1000000.0) as bigint) AS cost_u
-          FROM bc JOIN ctx USING (w1)),
-        fc AS (SELECT doc_id, uni_u AS c FROM
-          (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
-        gc AS (SELECT doc_id, cost_u AS c FROM bg JOIN bcost USING (w1, w2)),
-        allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
-        SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
-          round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
-        FROM allc GROUP BY doc_id ORDER BY doc_id""",
+    "lm_quality2" -> Lm2Sql,
+    // F19c: CCNet terciles over the F19b score — ntile(3) on the total
+    // (avg_nll4, doc_id) order per source; standard-SQL ntile sizing is
+    // identical cross-engine
+    "ccnet_buckets" ->
+      s"""WITH lm AS ($Lm2Sql),
+        j AS (SELECT lm.doc_id, d.source, lm.avg_nll4,
+            ntile(3) OVER (PARTITION BY d.source ORDER BY lm.avg_nll4, lm.doc_id) AS t
+          FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+        SELECT doc_id, source, avg_nll4,
+          CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM j ORDER BY doc_id""",
     "bpe_pair_counts" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
         wf AS (SELECT word, count(*) AS n FROM tok GROUP BY word),

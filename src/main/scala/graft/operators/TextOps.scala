@@ -1160,6 +1160,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F19c — CCNet HEAD/MIDDLE/TAIL bucketing: partition each source's
+    * documents into perplexity terciles of the F19b bigram score —
+    * CCNet §4.3's exact deployment rule (per-LANGUAGE terciles of the
+    * wiki-LM perplexity; `source` plays the language's role here), the
+    * knob pipelines use to keep `head`, sample `middle`, drop `tail`.
+    * Buckets come from ntile(3) over a TOTAL order ((avg_nll4, doc_id)
+    * — the doc_id tiebreak makes the split reproducible and
+    * engine-identical), so bucket sizes are exactly balanced per
+    * source, the property that makes downstream mixing rates
+    * predictable.
+    *
+    * Scale shape: the scoring pipeline is F19b's (vocab-sized
+    * exchanges); the tercile window shuffles ONE (source, score, id)
+    * row per doc — ids+scores wide, never text — partitioned by
+    * source; a skewed giant source is the F13/lag_monitor caveat and
+    * would use the percentile-threshold form (C10) instead of ntile. */
+  def ccnetBuckets(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("avg_nll4"), col("doc_id"))
+    lmQuality2Of(t.documents, t.documents)
+      .join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("avg_nll4"),
+        when(col("tercile") === 1L, "head")
+          .when(col("tercile") === 2L, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** F20 — distributed BPE pair statistics (tokenizer training, stage
     * 1): the merge-candidate table of byte-pair encoding — adjacent
     * character-pair counts over the corpus, weighted by word frequency,

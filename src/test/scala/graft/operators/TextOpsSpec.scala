@@ -899,6 +899,25 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(10L) < byId(11L) && byId(11L) < byId(12L))
   }
 
+  test("ccnet buckets: per-source terciles are balanced and score-ordered") {
+    val got = TextOps.ccnetBuckets(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.nonEmpty)
+    for ((src, rows) <- got.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // exact ntile balance: sizes differ by at most 1, head >= middle >= tail
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src sizes $sizes")
+      assert(sizes.getOrElse("head", 0) >= sizes.getOrElse("middle", 0) &&
+        sizes.getOrElse("middle", 0) >= sizes.getOrElse("tail", 0), s"$src sizes $sizes")
+      // ordering: every head score <= every middle score <= every tail score
+      def scores(b: String) = rows.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max <= scores("middle").min, src)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max <= scores("tail").min, src)
+    }
+  }
+
   test("bpe tokenize: learned merges compress trained words; OOV falls back to characters") {
     import spark.implicits._
     // training: "abab" dominates -> merges learn ab, then abab
