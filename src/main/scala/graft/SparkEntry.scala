@@ -194,6 +194,10 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
+    // F21 NB curated-vs-crawl discriminator (GPT-3/DSIR quality filter)
+    "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
+    // D11 exact-substring (duplicated k-token span) coverage
+    "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -925,6 +929,46 @@ object SparkEntry {
     "bpe_merges" -> OracleSql.bpeMerges(8),
     // F20c: the same generated training chain, applied as the encoder
     "bpe_tokenize" -> OracleSql.bpeTokenize(8),
+    // F21: same ln-once-per-distinct-word micro-nat discipline as
+    // lm_quality; self-trained (pos = src0-2), so no OOV branch fires
+    // here (the spec exercises it on a held-out score set)
+    "quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        lab AS (SELECT doc_id, source IN ('src0','src1','src2') AS pos FROM documents),
+        cnt AS (SELECT word,
+            cast(sum(CASE WHEN pos THEN 1 ELSE 0 END) as bigint) AS n_pos,
+            cast(sum(CASE WHEN pos THEN 0 ELSE 1 END) as bigint) AS n_neg
+          FROM tok JOIN lab USING (doc_id) GROUP BY word),
+        tot AS (SELECT cast(sum(n_pos) as bigint) AS t_pos,
+            cast(sum(n_neg) as bigint) AS t_neg,
+            cast(count(*) as bigint) AS v FROM cnt),
+        c AS (SELECT word,
+            cast(round((ln(cast(n_pos + 1 as double) / cast(t_pos + v as double))
+                      - ln(cast(n_neg + 1 as double) / cast(t_neg + v as double))) * 1000000.0) as bigint) AS lo_u
+          FROM cnt CROSS JOIN tot)
+        SELECT t.doc_id, count(*) AS n_tokens,
+          cast(sum(c.lo_u) as bigint) AS logodds_micro,
+          round(cast(sum(c.lo_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_lo4,
+          sum(c.lo_u) > 0 AS keep
+        FROM tok t JOIN c USING (word) GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // D11: the oracle censuses spans by RAW text where Spark groups by
+    // the 128-bit hash (the D1 collision-detection rule); same 0-based
+    // offsets, same running-max interval union
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        g AS (SELECT doc_id, s, array_to_string(w[s+1 : s+5], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 5 + 1)) AS s FROM toks WHERE len(w) >= 5)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, s, s + 4 AS e FROM g JOIN dup USING (gram)),
+        cov AS (SELECT doc_id, greatest(0, e - greatest(coalesce(max(e) OVER
+            (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1), s - 1)) AS c
+          FROM hits),
+        d AS (SELECT doc_id, cast(sum(c) as bigint) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, cast(len(t.w) as bigint) AS n_tokens,
+          coalesce(d.dup_tokens, 0) AS dup_tokens,
+          CASE WHEN len(t.w) = 0 THEN cast(0.0 as double)
+            ELSE round(cast(coalesce(d.dup_tokens, 0) as double) / cast(len(t.w) as double), 4) END AS dup_ratio4
+        FROM toks t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id""",
     // D6c: the same closure as dedup_clusters, canonical member
     // elected by (stop_ratio DESC, doc_id) within each cluster
     "dedup_keep_best" ->

@@ -1045,4 +1045,72 @@ object Dedup {
         (size(col("paras")) - size(col("kept"))).cast("long").as("n_dropped"),
         array_join(col("kept"), delim).as("text"))
   }
+
+  /** D11 — duplicated-SPAN coverage (exact substring dedup at the
+    * token level, the Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" operator): every k-token span that
+    * occurs ≥ 2 times anywhere in the corpus (across documents OR
+    * repeated inside one) is a duplicated span; per document, report
+    * how many of its tokens are covered by the union of its duplicated
+    * spans. This is the sub-document complement of D1/D3: a crawl dump
+    * can be 0% doc-level duplicate yet 30% span-level duplicate
+    * (boilerplate sentences, quoted passages), and span coverage is
+    * the signal ExactSubstr-style pipelines cut on.
+    *
+    * Spark shape: span extraction is ROW-LOCAL (the token array and
+    * the k-slide both live inside the row — `transform` over
+    * `sequence`, no per-token explode before hashing), so the only
+    * corpus-sized exchanges carry (h1, h2, doc_id, s) ≈ 28 B per span
+    * — the D1 discipline: the span's 128-bit composite hash crosses
+    * the wire, never its text. Exchange 1 groups spans by hash (the
+    * duplicate census, partial-agg combined); exchange 2 re-partitions
+    * surviving hits by doc_id for the interval-union window (hits only
+    * — typically a small fraction of spans); the final per-doc agg
+    * reuses exchange 2's partitioning. Interval union is the classic
+    * running-max subtraction: a hit at start s covers
+    * max(0, e − max(prevMaxE, s−1)) NEW tokens, summed per doc —
+    * O(hits log hits) per doc, never materializing per-token rows.
+    * A suffix-array build (the paper's single-node tool) does not
+    * distribute; the k-gram census is the shape that does.
+    *
+    * Collision note (the D1 rule): odds at 10^12 spans are ~10^-15;
+    * the DuckDB oracle groups by the RAW span text, so any collision
+    * at test SF fails the hash gate loudly. */
+  def spanCoverage(t: Tables, k: Int = 5): DataFrame =
+    spanCoverageOf(t.documents, k)
+
+  /** Library form over any (doc_id, text) frame. */
+  def spanCoverageOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
+    // (doc_id, s, h1, h2): one row per k-token span, built row-locally;
+    // s is the 0-based start offset, (h1, h2) the 128-bit span hash
+    val grams = toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        xxhash64(col("col")).as("h1"), xxhash64(lit(1L), col("col")).as("h2"))
+    val dup = grams.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2L)
+      .select("h1", "h2")
+    val hits = grams.join(dup, Seq("h1", "h2"))
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1).toLong).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = hits
+      .withColumn("prev_e", coalesce(max(col("e")).over(wPrev), lit(-1L)))
+      .withColumn("c", greatest(lit(0L),
+        col("e") - greatest(col("prev_e"), col("s") - 1L)))
+      .groupBy("doc_id").agg(sum(col("c")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double"), 4)).as("dup_ratio4"))
+      .orderBy("doc_id")
+  }
 }

@@ -1354,4 +1354,72 @@ object TextOps {
       when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
+
+  /** F21 — Naive-Bayes LOG-ODDS quality classifier (the GPT-3 / DSIR
+    * curated-vs-crawl discriminator): train a unigram NB model on a
+    * positive seed (curated domains) vs a negative seed (the rest of
+    * the pool), then score every document by its summed per-token
+    * log-odds ln p(w|pos) − ln p(w|neg) with Laplace smoothing. Docs
+    * whose vocabulary looks like the curated seed score > 0 (`keep`);
+    * the score itself is the DSIR importance-resampling weight (Xie et
+    * al. 2023 use exactly this hashed-n-gram NB ratio) and the GPT-3
+    * appendix-A quality filter is the same discriminator with a
+    * logistic head. The canonical query self-trains: positive =
+    * src0–src2 (the "curated" domains of the synthetic corpus),
+    * negative = everything else, score = the whole pool.
+    *
+    * Bit-stability (the [[lmQualityOf]] discipline): ln is taken once
+    * per DISTINCT word, the log-odds immediately quantized to integer
+    * micro-nats; per-doc accumulation is exact int64, the keep verdict
+    * an exact integer sign test, and the per-token average one double
+    * division of exact ints rounded to 4dp — hash-exact vs the DuckDB
+    * replay.
+    *
+    * Scale shape: one corpus tokenization → a single vocab-sized
+    * partial agg (both class counts in one pass — the exchange carries
+    * (word, n_pos, n_neg), the vocabulary, never tokens) → a 1-row
+    * broadcast of the totals → a vocab-broadcast scoring join → per-doc
+    * partial agg. Document text never crosses an exchange; training
+    * and scoring are the SAME two shuffles as F19 regardless of how
+    * many documents score. */
+  def nbQualityClassifier(t: Tables): DataFrame = {
+    val pos = col("source").isin("src0", "src1", "src2")
+    nbLogOddsOf(t.documents.select(col("doc_id"), col("text"), pos.as("pos")),
+      t.documents)
+  }
+
+  /** Library form: `train` carries (doc_id, text, pos: boolean) seed
+    * labels; `score` is any (doc_id, text) frame. Words unseen in
+    * training price at the smoothed zero-count log-odds (the same
+    * formula at n=0), so held-out corpora score without special
+    * casing. */
+  def nbLogOddsOf(train: DataFrame, score: DataFrame): DataFrame = {
+    val tokTrain = train
+      .select(explode(words(col("text"))).as("word"), col("pos"))
+    val cnt = tokTrain.groupBy("word").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = cnt.agg(sum(col("n_pos")).as("t_pos"),
+      sum(col("n_neg")).as("t_neg"), count(lit(1)).as("v"))
+    def loMicro(nPos: Column, nNeg: Column): Column =
+      round((log((nPos + 1L).cast("double") / (col("t_pos") + col("v")).cast("double"))
+        - log((nNeg + 1L).cast("double") / (col("t_neg") + col("v")).cast("double")))
+        * 1e6).cast("long")
+    val costs = cnt.crossJoin(broadcast(tot))
+      .select(col("word"), loMicro(col("n_pos"), col("n_neg")).as("lo_u"))
+    score.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(costs, Seq("word"), "left")
+      // the n=0 smoothed price for unseen words, derived in-plan from
+      // the same 1-row broadcast totals (no eager driver job)
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lo_u"), loMicro(lit(0L), lit(0L))))
+          .as("logodds_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("logodds_micro"),
+        round(col("logodds_micro").cast("double")
+          / col("n_tokens").cast("double") / 1e6, 4).as("avg_lo4"),
+        (col("logodds_micro") > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -401,4 +401,35 @@ class DedupSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L, 15L).forall(id => inc(id) == inc(1L)))
     assert(inc(5L) == 5L)
   }
+
+  test("span coverage: planted cross-doc / within-doc spans, interval union, no text in exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // shares [a b c d e] with doc 2
+      (2L, "x x a b c d e y"),   // the shared span sits at offset 2
+      (3L, "p q r s t u v w"),   // no duplicated 5-gram
+      (4L, "m m m m m m"),       // within-doc repeat: spans at 0 and 1
+      (5L, "s t u")              // shorter than k — zero grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanCoverageOf(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 8L, 5L, 0.625), // [0..4]
+      (2L, 8L, 5L, 0.625), // [2..6]
+      (3L, 8L, 0L, 0.0),
+      (4L, 6L, 6L, 1.0),   // overlapping [0,4] ∪ [1,5] unions, not sums
+      (5L, 3L, 0L, 0.0)))
+    // the D1 exchange discipline: span census and hit re-partition move
+    // (hash, id, offset) rows only — neither the token array nor the
+    // span string ever crosses an exchange
+    val planned = Dedup.spanCoverageOf(docs, 5).queryExecution
+      .executedPlan.toString
+    val exchanges = planned.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#") && !exchanges.contains("w#")
+      && !exchanges.contains("col#"),
+      s"an exchange carries span text:\n$exchanges")
+  }
 }

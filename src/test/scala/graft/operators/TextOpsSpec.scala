@@ -974,4 +974,62 @@ class TextOpsSpec extends SparkSpec {
       (3L, "ab", "c", "abc", 5L),
       (4L, "aa", "aa", "aaaa", 3L)), s"got ${got.toSeq}")
   }
+
+  test("nb classifier: log-odds match driver recompute on held-out docs incl. the OOV price; verdicts separate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "science math physics theorem proof", true),
+      (2L, "math proof lemma theorem science", true),
+      (3L, "casino pills spam jackpot winner", false),
+      (4L, "spam casino winner pills free", false)
+    ).toDF("doc_id", "text", "pos")
+    val score = Seq(
+      (10L, "science theorem proof"),   // curated-seed vocabulary
+      (11L, "casino spam jackpot"),     // crawl-seed vocabulary
+      (12L, "science zzyqx theorem")    // one word unseen in training
+    ).toDF("doc_id", "text")
+    val got = TextOps.nbLogOddsOf(train, score).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // driver-side recompute of the exact arithmetic
+    val trainToks = Seq(
+      ("science math physics theorem proof", true),
+      ("math proof lemma theorem science", true),
+      ("casino pills spam jackpot winner", false),
+      ("spam casino winner pills free", false))
+      .flatMap { case (s, p) => s.split(" ").map(w => (w, p)) }
+    val vocab = trainToks.map(_._1).distinct
+    val v = vocab.size.toLong
+    val tPos = trainToks.count(_._2).toLong
+    val tNeg = trainToks.count(!_._2).toLong
+    def lo(w: String): Long = {
+      val nPos = trainToks.count(x => x._1 == w && x._2).toLong
+      val nNeg = trainToks.count(x => x._1 == w && !x._2).toLong
+      math.round((math.log((nPos + 1).toDouble / (tPos + v).toDouble)
+        - math.log((nNeg + 1).toDouble / (tNeg + v).toDouble)) * 1e6)
+    }
+    val expected = Seq(10L -> "science theorem proof",
+      11L -> "casino spam jackpot", 12L -> "science zzyqx theorem")
+      .map { case (id, s) =>
+        val ws = s.split(" ").toSeq
+        val sum = ws.map(lo).sum
+        val avg = BigDecimal(sum.toDouble / ws.length.toDouble / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, ws.length.toLong, sum, avg, sum > 0L)
+      }
+    assert(got.toSeq == expected)
+    // the discriminator separates: curated-looking kept, crawl-looking
+    // dropped, and the OOV doc still nets positive from its two
+    // curated words (the n=0 price is class-symmetric here, ±0)
+    val verdicts = got.map(r => r._1 -> r._5).toMap
+    assert(verdicts(10L) && !verdicts(11L) && verdicts(12L))
+    // text never crosses an exchange (vocab-sized aggs + scoring join)
+    val planned = TextOps.nbLogOddsOf(train, score).queryExecution
+      .executedPlan.toString
+    val exchanges = planned.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"nb classifier shuffles document text:\n$exchanges")
+  }
 }
