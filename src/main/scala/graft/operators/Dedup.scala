@@ -1062,11 +1062,13 @@ object Dedup {
     * `sequence`, no per-token explode before hashing), so the only
     * corpus-sized exchanges carry (h1, h2, doc_id, s) ≈ 28 B per span
     * — the D1 discipline: the span's 128-bit composite hash crosses
-    * the wire, never its text. Exchange 1 groups spans by hash (the
-    * duplicate census, partial-agg combined); exchange 2 re-partitions
-    * surviving hits by doc_id for the interval-union window (hits only
-    * — typically a small fraction of spans); the final per-doc agg
-    * reuses exchange 2's partitioning. Interval union is the classic
+    * the wire, never its text. Exchange 1 hash-partitions spans once
+    * for a WINDOW-count duplicate census (a groupBy+self-join census
+    * would extract spans twice and either broadcast the dup set —
+    * billions of rows at crawl scale — or shuffle the span table a
+    * second time); exchange 2 re-partitions surviving hits by doc_id
+    * for the interval-union window (hits only — typically a small
+    * fraction of spans). Interval union is the classic
     * running-max subtraction: a hit at start s covers
     * max(0, e − max(prevMaxE, s−1)) NEW tokens, summed per doc —
     * O(hits log hits) per doc, never materializing per-token rows.
@@ -1091,11 +1093,15 @@ object Dedup {
         s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         xxhash64(col("col")).as("h1"), xxhash64(lit(1L), col("col")).as("h2"))
-    val dup = grams.groupBy("h1", "h2")
-      .agg(count(lit(1)).as("n_occ"))
+    // duplicate census as a WINDOW count, not a groupBy+self-join: one
+    // span extraction and exactly ONE span-sized exchange however many
+    // spans turn out duplicated (the join form either broadcasts the
+    // dup set — billions of rows at crawl scale — or re-shuffles the
+    // span table a second time)
+    val wDup = Window.partitionBy("h1", "h2")
+    val hits = grams
+      .withColumn("n_occ", count(lit(1)).over(wDup))
       .filter(col("n_occ") >= 2L)
-      .select("h1", "h2")
-    val hits = grams.join(dup, Seq("h1", "h2"))
       .select(col("doc_id"), col("s"), (col("s") + (k - 1).toLong).as("e"))
     val wPrev = Window.partitionBy("doc_id").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
