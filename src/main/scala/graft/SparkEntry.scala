@@ -198,6 +198,14 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
     // D11 exact-substring (duplicated k-token span) coverage
     "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
+    // D11b the same coverage for an ingest batch probing the persisted
+    // span-hash index (settled text is never re-extracted)
+    "dedup_spans_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val dir = SpanIndex.materialize(t, d)
+      SpanIndex.coverageBatch(
+        t.documents.filter(pmod(col("doc_id"), lit(8L)) === 7L), dir)
+    }),
     "mix_token_budget" -> ((s, d) => TextOps.mixTokenBudget(tables(s, d))),
     "decontaminate_fuzzy" -> ((s, d) => TextOps.decontaminateFuzzy(tables(s, d))),
     "decontaminate_ratio" -> ((s, d) => TextOps.decontaminateRatio(tables(s, d))),
@@ -969,6 +977,25 @@ object SparkEntry {
           CASE WHEN len(t.w) = 0 THEN cast(0.0 as double)
             ELSE round(cast(coalesce(d.dup_tokens, 0) as double) / cast(len(t.w) as double), 4) END AS dup_ratio4
         FROM toks t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id""",
+    // D11b: a batch span is duplicated iff its occurrences across
+    // (settled ∪ batch) = the full corpus total ≥ 2, so the oracle is
+    // the full-corpus D11 census restricted to the fresh slice
+    "dedup_spans_incremental" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        g AS (SELECT doc_id, s, array_to_string(w[s+1 : s+5], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 5 + 1)) AS s FROM toks WHERE len(w) >= 5)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, s, s + 4 AS e FROM g JOIN dup USING (gram)),
+        cov AS (SELECT doc_id, greatest(0, e - greatest(coalesce(max(e) OVER
+            (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1), s - 1)) AS c
+          FROM hits),
+        d AS (SELECT doc_id, cast(sum(c) as bigint) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, cast(len(t.w) as bigint) AS n_tokens,
+          coalesce(d.dup_tokens, 0) AS dup_tokens,
+          CASE WHEN len(t.w) = 0 THEN cast(0.0 as double)
+            ELSE round(cast(coalesce(d.dup_tokens, 0) as double) / cast(len(t.w) as double), 4) END AS dup_ratio4
+        FROM toks t LEFT JOIN d USING (doc_id)
+        WHERE t.doc_id % 8 = 7 ORDER BY t.doc_id""",
     // D6c: the same closure as dedup_clusters, canonical member
     // elected by (stop_ratio DESC, doc_id) within each cluster
     "dedup_keep_best" ->

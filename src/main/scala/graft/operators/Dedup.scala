@@ -1084,15 +1084,8 @@ object Dedup {
   /** Library form over any (doc_id, text) frame. */
   def spanCoverageOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(k >= 2, s"span length must be >= 2 tokens, got $k")
-    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
-    // (doc_id, s, h1, h2): one row per k-token span, built row-locally;
-    // s is the 0-based start offset, (h1, h2) the 128-bit span hash
-    val grams = toks.filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
-      .select(col("doc_id"), col("pos").cast("long").as("s"),
-        xxhash64(col("col")).as("h1"), xxhash64(lit(1L), col("col")).as("h2"))
+    val toks = spanToks(docs)
+    val grams = spanHashes(toks, k)
     // duplicate census as a WINDOW count, not a groupBy+self-join: one
     // span extraction and exactly ONE span-sized exchange however many
     // spans turn out duplicated (the join form either broadcasts the
@@ -1102,10 +1095,43 @@ object Dedup {
     val hits = grams
       .withColumn("n_occ", count(lit(1)).over(wDup))
       .filter(col("n_occ") >= 2L)
-      .select(col("doc_id"), col("s"), (col("s") + (k - 1).toLong).as("e"))
+      .select(col("doc_id"), col("s"))
+    spanCoverageFromHits(toks, hits, k)
+  }
+
+  /** The (doc_id, w: array<string>) tokenization both span stages
+    * derive from — [[SpanIndex.coverageBatch]] checkpoints one of
+    * these per batch so spans and token counts come from a single
+    * extraction pass. */
+  private[operators] def spanToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+
+  /** (doc_id, s, h1, h2): one row per k-token span, built row-locally
+    * (token array + k-slide live inside the row); s is the 0-based
+    * start offset, (h1, h2) the 128-bit composite span hash — the only
+    * columns that ever cross an exchange. Shared by [[spanCoverageOf]]
+    * and the [[SpanIndex]] incremental probe. */
+  private[operators] def spanHashes(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        xxhash64(col("col")).as("h1"), xxhash64(lit(1L), col("col")).as("h2"))
+  }
+
+  /** Per-doc union-of-intervals coverage from duplicated-span hit
+    * offsets: each hit at start s covers [s, s+k-1]; the running-max
+    * window subtracts overlap, so tokens are counted once however many
+    * hits cover them. Emits every doc of `toks` (zero coverage
+    * included). */
+  private[operators] def spanCoverageFromHits(toks: DataFrame,
+      hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("doc_id").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cov = hits
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1).toLong).as("e"))
       .withColumn("prev_e", coalesce(max(col("e")).over(wPrev), lit(-1L)))
       .withColumn("c", greatest(lit(0L),
         col("e") - greatest(col("prev_e"), col("s") - 1L)))
