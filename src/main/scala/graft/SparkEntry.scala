@@ -196,6 +196,8 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
     // F21 NB curated-vs-crawl discriminator (GPT-3/DSIR quality filter)
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
+    // F22 BM25 keyword retrieval top-k
+    "bm25_topk" -> ((s, d) => TextOps.bm25TopK(tables(s, d))),
     // D11 exact-substring (duplicated k-token span) coverage
     "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
     // D11b the same coverage for an ingest batch probing the persisted
@@ -221,6 +223,9 @@ object SparkEntry {
     // benchmark decontamination: every 100th doc plays the eval set;
     // broadcast gram-membership probe, corpus never shuffles
     "decontaminate" -> ((s, d) => TextOps.decontaminate(tables(s, d))),
+    // H11: same verdicts via a Bloom prefilter + shuffle exact join —
+    // the registry-too-big-to-broadcast regime
+    "decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(tables(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextOps.tfIdfTopTerms(tables(s, d))),
     // §2E PQ compression search — hash-exact since round 6 (canonical
     // pqModel reduction; OracleSql.pqTopK replays fit+ADC+rerank);
@@ -959,6 +964,31 @@ object SparkEntry {
           round(cast(sum(c.lo_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_lo4,
           sum(c.lo_u) > 0 AS keep
         FROM tok t JOIN c USING (word) GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // F22: BM25 with k1=6/5, b=3/4 — the tf normalization is the exact
+    // rational 22·tf·L/(10·tf·L+3·L+9·len·N) carried in HUGEINT
+    // (decimal(38,0) on the Spark side); ln once per query term,
+    // quantized to micro-nats; per-doc score = exact int sum
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z]+')) AS term FROM documents),
+        lens AS (SELECT doc_id, cast(count(*) as bigint) AS len FROM toks GROUP BY 1),
+        stats AS (SELECT cast(count(*) as bigint) AS n_docs, cast(sum(len) as bigint) AS l_total FROM lens),
+        tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM toks
+          WHERE term IN ('stream','vector','customer') GROUP BY 1, 2),
+        df AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, cast(round(ln(1.0
+              + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5)) * 1000000.0) as bigint) AS idf_u
+          FROM df CROSS JOIN stats),
+        scored AS (SELECT tf.doc_id,
+            cast(count(*) as bigint) AS n_terms,
+            max(lens.len) AS len,
+            cast(sum(cast(round(cast(idf.idf_u as double)
+              * (cast(22::HUGEINT * tf.tf * s.l_total as double)
+                / cast(10::HUGEINT * tf.tf * s.l_total + 3::HUGEINT * s.l_total
+                    + 9::HUGEINT * lens.len * s.n_docs as double))) as bigint)) as bigint) AS score_u
+          FROM tf JOIN idf USING (term) JOIN lens USING (doc_id) CROSS JOIN stats s
+          GROUP BY tf.doc_id),
+        ranked AS (SELECT *, cast(row_number() OVER (ORDER BY score_u DESC, doc_id) as bigint) AS rnk FROM scored)
+        SELECT rnk, doc_id, score_u, n_terms, len FROM ranked WHERE rnk <= 10 ORDER BY rnk""",
     // D11: the oracle censuses spans by RAW text where Spark groups by
     // the 128-bit hash (the D1 collision-detection rule); same 0-based
     // offsets, same running-max interval union
@@ -1206,6 +1236,19 @@ object SparkEntry {
     // oracle joins on gram STRINGS; the Spark side joins on 64-bit gram
     // hashes — a collision at test SF would break this hash gate loudly
     "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS ws FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+        hits AS (SELECT DISTINCT gr.doc_id, gr.g
+          FROM grams gr JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 100 <> 0)
+        SELECT doc_id, cast(count(*) as bigint) AS n_hits
+        FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    // H11: the Bloom prefilter is semantics-invisible (no false
+    // negatives; the exact join kills false positives), so the oracle
+    // is the plain exact-join decontamination — equality with it IS
+    // the contract
+    "decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS ws FROM documents),
         grams AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
           FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),

@@ -178,6 +178,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** H11 — decontamination with a BLOOM-FILTER prefilter: identical
+    * semantics to [[decontaminateAgainst]], built for the regime where
+    * the benchmark/registry gram set is too big to broadcast as a join
+    * hash table (a 10⁸-gram contamination registry) so the exact join
+    * must shuffle both sides. The registry aggregates into an m-bit
+    * deterministic Bloom bitset (~10 bits/gram vs 30+ B/entry hashed
+    * relation — still broadcastable when the hash table is not), corpus
+    * grams are probed IN THE SCAN's codegen, and only survivors (true
+    * hits + ~(1/2^k·ln2...) false positives) reach the exchange feeding
+    * the exact shuffle join — which discards the false positives, so
+    * the composite is hash-identical to the exact form (Blooms have no
+    * false negatives). At 100 TB this turns the pipeline's biggest
+    * exchange (every corpus gram) into one proportional to the
+    * contamination rate. The oracle runs the plain exact join — the
+    * equality IS the correctness contract ([Q:decontaminate_bloom]).
+    *
+    * The shuffle_hash hint on the exact join models the target regime
+    * at test SF (without it AQE would just broadcast the small bench
+    * side and the prefilter would guard nothing). */
+  def decontaminateBloomAgainst(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, mBits: Int = 1 << 20, k: Int = 7): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val grams = (d: DataFrame) => d.select(col("doc_id"),
+      call_function("graft_word_ngrams", words(col("text")), lit(n)).as("gs"))
+    val bench = grams(benchmark)
+      .select(explode(col("gs")).as("g"))
+      .distinct()
+    val bloom = bench.agg(call_function("graft_bloom_agg",
+      col("g"), lit(mBits), lit(k)).as("bloom"))
+    val corpus = grams(docs).select(col("doc_id"), explode(col("gs")).as("g"))
+    corpus.crossJoin(broadcast(bloom))
+      .filter(call_function("graft_bloom_contains",
+        col("bloom"), col("g"), lit(k)))
+      .select(col("doc_id"), col("g"))
+      .join(bench.hint("shuffle_hash"), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateBloom(t: Tables, n: Int = 3,
+      benchMod: Long = 100L): DataFrame =
+    decontaminateBloomAgainst(
+      t.documents.filter(col("doc_id") % benchMod =!= 0L),
+      t.documents.filter(col("doc_id") % benchMod === 0L),
+      n)
+
   /** F6c — thresholded contamination VERDICT (the PaLM/GPT-4 eval-
     * decontamination rule: a document is contaminated when a high
     * FRACTION of its n-grams appears in the benchmark, not merely when
@@ -1421,5 +1468,83 @@ object TextOps {
           / col("n_tokens").cast("double") / 1e6, 4).as("avg_lo4"),
         (col("logodds_micro") > 0L).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** F22 — BM25 keyword retrieval: top-k documents for a bag of query
+    * terms under Okapi BM25 (k1=1.2, b=0.75, Lucene's idf form
+    * ln(1+(N−df+0.5)/(df+0.5))) — the retrieval primitive behind
+    * benchmark-similarity mining and targeted corpus slicing ("pull the
+    * 10k docs most about X"), complementing F7's per-doc tf-idf terms
+    * with a cross-doc ranked search.
+    *
+    * Bit-stability (SURVEY §4): ln runs ONCE PER QUERY TERM (a handful)
+    * and is quantized to integer micro-nats immediately. The tf/length
+    * normalization is exact-rational: with k1=6/5 and b=3/4,
+    * tf·(k1+1)/(tf+k1·(1−b+b·len/avglen)) = 22·tf·L/(10·tf·L+3·L+9·len·N)
+    * where L=Σlen and N=#docs — both sides exact integers, carried in
+    * decimal(38,0) (HUGEINT in the oracle) because tf·L wraps int64 at
+    * real corpus scale (the B25 rule). Each per-(doc,term) contribution
+    * is a fixed correctly-rounded sequence — two casts, one division,
+    * one multiply, one round — then an exact int64 micro-nat; per-doc
+    * scores are exact integer SUMS of those, so no float accumulation
+    * order can bite. Ties break on doc_id.
+    *
+    * Scale shape: ONE tokenization pass feeds a single doc_id-keyed
+    * partial agg that carries length AND the k query-term tf columns
+    * (map-side combined — the exchange is #docs rows of k+2 ints, never
+    * tokens); the term table is then unpivoted in-codegen (C11b's
+    * zero-exchange melt). df and the corpus stats re-aggregate those
+    * partials (tiny), broadcast back, and the final top-k is
+    * TakeOrdered (C5) — no single-partition window over the corpus. */
+  def bm25TopK(t: Tables,
+      queryTerms: Seq[String] = Seq("stream", "vector", "customer"),
+      k: Int = 10): DataFrame = bm25TopKOf(t.documents, queryTerms, k)
+
+  def bm25TopKOf(docs: DataFrame, queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "query terms must be non-empty and distinct")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // one exchange: per-doc length + one tf column per query term
+    val tfCols = queryTerms.map(q =>
+      sum(when(col("term") === q, 1L).otherwise(0L)).as("tf_" + q))
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfCols: _*)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum("len").as("l_total"))
+    // in-codegen melt of the tf columns back to (term, tf) rows
+    val termTf = perDoc.select(col("doc_id"), col("len"),
+        explode(map(queryTerms.flatMap(q =>
+          Seq(lit(q), col("tf_" + q))): _*)).as(Seq("term", "tf")))
+      .filter(col("tf") > 0L)
+    val df = termTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0)
+          + ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))) * 1e6)
+          .cast("long").as("idf_u"))
+    val tfL = col("tf").cast(d38) * col("l_total").cast(d38)
+    val num = lit(22L).cast(d38) * tfL
+    val den = (lit(10L).cast(d38) * tfL) +
+      (lit(3L).cast(d38) * col("l_total").cast(d38)) +
+      (lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38))
+    val scored = termTf
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_u",
+        round(col("idf_u").cast("double")
+          * (num.cast("double") / den.cast("double"))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), max(col("len")).as("len"),
+        sum(col("contrib_u")).as("score_u"))
+    val top = scored.orderBy(col("score_u").desc, col("doc_id")).limit(k)
+    // rank assignment over the k surviving rows only — never the corpus
+    val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_u"), col("n_terms"),
+        col("len"))
+      .orderBy("rnk")
   }
 }

@@ -611,7 +611,15 @@ object VectorFunctions {
     ("graft_bmp_encode", classOf[BmpEncode],
       (exprs: Seq[Expression]) => BmpEncode(exprs.head)),
     ("graft_bmp_features", classOf[BmpFeatures],
-      (exprs: Seq[Expression]) => BmpFeatures(exprs.head)))
+      (exprs: Seq[Expression]) => BmpFeatures(exprs.head)),
+    // bare AggregateFunction like graft_vec_sum: the analyzer wraps it
+    ("graft_bloom_agg", classOf[BloomAgg],
+      (exprs: Seq[Expression]) => BloomAgg(exprs.head,
+        IntLitArg.of("graft_bloom_agg(hash, m_bits, k)", "m_bits", exprs(1)),
+        IntLitArg.of("graft_bloom_agg(hash, m_bits, k)", "k", exprs(2)))),
+    ("graft_bloom_contains", classOf[BloomContains],
+      (exprs: Seq[Expression]) => BloomContains(exprs.head, exprs(1),
+        IntLitArg.of("graft_bloom_contains(bloom, hash, k)", "k", exprs(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
