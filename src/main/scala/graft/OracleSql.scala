@@ -78,6 +78,15 @@ private[graft] object OracleSql {
   private def mix64(e: String): String =
     xorShift(mulmod(xorShift(mulmod(xorShift(addmod(e, C1), 30), C2), 27), C3), 31)
 
+  /** The split_assign bucket — mix64 of a signed-bigint column reduced
+    * mod 2^20 in unsigned space — as a SQL fragment over any column
+    * (F18 uses doc_id; F24 the cluster label). */
+  def mix64Bucket(colName: String): String = {
+    val bits = s"(CASE WHEN $colName >= 0 THEN $colName::HUGEINT " +
+      s"ELSE $colName::HUGEINT + $TwoTo64 END)::UBIGINT"
+    s"${mix64(bits)} % 1048576"
+  }
+
   /** Hashing.hashString over an ASCII token column: little-endian
     * 8-byte blocks folded through mix64 from the length-seeded init. */
   private def hashToken(t: String): String = {

@@ -187,6 +187,9 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(tables(s, d))),
     "shuffle_shards" -> ((s, d) => TextOps.shuffleShards(tables(s, d))),
     "split_assign" -> ((s, d) => TextOps.splitAssign(tables(s, d))),
+    // F24: split keyed on the D6 near-dup cluster label — no
+    // train/eval leakage across near-duplicates
+    "split_by_cluster" -> ((s, d) => TextOps.splitByCluster(tables(s, d))),
     // F19/F20 tokenizer-adjacent corpus statistics
     "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
@@ -282,9 +285,10 @@ object SparkEntry {
   /** Shared by dedup_clusters and dedup_clusters_incremental: the
     * incremental operator's whole contract is hash-equality with the
     * full-recompute closure. */
-  private val clustersClosureOracle: String =
-    """WITH RECURSIVE
-      t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+  /** The D6 word-set-Jaccard + recursive-closure CTE chain, shared by
+    * every oracle that needs the near-dup cluster labels. */
+  private val closureCtes: String =
+    """t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
         cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
         WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
@@ -294,7 +298,11 @@ object SparkEntry {
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
-      )
+      )"""
+
+  private val clustersClosureOracle: String =
+    s"""WITH RECURSIVE
+      $closureCtes
       SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id"""
 
@@ -886,6 +894,19 @@ object SparkEntry {
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "dedup_clusters" -> clustersClosureOracle,
+    // F24: the closure labels fed through F18's exact bucket arithmetic
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE
+        $closureCtes,
+        c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+          FROM reach GROUP BY src),
+        h AS (SELECT doc_id, cluster_id,
+          ${OracleSql.mix64Bucket("cluster_id")} AS bucket FROM c)
+        SELECT doc_id, cluster_id,
+          CASE WHEN bucket < 1027604 THEN 'train'
+               WHEN bucket < 1038090 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM h ORDER BY doc_id""",
     // D10: the incremental path must land on the FULL recompute's
     // clusters exactly — same oracle text by construction
     "dedup_clusters_incremental" -> clustersClosureOracle,

@@ -1063,6 +1063,50 @@ object TextOps {
   def splitAssign(t: Tables): DataFrame =
     splitAssignCore(t.documents).orderBy("doc_id")
 
+  /** F24 — LEAKAGE-SAFE train/valid/test split: assign the split by
+    * NEAR-DUP CLUSTER, not by document. F18's per-doc hash split puts
+    * two near-duplicate documents in different splits with probability
+    * 2·p_test — at web-corpus dup rates that quietly leaks a large
+    * slice of the eval set into training (the Lee et al. 2022 finding:
+    * deduplicated-eval perplexity moves once train/test near-dups are
+    * removed). Keying F18's identical bucket arithmetic on the D6
+    * cluster label instead means every member of a near-dup cluster
+    * lands in the same split by construction; singleton documents keep
+    * their F18 assignment EXACTLY (their cluster label IS their
+    * doc_id), so adopting cluster-splitting only moves documents that
+    * had a leakage risk.
+    *
+    * Scale shape: the labels come from the components engine (at
+    * deploy scale the D6b LSH edge source — banded candidates, never
+    * all-pairs); the split itself is the F18 projection on the label —
+    * no extra shuffle beyond the clustering that a dedup pipeline
+    * already ran, and the assignment is a pure function of the label
+    * (reproducible across runs, stable under corpus growth as long as
+    * the cluster's minimum member persists). */
+  def splitByCluster(t: Tables, trainPct: Int = 98, validPct: Int = 1,
+      maxIters: Int = 50): DataFrame =
+    splitByClusterOf(Dedup.dedupClusters(t, maxIters), trainPct, validPct)
+
+  /** Library form over any (doc_id, cluster_id) labeling. */
+  def splitByClusterOf(clusters: DataFrame, trainPct: Int = 98,
+      validPct: Int = 1): DataFrame = {
+    require(trainPct > 0 && validPct > 0 && trainPct + validPct < 100,
+      s"split pcts must leave room for test: train=$trainPct valid=$validPct")
+    graft.plans.VectorFunctions.register(clusters.sparkSession)
+    val buckets = 1L << 20
+    val t1 = buckets * trainPct / 100L
+    val t2 = buckets * (trainPct + validPct) / 100L
+    clusters
+      .withColumn("bucket",
+        pmod(call_function("graft_mix64", col("cluster_id")), lit(buckets)))
+      .withColumn("split",
+        when(col("bucket") < t1, "train")
+          .when(col("bucket") < t2, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   def shuffleShards(t: Tables, nShards: Int = 8): DataFrame =
     shuffleShardsOf(t.documents, nShards)
 

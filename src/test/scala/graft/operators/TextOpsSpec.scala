@@ -1115,6 +1115,25 @@ class TextOpsSpec extends SparkSpec {
     assert(filterIdx >= 0)
   }
 
+  test("cluster split: one split per cluster; singletons keep the F18 assignment (F24)") {
+    val rows = TextOps.splitByCluster(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c spans splits")
+    }
+    // a singleton's label is its own doc_id, so its assignment must be
+    // bit-identical to F18's per-doc split
+    val f18 = TextOps.splitAssign(t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.filter(r => byCluster(r._2).length == 1).foreach { case (id, c, sp) =>
+      assert(c == id && f18(id) == sp, s"singleton $id diverges from F18")
+    }
+    // the fixture corpus must actually exercise the multi-doc case
+    assert(byCluster.values.exists(_.length > 1),
+      "no multi-doc near-dup cluster in the fixture corpus")
+  }
+
   test("bm25: corpus top-k is TakeOrdered, never a corpus-wide window") {
     val plan = TextOps.bm25TopK(t).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
