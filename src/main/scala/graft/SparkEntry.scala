@@ -89,6 +89,8 @@ object SparkEntry {
     "latest_state" -> ((s, d) => EventOps.latestState(tables(s, d))),
     "scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(tables(s, d))),
     "rate_anomaly" -> ((s, d) => EventOps.rateAnomaly(tables(s, d))),
+    // B26: stage-ordered view→click→purchase funnel, one user_id shuffle
+    "funnel_stages" -> ((s, d) => EventOps.funnelStages(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     // D8 sub-document boilerplate removal (word-block paragraphs —
@@ -770,6 +772,24 @@ object SparkEntry {
           cast(t_sum as bigint) AS t_sum, cast(t_sumsq as bigint) AS t_sumsq, z4,
           CASE WHEN z4 IS NOT NULL THEN cast(abs(z4) > 3.0 as bigint) END AS is_spike
         FROM z ORDER BY bucket""",
+    // B26: sequential stage minima as whole-partition window aggs —
+    // exact int64 ms comparisons throughout
+    "funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ms END)
+            OVER (PARTITION BY user_id) AS t1 FROM e),
+        w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ms >= t1 THEN ts_ms END)
+            OVER (PARTITION BY user_id) AS t2 FROM w1),
+        w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ms >= t2 THEN ts_ms END)
+            OVER (PARTITION BY user_id) AS t3 FROM w2)
+        SELECT user_id, max(t1) AS view_ms, max(t2) AS click_ms,
+          max(t3) AS purchase_ms,
+          CASE WHEN max(t3) IS NOT NULL THEN cast(3 as bigint)
+               WHEN max(t2) IS NOT NULL THEN cast(2 as bigint)
+               WHEN max(t1) IS NOT NULL THEN cast(1 as bigint)
+               ELSE cast(0 as bigint) END AS stage,
+          max(t3) - max(t1) AS ms_to_convert
+        FROM w3 GROUP BY user_id ORDER BY user_id""",
     "range_join_events" ->
       """WITH iv AS (SELECT event_id AS iv_id, epoch_ms(ts) AS start_ms,
           epoch_ms(ts) + 3600000 AS end_ms FROM events WHERE event_id % 100 = 0),

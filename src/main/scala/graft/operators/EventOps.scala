@@ -335,4 +335,56 @@ object EventOps {
         min(col("event_id")).as("first_event"))
       .orderBy("iv_id")
   }
+
+  /** B26 — ordered FUNNEL analysis: per user, the earliest time each
+    * stage of view → click → purchase was reached IN ORDER (a click
+    * before the first view doesn't count; a purchase before the first
+    * qualifying click doesn't count) — the product-analytics query
+    * every event consumer's downstream eventually runs, and the batch
+    * form of a stage-ordered session pattern match.
+    *
+    * Stage gating is sequential min: t1 = min ts of stage 1;
+    * t2 = min ts of stage 2 with ts >= t1; t3 likewise over t2. All
+    * comparisons are exact epoch-ms int64 — no float, no
+    * approximation — so stage times and counts are hash-exact.
+    *
+    * Scale shape: ONE user_id exchange. The three stage minima are
+    * whole-partition window aggregates over the SAME partitioning
+    * (zero inter-stage exchanges — each references the previous
+    * stage's column), and the final per-user collapse reuses that
+    * partitioning (exchange-elimination), so a 100 TB event log flows
+    * through exactly one shuffle carrying (user_id, type, ts_ms).
+    * No per-user sort is needed for the unordered frames beyond the
+    * window operator's partition clustering. */
+  def funnelStages(t: Tables,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelStagesOf(
+      withMs(t).select(col("user_id"), col("event_type"), col("ts_ms")),
+      stages)
+
+  /** Library form over any (user_id, event_type, ts_ms) frame. */
+  def funnelStagesOf(e: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "funnelStages models a 3-step funnel")
+    val w = Window.partitionBy("user_id")
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === stages(0), col("ts_ms"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === stages(1)
+          && col("ts_ms") >= col("t1"), col("ts_ms"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === stages(2)
+          && col("ts_ms") >= col("t2"), col("ts_ms"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max(col("t1")).as("view_ms"), max(col("t2")).as("click_ms"),
+        max(col("t3")).as("purchase_ms"))
+      .withColumn("stage",
+        when(col("purchase_ms").isNotNull, 3L)
+          .when(col("click_ms").isNotNull, 2L)
+          .when(col("view_ms").isNotNull, 1L)
+          .otherwise(0L))
+      .withColumn("ms_to_convert",
+        col("purchase_ms") - col("view_ms"))
+      .orderBy("user_id")
+  }
 }

@@ -170,4 +170,58 @@ class EventOpsSpec extends SparkSpec {
     assert(got.take(trail).forall(_._3.isEmpty))
     assert(got.drop(trail).exists(_._3.nonEmpty))
   }
+
+  test("funnel: stage minima match a driver recompute and respect order (B26)") {
+    val evs = t.events.select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000000L))
+      .groupBy(_._1)
+    val got = EventOps.funnelStages(t).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))
+    assert(got.nonEmpty && got.length == evs.size)
+    got.foreach { case (uid, v, c, p, stage) =>
+      val rows = evs(uid)
+      def minAfter(tp: String, gate: Option[Long]): Option[Long] =
+        gate.flatMap(g => rows.collect {
+          case (_, `tp`, ms) if ms >= g => ms
+        }.minOption)
+      val t1 = rows.collect { case (_, "view", ms) => ms }.minOption
+      val t2 = minAfter("click", t1)
+      val t3 = minAfter("purchase", t2)
+      assert(v == t1 && c == t2 && p == t3, s"user $uid stage times")
+      val expStage = if (t3.nonEmpty) 3L else if (t2.nonEmpty) 2L
+        else if (t1.nonEmpty) 1L else 0L
+      assert(stage == expStage, s"user $uid stage")
+    }
+  }
+
+  test("funnel: out-of-order stages are gated, not counted (B26 fixture)") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: click precedes the first view — that click must not count;
+      // a later click does, and the purchase between them must not
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "purchase", 25L),
+      (1L, "click", 30L), (1L, "purchase", 40L),
+      // u2: full funnel in order, same-ms click counts (>= gate)
+      (2L, "view", 10L), (2L, "click", 10L), (2L, "purchase", 15L),
+      // u3: never enters the funnel (no view)
+      (3L, "click", 5L), (3L, "purchase", 6L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got = EventOps.funnelStagesOf(e, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(20L), Some(30L), Some(40L), 3L),
+      (2L, Some(10L), Some(10L), Some(15L), 3L),
+      (3L, None, None, None, 0L)))
+  }
+
+  test("funnel: one exchange total (windows and collapse share the user partitioning)") {
+    val plan = EventOps.funnelStages(t).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"funnel should shuffle once, got $exchanges:\n$plan")
+  }
 }
