@@ -87,6 +87,17 @@ private[graft] object OracleSql {
     s"${mix64(bits)} % 1048576"
   }
 
+  /** The F25 derandomized Gumbel in micro-nats: u = ((mix64(id) >>> 11)
+    * + 0.5) / 2^53 (exactly representable), g = round(−ln(−ln u)·1e6).
+    * The shift runs in UBIGINT so >> is logical, matching Spark's
+    * shiftrightunsigned on the same 64 bits. */
+  def gumbelMicro(colName: String): String = {
+    val bits = s"(CASE WHEN $colName >= 0 THEN $colName::HUGEINT " +
+      s"ELSE $colName::HUGEINT + $TwoTo64 END)::UBIGINT"
+    val u = s"((${mix64(bits)} >> 11)::DOUBLE + 0.5) / 9007199254740992.0"
+    s"cast(round(-ln(-ln($u)) * 1000000.0) as bigint)"
+  }
+
   /** Hashing.hashString over an ASCII token column: little-endian
     * 8-byte blocks folded through mix64 from the length-seeded init. */
   private def hashToken(t: String): String = {

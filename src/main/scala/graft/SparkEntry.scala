@@ -203,6 +203,8 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
     // F22 BM25 keyword retrieval top-k
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(tables(s, d))),
+    // F25 DSIR weighted sampling-without-replacement (Gumbel top-k)
+    "dsir_sample" -> ((s, d) => TextOps.dsirResample(tables(s, d))),
     // D11 exact-substring (duplicated k-token span) coverage
     "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
     // D11b the same coverage for an ingest batch probing the persisted
@@ -301,6 +303,27 @@ object SparkEntry {
         UNION
         SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
       )"""
+
+  /** F21's per-doc NB log-odds as a shared CTE chain (terminal CTE
+    * `nbs`: doc_id, n_tokens, logodds_micro) — quality_classifier and
+    * the F25 resampler both derive from it. */
+  private val nbScoreCtes: String =
+    """tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        lab AS (SELECT doc_id, source IN ('src0','src1','src2') AS pos FROM documents),
+        cnt AS (SELECT word,
+            cast(sum(CASE WHEN pos THEN 1 ELSE 0 END) as bigint) AS n_pos,
+            cast(sum(CASE WHEN pos THEN 0 ELSE 1 END) as bigint) AS n_neg
+          FROM tok JOIN lab USING (doc_id) GROUP BY word),
+        tot AS (SELECT cast(sum(n_pos) as bigint) AS t_pos,
+            cast(sum(n_neg) as bigint) AS t_neg,
+            cast(count(*) as bigint) AS v FROM cnt),
+        c AS (SELECT word,
+            cast(round((ln(cast(n_pos + 1 as double) / cast(t_pos + v as double))
+                      - ln(cast(n_neg + 1 as double) / cast(t_neg + v as double))) * 1000000.0) as bigint) AS lo_u
+          FROM cnt CROSS JOIN tot),
+        nbs AS (SELECT t.doc_id, count(*) AS n_tokens,
+            cast(sum(c.lo_u) as bigint) AS logodds_micro
+          FROM tok t JOIN c USING (word) GROUP BY t.doc_id)"""
 
   private val clustersClosureOracle: String =
     s"""WITH RECURSIVE
@@ -987,24 +1010,22 @@ object SparkEntry {
     // lm_quality; self-trained (pos = src0-2), so no OOV branch fires
     // here (the spec exercises it on a held-out score set)
     "quality_classifier" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
-        lab AS (SELECT doc_id, source IN ('src0','src1','src2') AS pos FROM documents),
-        cnt AS (SELECT word,
-            cast(sum(CASE WHEN pos THEN 1 ELSE 0 END) as bigint) AS n_pos,
-            cast(sum(CASE WHEN pos THEN 0 ELSE 1 END) as bigint) AS n_neg
-          FROM tok JOIN lab USING (doc_id) GROUP BY word),
-        tot AS (SELECT cast(sum(n_pos) as bigint) AS t_pos,
-            cast(sum(n_neg) as bigint) AS t_neg,
-            cast(count(*) as bigint) AS v FROM cnt),
-        c AS (SELECT word,
-            cast(round((ln(cast(n_pos + 1 as double) / cast(t_pos + v as double))
-                      - ln(cast(n_neg + 1 as double) / cast(t_neg + v as double))) * 1000000.0) as bigint) AS lo_u
-          FROM cnt CROSS JOIN tot)
-        SELECT t.doc_id, count(*) AS n_tokens,
-          cast(sum(c.lo_u) as bigint) AS logodds_micro,
-          round(cast(sum(c.lo_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_lo4,
-          sum(c.lo_u) > 0 AS keep
-        FROM tok t JOIN c USING (word) GROUP BY t.doc_id ORDER BY t.doc_id""",
+      s"""WITH $nbScoreCtes
+        SELECT doc_id, n_tokens, logodds_micro,
+          round(cast(logodds_micro as double) / cast(n_tokens as double) / 1000000.0, 4) AS avg_lo4,
+          logodds_micro > 0 AS keep
+        FROM nbs ORDER BY doc_id""",
+    // F25: the F21 weights + a derandomized Gumbel keyed on doc_id —
+    // exact int64 key sums, rank with doc_id tie-break
+    "dsir_sample" ->
+      s"""WITH $nbScoreCtes,
+        k AS (SELECT doc_id, logodds_micro,
+          ${OracleSql.gumbelMicro("doc_id")} AS noise_u FROM nbs),
+        r AS (SELECT doc_id, logodds_micro, noise_u,
+          logodds_micro + noise_u AS key_u FROM k),
+        rk AS (SELECT *, cast(row_number() OVER (ORDER BY key_u DESC, doc_id) as bigint) AS rnk FROM r)
+        SELECT rnk, doc_id, logodds_micro, noise_u, key_u
+        FROM rk WHERE rnk <= 100 ORDER BY rnk""",
     // F22: BM25 with k1=6/5, b=3/4 — the tf normalization is the exact
     // rational 22·tf·L/(10·tf·L+3·L+9·len·N) carried in HUGEINT
     // (decimal(38,0) on the Spark side); ln once per query term,

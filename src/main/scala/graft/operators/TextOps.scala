@@ -1514,6 +1514,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F25 — DSIR importance RESAMPLING (Xie et al. 2023 §2): draw the
+    * n-document training subset ∝ exp(importance weight) WITHOUT
+    * replacement via the Gumbel-top-k trick — key = log-weight + an
+    * independent standard Gumbel, take the n largest keys. The
+    * log-weight is F21's NB log-odds (Xie et al.'s hashed-n-gram
+    * estimator); the Gumbel is DERANDOMIZED: u = ((mix64(doc_id) >>>
+    * 11) + 0.5) / 2^53 ∈ (0,1) — a pure function of doc_id, exactly
+    * representable in a double on any engine — and g = −ln(−ln u).
+    * The sample is therefore reproducible across runs, partitionings,
+    * and engines (the F8/F18 property, extended from Bernoulli keeps
+    * to weighted sampling-without-replacement), and hash-exact under
+    * the DuckDB replay.
+    *
+    * Bit-stability: the two chained lns are the only
+    * non-correctly-rounded ops, taken once per doc and immediately
+    * quantized to integer micro-nats; the key is then an EXACT int64
+    * sum of score and noise micro-nats, ranked with a doc_id
+    * tie-break.
+    *
+    * Scale shape: F21's two vocab-keyed shuffles produce the scores;
+    * the noise is a per-row codegen projection; the selection is
+    * TakeOrdered (C5) — no corpus-wide window, no RNG state, no
+    * driver-side sampling pass. */
+  def dsirResample(t: Tables, n: Int = 100): DataFrame =
+    dsirResampleOf(nbQualityClassifier(t)
+      .select(col("doc_id"), col("logodds_micro")), n)
+
+  /** Library form over any (doc_id, logodds_micro) weight table. */
+  def dsirResampleOf(scores: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(scores.sparkSession)
+    val u = (shiftrightunsigned(
+      call_function("graft_mix64", col("doc_id")), 11).cast("double")
+      + lit(0.5)) / lit(9007199254740992.0)
+    val keyed = scores
+      .withColumn("noise_u", round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_u", col("logodds_micro") + col("noise_u"))
+    val top = keyed.orderBy(col("key_u").desc, col("doc_id")).limit(n)
+    val w = Window.orderBy(col("key_u").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("logodds_micro"),
+        col("noise_u"), col("key_u"))
+      .orderBy("rnk")
+  }
+
   /** F22 — BM25 keyword retrieval: top-k documents for a bag of query
     * terms under Okapi BM25 (k1=1.2, b=0.75, Lucene's idf form
     * ln(1+(N−df+0.5)/(df+0.5))) — the retrieval primitive behind

@@ -1078,6 +1078,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.head._3 == got.map(_._3).max)
   }
 
+  test("dsir: derandomized Gumbel keys match a driver recompute; exact top-n (F25)") {
+    import graft.functions.Hashing
+    val scores = TextOps.nbQualityClassifier(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def noise(id: Long): Long = {
+      val u = ((Hashing.mix64(id) >>> 11).toDouble + 0.5) / 9007199254740992.0
+      math.round(-math.log(-math.log(u)) * 1e6)
+    }
+    val n = 20
+    val expected = scores.toSeq
+      .map { case (id, lo) => (id, lo, noise(id), lo + noise(id)) }
+      .sortBy { case (id, _, _, k) => (-k, id) }
+      .take(n).zipWithIndex
+      .map { case ((id, lo, nu, k), i) => (i + 1L, id, lo, nu, k) }
+    val got = TextOps.dsirResampleOf(
+      TextOps.nbQualityClassifier(t).select("doc_id", "logodds_micro"), n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected)
+    // the noise must actually reorder relative to raw score rank —
+    // otherwise this is just a quality top-n, not a weighted sample
+    val byScore = scores.toSeq.sortBy { case (id, lo) => (-lo, id) }
+      .take(n).map(_._1).toSet
+    assert(got.map(_._2).toSet != byScore,
+      "sample identical to score top-n: Gumbel noise had no effect")
+  }
+
   test("bloom kernel: no false negatives, measured FP rate near theory (H11)") {
     import graft.plans.BloomKernel
     val rnd = new scala.util.Random(42)
