@@ -205,6 +205,8 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(tables(s, d))),
     // F25 DSIR weighted sampling-without-replacement (Gumbel top-k)
     "dsir_sample" -> ((s, d) => TextOps.dsirResample(tables(s, d))),
+    // F26 overlapping token-window chunking (embedding/RAG prep)
+    "chunk_docs" -> ((s, d) => TextOps.chunkDocs(tables(s, d))),
     // D11 exact-substring (duplicated k-token span) coverage
     "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
     // D11b the same coverage for an ingest batch probing the persisted
@@ -1026,6 +1028,19 @@ object SparkEntry {
         rk AS (SELECT *, cast(row_number() OVER (ORDER BY key_u DESC, doc_id) as bigint) AS rnk FROM r)
         SELECT rnk, doc_id, logodds_micro, noise_u, key_u
         FROM rk WHERE rnk <= 100 ORDER BY rnk""",
+    // F26: chunk starts are 0, stride, 2·stride, … < n_tokens; slice is
+    // clamped at the document tail on both engines — all exact integer
+    // arithmetic over the shared [a-z]+ tokenizer
+    "chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start_tok
+          FROM toks WHERE len(w) > 0)
+        SELECT doc_id,
+          cast(start_tok // 48 as bigint) AS chunk_id,
+          cast(start_tok as bigint) AS start_tok,
+          cast(least(len(w) - start_tok, 64) as bigint) AS n_tok,
+          array_to_string(w[start_tok+1 : start_tok+64], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_id""",
     // F22: BM25 with k1=6/5, b=3/4 — the tf normalization is the exact
     // rational 22·tf·L/(10·tf·L+3·L+9·len·N) carried in HUGEINT
     // (decimal(38,0) on the Spark side); ln once per query term,

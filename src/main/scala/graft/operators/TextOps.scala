@@ -1514,6 +1514,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F26 — deterministic overlapping CHUNKING: split each document
+    * into fixed-size token windows with stride overlap — the
+    * preparation step of every embedding/RAG pipeline (long documents
+    * exceed the encoder's window; overlap keeps boundary-spanning
+    * content retrievable) and the companion of F13's packing (packing
+    * fills a training window with many short docs; chunking splits one
+    * long doc across many windows).
+    *
+    * Chunk starts are 0, stride, 2·stride, … while start < n_tokens;
+    * each chunk is tokens[start, min(start+size, n)) — all exact
+    * integer arithmetic, the chunk text a separator-join of the
+    * tokens, so the output is hash-exact cross-engine. Empty documents
+    * produce no chunks.
+    *
+    * Scale shape: a pure per-row projection (sequence → explode →
+    * slice → array_join, all codegen) riding a 2-column scan — zero
+    * shuffles before the presentation sort; at 100 TB chunking is
+    * free, like F18. */
+  def chunkDocs(t: Tables, size: Int = 64, stride: Int = 48): DataFrame =
+    chunkDocsOf(t.documents, size, stride)
+
+  def chunkDocsOf(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val ws = words(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size_(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), size_(col("ws")).cast("long") - 1L,
+          lit(stride.toLong))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(size_(col("ws")).cast("long") - col("start_tok"),
+          lit(size.toLong)).as("n_tok"),
+        array_join(slice(col("ws"), (col("start_tok") + 1L).cast("int"),
+          lit(size)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // sql.functions.size, renamed: this file aliases `size` for arrays
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
+
   /** F25 — DSIR importance RESAMPLING (Xie et al. 2023 §2): draw the
     * n-document training subset ∝ exp(importance weight) WITHOUT
     * replacement via the Gumbel-top-k trick — key = log-weight + an

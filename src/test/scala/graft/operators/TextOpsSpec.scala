@@ -1167,4 +1167,38 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"bm25 top-k should plan as TakeOrdered:\n$plan")
   }
+
+  test("chunking: windows match a driver recompute; stride=size partitions losslessly (F26)") {
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (id, txt) =>
+      id -> "[a-z]+".r.findAllIn(txt.toLowerCase).toVector
+    }.toMap
+
+    // overlapping form: every chunk is exactly tokens[start, start+size)
+    val got = TextOps.chunkDocs(t, size = 64, stride = 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    var expected = 0
+    toks.foreach { case (id, ws) =>
+      (0 until ws.length by 48).zipWithIndex.foreach { case (s, i) =>
+        val chunk = ws.slice(s, s + 64)
+        val (st, n, text) = got((id, i.toLong))
+        assert(st == s.toLong && n == chunk.length.toLong &&
+          text == chunk.mkString(" "), s"doc $id chunk $i")
+        expected += 1
+      }
+    }
+    assert(got.size == expected, "chunk count mismatch")
+
+    // stride == size: chunks partition the token sequence exactly
+    val flat = TextOps.chunkDocsOf(t.documents, size = 32, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+      .groupBy(_._1)
+    toks.filter(_._2.nonEmpty).foreach { case (id, ws) =>
+      val joined = flat(id).sortBy(_._2).map(_._3).mkString(" ")
+      assert(joined == ws.mkString(" "), s"doc $id lossy partition")
+    }
+    assert(!flat.contains(-1L) && flat.keySet == toks.filter(_._2.nonEmpty).keySet)
+  }
 }
