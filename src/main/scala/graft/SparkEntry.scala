@@ -91,6 +91,8 @@ object SparkEntry {
     "rate_anomaly" -> ((s, d) => EventOps.rateAnomaly(tables(s, d))),
     // B26: stage-ordered view→click→purchase funnel, one user_id shuffle
     "funnel_stages" -> ((s, d) => EventOps.funnelStages(tables(s, d))),
+    // B27: first-seen-day cohorts × day offsets, one event-scale shuffle
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
     // D8 sub-document boilerplate removal (word-block paragraphs —
@@ -815,6 +817,22 @@ object SparkEntry {
                ELSE cast(0 as bigint) END AS stage,
           max(t3) - max(t1) AS ms_to_convert
         FROM w3 GROUP BY user_id ORDER BY user_id""",
+    // B27: exact epoch-day int64 arithmetic; the offset-0 cell is the
+    // cohort size (every user is active on their first day); per-mille
+    // retention by exact integer division on both engines
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//86400000 AS day FROM events),
+        ud AS (SELECT DISTINCT user_id, day FROM e),
+        fu AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+        cells AS (SELECT f.cohort_day, u.day - f.cohort_day AS offset_days,
+            count(*) AS active_users
+          FROM ud u JOIN fu f USING (user_id) GROUP BY 1, 2),
+        sz AS (SELECT cohort_day, active_users AS cohort_size
+          FROM cells WHERE offset_days = 0)
+        SELECT c.cohort_day, c.offset_days, c.active_users, s.cohort_size,
+          c.active_users * 1000 // s.cohort_size AS retained_pm
+        FROM cells c JOIN sz s USING (cohort_day)
+        ORDER BY cohort_day, offset_days""",
     "range_join_events" ->
       """WITH iv AS (SELECT event_id AS iv_id, epoch_ms(ts) AS start_ms,
           epoch_ms(ts) + 3600000 AS end_ms FROM events WHERE event_id % 100 = 0),

@@ -387,4 +387,46 @@ object EventOps {
         col("purchase_ms") - col("view_ms"))
       .orderBy("user_id")
   }
+
+  /** B27 — cohort RETENTION analysis: users are cohorted by their
+    * first-active day; each (cohort_day, offset_days) cell counts how
+    * many of that cohort were active again offset days later, plus the
+    * exact per-mille retention rate. The standard product-analytics
+    * companion of B26's funnel (parser.py's consumers feed exactly this
+    * kind of downstream), all in exact epoch-day int64 arithmetic.
+    *
+    * Scale shape: ONE event-scale exchange. The per-user groupBy
+    * partial-aggregates map-side — collect_set(day) is bounded by
+    * calendar days, never event count, so the exchange carries one
+    * (user_id, min_day, day_set) row per user per map task. The
+    * exploded (cohort, offset) cell agg partial-counts map-side too, so
+    * its exchange carries per-cell partials (≤ days² rows). Cohort
+    * sizes come from the offset-0 cells via a window over the tiny cell
+    * table — no second scan, no join back to events. */
+  def cohortRetention(t: Tables): DataFrame =
+    cohortRetentionOf(withMs(t)
+      .select(col("user_id"), intDiv(col("ts_ms"), 86400000L).as("day")))
+
+  /** Library form over any (user_id, day) activity frame. */
+  def cohortRetentionOf(e: DataFrame): DataFrame = {
+    val perUser = e.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"),
+        collect_set(col("day")).as("days"))
+    val cells = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+    // every user is active on their cohort day, so the offset-0 cell IS
+    // the cohort size; cells are at most days² rows, so the whole-frame
+    // window is model-sized at any event scale
+    val w = Window.partitionBy("cohort_day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset_days") === 0L, col("active_users"))).over(w))
+      .withColumn("retained_pm",
+        call_function("div", col("active_users") * 1000L, col("cohort_size")))
+      .orderBy("cohort_day", "offset_days")
+  }
 }

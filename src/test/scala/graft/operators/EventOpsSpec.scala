@@ -224,4 +224,52 @@ class EventOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"funnel should shuffle once, got $exchanges:\n$plan")
   }
+
+  test("cohort retention matches a driver recompute (B27)") {
+    val userDays = raw.map { case (_, u, ms, _) => (u, ms / 86400000L) }.distinct
+    val firstDay = userDays.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val cells = userDays
+      .groupBy { case (u, d) => (firstDay(u), d - firstDay(u)) }
+      .map { case (k, vs) => k -> vs.length.toLong }
+    val got = EventOps.cohortRetention(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == cells.size, "cell count")
+    cells.foreach { case ((cd, off), n) =>
+      val size = cells((cd, 0L))
+      assert(got((cd, off)) == ((n, size, n * 1000L / size)),
+        s"cell ($cd, $off)")
+    }
+    // every user lands in exactly one cohort, and offset-0 cells cover all users
+    assert(cells.collect { case ((_, 0L), n) => n }.sum == firstDay.size)
+  }
+
+  test("cohort retention: planted fixture — gaps, full retention, singleton cohort (B27)") {
+    import spark.implicits._
+    val e = Seq(
+      // cohort day 0: u1 active days 0,1,3; u2 active days 0,1 — day-2 gap cell absent for u2
+      (1L, 0L), (1L, 1L), (1L, 3L), (2L, 0L), (2L, 1L),
+      // cohort day 2: u3 alone, active only on its first day
+      (3L, 2L))
+      .toDF("user_id", "day")
+    val got = EventOps.cohortRetentionOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1000L),
+      (0L, 1L, 2L, 2L, 1000L),
+      (0L, 3L, 1L, 2L, 500L),
+      (2L, 0L, 1L, 1L, 1000L)))
+  }
+
+  test("cohort retention: one event-scale exchange (per-user agg partial-aggregates map-side)") {
+    val q = EventOps.cohortRetention(t)
+    val plan = q.queryExecution.executedPlan.toString
+    // exactly one exchange partitions on user_id (the only event-scale
+    // shuffle); the cell agg and window exchanges carry per-cell rows
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1, s"expected one user_id exchange:\n$plan")
+    // the per-user agg must partial-aggregate before that exchange
+    assert("partial_collect_set|objHashAggregate|ObjectHashAggregate".r
+      .findAllIn(plan).nonEmpty, s"expected map-side partial collect_set:\n$plan")
+  }
 }
