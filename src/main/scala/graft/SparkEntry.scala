@@ -141,6 +141,8 @@ object SparkEntry {
     "dedup_clusters_lsh" -> ((s, d) => Dedup.dedupClustersLsh(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
+    // E10: kNN majority-vote label propagation (held-out = vec_id%10==0)
+    "knn_classify" -> ((s, d) => Similarity.knnClassify(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
     "ann_radius" -> ((s, d) => Similarity.annRadius(tables(s, d))),
     "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
@@ -1166,6 +1168,28 @@ object SparkEntry {
             cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // E10: the E1 exact-cosine CTE over the held-out/labeled split, then
+    // a per-(query,label) vote with (votes desc, best rank, label) ties
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
+        q AS (SELECT vec_id AS q_id, label AS true_label, v, norm FROM n WHERE vec_id % 10 = 0),
+        c AS (SELECT vec_id AS n_id, label, v, norm FROM n WHERE vec_id % 10 <> 0),
+        s AS (SELECT q.q_id, q.true_label, c.n_id, c.label,
+          list_reduce(list_prepend(cast(0.0 as double),
+            list_transform(list_zip(q.v,c.v), p -> p[1]*p[2])), (s,x) -> s+x)
+            / (sqrt(q.norm)*sqrt(c.norm)) AS cos
+          FROM q JOIN c ON q.q_id <> c.n_id),
+        tk AS (SELECT * FROM (SELECT q_id, true_label, n_id, label,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM s) WHERE rnk <= 5),
+        v AS (SELECT q_id, true_label, label, count(*) AS votes, min(rnk) AS best_rnk
+          FROM tk GROUP BY 1, 2, 3)
+        SELECT q_id, true_label, label AS pred_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY votes DESC, best_rnk, label) AS pick FROM v)
+        WHERE pick = 1 ORDER BY q_id""",
     "text_quality" -> s"$qualityBody ORDER BY doc_id",
     // C10d: the oracle runs the EXACT count (capacity 1024 >= the
     // corpus's 31 distinct terms puts Misra-Gries in its exact regime);

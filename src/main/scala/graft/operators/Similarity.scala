@@ -926,4 +926,58 @@ object Similarity {
     vecs.unpersist(blocking = false) // model frozen; the returned plan re-derives
     out
   }
+
+  /** E10 — kNN majority-vote CLASSIFICATION (label propagation): each
+    * held-out vector (vec_id % 10 == 0) takes the majority label of its
+    * k exact-cosine nearest LABELED neighbors; ties break by (votes
+    * desc, best neighbor rank asc, label asc) — fully deterministic.
+    * This is the standard embedding-space auto-labeling step (classify
+    * new documents by their nearest curated neighbors).
+    *
+    * The exact-cosine tier is the correctness baseline (the E1
+    * broadcast-queries shape: queries broadcast, corpus streams,
+    * nothing shuffles before the per-(query,label) vote partials); at
+    * deploy scale the SAME [[voteLabels]] vote runs over any ANN
+    * candidate frame — the IVF composition is spec-pinned equivalent. */
+  def knnClassify(t: Tables, k: Int = 5): DataFrame = {
+    val vecs = withNorm(t.embeddings)
+    val held = col("vec_id") % 10 === 0
+    val q = vecs.filter(held)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.filter(!held)
+      .select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val topk = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+    val labels = t.embeddings.filter(!held)
+      .select(col("vec_id").as("n_id"), col("label"))
+    val truth = t.embeddings.filter(held)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"))
+    voteLabels(topk, labels)
+      .join(broadcast(truth), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+
+  /** Majority vote over ANY (q_id, rnk, n_id) neighbor frame — composes
+    * with every top-k search in this file and with [[VectorIndex]]
+    * searches. The candidate frame is query-batch-sized, so it
+    * BROADCASTS and the corpus-scale label table streams past it — no
+    * label-table shuffle; the vote agg carries per-(query,label)
+    * partials only. */
+  def voteLabels(topk: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = broadcast(topk).join(labels, "n_id")
+      .groupBy("q_id", "label")
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("best_rnk"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("best_rnk"), col("label"))
+    votes.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
 }

@@ -306,4 +306,71 @@ class SimilaritySpec extends SparkSpec {
     assert(limits >= 2,
       s"expected rank-limit pushdown on ADC AND re-rank windows, saw $limits:\n$plan")
   }
+
+  test("knn classification matches a driver recompute (E10)") {
+    val rows = t.embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = rows.filter(_._1 % 10 != 0)
+    val expected = rows.filter(_._1 % 10 == 0).map { case (qid, qv, truth) =>
+      val nn = corpus.map { case (id, v, lab) => (id, cos(qv, v), lab) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(5).zipWithIndex
+      val (lab, (votes, best)) = nn
+        .groupBy(_._1._3)
+        .map { case (l, g) => l -> (g.length.toLong, g.map(_._2).min) }
+        .toSeq.minBy { case (l, (n, b)) => (-n, b, l) }
+      (qid, truth, lab, votes)
+    }.sortBy(_._1)
+    val got = Similarity.knnClassify(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expected.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("knn vote tie-breaks: best-rank beats label order, label breaks full ties (E10)") {
+    import spark.implicits._
+    // q1: labels {7,9} tie 2-2 — 9 holds the rank-1 neighbor, so 9 wins;
+    // q2: labels {3,5} tie 2-2 AND tie on best rank pattern? no — make a
+    //     full tie: 3 at ranks (1,4), 5 at ranks (2,3): best 1 vs 2 — 3 wins;
+    // q3: exact full tie is impossible on best_rnk (ranks are distinct),
+    //     so pin the label tiebreak with equal votes via equal-best
+    //     impossibility — instead: single-vote-each, label asc after rank?
+    //     ranks distinct => best_rnk always breaks; assert that.
+    val topk = Seq(
+      (1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L), (1L, 4L, 104L),
+      (2L, 1L, 201L), (2L, 2L, 202L), (2L, 3L, 203L), (2L, 4L, 204L))
+      .toDF("q_id", "rnk", "n_id")
+    val labels = Seq(
+      (101L, 9), (102L, 7), (103L, 7), (104L, 9),
+      (201L, 3), (202L, 5), (203L, 5), (204L, 3))
+      .toDF("n_id", "label")
+    val got = Similarity.voteLabels(topk, labels).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 9, 2L), (2L, 3, 2L)))
+  }
+
+  test("knn vote composes with the IVF candidate path (E10 scale shape)") {
+    import org.apache.spark.sql.functions._
+    val ivfTopk = Similarity.ivfTopKOf(
+      t.embeddings,
+      Similarity.withNorm(t.embeddings.filter(col("vec_id") % 10 === 0)))
+      .select("q_id", "rnk", "n_id")
+    val labels = t.embeddings.select(col("vec_id").as("n_id"), col("label"))
+    val cand = ivfTopk.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labMap = labels.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = cand.groupBy(_._1).map { case (q, g) =>
+      val (lab, (votes, _)) = g.groupBy(x => labMap(x._3))
+        .map { case (l, v) => l -> (v.length.toLong, v.map(_._2).min) }
+        .toSeq.minBy { case (l, (n, b)) => (-n, b, l) }
+      (q, lab, votes)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.voteLabels(ivfTopk, labels).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected && got.nonEmpty)
+  }
 }
