@@ -1249,14 +1249,14 @@ private[graft] object OracleSql {
   /** The k-round training CTE chain, ending in `seg$k` (the final
     * vocabulary segmentation) and `top1..top$k` (the elected merges) —
     * shared by [[bpeMerges]] and [[bpeTokenize]]. */
-  private def bpeTrainCtes(k: Int): String = {
+  private def bpeTrainCtes(k: Int, trainFilter: String = ""): String = {
     // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     // reference, and each round references its predecessor ~5 times
     // (pair scan + 3 scalar-subquery elections + re-segment) — inlined,
     // the corpus scan would replay 5^k times (observed: fd exhaustion
     // at k=8 before any row was produced)
     val sb = new StringBuilder(
-      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents $trainFilter),
         wf AS MATERIALIZED (SELECT word, count(*) AS n FROM tok GROUP BY word),
         seg0 AS MATERIALIZED (SELECT word, n,
           list_transform(range(1, length(word) + 1), i -> word[i]) AS syms FROM wf)""")
@@ -1290,4 +1290,20 @@ private[graft] object OracleSql {
           cast(sum(n_sym) * 1000 // count(*) as bigint) AS tok_permille
         FROM tk JOIN v USING (word)
         GROUP BY doc_id ORDER BY doc_id"""
+
+  /** F27 replay — per-source vocabulary coverage of a tokenizer trained
+    * on the doc_id % 10 <> 0 split: OOV words price at their character
+    * count (the base-alphabet fallback), in-vocab words at their
+    * trained symbol count; rates in exact integer per-mille. */
+  def vocabCoverage(k: Int): String =
+    s"""${bpeTrainCtes(k, "WHERE doc_id % 10 <> 0")},
+        v AS (SELECT word, cast(len(syms) as bigint) AS n_sym FROM seg$k),
+        tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        j AS (SELECT source, word, n_sym FROM tk LEFT JOIN v USING (word))
+        SELECT source, count(*) AS n_words,
+          cast(sum(CASE WHEN n_sym IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+          cast(sum(CASE WHEN n_sym IS NULL THEN 1 ELSE 0 END) * 1000 // count(*) as bigint) AS oov_pm,
+          cast(sum(coalesce(n_sym, length(word))) as bigint) AS n_tokens,
+          cast(sum(coalesce(n_sym, length(word))) * 1000 // count(*) as bigint) AS tok_permille
+        FROM j GROUP BY source ORDER BY source"""
 }

@@ -203,6 +203,9 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
+    // F27: per-source OOV rate + token inflation under the split-trained
+    // vocabulary (OOV prices at the base-alphabet character fallback)
+    "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(tables(s, d))),
     // F21 NB curated-vs-crawl discriminator (GPT-3/DSIR quality filter)
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
     // F22 BM25 keyword retrieval top-k
@@ -1028,6 +1031,7 @@ object SparkEntry {
     "bpe_merges" -> OracleSql.bpeMerges(8),
     // F20c: the same generated training chain, applied as the encoder
     "bpe_tokenize" -> OracleSql.bpeTokenize(8),
+    "vocab_coverage" -> OracleSql.vocabCoverage(8),
     // F21: same ln-once-per-distinct-word micro-nat discipline as
     // lm_quality; self-trained (pos = src0-2), so no OOV branch fires
     // here (the spec exercises it on a held-out score set)

@@ -1436,6 +1436,45 @@ object TextOps {
     out
   }
 
+  /** F27 — per-source VOCABULARY COVERAGE of a trained tokenizer: train
+    * the F20b BPE on a train split (doc_id % 10 != 0 — the F18
+    * discipline), then report, for every source, its out-of-vocabulary
+    * word rate and its token inflation when OOV words fall back to the
+    * base-alphabet character encoding. This is the audit every pipeline
+    * runs before committing a tokenizer: a source with high OOV pays a
+    * real token-budget premium (each OOV word costs len(word) tokens
+    * instead of its merged count), and a drifting ingest shows up here
+    * before it shows up in training loss.
+    *
+    * Exact arithmetic: counts are int64, rates exact integer per-mille
+    * (`div`, never floor-of-double). Scale shape: training is F20b's
+    * (one corpus-sized word count, then vocab-sized rounds); scoring is
+    * one tokenization → vocab join (vocab-sized build side) → per-source
+    * partial agg. Text never crosses an exchange; the per-source
+    * exchange carries one partial row per source per map task. */
+  def vocabCoverage(t: Tables, k: Int = 8): DataFrame =
+    vocabCoverageOf(t.documents.filter(col("doc_id") % 10 =!= 0), t.documents, k)
+
+  /** Library form: train on `train`, audit `score` per source. */
+  def vocabCoverageOf(train: DataFrame, score: DataFrame, k: Int): DataFrame = {
+    val (_, seg) = bpeTrain(train, k)
+    val vocab = seg.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    score
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .join(vocab, Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_sym").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_sym"), length(col("word")).cast("long")))
+          .as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_oov"),
+        call_function("div", col("n_oov") * 1000L, col("n_words")).as("oov_pm"),
+        col("n_tokens"),
+        call_function("div", col("n_tokens") * 1000L, col("n_words"))
+          .as("tok_permille"))
+      .orderBy("source")
+  }
+
   /** Greedy left-to-right merge of adjacent (l, r) symbol occurrences:
     * fold each symbol into the output, replacing the tail when it is a
     * mergeable `l` (the tail equals `l` only for original symbols —

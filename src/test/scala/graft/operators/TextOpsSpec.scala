@@ -1168,6 +1168,48 @@ class TextOpsSpec extends SparkSpec {
       s"bm25 top-k should plan as TakeOrdered:\n$plan")
   }
 
+  test("vocab coverage: OOV fallback fixture + consistency with the per-doc encoder (F27)") {
+    import spark.implicits._
+    // k=1 training on {aa:2, ab:1}: the sole merge is (a,a)->aa, so
+    // "aa" encodes to 1 token, "ab" to 2, and any unseen word to its
+    // character count
+    val train = Seq("aa aa ab").toDF("text")
+    val score = Seq(
+      ("s1", "aa ab"),  // all in-vocab: 3 tokens over 2 words
+      ("s2", "zz aa"))  // zz is OOV -> 2 chars; 3 tokens over 2 words
+      .toDF("source", "text")
+    val got = TextOps.vocabCoverageOf(train, score, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 0L, 0L, 3L, 1500L),
+      ("s2", 2L, 1L, 500L, 3L, 1500L)))
+
+    // real corpus: per-source totals must agree with the per-doc F20c
+    // encoder under the same split-trained vocabulary, and n_oov with a
+    // driver word-set recompute
+    val trainDocs = t.documents.filter($"doc_id" % 10 =!= 0)
+    val cov = TextOps.vocabCoverage(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val perDoc = TextOps.bpeTokenizeOf(trainDocs, t.documents, 8)
+      .join(t.documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("w"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trainWords = trainDocs.select("text").collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase)).toSet
+    val oov = t.documents.select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).count(!trainWords(_)).toLong)
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    cov.foreach { case (s, (w, o, tok)) =>
+      assert((w, tok) == perDoc(s), s"source $s totals vs per-doc encoder")
+      assert(o == oov(s), s"source $s oov count")
+    }
+    assert(cov.nonEmpty && cov.keySet == perDoc.keySet)
+  }
+
   test("chunking: windows match a driver recompute; stride=size partitions losslessly (F26)") {
     val docs = t.documents.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
