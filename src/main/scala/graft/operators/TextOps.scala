@@ -1677,8 +1677,6 @@ object TextOps {
       k: Int): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "query terms must be non-empty and distinct")
-    import org.apache.spark.sql.expressions.Window
-    val d38 = "decimal(38,0)"
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
     // one exchange: per-doc length + one tf column per query term
     val tfCols = queryTerms.map(q =>
@@ -1691,6 +1689,20 @@ object TextOps {
         explode(map(queryTerms.flatMap(q =>
           Seq(lit(q), col("tf_" + q))): _*)).as(Seq("term", "tf")))
       .filter(col("tf") > 0L)
+    bm25Rank(termTf, stats, k)
+  }
+
+  /** The BM25 ranking core over a (doc_id, len, term, tf) posting frame
+    * plus a 1-row (n_docs, l_total) stats frame — shared, arithmetic-
+    * identical, between the inline F22 query (which derives postings by
+    * melting a per-doc tf aggregation) and [[SearchIndex.search]]'s
+    * prefit path (which reads them partition-pruned from the persisted
+    * inverted index). df is the per-term posting count (postings are
+    * unique per (doc, term) on both paths). */
+  private[operators] def bm25Rank(termTf: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
     val df = termTf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("term"),
