@@ -1574,7 +1574,13 @@ object TextOps {
   def chunkDocs(t: Tables, size: Int = 64, stride: Int = 48): DataFrame =
     chunkDocsOf(t.documents, size, stride)
 
-  def chunkDocsOf(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+  def chunkDocsOf(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    chunkCore(docs, size, stride).orderBy("doc_id", "chunk_id")
+
+  /** The chunking projection without the presentation sort — shared
+    * with the streaming twin (a sort is illegal on an unbounded
+    * append-mode stream; a batch query adds it for stable output). */
+  private[graft] def chunkCore(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     val ws = words(col("text"))
@@ -1591,7 +1597,6 @@ object TextOps {
           lit(size.toLong)).as("n_tok"),
         array_join(slice(col("ws"), (col("start_tok") + 1L).cast("int"),
           lit(size)), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   // sql.functions.size, renamed: this file aliases `size` for arrays

@@ -231,6 +231,18 @@ object EventStreams {
   def splitAssignStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.splitAssignCore(docs)
 
+  /** F26 streaming twin — overlapping token-window CHUNKING as
+    * documents ARRIVE: a document's chunks are a pure function of its
+    * own text (shared [[graft.operators.TextOps.chunkCore]] builder —
+    * the batch form only adds a presentation sort), so the embedding-
+    * prep explode runs at ingest as a stateless projection: append
+    * mode, no state store, no shuffle, and a document chunks
+    * identically whether it arrived in the batch bootstrap or on the
+    * stream. */
+  def chunkDocsStream(docs: DataFrame, size: Int = 64,
+      stride: Int = 48): DataFrame =
+    graft.operators.TextOps.chunkCore(docs, size, stride)
+
   /** F11 streaming twin — PII redaction as documents ARRIVE: the SAME
     * per-row regex projection as the batch operator (shared builder
     * [[graft.operators.TextOps.redactPiiOf]]), so batch and stream

@@ -269,6 +269,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunking equals batch and is stateless (F26 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 3 windows
+      (2L, "short doc"),
+      (3L, "")) // token-empty: no chunks
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.chunkDocsStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql(
+          "select * from chunk_stream order by doc_id, chunk_id")
+        .collect().map(_.toSeq).toSeq
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val batch = graft.operators.TextOps
+        .chunkDocsOf(docs.toDF("doc_id", "text"), 64, 48)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.count(_.head == 1L) == 4) // starts 0,48,96,144
+    } finally query.stop()
+  }
+
   test("streaming fuzzy decontamination equals batch and is stateless (F6b twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
