@@ -206,6 +206,8 @@ object SparkEntry {
     // F27: per-source OOV rate + token inflation under the split-trained
     // vocabulary (OOV prices at the base-alphabet character fallback)
     "vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(tables(s, d))),
+    // F28: per-source Jensen-Shannon drift vs the rest of the corpus
+    "source_drift" -> ((s, d) => TextOps.sourceDrift(tables(s, d))),
     // F21 NB curated-vs-crawl discriminator (GPT-3/DSIR quality filter)
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
     // F22 BM25 keyword retrieval top-k
@@ -1061,6 +1063,35 @@ object SparkEntry {
     // F20c: the same generated training chain, applied as the encoder
     "bpe_tokenize" -> OracleSql.bpeTokenize(8),
     "vocab_coverage" -> OracleSql.vocabCoverage(8),
+    // F28: mixture ratios are exact integer rationals in HUGEINT; ln
+    // once per present (word, source) pair, quantized to micro-nats;
+    // absent words enter via the closed-form ln2 remainder
+    "source_drift" ->
+      """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text),'[a-z]+')) AS word FROM documents),
+        cs AS (SELECT word, source, cast(count(*) as bigint) AS c FROM toks GROUP BY 1, 2),
+        wt AS (SELECT word, cast(sum(c) as bigint) AS cw FROM cs GROUP BY 1),
+        st AS (SELECT source, cast(sum(c) as bigint) AS ns FROM cs GROUP BY 1),
+        tot AS (SELECT cast(sum(ns) as bigint) AS n FROM st),
+        r AS (SELECT cs.source, cs.c, wt.cw - cs.c AS d, st.ns, tot.n - st.ns AS nc
+          FROM cs JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot),
+        term AS (SELECT source, c, d, ns, nc,
+            cast(round(ln(cast(2::HUGEINT * c * nc as double)
+              / cast(c::HUGEINT * nc + d::HUGEINT * ns as double)) * 1000000.0) as bigint) AS l1,
+            CASE WHEN d > 0 THEN cast(round(ln(cast(2::HUGEINT * d * ns as double)
+              / cast(c::HUGEINT * nc + d::HUGEINT * ns as double)) * 1000000.0) as bigint)
+              ELSE 0 END AS l2
+          FROM r),
+        agg AS (SELECT source, max(ns) AS n_tokens, max(nc) AS nc,
+            count(*) AS n_distinct,
+            sum(c::HUGEINT * l1) AS s1,
+            sum(CASE WHEN d > 0 THEN d::HUGEINT * l2 ELSE 0::HUGEINT END) AS s2,
+            cast(sum(d) as bigint) AS dd
+          FROM term GROUP BY source)
+        SELECT source, n_tokens, n_distinct,
+          cast(round(cast(s1 as double) / (2.0 * cast(n_tokens as double))
+            + cast(s2 as double) / (2.0 * cast(nc as double))
+            + cast(693147::HUGEINT * (nc - dd) as double) / (2.0 * cast(nc as double))) as bigint) AS jsd_micro
+        FROM agg ORDER BY source""",
     // F21: same ln-once-per-distinct-word micro-nat discipline as
     // lm_quality; self-trained (pos = src0-2), so no OOV branch fires
     // here (the spec exercises it on a held-out score set)

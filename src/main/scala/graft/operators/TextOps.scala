@@ -1436,6 +1436,72 @@ object TextOps {
     out
   }
 
+  /** F28 — per-source DISTRIBUTION DRIFT: the Jensen-Shannon divergence
+    * between each source's token distribution and the rest of the
+    * corpus — the ingest monitor that catches a drifting or polluted
+    * source as a DISTRIBUTION shift (complementing F27, which prices
+    * the same drift in tokenizer OOV cost). JSD is symmetric and
+    * bounded in [0, ln 2], so scores are comparable across sources and
+    * corpus versions.
+    *
+    * Exactness (the F19/F21 micro-nat discipline, extended to two
+    * distributions): for a word with in-source count c and complement
+    * count d, the mixture ratios are EXACT integer rationals —
+    * p/m = 2·c·Nc/(c·Nc + d·Ns), q/m = 2·d·Ns/(c·Nc + d·Ns) — carried
+    * in decimal(38,0) (c·Nc wraps int64 at real corpus scale, the B25
+    * rule); each ln is taken once per present (word, source) pair and
+    * quantized to integer micro-nats; the weighted sums Σc·L1, Σd·L2
+    * accumulate exactly in decimal; words ABSENT from the source
+    * contribute the closed form ln2·(Nc − Σd)/(2·Nc) (p = 0 ⇒ the
+    * integrand collapses to q·ln2/2), so the vocab×sources frame only
+    * ever holds PRESENT pairs; one final three-term double expression
+    * rounds to the output micro-nat score.
+    *
+    * Scale shape: one tokenization → a (word, source) partial agg (the
+    * exchange carries per-pair counts — vocab×sources, never tokens) →
+    * vocab-sized word totals joined back on word → per-source partial
+    * agg. Corpus text never crosses an exchange; everything after the
+    * first agg is vocab-scale. Contract: ≥ 2 sources with tokens (a
+    * source owning the whole corpus has no complement to diverge
+    * from). */
+  def sourceDrift(t: Tables): DataFrame = sourceDriftOf(t.documents)
+
+  /** Library form over any (source, text) frame. */
+  def sourceDriftOf(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val toks = docs.select(col("source"), explode(words(col("text"))).as("word"))
+    val cs = toks.groupBy("word", "source").agg(count(lit(1)).as("c"))
+    val wordTot = cs.groupBy("word").agg(sum(col("c")).cast("long").as("cw"))
+    val srcTot = cs.groupBy("source").agg(sum(col("c")).cast("long").as("ns"))
+    val total = srcTot.agg(sum(col("ns")).cast("long").as("n"))
+    val rows = cs.join(wordTot, "word")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("d", col("cw") - col("c"))
+      .withColumn("nc", col("n") - col("ns"))
+    val den = col("c").cast(d38) * col("nc").cast(d38) +
+      col("d").cast(d38) * col("ns").cast(d38)
+    def lnMicro(num: org.apache.spark.sql.Column) =
+      round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    val l1 = lnMicro(lit(2L).cast(d38) * col("c").cast(d38) * col("nc").cast(d38))
+    val l2 = lnMicro(lit(2L).cast(d38) * col("d").cast(d38) * col("ns").cast(d38))
+    rows
+      .withColumn("t1", col("c").cast(d38) * l1.cast(d38))
+      .withColumn("t2", when(col("d") > 0L, col("d").cast(d38) * l2.cast(d38))
+        .otherwise(lit(0L).cast(d38)))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), max(col("nc")).as("nc"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("t1")).as("s1"), sum(col("t2")).as("s2"),
+        sum(col("d")).cast("long").as("dd"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        round(col("s1").cast("double") / (lit(2.0) * col("n_tokens").cast("double"))
+          + col("s2").cast("double") / (lit(2.0) * col("nc").cast("double"))
+          + (lit(693147L).cast(d38) * (col("nc") - col("dd")).cast(d38)).cast("double")
+            / (lit(2.0) * col("nc").cast("double"))).cast("long").as("jsd_micro"))
+      .orderBy("source")
+  }
+
   /** F27 — per-source VOCABULARY COVERAGE of a trained tokenizer: train
     * the F20b BPE on a train split (doc_id % 10 != 0 — the F18
     * discipline), then report, for every source, its out-of-vocabulary

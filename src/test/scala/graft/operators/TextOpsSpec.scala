@@ -1168,6 +1168,47 @@ class TextOpsSpec extends SparkSpec {
       s"bm25 top-k should plan as TakeOrdered:\n$plan")
   }
 
+  test("source drift: disjoint vocabularies hit ln2, identical ones hit 0, corpus matches a driver replay (F28)") {
+    import spark.implicits._
+    // disjoint token sets: JSD must be exactly ln 2 (693147 micro-nats)
+    val disjoint = Seq(("x", "x x x"), ("y", "y y")).toDF("source", "text")
+    val dj = TextOps.sourceDriftOf(disjoint).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(dj == Map("x" -> 693147L, "y" -> 693147L))
+    // identical distributions: JSD must be exactly 0
+    val same = Seq(("p", "a b"), ("q", "a b")).toDF("source", "text")
+    val sm = TextOps.sourceDriftOf(same).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sm == Map("p" -> 0L, "q" -> 0L))
+
+    // full corpus: replay the quantized arithmetic on the driver
+    val toks = t.documents.select("source", "text").collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(1).toLowerCase)
+        .map(w => (r.getString(0), w)))
+    val cs = toks.groupBy(identity).map { case ((s, w), g) => (s, w, g.length.toLong) }
+    val cw = cs.groupBy(_._2).map { case (w, g) => w -> g.map(_._3).sum }
+    val ns = cs.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val n = ns.values.sum
+    val expected = cs.groupBy(_._1).map { case (s, pairs) =>
+      val (nS, nC) = (ns(s), n - ns(s))
+      var s1 = 0L; var s2 = 0L; var dd = 0L
+      pairs.foreach { case (_, w, c) =>
+        val d = cw(w) - c
+        val den = (c * nC + d * nS).toDouble
+        s1 += c * math.round(math.log(2.0 * c * nC / den) * 1e6)
+        if (d > 0) s2 += d * math.round(math.log(2.0 * d * nS / den) * 1e6)
+        dd += d
+      }
+      s -> (nS, pairs.size.toLong, math.round(
+        s1.toDouble / (2.0 * nS) + s2.toDouble / (2.0 * nC)
+          + (693147L * (nC - dd)).toDouble / (2.0 * nC)))
+    }
+    val got = TextOps.sourceDrift(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected && got.size > 1)
+    got.values.foreach { case (_, _, j) => assert(j >= 0L && j <= 693147L) }
+  }
+
   test("vocab coverage: OOV fallback fixture + consistency with the per-doc encoder (F27)") {
     import spark.implicits._
     // k=1 training on {aa:2, ab:1}: the sole merge is (a,a)->aa, so
