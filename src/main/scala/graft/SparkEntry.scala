@@ -46,6 +46,8 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => Analytics.approxDistinctChecked(tables(s, d))),
     "profile_documents" -> ((s, d) => Analytics.profileDocuments(tables(s, d))),
     "percentiles" -> ((s, d) => Analytics.percentiles(tables(s, d))),
+    // C21: robust (median/MAD) outlier census, exact integer threshold
+    "mad_outliers" -> ((s, d) => Analytics.madOutliers(tables(s, d))),
     "approx_percentiles" -> ((s, d) => Analytics.approxPercentilesChecked(tables(s, d))),
     "pivot_event_types" -> ((s, d) => Analytics.pivotEventTypes(tables(s, d))),
     "json_extract" -> ((s, d) => Analytics.jsonExtract(tables(s, d))),
@@ -660,6 +662,27 @@ object SparkEntry {
           UNION ALL
           SELECT event_type, cast(0.9 as double) AS q, v_c FROM w WHERE rn = floor((n-1)*0.9)+1
         ) ORDER BY event_type, q""",
+    // C21: the C10 exact rank rule for both medians; the 3·1.4826·MAD
+    // Gaussian-consistent threshold as the exact integer comparison
+    // dev·10000 > 44478·mad (no float threshold on either engine)
+    "mad_outliers" ->
+      s"""WITH s AS (SELECT event_type, $centsValue AS v_c, event_id FROM events),
+        w1 AS (SELECT event_type, v_c,
+          row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM s),
+        med AS (SELECT event_type, v_c AS med_c FROM w1 WHERE rn = floor((n-1)*0.5)+1),
+        d AS (SELECT s.event_type, s.event_id, abs(s.v_c - med.med_c) AS dev
+          FROM s JOIN med USING (event_type)),
+        w2 AS (SELECT event_type, dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        mad AS (SELECT event_type, dev AS mad_c FROM w2 WHERE rn = floor((n-1)*0.5)+1)
+        SELECT d.event_type, cast(count(*) as bigint) AS n,
+          max(med.med_c) AS med_c, max(mad.mad_c) AS mad_c,
+          cast(sum(CASE WHEN d.dev * 10000 > mad.mad_c * 44478 THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+          cast(sum(CASE WHEN d.dev * 10000 > mad.mad_c * 44478 THEN 1 ELSE 0 END) * 1000 // count(*) as bigint) AS outlier_pm
+        FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type""",
     // the sketch gates: exact companion values hash-compare, and the
     // oracle's literal TRUE makes Spark's within_bound computation
     // (estimate inside the spec'd error bound) a pass/fail condition

@@ -276,6 +276,55 @@ object Analytics {
       .select(col("event_type"), col("p")(0).as("p50_c"), col("p")(1).as("p90_c"))
       .orderBy("event_type")
 
+  /** C21 — ROBUST outlier census per event_type: median absolute
+    * deviation instead of mean/σ (B25's z-score is itself dragged by
+    * the outliers it hunts; the MAD breaks down only past 50%
+    * contamination). A value is outlying when |v − median| > 3·1.4826·
+    * MAD — the Gaussian-consistent 3σ rule, applied as the EXACT
+    * integer comparison dev·10000 > 44478·mad_c (no float threshold;
+    * 3·1.4826 = 44478/10000 exactly). Medians are the C10 exact rank
+    * rule (target = ⌊(n−1)·0.5⌋+1 over (value, event_id) order), in
+    * integer cents.
+    *
+    * Scale shape: ONE scan, ONE exchange — the rank window, both
+    * whole-partition median selections, the dev re-rank, and the final
+    * census all chain on the same event_type partitioning (the
+    * lagMonitor single-scan discipline: the second rank window re-sorts
+    * in place, no new shuffle, no broadcast-back join). Exact-tier
+    * caveat as `percentiles`: each type's history sorts in one task;
+    * the 100 TB path replaces the rank windows with the C10c sketch
+    * and keeps the same integer census. */
+  def madOutliers(t: Tables): DataFrame = madOutliersOf(t.events)
+
+  /** Library form over any (event_type, value, event_id) frame. */
+  def madOutliersOf(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val all = byType
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val target = floor((col("n") - 1) * 0.5) + 1
+    val s = events.select(
+      col("event_type"), cents(col("value")).as("v_c"), col("event_id"))
+    s
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("v_c"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("med_c", max(when(col("rn") === target, col("v_c"))).over(all))
+      .withColumn("dev", abs(col("v_c") - col("med_c")))
+      .withColumn("rn2", row_number().over(
+        byType.orderBy(col("dev"), col("event_id"))))
+      .withColumn("mad_c", max(when(col("rn2") === target, col("dev"))).over(all))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("dev") * 10000L > col("mad_c") * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med_c"), col("mad_c"),
+        col("n_outliers"),
+        call_function("div", col("n_outliers") * 1000L, col("n"))
+          .as("outlier_pm"))
+      .orderBy("event_type")
+  }
+
   /** C11 — pivot (conditional aggregation) of event counts per user. */
   def pivotEventTypes(t: Tables): DataFrame =
     t.events

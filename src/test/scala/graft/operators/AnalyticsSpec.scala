@@ -152,4 +152,42 @@ class AnalyticsSpec extends SparkSpec {
     full.foreach { case (c, (rows, nulls, _, bound)) =>
       assert(rows == n && nulls < n && bound, s"column $c") }
   }
+
+  test("mad outliers match a driver recompute of the exact rank rule (C21)") {
+    val rows = t.events.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val n = g.length
+      val target = (math.floor((n - 1) * 0.5) + 1).toInt
+      val med = g.map(x => (x._2, x._3)).sorted.apply(target - 1)._1
+      val devs = g.map(x => (math.abs(x._2 - med), x._3))
+      val mad = devs.sorted.apply(target - 1)._1
+      val nOut = devs.count(_._1 * 10000L > mad * 44478L).toLong
+      et -> (n.toLong, med, mad, nOut, nOut * 1000L / n)
+    }
+    val got = Analytics.madOutliers(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("mad outliers: planted fixture and one-exchange plan (C21)") {
+    import spark.implicits._
+    // type a: med=30, devs sorted [0,10,10,20,970] -> mad=10; only the
+    // 970 deviation exceeds 10*4.4478
+    val e = Seq(("a", 0.10, 1L), ("a", 0.20, 2L), ("a", 0.30, 3L),
+      ("a", 0.40, 4L), ("a", 10.00, 5L),
+      // type b: constant values -> mad=0, any nonzero dev is outlying
+      ("b", 1.00, 6L), ("b", 1.00, 7L), ("b", 9.99, 8L))
+      .toDF("event_type", "value", "event_id")
+    val got = Analytics.madOutliersOf(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 30L, 10L, 1L, 200L),
+      ("b", 3L, 100L, 0L, 1L, 333L)))
+    val plan = Analytics.madOutliers(t).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+  }
 }
