@@ -1306,4 +1306,27 @@ private[graft] object OracleSql {
           cast(sum(coalesce(n_sym, length(word))) as bigint) AS n_tokens,
           cast(sum(coalesce(n_sym, length(word))) * 1000 // count(*) as bigint) AS tok_permille
         FROM j GROUP BY source ORDER BY source"""
+
+  /** B26 replay for an ARBITRARY stage list — the sequential-min window
+    * chain generated per stage (w1..wN each referencing the previous
+    * stage's column), exactly the operator's fold. */
+  def funnelSql(stages: Seq[String]): String = {
+    val chain = stages.zipWithIndex.map { case (st, i) =>
+      val src = if (i == 0) "e" else s"w$i"
+      val gate = if (i == 0) "" else s" AND ts_ms >= t$i"
+      s"""w${i + 1} AS (SELECT *, min(CASE WHEN event_type = '$st'$gate THEN ts_ms END)
+            OVER (PARTITION BY user_id) AS t${i + 1} FROM $src)"""
+    }.mkString(",\n        ")
+    val sel = stages.zipWithIndex
+      .map { case (st, i) => s"max(t${i + 1}) AS ${st}_ms" }.mkString(", ")
+    val stageCase = stages.indices.reverse
+      .map(i => s"WHEN max(t${i + 1}) IS NOT NULL THEN cast(${i + 1} as bigint)")
+      .mkString(" ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        $chain
+        SELECT user_id, $sel,
+          CASE $stageCase ELSE cast(0 as bigint) END AS stage,
+          max(t${stages.length}) - max(t1) AS ms_to_convert
+        FROM w${stages.length} GROUP BY user_id ORDER BY user_id"""
+  }
 }

@@ -91,7 +91,8 @@ object SparkEntry {
     "latest_state" -> ((s, d) => EventOps.latestState(tables(s, d))),
     "scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(tables(s, d))),
     "rate_anomaly" -> ((s, d) => EventOps.rateAnomaly(tables(s, d))),
-    // B26: stage-ordered view→click→purchase funnel, one user_id shuffle
+    // B26: stage-ordered signup→view→click→purchase funnel (N-stage
+    // fold, round 13), one user_id shuffle
     "funnel_stages" -> ((s, d) => EventOps.funnelStages(tables(s, d))),
     // B27: first-seen-day cohorts × day offsets, one event-scale shuffle
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(tables(s, d))),
@@ -859,23 +860,11 @@ object SparkEntry {
           CASE WHEN z4 IS NOT NULL THEN cast(abs(z4) > 3.0 as bigint) END AS is_spike
         FROM z ORDER BY bucket""",
     // B26: sequential stage minima as whole-partition window aggs —
-    // exact int64 ms comparisons throughout
+    // exact int64 ms comparisons; the replay is GENERATED per stage
+    // list, so the 4-stage query and any N-stage library call share
+    // one oracle form
     "funnel_stages" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
-        w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ms END)
-            OVER (PARTITION BY user_id) AS t1 FROM e),
-        w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_ms >= t1 THEN ts_ms END)
-            OVER (PARTITION BY user_id) AS t2 FROM w1),
-        w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ms >= t2 THEN ts_ms END)
-            OVER (PARTITION BY user_id) AS t3 FROM w2)
-        SELECT user_id, max(t1) AS view_ms, max(t2) AS click_ms,
-          max(t3) AS purchase_ms,
-          CASE WHEN max(t3) IS NOT NULL THEN cast(3 as bigint)
-               WHEN max(t2) IS NOT NULL THEN cast(2 as bigint)
-               WHEN max(t1) IS NOT NULL THEN cast(1 as bigint)
-               ELSE cast(0 as bigint) END AS stage,
-          max(t3) - max(t1) AS ms_to_convert
-        FROM w3 GROUP BY user_id ORDER BY user_id""",
+      OracleSql.funnelSql(Seq("signup", "view", "click", "purchase")),
     // B27: exact epoch-day int64 arithmetic; the offset-0 cell is the
     // cohort size (every user is active on their first day); per-mille
     // retention by exact integer division on both engines

@@ -337,54 +337,58 @@ object EventOps {
   }
 
   /** B26 — ordered FUNNEL analysis: per user, the earliest time each
-    * stage of view → click → purchase was reached IN ORDER (a click
-    * before the first view doesn't count; a purchase before the first
-    * qualifying click doesn't count) — the product-analytics query
-    * every event consumer's downstream eventually runs, and the batch
-    * form of a stage-ordered session pattern match.
+    * funnel stage was reached IN ORDER (an event at stage i+1 before
+    * the first qualifying stage-i time doesn't count) — the
+    * product-analytics query every event consumer's downstream
+    * eventually runs, and the batch form of a stage-ordered session
+    * pattern match. Generalized to an ARBITRARY stage list (round 13 —
+    * real funnels are N-step): the sequential-min recurrence
+    * t1 = min ts of stage 1; t_{i+1} = min ts of stage i+1 with
+    * ts >= t_i folds over the stage list. All comparisons are exact
+    * epoch-ms int64 — no float, no approximation — so stage times and
+    * counts are hash-exact at any N.
     *
-    * Stage gating is sequential min: t1 = min ts of stage 1;
-    * t2 = min ts of stage 2 with ts >= t1; t3 likewise over t2. All
-    * comparisons are exact epoch-ms int64 — no float, no
-    * approximation — so stage times and counts are hash-exact.
-    *
-    * Scale shape: ONE user_id exchange. The three stage minima are
-    * whole-partition window aggregates over the SAME partitioning
-    * (zero inter-stage exchanges — each references the previous
-    * stage's column), and the final per-user collapse reuses that
-    * partitioning (exchange-elimination), so a 100 TB event log flows
-    * through exactly one shuffle carrying (user_id, type, ts_ms).
-    * No per-user sort is needed for the unordered frames beyond the
-    * window operator's partition clustering. */
+    * Scale shape: ONE user_id exchange however many stages. The N
+    * stage minima are whole-partition window aggregates over the SAME
+    * partitioning (zero inter-stage exchanges — each references the
+    * previous stage's column), and the final per-user collapse reuses
+    * that partitioning (exchange-elimination), so a 100 TB event log
+    * flows through exactly one shuffle carrying (user_id, type,
+    * ts_ms). No per-user sort is needed for the unordered frames
+    * beyond the window operator's partition clustering. */
   def funnelStages(t: Tables,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+      stages: Seq[String] = Seq("signup", "view", "click", "purchase")): DataFrame =
     funnelStagesOf(
       withMs(t).select(col("user_id"), col("event_type"), col("ts_ms")),
       stages)
 
-  /** Library form over any (user_id, event_type, ts_ms) frame. */
+  /** Library form over any (user_id, event_type, ts_ms) frame; emits
+    * one `<stage>_ms` column per stage, the reached-stage count, and
+    * first-to-last conversion time. */
   def funnelStagesOf(e: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.length == 3, "funnelStages models a 3-step funnel")
+    require(stages.length >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.length == stages.length,
+      "funnel stages must be distinct event types")
+    val n = stages.length
     val w = Window.partitionBy("user_id")
-    val staged = e
-      .withColumn("t1",
-        min(when(col("event_type") === stages(0), col("ts_ms"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === stages(1)
-          && col("ts_ms") >= col("t1"), col("ts_ms"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === stages(2)
-          && col("ts_ms") >= col("t2"), col("ts_ms"))).over(w))
+    // t1 .. tN by the sequential-min fold; each window references the
+    // previous stage's column, so all N share one partitioning
+    val staged = stages.zipWithIndex.foldLeft(e) { case (df, (st, i)) =>
+      val hit = if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("ts_ms") >= col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(hit, col("ts_ms"))).over(w))
+    }
+    val stageAggs = stages.zipWithIndex.map { case (st, i) =>
+      max(col(s"t${i + 1}")).as(s"${st}_ms") }
+    // forward fold nests earlier stages under later ones, so the
+    // deepest reached stage is checked first
+    val stageNo = stages.indices.foldLeft(lit(0L)) { case (els, i) =>
+      when(col(s"${stages(i)}_ms").isNotNull, (i + 1).toLong).otherwise(els) }
     staged.groupBy("user_id")
-      .agg(max(col("t1")).as("view_ms"), max(col("t2")).as("click_ms"),
-        max(col("t3")).as("purchase_ms"))
-      .withColumn("stage",
-        when(col("purchase_ms").isNotNull, 3L)
-          .when(col("click_ms").isNotNull, 2L)
-          .when(col("view_ms").isNotNull, 1L)
-          .otherwise(0L))
+      .agg(stageAggs.head, stageAggs.tail: _*)
+      .withColumn("stage", stageNo)
       .withColumn("ms_to_convert",
-        col("purchase_ms") - col("view_ms"))
+        col(s"${stages(n - 1)}_ms") - col(s"${stages.head}_ms"))
       .orderBy("user_id")
   }
 
@@ -408,10 +412,22 @@ object EventOps {
       .select(col("user_id"), intDiv(col("ts_ms"), 86400000L).as("day")))
 
   /** Library form over any (user_id, day) activity frame. */
-  def cohortRetentionOf(e: DataFrame): DataFrame = {
-    val perUser = e.groupBy("user_id")
+  def cohortRetentionOf(e: DataFrame): DataFrame =
+    cohortCellsOf(cohortDaySets(e))
+
+  /** The per-user (cohort_day, day-set) reduction — every aggregate is
+    * ORDER-INDEPENDENT (min, set-union), which is what lets
+    * [[graft.streaming.EventStreams.cohortStateStream]] run the same
+    * core as an Update-mode streaming aggregation whose end state is
+    * exactly the batch frame under ANY arrival order. */
+  def cohortDaySets(e: DataFrame): DataFrame =
+    e.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"),
         collect_set(col("day")).as("days"))
+
+  /** Cohort cells from a (user_id, cohort_day, days) frame — the
+    * model-sized tail of the pipeline (≤ days² rows at any scale). */
+  def cohortCellsOf(perUser: DataFrame): DataFrame = {
     val cells = perUser
       .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"),

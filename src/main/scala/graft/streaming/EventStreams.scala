@@ -338,6 +338,77 @@ object EventStreams {
     graft.operators.EventOps.latestStateCore(
       events.withColumn("ts_ms", unix_millis(col("ts"))))
 
+  final case class StageEvent(user_id: Long, event_type: String, ts_ms: Long)
+  final case class FunnelOut(user_id: Long, stage_times: Seq[Long], stage: Long)
+
+  /** B26 streaming twin — LIVE funnel stage-state (round 13): per user,
+    * the sequential-min stage times maintained as keyed state — the
+    * dashboard form of [[graft.operators.EventOps.funnelStagesOf]] for
+    * any N-stage list. State is exactly N longs per user (Long.MaxValue
+    * = stage not reached), bounded by the funnel definition, never by
+    * event count.
+    *
+    * Within a micro-batch, rows replay in (ts_ms, stage-index) order —
+    * the ascending scan computes the batch operator's sequential minima
+    * exactly (a gate time is always set by an event no later than any
+    * event it gates, and the stage-index tiebreak lets same-ms chains
+    * fire in one pass). Across batches the greedy state carries
+    * forward, so the stream ≡ batch equivalence holds when arrival is
+    * event-time-ordered across batches (the thinFrames contract): a
+    * late event that would lower an already-used gate is applied to
+    * FUTURE minima only. Emits in Update mode, and only for users whose
+    * stage state actually changed (the latestStateStream discipline —
+    * a serving-layer upsert sees one row per changed funnel). */
+  def funnelStream(events: Dataset[StageEvent],
+      stages: Seq[String]): Dataset[FunnelOut] = {
+    require(stages.length >= 2, "a funnel needs at least two stages")
+    require(stages.distinct.length == stages.length,
+      "funnel stages must be distinct event types")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val n = stages.length
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[StageEvent], state: GroupState[Seq[Long]]) =>
+          val t = state.getOption.getOrElse(Seq.fill(n)(Long.MaxValue)).toArray
+          val before = t.toSeq
+          rows.toSeq
+            .flatMap(e => idx.get(e.event_type).map(i => (e.ts_ms, i)))
+            .sorted
+            .foreach { case (u, i) =>
+              val gateOpen = i == 0 ||
+                (t(i - 1) != Long.MaxValue && u >= t(i - 1))
+              if (gateOpen && u < t(i)) t(i) = u
+            }
+          val now = t.toSeq
+          if (now == before && state.exists) Iterator.empty
+          else {
+            state.update(now)
+            Iterator.single(FunnelOut(uid,
+              now.takeWhile(_ != Long.MaxValue),
+              now.count(_ != Long.MaxValue).toLong))
+          }
+      }
+  }
+
+  /** B27 streaming twin — LIVE cohort day-sets as a native Update-mode
+    * streaming aggregation (round 13): the per-user (first-active day,
+    * distinct-day set) reduction of
+    * [[graft.operators.EventOps.cohortDaySets]], run over the live
+    * event stream. Every aggregate is ORDER-INDEPENDENT (min,
+    * set-union), so the end state equals the batch frame under ANY
+    * arrival order — no watermark needed, state is one day-set per
+    * user, bounded by calendar days. The model-sized cohort-cell tail
+    * ([[graft.operators.EventOps.cohortCellsOf]]) runs downstream of
+    * the sink (a foreachBatch MERGE view at deploy), which is what
+    * keeps the stateful operator single and Update-mode legal. */
+  def cohortStateStream(events: DataFrame): DataFrame =
+    graft.operators.EventOps.cohortDaySets(
+      events.select(col("user_id"),
+        graft.functions.intDiv(unix_millis(col("ts")), 86400000L).as("day")))
+
   final case class Doc(doc_id: Long, source: String, text: String)
   final case class Admitted(source: String, doc_id: Long, n_tokens: Long,
       cum_tokens: Long)

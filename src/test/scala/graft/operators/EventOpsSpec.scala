@@ -171,30 +171,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got.drop(trail).exists(_._3.nonEmpty))
   }
 
-  test("funnel: stage minima match a driver recompute and respect order (B26)") {
+  test("funnel: stage minima match a driver recompute and respect order (B26, N=4)") {
+    val stages = Seq("signup", "view", "click", "purchase")
     val evs = t.events.select("user_id", "event_type", "ts").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000000L))
       .groupBy(_._1)
     val got = EventOps.funnelStages(t).collect()
       .map(r => (r.getLong(0),
-        Option(r.get(1)).map(_.asInstanceOf[Long]),
-        Option(r.get(2)).map(_.asInstanceOf[Long]),
-        Option(r.get(3)).map(_.asInstanceOf[Long]),
-        r.getLong(4)))
+        stages.indices.map(i => Option(r.get(i + 1)).map(_.asInstanceOf[Long])),
+        r.getLong(stages.length + 1)))
     assert(got.nonEmpty && got.length == evs.size)
-    got.foreach { case (uid, v, c, p, stage) =>
+    got.foreach { case (uid, ts, stage) =>
       val rows = evs(uid)
       def minAfter(tp: String, gate: Option[Long]): Option[Long] =
         gate.flatMap(g => rows.collect {
           case (_, `tp`, ms) if ms >= g => ms
         }.minOption)
-      val t1 = rows.collect { case (_, "view", ms) => ms }.minOption
-      val t2 = minAfter("click", t1)
-      val t3 = minAfter("purchase", t2)
-      assert(v == t1 && c == t2 && p == t3, s"user $uid stage times")
-      val expStage = if (t3.nonEmpty) 3L else if (t2.nonEmpty) 2L
-        else if (t1.nonEmpty) 1L else 0L
-      assert(stage == expStage, s"user $uid stage")
+      val exp = stages.tail.scanLeft(
+        rows.collect { case (_, s, ms) if s == stages.head => ms }.minOption) {
+        (gate, st) => minAfter(st, gate) }
+      assert(ts == exp, s"user $uid stage times")
+      assert(stage == exp.count(_.nonEmpty).toLong, s"user $uid stage")
     }
   }
 
@@ -217,6 +214,45 @@ class EventOpsSpec extends SparkSpec {
       (1L, Some(20L), Some(30L), Some(40L), 3L),
       (2L, Some(10L), Some(10L), Some(15L), 3L),
       (3L, None, None, None, 0L)))
+  }
+
+  test("funnel: the fold generalizes to N≠3 stages (round-13 B26)") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: 4 stages in order, but the pre-signup view is gated out —
+      // the later view (25) gates the click chain
+      (1L, "view", 5L), (1L, "signup", 20L), (1L, "view", 25L),
+      (1L, "click", 30L), (1L, "purchase", 40L),
+      // u2: stalls at stage 2 of 4 (click precedes the gating view)
+      (2L, "signup", 10L), (2L, "click", 12L), (2L, "view", 15L),
+      // u3: same-ms boundary chain is allowed at every hop
+      (3L, "signup", 7L), (3L, "view", 7L), (3L, "click", 7L),
+      (3L, "purchase", 7L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val got4 = EventOps.funnelStagesOf(
+      e, Seq("signup", "view", "click", "purchase"))
+    assert(got4.columns.toSeq == Seq("user_id", "signup_ms", "view_ms",
+      "click_ms", "purchase_ms", "stage", "ms_to_convert"))
+    val rows4 = got4.collect().map(r => (r.getLong(0),
+      (1 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])),
+      r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Long])))
+    assert(rows4.toSeq == Seq(
+      (1L, Seq(Some(20L), Some(25L), Some(30L), Some(40L)), 4L, Some(20L)),
+      (2L, Seq(Some(10L), Some(15L), None, None), 2L, None),
+      (3L, Seq(Some(7L), Some(7L), Some(7L), Some(7L)), 4L, Some(0L))))
+    // two-stage degenerate form: just a gated pair
+    val rows2 = EventOps.funnelStagesOf(e, Seq("view", "purchase"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3)))
+    assert(rows2.toSeq == Seq(
+      (1L, Some(5L), Some(40L), 2L),
+      (2L, Some(15L), None, 1L),
+      (3L, Some(7L), Some(7L), 2L)))
+    // guards: <2 stages and duplicate stages are authoring errors
+    intercept[IllegalArgumentException](
+      EventOps.funnelStagesOf(e, Seq("view")))
+    intercept[IllegalArgumentException](
+      EventOps.funnelStagesOf(e, Seq("view", "view")))
   }
 
   test("funnel: one exchange total (windows and collapse share the user partitioning)") {

@@ -895,4 +895,103 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_._2).toSeq == Seq(1, 2, 3, 3, 3)) // capped at 3
     } finally query.stop()
   }
+
+  test("funnelStream: keyed stage state ends at the batch funnel on the union (B26 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    // batch 1: u1 same-ms view→click chain; u2's pre-view click is
+    // gated; u3 has only a non-stage event (stage-0 row)
+    val b1 = Seq(
+      EventStreams.StageEvent(1, "view", 10), EventStreams.StageEvent(1, "click", 10),
+      EventStreams.StageEvent(2, "click", 5), EventStreams.StageEvent(2, "view", 8),
+      EventStreams.StageEvent(3, "signup", 1))
+    // batch 2 (later event times): u1 completes, u2 advances, u3 silent
+    val b2 = Seq(
+      EventStreams.StageEvent(1, "purchase", 20),
+      EventStreams.StageEvent(2, "click", 12))
+    val input = MemoryStream[EventStreams.StageEvent]
+    val query = EventStreams.funnelStream(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_live")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      val after1 = spark.table("funnel_live").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      assert(after1.toSet == Set(
+        (1L, Seq(10L, 10L), 2L), (2L, Seq(8L), 1L), (3L, Seq(), 0L)))
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val all = spark.table("funnel_live").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      assert(all.length == after1.length + 2,
+        "batch 2 re-emits only the two users whose stage state changed")
+      // end state per user = the emission with the deepest stage
+      val endState = all.groupBy(_._1).map { case (u, rs) =>
+        u -> rs.maxBy(_._3) }
+      // must equal the batch N-stage funnel over the union
+      val union = (b1 ++ b2).toDF()
+      val batch = graft.operators.EventOps.funnelStagesOf(union, stages)
+        .collect().map { r =>
+          val times = stages.indices
+            .map(i => Option(r.get(i + 1)).map(_.asInstanceOf[Long]))
+            .takeWhile(_.nonEmpty).flatten
+          r.getLong(0) -> (r.getLong(0), times, r.getLong(stages.length + 1))
+        }.toMap
+      assert(endState == batch,
+        "stream end state must equal funnelStagesOf on the union")
+    } finally query.stop()
+  }
+
+  test("cohortStateStream: day-set agg is arrival-order independent and ends at batch (B27 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deliberately OUT-OF-ORDER across batches: batch 2 carries the
+    // EARLIER days — min/set-union state absorbs it exactly
+    val b1 = Seq(
+      Event(1, ts(30), 10, "view", 1.0), Event(2, ts(40), 11, "view", 1.0))
+    val b2 = Seq(
+      Event(3, ts(1), 10, "click", 1.0), Event(4, ts(2), 11, "click", 1.0),
+      Event(5, ts(3), 12, "view", 1.0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.cohortStateStream(input.toDF())
+      .writeStream.format("memory").queryName("cohort_live")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // end state per user = the emission with the largest day set
+      // (monotone under union)
+      val endState = spark.table("cohort_live").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSet))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._3.size) }
+      val unionDf = (b1 ++ b2).toDF()
+      val batchSets = graft.operators.EventOps.cohortDaySets(
+        unionDf.select($"user_id",
+          graft.functions.intDiv(org.apache.spark.sql.functions
+            .unix_millis($"ts"), 86400000L).as("day")))
+      val batch = batchSets.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toSet))).toMap
+      assert(endState == batch,
+        "stream end state must equal cohortDaySets on the union")
+      // and the model-sized cell tail over the end state reproduces the
+      // full batch retention table
+      val endDf = endState.values.toSeq
+        .map { case (u, cd, ds) => (u, cd, ds.toSeq) }
+        .toDF("user_id", "cohort_day", "days")
+      val cells = graft.operators.EventOps.cohortCellsOf(endDf)
+        .collect().map(_.toSeq).toSet
+      val batchCells = graft.operators.EventOps.cohortRetentionOf(
+        unionDf.select($"user_id",
+          graft.functions.intDiv(org.apache.spark.sql.functions
+            .unix_millis($"ts"), 86400000L).as("day")))
+        .collect().map(_.toSeq).toSet
+      assert(cells == batchCells,
+        "cohortCellsOf over the stream end state ≡ batch cohortRetention")
+    } finally query.stop()
+  }
 }
