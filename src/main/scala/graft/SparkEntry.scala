@@ -228,6 +228,9 @@ object SparkEntry {
     "chunk_docs" -> ((s, d) => TextOps.chunkDocs(tables(s, d))),
     // D11 exact-substring (duplicated k-token span) coverage
     "dedup_spans" -> ((s, d) => Dedup.spanCoverage(tables(s, d))),
+    // D11c the cut itself: non-first duplicated spans removed, survivors
+    // reassembled in order (the ExactSubstr corpus edit)
+    "dedup_spans_removal" -> ((s, d) => Dedup.spanRemoval(tables(s, d))),
     // D11b the same coverage for an ingest batch probing the persisted
     // span-hash index (settled text is never re-extracted)
     "dedup_spans_incremental" -> ((s, d) => {
@@ -1163,6 +1166,28 @@ object SparkEntry {
           CASE WHEN len(t.w) = 0 THEN cast(0.0 as double)
             ELSE round(cast(coalesce(d.dup_tokens, 0) as double) / cast(len(t.w) as double), 4) END AS dup_ratio4
         FROM toks t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id""",
+    // D11c: the oracle re-censuses by RAW span text (the D1 collision
+    // rule), elects the global first occurrence by (doc_id, s), marks
+    // tokens under any non-first hit interval, and reassembles the
+    // survivors per position — cut semantics replayed end to end
+    "dedup_spans_removal" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        g AS (SELECT doc_id, s, array_to_string(w[s+1 : s+5], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(0, len(w) - 5 + 1)) AS s FROM toks WHERE len(w) >= 5)),
+        r AS (SELECT doc_id, s,
+            row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn FROM g),
+        hits AS (SELECT doc_id, s, s + 4 AS e FROM r WHERE rn >= 2),
+        tok AS (SELECT doc_id, unnest(w) AS tk, unnest(range(0, len(w))) AS p FROM toks),
+        rem AS (SELECT DISTINCT t.doc_id, t.p FROM tok t
+          JOIN hits h ON t.doc_id = h.doc_id AND t.p BETWEEN h.s AND h.e),
+        kept AS (SELECT t.doc_id, string_agg(t.tk, ' ' ORDER BY t.p) AS text2,
+            count(*) AS n_kept
+          FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.p
+          WHERE r.p IS NULL GROUP BY t.doc_id)
+        SELECT t.doc_id, cast(len(t.w) as bigint) AS n_tokens,
+          cast(len(t.w) - coalesce(k.n_kept, 0) as bigint) AS n_removed,
+          coalesce(k.text2, '') AS text
+        FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""",
     // D11b: a batch span is duplicated iff its occurrences across
     // (settled ∪ batch) = the full corpus total ≥ 2, so the oracle is
     // the full-corpus D11 census restricted to the fresh slice

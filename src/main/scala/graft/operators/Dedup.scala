@@ -1145,4 +1145,64 @@ object Dedup {
             / col("n_tokens").cast("double"), 4)).as("dup_ratio4"))
       .orderBy("doc_id")
   }
+
+  /** D11c — duplicated-span REMOVAL (round 13, the other half of
+    * ExactSubstr: Lee et al. 2022 don't just MEASURE span duplication,
+    * they cut it from the corpus): every duplicated k-token span keeps
+    * exactly its globally FIRST occurrence (min (doc_id, start) — the
+    * D8 keep-first election at token granularity); tokens covered by
+    * the union of a document's NON-first duplicated spans are removed
+    * and the survivors reassemble in order. D8 does this cut at
+    * paragraph granularity; this is the token-granular form that
+    * catches boilerplate sentences and quoted passages no paragraph
+    * boundary isolates.
+    *
+    * Spark shape — [[spanCoverageOf]]'s census composed with
+    * [[dedupParagraphs]]'s reassembly discipline:
+    *   1. span extraction is row-local (the D11 rule); the census
+    *      exchange carries (h1, h2, doc_id, s) ≈ 28 B/span, never
+    *      span text;
+    *   2. census + first-occurrence election are ONE window pass:
+    *      row_number over (h1, h2) ordered by (doc_id, s) — rn ≥ 2 IS
+    *      "duplicated AND not the first occurrence", so no separate
+    *      count column and no second pass;
+    *   3. cut intervals aggregate per doc ((doc_id, s, e) int rows,
+    *      corpus-dup-rate-sized — the D8 drop-list class), and AQE
+    *      broadcasts them back onto the source scan;
+    *   4. removal is a per-row array filter against the interval list
+    *      + array_join — document text never enters an exchange. The
+    *      per-token interval probe is linear in (tokens × intervals)
+    *      per row; a pathological million-hit document would merge its
+    *      intervals first, but real drop lists are short (the D8
+    *      observation).
+    *
+    * Ref: no analog in SergiyStoyan/AwsKinesisConsumer (parser.py
+    * consumes streams); extends the D-family curation surface. */
+  def spanRemoval(t: Tables, k: Int = 5): DataFrame =
+    spanRemovalOf(t.documents, k)
+
+  /** Library form over any (doc_id, text) frame. */
+  def spanRemovalOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spanToks(docs)
+    // rn >= 2 over the (h1,h2) span group == "duplicated, not the
+    // global first occurrence" — one window pass on one span exchange
+    val wRn = Window.partitionBy("h1", "h2").orderBy("doc_id", "s")
+    val cut = spanHashes(toks, k)
+      .withColumn("rn", row_number().over(wRn))
+      .filter(col("rn") >= 2L)
+      .select(col("doc_id"), col("s"), (col("s") + (k - 1).toLong).as("e"))
+    val ivs = cut.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    toks.join(ivs, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("w"),
+        (tok, i) => !coalesce(exists(col("ivs"), iv =>
+          i.cast("long") >= iv.getField("s")
+            && i.cast("long") <= iv.getField("e")), lit(false))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text"))
+      .orderBy("doc_id")
+  }
 }

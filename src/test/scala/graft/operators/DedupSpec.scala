@@ -432,4 +432,60 @@ class DedupSpec extends SparkSpec {
       && !exchanges.contains("col#"),
       s"an exchange carries span text:\n$exchanges")
   }
+
+  test("span removal: first occurrence survives, non-first spans cut, survivors reassemble (D11c)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e one two"),   // first occurrence of the shared span keeps
+      (2L, "x x a b c d e y"),     // its copy at offsets 2..6 is cut
+      (3L, "p q r s t u v w"),     // untouched
+      (4L, "m m m m m m"),         // within-doc repeat [0..4],[1..5]: rn=1 keeps [0..4]; [1..5] cut → m survives at 0..4? no: cut covers 1..5
+      (5L, "t u v")                // too short for any span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanRemovalOf(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 7L, 0L, "a b c d e one two"),
+      (2L, 8L, 5L, "x x y"),
+      (3L, 8L, 0L, "p q r s t u v w"),
+      // within-doc: span [0..4] is the global first, span [1..5] is cut
+      // → tokens 1..5 removed, only token 0 survives
+      (4L, 6L, 5L, "m"),
+      (5L, 3L, 0L, "t u v")))
+    // token conservation: n_tokens - n_removed == tokens in the output
+    got.foreach { case (id, n, rem, text) =>
+      val kept = text.split(" ").count(_.nonEmpty).toLong
+      assert(n - rem == kept, s"doc $id conservation")
+    }
+    // exchange discipline: census + drop lists move hashes, ids, and
+    // int intervals only — token arrays and text never shuffle
+    val planned = Dedup.spanRemovalOf(docs, 5).queryExecution
+      .executedPlan.toString
+    val exchanges = planned.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#") && !exchanges.contains("w#")
+      && !exchanges.contains("col#"),
+      s"an exchange carries span text:\n$exchanges")
+  }
+
+  test("span removal on the corpus: conservation + coverage-consistency vs D11 (D11c)") {
+    val cov = Dedup.spanCoverage(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rem = Dedup.spanRemoval(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rem.length == cov.size)
+    rem.foreach { case (id, n, nRem, text) =>
+      val (nCov, dupToks) = cov(id)
+      assert(n == nCov, s"doc $id token count")
+      // the cut removes only non-first hits, so it removes AT MOST the
+      // duplicated coverage, and a doc with zero coverage loses nothing
+      assert(nRem <= dupToks, s"doc $id removed > covered")
+      assert(dupToks > 0L || nRem == 0L, s"doc $id removed without coverage")
+      assert(n - nRem == text.split(" ").count(_.nonEmpty).toLong,
+        s"doc $id conservation")
+    }
+    // the corpus must actually exercise the cut
+    assert(rem.exists(_._3 > 0L), "no document had any span removed")
+  }
 }
