@@ -202,6 +202,8 @@ object SparkEntry {
     // F19/F20 tokenizer-adjacent corpus statistics
     "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
+    // F19d trigram stupid-backoff LM (one order past F19b)
+    "lm_quality3" -> ((s, d) => TextOps.lmQuality3(tables(s, d))),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
@@ -433,6 +435,42 @@ object SparkEntry {
           (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
         gc AS (SELECT doc_id, cost_u AS c FROM bg JOIN bcost USING (w1, w2)),
         allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
+        SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
+          round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
+        FROM allc GROUP BY doc_id ORDER BY doc_id"""
+
+  // F19d: token 1 priced by the unigram model, token 2 by the bigram
+  // model, tokens >= 3 by the trigram model; self-trained, so every
+  // gram is seen and the backoff tiers legitimately stay quiet (the
+  // Lm2Sql precedent — the spec exercises all four price tiers on an
+  // external score set); same micro-nat quantization per distinct gram
+  private val Lm3Sql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        tok AS (SELECT unnest(ws) AS word FROM d),
+        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
+        uni AS (SELECT word, cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS uni_u
+          FROM v CROSS JOIN tot),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+        bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(n_big) AS n_ctx FROM bc GROUP BY 1),
+        bcost AS (SELECT w1, w2,
+            cast(round(-ln(cast(n_big as double) / cast(n_ctx as double)) * 1000000.0) as bigint) AS big_u
+          FROM bc JOIN ctx USING (w1)),
+        tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM d WHERE len(ws) >= 3)),
+        tc AS (SELECT w1, w2, w3, count(*) AS n_tri FROM tg GROUP BY 1, 2, 3),
+        ctx2 AS (SELECT w1, w2, sum(n_tri) AS n_ctx2 FROM tc GROUP BY 1, 2),
+        tcost AS (SELECT w1, w2, w3,
+            cast(round(-ln(cast(n_tri as double) / cast(n_ctx2 as double)) * 1000000.0) as bigint) AS tri_u
+          FROM tc JOIN ctx2 USING (w1, w2)),
+        fc AS (SELECT doc_id, uni_u AS c FROM
+          (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
+        sc AS (SELECT doc_id, big_u AS c FROM
+          (SELECT doc_id, ws[1] AS w1, ws[2] AS w2 FROM d WHERE len(ws) >= 2) s JOIN bcost USING (w1, w2)),
+        gc AS (SELECT doc_id, tri_u AS c FROM tg JOIN tcost USING (w1, w2, w3)),
+        allc AS (SELECT * FROM fc UNION ALL SELECT * FROM sc UNION ALL SELECT * FROM gc)
         SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
           round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
         FROM allc GROUP BY doc_id ORDER BY doc_id"""
@@ -1054,6 +1092,7 @@ object SparkEntry {
     // legitimately absent here (the spec exercises them on an external
     // score set); ln once per distinct (bi)gram, micro-nat quantized
     "lm_quality2" -> Lm2Sql,
+    "lm_quality3" -> Lm3Sql,
     // F19c: CCNet terciles over the F19b score — ntile(3) on the total
     // (avg_nll4, doc_id) order per source; standard-SQL ntile sizing is
     // identical cross-engine

@@ -1251,6 +1251,122 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** F19d — TRIGRAM language-model quality with stupid backoff (round
+    * 13, one order past [[lmQuality2Of]] toward CCNet's 5-gram KenLM):
+    * token 1 is priced by the unigram model, token 2 by the bigram
+    * model with its F19b backoff, and every later token by
+    * p(w|w1,w2) = count(w1,w2,w)/count(w1,w2,·), with unseen trigrams
+    * backing off through the stupid-backoff chain (Brants et al. 2007):
+    * α·p(w|w2) → α²·p_uni(w) → α²/N for full OOV. A doc of locally
+    * plausible word PAIRS in an implausible order is caught by its
+    * unseen trigrams where F19b saw only seen bigrams.
+    *
+    * Bit-stability (the F19/F19b discipline extended one order): ln is
+    * taken once per DISTINCT trigram / bigram / word and immediately
+    * quantized to integer micro-nats; the α and α² scalings multiply
+    * INSIDE the single ln argument in a fixed left-to-right order, so
+    * both engines evaluate the identical IEEE sequence; per-doc
+    * accumulation is exact int64, the average one 4dp-rounded
+    * two-division tail.
+    *
+    * Scale shape: three corpus-sized partial aggs whose exchanges carry
+    * the uni/bi/trigram vocabularies (never tokens); both context-count
+    * tables derive from their own gram table (consistent by
+    * construction); scoring joins tokens to the cost tables on gram
+    * keys — vocab-sized, AQE-broadcast at any realistic SF — and
+    * reduces through a per-doc partial agg. Text never crosses an
+    * exchange. The trigram vocabulary is the cost driver at 100 TB
+    * (|trigrams| ≫ |bigrams|), which is exactly KenLM's storage wall —
+    * the count tables stay hash-partitioned tables, never driver
+    * state. */
+  def lmQuality3(t: Tables): DataFrame = lmQuality3Of(t.documents, t.documents)
+
+  /** Library form: train on `train`, score `score` (the CCNet shape —
+    * reference corpus prices the crawl). */
+  def lmQuality3Of(train: DataFrame, score: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    val toMicro = (c: Column) => round(c * 1e6).cast("long")
+    val ratio = (n: Column, d: Column) => n.cast("double") / d.cast("double")
+    // unigram model: direct, single-backoff (α·p) and double-backoff
+    // (α²·p) prices, each ln'd once per distinct word
+    val vocab = train.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    val uniCost = vocab.crossJoin(broadcast(total))
+      .select(col("word"),
+        toMicro(-log(ratio(col("n_w"), col("n_total")))).as("uni_u"),
+        toMicro(-log(lit(alpha) * ratio(col("n_w"), col("n_total"))))
+          .as("back1_u"),
+        toMicro(-log(lit(alpha) * lit(alpha)
+          * ratio(col("n_w"), col("n_total")))).as("back2_u"))
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val fields = (0 until n).map(j =>
+        s"element_at(ws, i + $j) AS w${j + 1}").mkString(", ")
+      df.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${n - 1}), i -> struct($fields))"))
+          .as("g"))
+        .select(col("doc_id") +: (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+    }
+    val trainWs = train.select(col("doc_id"), words(col("text")).as("ws"))
+    val scoreWs = score.select(col("doc_id"), words(col("text")).as("ws"))
+    // bigram model (token-2 price + the trigram backoff tier)
+    val bigCounts = grams(trainWs, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_big"))
+    val ctx = bigCounts.groupBy("w1").agg(sum(col("n_big")).as("n_ctx"))
+    val bigCost = bigCounts.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        toMicro(-log(ratio(col("n_big"), col("n_ctx")))).as("big_u"),
+        toMicro(-log(lit(alpha) * ratio(col("n_big"), col("n_ctx"))))
+          .as("bigback_u"))
+    // trigram model; context counts derive from the trigram table
+    val triCounts = grams(trainWs, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("n_tri"))
+    val ctx2 = triCounts.groupBy("w1", "w2").agg(sum(col("n_tri")).as("n_ctx2"))
+    val triCost = triCounts.join(ctx2, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        toMicro(-log(ratio(col("n_tri"), col("n_ctx2")))).as("tri_u"))
+    // position 1: unigram price (OOV → 1/N)
+    val firsts = scoreWs.filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(uniCost, Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("uni_u"),
+        toMicro(-log(lit(1.0) / col("n_total").cast("double")))).as("c"))
+    // position 2: bigram price, F19b backoff chain (α·uni → α/N)
+    val seconds = scoreWs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"))
+      .join(bigCost.select(col("w1"), col("w2"), col("big_u")),
+        Seq("w1", "w2"), "left")
+      .join(uniCost.select(col("word").as("w2"), col("back1_u")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("big_u"), col("back1_u"),
+        toMicro(-log(lit(alpha) / col("n_total").cast("double")))).as("c"))
+    // positions >= 3: trigram price, full backoff chain
+    // (α·p(w3|w2) → α²·p_uni(w3) → α²/N)
+    val rest = grams(scoreWs, 3)
+      .join(triCost, Seq("w1", "w2", "w3"), "left")
+      .join(bigCost.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("bigback_u")), Seq("w2", "w3"), "left")
+      .join(uniCost.select(col("word").as("w3"), col("back2_u")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), coalesce(col("tri_u"), col("bigback_u"),
+        col("back2_u"),
+        toMicro(-log(lit(alpha) * lit(alpha)
+          / col("n_total").cast("double")))).as("c"))
+    firsts.unionByName(seconds).unionByName(rest)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("nll_micro"))
+      .withColumn("avg_nll4",
+        round(col("nll_micro").cast("double") / col("n_tokens").cast("double")
+          / 1e6, 4))
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("avg_nll4"))
+      .orderBy("doc_id")
+  }
+
   /** F19c — CCNet HEAD/MIDDLE/TAIL bucketing: partition each source's
     * documents into perplexity terciles of the F19b bigram score —
     * CCNet §4.3's exact deployment rule (per-LANGUAGE terciles of the

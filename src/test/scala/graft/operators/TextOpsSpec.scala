@@ -899,6 +899,67 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(10L) < byId(11L) && byId(11L) < byId(12L))
   }
 
+  test("lm quality 3: trigram scores match driver recompute across all four price tiers (F19d)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val score = Seq(
+      (20L, "the cat sat on the mat"), // every trigram seen
+      (21L, "the cat ate the mat"),    // (ate,the,mat) unseen → bigram backoff
+      (22L, "the cat mat"),            // (cat,mat) bigram unseen → α²·unigram
+      (23L, "zyxq qxyz cat")           // OOV at positions 1, 2, and a backed-off 3
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmQuality3Of(train, score).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // driver-side recompute of the exact arithmetic
+    val trainDocs = Seq("the cat sat on the mat", "the cat ate the fish",
+      "the dog sat on the rug").map(_.split(" ").toSeq)
+    val uni = trainDocs.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nTotal = uni.values.sum
+    val big = trainDocs.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val tri = trainDocs.flatMap(ws => ws.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2))))
+      .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val ctx2 = tri.groupBy(g => (g._1._1, g._1._2)).map { case (k, m) => k -> m.values.sum }
+    val micro = (p: Double) => math.round(-math.log(p) * 1e6)
+    def cost(p2: Option[String], p1: Option[String], w: String): Long = (p2, p1) match {
+      case (_, None) => // position 1: unigram
+        uni.get(w).map(n => micro(n.toDouble / nTotal.toDouble))
+          .getOrElse(micro(1.0 / nTotal.toDouble))
+      case (None, Some(p)) => // position 2: bigram with F19b backoff
+        big.get((p, w)).map(n => micro(n.toDouble / ctx(p).toDouble))
+          .orElse(uni.get(w).map(n =>
+            micro(0.4 * (n.toDouble / nTotal.toDouble))))
+          .getOrElse(micro(0.4 / nTotal.toDouble))
+      case (Some(a), Some(b)) => // position >= 3: trigram, full chain
+        tri.get((a, b, w)).map(n => micro(n.toDouble / ctx2((a, b)).toDouble))
+          .orElse(big.get((b, w)).map(n =>
+            micro(0.4 * (n.toDouble / ctx(b).toDouble))))
+          .orElse(uni.get(w).map(n =>
+            micro(0.4 * 0.4 * (n.toDouble / nTotal.toDouble))))
+          .getOrElse(micro(0.4 * 0.4 / nTotal.toDouble))
+    }
+    val expected = Seq(20L -> "the cat sat on the mat",
+      21L -> "the cat ate the mat", 22L -> "the cat mat",
+      23L -> "zyxq qxyz cat").map { case (id, s) =>
+      val ws = s.split(" ").toSeq
+      val costs = ws.indices.map { i =>
+        cost(if (i >= 2) Some(ws(i - 2)) else None,
+          if (i >= 1) Some(ws(i - 1)) else None, ws(i)) }
+      val nll = costs.sum
+      val avg = BigDecimal(nll.toDouble / ws.size.toDouble / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.size.toLong, nll, avg)
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // fluency ordering: fully-seen < one-tier backoff < two-tier < OOV-laden
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(20L) < byId(21L) && byId(21L) < byId(22L) && byId(22L) < byId(23L))
+  }
+
   test("ccnet buckets: per-source terciles are balanced and score-ordered") {
     val got = TextOps.ccnetBuckets(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
