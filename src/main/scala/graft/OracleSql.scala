@@ -1307,6 +1307,35 @@ private[graft] object OracleSql {
           cast(sum(coalesce(n_sym, length(word))) * 1000 // count(*) as bigint) AS tok_permille
         FROM j GROUP BY source ORDER BY source"""
 
+  /** F29 replay — the hashed TF-IDF featurizer end to end: token hash
+    * (hashToken ≡ graft_hash_str), feature index and sign from mix64
+    * low bits (UBIGINT % and >> are unsigned, matching Spark's bitmask
+    * and shiftrightunsigned on the same 64 bits), idf quantized to
+    * micro-nats per distinct hash, exact integer component sums, and
+    * the unit view over the HUGEINT norm². */
+  def embedDocs(dim: Int): String = {
+    require(dim > 0 && (dim & (dim - 1)) == 0)
+    val m = mix64("h")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM d),
+    th AS (SELECT doc_id, ${hashToken("word")} AS h FROM tok),
+    tf AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM th GROUP BY 1, 2),
+    dfq AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    feat AS (SELECT h, (($m) % $dim)::BIGINT AS j,
+        (CASE WHEN (($m) >> 6) & 1 = 0 THEN 1 ELSE -1 END)::BIGINT AS sign,
+        cast(round(ln(cast(n_docs as double) / cast(df as double)) * 1000000.0) as bigint) AS idf_u
+      FROM dfq CROSS JOIN nn),
+    comps AS (SELECT doc_id, j, cast(sum(sign * tf * idf_u) as bigint) AS v
+      FROM tf JOIN feat USING (h) GROUP BY 1, 2
+      HAVING cast(sum(sign * tf * idf_u) as bigint) <> 0),
+    normed AS (SELECT doc_id, j, v,
+        sum(v::HUGEINT * v::HUGEINT) OVER (PARTITION BY doc_id) AS n2 FROM comps)
+    SELECT doc_id, j, v,
+      round(cast(v as double) / sqrt(cast(n2 as double)), 4) AS unit4
+    FROM normed ORDER BY doc_id, j"""
+  }
+
   /** B26 replay for an ARBITRARY stage list — the sequential-min window
     * chain generated per stage (w1..wN each referencing the previous
     * stage's column), exactly the operator's fold. */

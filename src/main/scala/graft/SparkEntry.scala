@@ -204,6 +204,8 @@ object SparkEntry {
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
     // F19d trigram stupid-backoff LM (one order past F19b)
     "lm_quality3" -> ((s, d) => TextOps.lmQuality3(tables(s, d))),
+    // F29 deterministic hashed TF-IDF text->vector featurizer
+    "embed_docs" -> ((s, d) => TextOps.embedDocs(tables(s, d))),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
@@ -1093,6 +1095,7 @@ object SparkEntry {
     // score set); ln once per distinct (bi)gram, micro-nat quantized
     "lm_quality2" -> Lm2Sql,
     "lm_quality3" -> Lm3Sql,
+    "embed_docs" -> OracleSql.embedDocs(64),
     // F19c: CCNet terciles over the F19b score — ntile(3) on the total
     // (avg_nll4, doc_id) order per source; standard-SQL ntile sizing is
     // identical cross-engine

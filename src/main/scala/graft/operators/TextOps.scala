@@ -774,6 +774,86 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** F29 — deterministic TEXT→VECTOR featurizer (round 13): hashed
+    * n-gram TF-IDF projection of each document onto a fixed `dim`-dim
+    * vector — feature hashing (Weinberger et al. 2009) with a sign
+    * hash, idf-weighted. With it the E family (ANN, dedup-by-cosine,
+    * kNN labeling) runs END TO END from raw text: no external
+    * embedding model, bit-reproducible across runs, partitionings, and
+    * engines — the F8/F18 determinism property extended to vectors.
+    *
+    * Exactness: tf and df are exact int64; the idf is the F19
+    * discipline applied once per DISTINCT word hash (ln quantized to
+    * integer micro-nats), so every vector component is an exact int64
+    * sum sign·tf·idf_u; the unit-normalized view divides by a sqrt of
+    * the exact decimal(38,0) norm² (int64 would wrap on component
+    * squares at crawl scale — the B25 rule) in one correctly-rounded
+    * double sequence.
+    *
+    * Scale shape: tokens hash AT THE SCAN (graft_hash_str — 8 B
+    * crosses, never the word); one (doc_id, h) partial agg for tf, a
+    * vocab-sized agg for df, the feature map is a vocab-sized derived
+    * table AQE-broadcast back onto tf; components partial-agg on
+    * (doc_id, j ≤ dim). Text never enters an exchange, and the
+    * whole pass is two narrow shuffles however big the corpus. */
+  def embedDocs(t: Tables, dim: Int = 64): DataFrame =
+    embedDocsLong(t.documents, dim)
+
+  /** Long-form library core: one (doc_id, j, v, unit4) row per nonzero
+    * component — the oracle-checked shape. */
+  def embedDocsLong(docs: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim=$dim must be a power of two (bitmask ≡ unsigned mod)")
+    val spark = docs.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), call_function("graft_hash_str", col("word")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("h").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val m = call_function("graft_mix64", col("h"))
+    // feature index from the low mix bits, sign from bit 6 (disjoint),
+    // idf ln'd once per distinct hash and quantized to micro-nats
+    val feat = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("h"),
+        m.bitwiseAND(lit((dim - 1).toLong)).as("j"),
+        (lit(1L) - lit(2L)
+          * shiftrightunsigned(m, 6).bitwiseAND(lit(1L))).as("sign"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * 1e6).cast("long").as("idf_u"))
+    val comps = tf.join(feat, "h")
+      .groupBy("doc_id", "j")
+      .agg(sum(col("sign") * col("tf") * col("idf_u")).as("v"))
+      .filter(col("v") =!= 0L)
+    val wDoc = Window.partitionBy("doc_id")
+    comps
+      .withColumn("n2", sum(col("v").cast("decimal(38,0)")
+        * col("v").cast("decimal(38,0)")).over(wDoc))
+      .select(col("doc_id"), col("j"), col("v"),
+        round(col("v").cast("double") / sqrt(col("n2").cast("double")), 4)
+          .as("unit4"))
+      .orderBy("doc_id", "j")
+  }
+
+  /** Dense composable form: (vec_id, embedding array<double>) — the
+    * frame every E-family operator consumes
+    * ([[graft.operators.Dedup.embeddingPairsLshOf]],
+    * [[graft.operators.Similarity]] external-query forms). Components
+    * are the exact integer sums as doubles (cosine is
+    * scale-invariant, so consumers' own normalization suffices);
+    * assembly is row-local (map + dense transform), no extra
+    * exchange beyond the long form's. */
+  def embedDocsVectors(docs: DataFrame, dim: Int): DataFrame =
+    embedDocsLong(docs, dim)
+      .groupBy(col("doc_id").as("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("j").cast("int"),
+        col("v").cast("double")))).as("mp"))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(mp, i), cast(0.0 as double)))")
+        .as("embedding"))
+
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
     * regex engine (Spark) and RE2 (the DuckDB oracle): character
     * classes, bounded counts, and ASCII `\b` only — no lookaround, no

@@ -960,6 +960,57 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(20L) < byId(21L) && byId(21L) < byId(22L) && byId(22L) < byId(23L))
   }
 
+  test("embed docs: unit norms, dense/long consistency, determinism (F29)") {
+    val long = TextOps.embedDocs(t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(long.nonEmpty)
+    // per-doc unit property: sum of unit4^2 ≈ 1 within 4dp rounding
+    for ((_, rows) <- long.groupBy(_._1._1)) {
+      val s = rows.map { case (_, (_, u)) => u * u }.sum
+      assert(math.abs(s - 1.0) < 0.01, s"unit norm $s")
+    }
+    // dense form carries the same exact components at the same indices
+    val dense = TextOps.embedDocsVectors(t.documents, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val longByDoc = long.groupBy(_._1._1)
+    for ((doc, rows) <- longByDoc; ((_, j), (v, _)) <- rows)
+      assert(dense(doc)(j.toInt) == v.toDouble, s"doc $doc dim $j")
+    for ((doc, vec) <- dense) {
+      val nonzero = vec.zipWithIndex.filter(_._1 != 0.0)
+        .map { case (v, j) => (j.toLong, v.toLong) }.toSet
+      val expect = longByDoc(doc).map { case ((_, j), (v, _)) => (j, v) }.toSet
+      assert(nonzero == expect, s"doc $doc dense/long mismatch")
+    }
+    // determinism under repartitioning (the F8/F18 property for vectors)
+    val again = TextOps.embedDocsLong(t.documents.repartition(7), 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(again.toSet == long.toSet)
+  }
+
+  test("embed docs e2e: LSH near-dup over featurized text finds planted paraphrases (F29 + D5b)") {
+    import spark.implicits._
+    val docs = Seq(
+      // family A: two paraphrases sharing nearly all vocabulary
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn"),
+      (2L, "the swift brown fox jumps over the lazy dog near the quiet river bank at dawn"),
+      // family B: another near-dup pair, disjoint vocabulary from A
+      (3L, "ancient sailing ships crossed the stormy ocean carrying spice silk and heavy gold cargo"),
+      (4L, "ancient sailing ships crossed the stormy ocean carrying spice silk and heavy silver cargo"),
+      // unrelated singletons
+      (5L, "parliament debated the agricultural subsidy reform bill throughout a long winter session"),
+      (6L, "volcanic eruptions reshape coastlines and bury settlements under layers of ash and pumice")
+    ).toDF("doc_id", "text")
+    val vecs = TextOps.embedDocsVectors(docs, 64)
+    val pairs = Dedup.embeddingPairsLshOf(vecs, threshold = 0.8,
+        tables = 16, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"family A paraphrase missed: $pairs")
+    assert(pairs.contains((3L, 4L)), s"family B paraphrase missed: $pairs")
+    // every emitted pair is exact-cosine-verified, so nothing may span
+    // families or touch the singletons at this threshold
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"spurious pairs: $pairs")
+  }
+
   test("ccnet buckets: per-source terciles are balanced and score-ordered") {
     val got = TextOps.ccnetBuckets(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
