@@ -1011,6 +1011,43 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)), s"spurious pairs: $pairs")
   }
 
+  test("embed docs e2e: kNN vote labels raw text via featurized vectors (F29 + E10)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the brown fox and the grey wolf hunt rabbits across the frozen meadow tonight", "animals"),
+      (2L, "a wolf pack trails the deer herd while the fox digs near the meadow burrow", "animals"),
+      (3L, "rabbits and deer graze the meadow as the wolf and the fox watch from the treeline", "animals"),
+      (4L, "cargo ships and oil tankers crowd the harbor while tugboats guide the freighter in", "ships"),
+      (5L, "the freighter left the harbor at dawn as tankers anchored beside the cargo pier", "ships"),
+      (6L, "tugboats pushed the cargo freighter past the pier toward the open harbor channel", "ships"))
+    val queries = Seq(
+      (100L, "the fox chased rabbits through the meadow while the wolf circled the deer"),
+      (101L, "tankers and cargo ships waited as tugboats cleared the harbor pier"))
+    val all = (corpus.map(c => (c._1, c._2)) ++ queries).toDF("doc_id", "text")
+    val vecs = graft.operators.Similarity.withNorm(
+      TextOps.embedDocsVectors(all, 64).select(col("vec_id"),
+        col("embedding")))
+    val q = vecs.filter(col("vec_id") >= 100L)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.filter(col("vec_id") < 100L)
+      .select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val topk = broadcast(q).join(c)
+      .withColumn("cos", call_function("graft_dot", col("v_q"), col("v_n")) /
+        (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3L)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+    val labels = corpus.map(c => (c._1, c._3)).toDF("n_id", "label")
+    val got = graft.operators.Similarity.voteLabels(topk, labels)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the label must be right by a strict majority of the 3 neighbors
+    assert(got(100L)._1 == "animals" && got(100L)._2 >= 2L, s"got ${got(100L)}")
+    assert(got(101L)._1 == "ships" && got(101L)._2 >= 2L, s"got ${got(101L)}")
+  }
+
   test("ccnet buckets: per-source terciles are balanced and score-ordered") {
     val got = TextOps.ccnetBuckets(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
