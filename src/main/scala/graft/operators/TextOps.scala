@@ -807,10 +807,13 @@ object TextOps {
       s"dim=$dim must be a power of two (bitmask ≡ unsigned mod)")
     val spark = docs.sparkSession
     graft.plans.VectorFunctions.register(spark)
+    // LAZY localCheckpoint (the D8 rule): df derives from tf, so
+    // without it the scan+tokenize+hash+agg would run twice per action
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), call_function("graft_hash_str", col("word")).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("h").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val m = call_function("graft_mix64", col("h"))
