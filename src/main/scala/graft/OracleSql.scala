@@ -1313,7 +1313,7 @@ private[graft] object OracleSql {
     * and shiftrightunsigned on the same 64 bits), idf quantized to
     * micro-nats per distinct hash, exact integer component sums, and
     * the unit view over the HUGEINT norm². */
-  def embedDocs(dim: Int): String = {
+  private def embedDocsCtes(dim: Int): String = {
     require(dim > 0 && (dim & (dim - 1)) == 0)
     val m = mix64("h")
     s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
@@ -1328,12 +1328,42 @@ private[graft] object OracleSql {
       FROM dfq CROSS JOIN nn),
     comps AS (SELECT doc_id, j, cast(sum(sign * tf * idf_u) as bigint) AS v
       FROM tf JOIN feat USING (h) GROUP BY 1, 2
-      HAVING cast(sum(sign * tf * idf_u) as bigint) <> 0),
+      HAVING cast(sum(sign * tf * idf_u) as bigint) <> 0)"""
+  }
+
+  def embedDocs(dim: Int): String =
+    s"""${embedDocsCtes(dim)},
     normed AS (SELECT doc_id, j, v,
         sum(v::HUGEINT * v::HUGEINT) OVER (PARTITION BY doc_id) AS n2 FROM comps)
     SELECT doc_id, j, v,
       round(cast(v as double) / sqrt(cast(n2 as double)), 4) AS unit4
     FROM normed ORDER BY doc_id, j"""
+
+  /** F29 ∘ E1 replay — semantic search over raw text: the featurizer
+    * CTEs densified to ordered 64-lists, then the ann_brute_topk
+    * cosine fold (the identical sequential list_reduce as graft_dot /
+    * graft_norm2) and (cos DESC, n_id) ranking. */
+  def embedSearch(dim: Int, k: Int, every: Int): String = materialized {
+    s"""${embedDocsCtes(dim)},
+    ids AS (SELECT DISTINCT doc_id FROM comps),
+    grid AS (SELECT ids.doc_id, g.i FROM ids
+      CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g),
+    dense AS (SELECT g.doc_id, list(cast(coalesce(c.v, 0) as double) ORDER BY g.i) AS v
+      FROM grid g LEFT JOIN comps c ON c.doc_id = g.doc_id AND c.j = g.i
+      GROUP BY g.doc_id),
+    n AS (SELECT doc_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM dense),
+    q AS (SELECT doc_id AS q_id, v, norm FROM n WHERE doc_id % $every = 0),
+    s AS (SELECT q.q_id, c.doc_id AS n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])), (s,x) -> s+x)
+          / (sqrt(q.norm)*sqrt(c.norm)) AS cos
+      FROM q JOIN n c ON q.q_id <> c.doc_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM s)
+    WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
   /** B26 replay for an ARBITRARY stage list — the sequential-min window

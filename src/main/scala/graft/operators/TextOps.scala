@@ -857,6 +857,37 @@ object TextOps {
         s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(mp, i), cast(0.0 as double)))")
         .as("embedding"))
 
+  /** F29 ∘ E1 — SEMANTIC SEARCH over raw text end to end: featurize
+    * the corpus, then exact-cosine top-k of every doc_id % `every`
+    * query document against the rest — the full text → vector →
+    * retrieve pipeline as ONE oracle-gated query (no external model,
+    * no pre-built embeddings table). The search stage is exactly E1's
+    * broadcast-queries shape (queries broadcast, corpus streams, zero
+    * corpus shuffle beyond the featurizer's own aggs), so every E-tier
+    * (LSH/IVF/PQ via their *Of forms) composes over the same vectors
+    * at deploy scale. Components are exact int64-valued doubles, the
+    * cosine is the bit-stable graft_dot fold — hash-exact. */
+  def embedSearchTopK(t: Tables, dim: Int = 64, k: Int = 5,
+      every: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.operators.Similarity.withNorm(
+      embedDocsVectors(t.documents, dim))
+    val q = vecs.filter(pmod(col("vec_id"), lit(every)) === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"),
+        col("norm").as("norm_q"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"),
+      col("norm").as("norm_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", call_function("graft_dot", col("v_q"), col("v_n"))
+        / (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
     * regex engine (Spark) and RE2 (the DuckDB oracle): character
     * classes, bounded counts, and ASCII `\b` only — no lookaround, no

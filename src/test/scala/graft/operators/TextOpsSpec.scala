@@ -1048,6 +1048,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got(101L)._1 == "ships" && got(101L)._2 >= 2L, s"got ${got(101L)}")
   }
 
+  test("embed search: top-k matches a driver-side cosine recompute; query side broadcasts (F29 ∘ E1)") {
+    val vecs = TextOps.embedDocsVectors(t.documents, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = TextOps.embedSearchTopK(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, rows) <- got.groupBy(_._1)) {
+      val expect = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, cos(vecs(qid), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      val gotIds = rows.sortBy(_._2).map(_._3).toSeq
+      assert(gotIds == expect, s"query $qid top-k")
+    }
+    // the search stage is E1's broadcast-queries shape: the only join
+    // over the corpus-side vectors must be a broadcast join
+    val plan = TextOps.embedSearchTopK(t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${plan.take(2000)}")
+  }
+
   test("ccnet buckets: per-source terciles are balanced and score-ordered") {
     val got = TextOps.ccnetBuckets(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
