@@ -1073,6 +1073,25 @@ class TextOpsSpec extends SparkSpec {
       s"query side must broadcast:\n${plan.take(2000)}")
   }
 
+  test("embed docs / lm quality 3: document text never crosses an exchange") {
+    // embed_docs hashes words AT THE SCAN, so even the vocab exchanges
+    // carry 8-byte hashes; the LM family's vocab exchanges are keyed by
+    // the (vocab-sized) gram strings per the documented F19 contract,
+    // but the document text / token arrays must never shuffle in either
+    for ((name, plan, banned) <- Seq(
+      ("embed_docs",
+        TextOps.embedDocs(t).queryExecution.executedPlan.toString,
+        Seq("text#", "word#", "ws#")),
+      ("lm_quality3",
+        TextOps.lmQuality3(t).queryExecution.executedPlan.toString,
+        Seq("text#", "ws#")))) {
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n")
+      banned.foreach(b => assert(!exchanges.contains(b),
+        s"$name: an exchange carries $b:\n$exchanges"))
+    }
+  }
+
   test("ccnet buckets: per-source terciles are balanced and score-ordered") {
     val got = TextOps.ccnetBuckets(t).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
