@@ -62,6 +62,8 @@ object SparkEntry {
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
     "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
+    // B1b: backward as-of — the "state in force at event time" mirror
+    "asof_prev_marker" -> ((s, d) => EventOps.asofPrevMarker(tables(s, d))),
     // same semantics through the custom LogicalPlan + SparkStrategy (H6):
     // the driver's oracle check covers the plan-node lowering, not just
     // the window form
@@ -794,6 +796,18 @@ object SparkEntry {
             first_value(marker_id IGNORE NULLS) OVER (PARTITION BY user_id
               ORDER BY ts_ms ASC, marker_id ASC NULLS LAST
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_marker
+          FROM e)
+        WHERE event_type <> 'error' ORDER BY event_id""",
+    // B1b: the backward mirror — last marker at ts <= the event's, the
+    // same single window pass with the frame flipped
+    "asof_prev_marker" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+          CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)
+        SELECT event_id, prev_marker FROM (
+          SELECT event_id, event_type,
+            last_value(marker_id IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY ts_ms ASC, marker_id ASC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_marker
           FROM e)
         WHERE event_type <> 'error' ORDER BY event_id""",
     "asof_custom_plan" ->

@@ -42,6 +42,30 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** B1b — BACKWARD as-of association (round 13, the mirror of B1 and
+    * the standard "state at time T" lookup shape): each event takes the
+    * most recent marker at ts <= its own — where B1 answers "which
+    * tag-set arrives next" (the reference's forward positional rule),
+    * this answers "which state was in force when the event happened",
+    * the join every SCD-2/warehouse pipeline runs. Same ONE-window-pass
+    * shape over the union ordering — no join, no correlated subquery,
+    * one user_id exchange. Tie rule: a marker at the event's exact ts
+    * counts (<=, because the null marker_id sorts the event row after
+    * same-ts markers), the complement of B1's strict "position >". */
+  def asofPrevMarker(t: Tables): DataFrame = {
+    val e = withMs(t).select(
+      col("event_id"), col("user_id"), col("ts_ms"), col("event_type"),
+      when(col("event_type") === "error", col("event_id")).as("marker_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("marker_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_marker", last(col("marker_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "error")
+      .select("event_id", "prev_marker")
+      .orderBy("event_id")
+  }
+
   /** B2 — time-span sampling (parser.py:460-463): keep the first event per
     * (user, 1-hour bucket). */
   def sampleFirstPerWindow(t: Tables): DataFrame = {

@@ -4,14 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-/** CSV/JSON source support for every table (SURVEY §2 C14).
+/** CSV/JSON/ORC source support for every table (SURVEY §2 C14).
   *
   * Text formats carry no types, so each table has a literal DDL schema —
   * identical to what the parquet layout yields under the session's
   * nanosAsLong read (events.ts stays long nanoseconds). Columns that text
   * formats cannot hold natively (embeddings' array<float> in CSV) are
   * JSON-encoded on export and decoded on load, so every operator sees the
-  * same shapes regardless of the storage format.
+  * same shapes regardless of the storage format. ORC (round 13) is a
+  * typed columnar format, so it flows through the same paths with no
+  * re-encoding — the DDL schema acts as the read contract exactly as for
+  * parquet, and the header/escape writer options are inert no-ops there.
   */
 object TableFormats {
 

@@ -29,6 +29,32 @@ class EventOpsSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
 
+  test("backward asof matches a brute-force recompute; same-ms marker counts (B1b)") {
+    val markers = raw.filter(_._4 == "error")
+    val expected = raw.filter(_._4 != "error").map { case (id, u, ms, _) =>
+      val prevs = markers.filter(m => m._2 == u && m._3 <= ms)
+      val prev =
+        if (prevs.isEmpty) null
+        else {
+          val maxTs = prevs.map(_._3).max
+          // the window's last() sees same-ts markers ordered by id asc,
+          // so the LARGEST id at the winning ts is the one in force
+          java.lang.Long.valueOf(prevs.filter(_._3 == maxTs).map(_._1).max)
+        }
+      id -> prev
+    }.toMap
+    val got = EventOps.asofPrevMarker(t).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .toMap
+    assert(got.size == expected.size)
+    val diffs = expected.filter { case (k, v) => got(k) != v }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    // one user_id exchange, no join (the B1 shape with the frame flipped)
+    val plan = EventOps.asofPrevMarker(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "backward asof must be join-free")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+  }
+
   test("bounded queue keeps the newest N per user (parser.py:470-481)") {
     val got = EventOps.lastNPerKey(t, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

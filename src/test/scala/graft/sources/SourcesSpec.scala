@@ -93,10 +93,10 @@ class SourcesSpec extends SparkSpec {
       s"event_type filter did not reach the scan:\n$scan")
   }
 
-  test("catalog queries run identically from csv and json table sources") {
+  test("catalog queries run identically from csv, json, and orc table sources") {
     import graft.operators._
     val dir = tmp()
-    for (fmt <- Seq("csv", "json")) {
+    for (fmt <- Seq("csv", "json", "orc")) {
       TableFormats.exportTables(t, s"$dir/$fmt", fmt)
       val t2 = TableFormats.loadTables(spark, s"$dir/$fmt", fmt)
       // timestamps (lineitem), long-nanos events, and float arrays all
