@@ -112,6 +112,49 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds every z-column's per-file span; a single-sort does not (H12)") {
+    val dir = tmp()
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    Layout.writeZOrdered(ev, s"$dir/z", Seq("user_id", "ts"), nFiles = 16)
+    // the comparison layout: range-sorted on ts alone (the naive
+    // time-series archive layout)
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(s"$dir/s")
+    def avgSpan(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val Array(glo, ghi) = df
+        .agg(min(col(c).cast("double")), max(col(c).cast("double")))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val perFile = df.groupBy(input_file_name().as("f"))
+        .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+        .collect()
+      assert(perFile.length > 8, s"expected many files, got ${perFile.length}")
+      perFile.map(r => (r.getDouble(2) - r.getDouble(1)) / (ghi - glo))
+        .sum / perFile.length
+    }
+    // z-order: BOTH dimensions tight per file (≈ nFiles^(-1/2) = 0.25
+    // in expectation); ts-sort: ts tight but user_id spans ~everything
+    assert(avgSpan(s"$dir/z", "user_id") < 0.5, "z user_id span")
+    assert(avgSpan(s"$dir/z", "ts") < 0.5, "z ts span")
+    assert(avgSpan(s"$dir/s", "user_id") > 0.8, "ts-sorted user_id span")
+    assert(avgSpan(s"$dir/s", "ts") < 0.5, "ts-sorted ts span")
+    // lossless: same row multiset back
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == ev.count())
+    assert(back.agg(sum("event_id")).head().getLong(0) ==
+      ev.agg(sum("event_id")).head().getLong(0))
+    // the point-lookup proxy: one user's rows live in FEW z files but
+    // in ~every ts-sorted file
+    val u = ev.select(min("user_id")).head().getLong(0)
+    def filesTouched(path: String): Long = spark.read.parquet(path)
+      .filter(col("user_id") === u)
+      .select(input_file_name()).distinct().count()
+    assert(filesTouched(s"$dir/z") <= 8,
+      s"z layout touched ${filesTouched(s"$dir/z")} files for one user")
+    assert(filesTouched(s"$dir/s") >= 12,
+      "the ts-sorted layout should scatter a user across most files")
+  }
+
   test("retention evicts the oldest partitions like the frame queue (parser.py:475-481)") {
     val dir = tmp() + "/frames"
     // three appends of time-bucketed "frames"; keep the newest 2 buckets
