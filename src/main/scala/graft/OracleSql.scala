@@ -1366,6 +1366,40 @@ private[graft] object OracleSql {
     WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
+  /** E11 replay — per-label cohesion: quantized component sums (exact
+    * int64, order-independent), the dequantized centroid, and the E1
+    * sequential cosine folds, micro-quantized before the label agg. */
+  def embedStats(dim: Int): String = materialized {
+    val D = "cast(0.0 as double)"
+    def norm2(a: String) =
+      s"""list_reduce(list_prepend($D, list_transform($a, xx -> xx*xx)), (s, x) -> s + x)"""
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend($D, list_transform(list_zip($a, $b), pp -> pp[1]*pp[2])), (s, x) -> s + x)"""
+    s"""WITH e AS (SELECT vec_id, cast(label as bigint) AS label,
+        list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+    nv AS (SELECT vec_id, label, v, ${norm2("v")} AS norm FROM e),
+    comp AS (SELECT label, unnest(range(0, $dim)) AS j,
+        unnest(list_transform(v, x -> cast(round(x * 1048576.0) as bigint))) AS q FROM e),
+    agg AS (SELECT label, j, cast(sum(q) as bigint) AS sq,
+        cast(count(*) as bigint) AS nvc FROM comp GROUP BY 1, 2),
+    cent AS (SELECT label,
+        list((cast(sq as double) / cast(nvc as double)) / 1048576.0 ORDER BY j) AS c
+      FROM agg GROUP BY label),
+    cn AS (SELECT label, c, ${norm2("c")} AS cnorm FROM cent),
+    cosr AS (SELECT n.label, cn.cnorm, cs.cos,
+        cast(round(cs.cos * 1000000.0) as bigint) AS cos_u,
+        cast(round(cs.cos * 10000.0) as bigint) AS cos_4
+      FROM nv n JOIN cn ON n.label = cn.label
+      CROSS JOIN LATERAL (SELECT ${dot("n.v", "cn.c")}
+        / (sqrt(n.norm) * sqrt(cn.cnorm)) AS cos) cs)
+    SELECT label, cast(count(*) as bigint) AS n,
+      round(sqrt(max(cnorm)), 4) AS centroid_norm4,
+      round(cast(sum(cos_u) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_cos4,
+      cast(min(cos_4) as double) / 10000.0 AS min_cos4,
+      cast(max(cos_4) as double) / 10000.0 AS max_cos4
+    FROM cosr GROUP BY label ORDER BY label"""
+  }
+
   /** B26 replay for an ARBITRARY stage list — the sequential-min window
     * chain generated per stage (w1..wN each referencing the previous
     * stage's column), exactly the operator's fold. */

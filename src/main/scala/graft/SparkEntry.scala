@@ -210,6 +210,8 @@ object SparkEntry {
     "embed_docs" -> ((s, d) => TextOps.embedDocs(tables(s, d))),
     // F29 ∘ E1: semantic search over raw text end to end
     "embed_search_topk" -> ((s, d) => TextOps.embedSearchTopK(tables(s, d))),
+    // E11: per-label embedding-space cohesion monitor
+    "embed_label_stats" -> ((s, d) => Similarity.embedStats(tables(s, d))),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
@@ -1113,6 +1115,7 @@ object SparkEntry {
     "lm_quality3" -> Lm3Sql,
     "embed_docs" -> OracleSql.embedDocs(64),
     "embed_search_topk" -> OracleSql.embedSearch(64, 5, 50),
+    "embed_label_stats" -> OracleSql.embedStats(64),
     // F19c: CCNet terciles over the F19b score — ntile(3) on the total
     // (avg_nll4, doc_id) order per source; standard-SQL ntile sizing is
     // identical cross-engine

@@ -980,4 +980,74 @@ object Similarity {
       .filter(col("pick") === 1)
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** E11 — per-label embedding-space COHESION monitor (round 13): for
+    * every label, the class size, centroid norm, and the
+    * average/min/max cosine of members to their own centroid — the
+    * health dashboard an embedding table needs before anyone trusts it
+    * for dedup, search, or kNN labeling (a label whose min-cosine
+    * collapses is polluted; a centroid norm near 0 means the class is
+    * incoherent). The F28 drift monitor for the vector modality.
+    *
+    * Bit-stability WITHOUT a canonical shuffle (a deliberate contrast
+    * to the Lloyd fold): components are QUANTIZED to 2^-20 grid longs
+    * at the scan (the F19 micro-nat rule applied per dimension), so the
+    * per-(label, dim) sums are exact int64 and order-INDEPENDENT; the
+    * dequantized centroid is a fixed two-division sequence, and member
+    * cosines quantize to micro-units before the exact-int label agg.
+    * The 2^-20 rounding of the mean is the priced trade for never
+    * re-shuffling the corpus.
+    *
+    * Scale shape: vectors NEVER cross an exchange — the component
+    * explode partial-aggregates map-side to ≤ labels×dim rows per
+    * task, centroids are model-sized and broadcast back onto the
+    * checkpointed scan, and the final agg carries 5 ints per label. */
+  def embedStats(t: Tables): DataFrame = embedStatsOf(t.embeddings)
+
+  /** Library form over any (vec_id, embedding, label) frame. */
+  def embedStatsOf(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    val Q = (1L << 20).toDouble
+    val vecs = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+      .localCheckpoint(false)
+    val comp = vecs
+      .select(col("label"), posexplode(expr(
+        s"transform(v, x -> cast(round(x * ${Q}D) as bigint))"))
+        .as(Seq("j", "q")))
+      .groupBy("label", "j")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nv"))
+    val cents = comp
+      .withColumn("m",
+        (col("sq").cast("double") / col("nv").cast("double")) / lit(Q))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(j, m))), s -> s.m)")
+        .as("c"))
+      .withColumn("cnorm", call_function("graft_norm2", col("c")))
+    // min/max quantize at 4dp DIRECTLY and the output is a plain
+    // division with NO second round: an integer micro-count divided by
+    // 1e6 lands exactly on a .xxxx5 decimal whenever it's ≡50 mod 100,
+    // and there Spark's shortest-decimal Round and DuckDB's
+    // binary-double round split — re-rounding a quantized integer is
+    // the one place the 4dp discipline is structurally ON the boundary
+    val cos = vecs.join(broadcast(cents), "label")
+      .withColumn("cos", call_function("graft_dot", col("v"), col("c"))
+        / (sqrt(col("norm")) * sqrt(col("cnorm"))))
+      .withColumn("cos_u", round(col("cos") * 1e6).cast("long"))
+      .withColumn("cos_4", round(col("cos") * 1e4).cast("long"))
+    cos.groupBy("label")
+      .agg(count(lit(1)).as("n"), max(col("cnorm")).as("cn"),
+        sum(col("cos_u")).as("su"), min(col("cos_4")).as("mn4"),
+        max(col("cos_4")).as("mx4"))
+      .select(col("label"), col("n"),
+        round(sqrt(col("cn")), 4).as("centroid_norm4"),
+        round(col("su").cast("double") / col("n").cast("double") / 1e6, 4)
+          .as("avg_cos4"),
+        (col("mn4").cast("double") / 1e4).as("min_cos4"),
+        (col("mx4").cast("double") / 1e4).as("max_cos4"))
+      .orderBy("label")
+  }
 }

@@ -373,4 +373,43 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq == expected && got.nonEmpty)
   }
+
+  test("embed stats: driver recompute + partitioning independence (E11)") {
+    val raw = t.embeddings.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val Q = (1L << 20).toDouble
+    val byLabel = raw.groupBy(_._2)
+    val expected = byLabel.map { case (lab, vs) =>
+      val dim = vs.head._3.length
+      // quantized component sums -> dequantized centroid
+      val sq = Array.fill(dim)(0L)
+      vs.foreach { case (_, _, v) =>
+        for (j <- 0 until dim)
+          sq(j) += BigDecimal(v(j) * Q)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+      val c = sq.map(s => (s.toDouble / vs.length.toDouble) / Q)
+      def fold(xs: Array[Double]): Double = xs.foldLeft(0.0)(_ + _)
+      val cn = fold(c.map(x => x * x))
+      val cosUs = vs.map { case (_, _, v) =>
+        val cos = fold(v.indices.map(j => v(j) * c(j)).toArray) /
+          (math.sqrt(fold(v.map(x => x * x))) * math.sqrt(cn))
+        (BigDecimal(cos * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+          BigDecimal(cos * 1e4).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      lab -> (vs.length.toLong,
+        BigDecimal(math.sqrt(cn)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        cosUs.map(_._2).min.toDouble / 1e4, cosUs.map(_._2).max.toDouble / 1e4)
+    }
+    val got = Similarity.embedStats(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (lab, e) => assert(got(lab) == e, s"label $lab") }
+    // the quantized-sum design is order-INDEPENDENT by construction —
+    // no canonical shuffle needed (deliberate contrast to the Lloyd fold)
+    val again = Similarity.embedStatsOf(t.embeddings.repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(again == Similarity.embedStats(t).collect().map(_.toSeq).toSet)
+  }
 }
