@@ -1181,6 +1181,61 @@ private[graft] object OracleSql {
     FROM pat p JOIN adj ON p.event_id = adj.event_id
     ORDER BY p.event_id"""
 
+  /** The G8 PCM-sample CTE: per event, the 64 int16 samples its
+    * synthetic WAV frame carries (AudioKernels.pcmSample replayed —
+    * sample i = low 16 bits of mix64(event_id*64 + i) minus 32768;
+    * every 5th event is PLANTED silent and takes only the low 8 bits
+    * minus 128). Ends in `smp(event_id, i, s)`, s BIGINT. */
+  private def pcmSamplesCte: String = {
+    def widen(c: String) = s"(CASE WHEN $c >= 0 THEN $c::HUGEINT " +
+      s"ELSE $c::HUGEINT + $TwoTo64 END)::UBIGINT"
+    val d = mix64(widen("(event_id * 64 + i)"))
+    s"""smp AS MATERIALIZED (SELECT event_id, i,
+      CASE WHEN event_id % 5 = 0
+           THEN ($d & 255::UBIGINT)::BIGINT - 128
+           ELSE ($d & 65535::UBIGINT)::BIGINT - 32768 END AS s
+    FROM events, (SELECT unnest(range(0, 64)) AS i))"""
+  }
+
+  /** mm_audio_features: every audio feature recomputed from the PCM
+    * sample spec — peak/sum_abs directly, zero crossings via the lag
+    * window, env_sig as the Σ 2^i fold over the |s(i+1)| > |s(i)|
+    * comparisons (bits 0..62 for a 64-sample frame). frame_bytes =
+    * 44 + 128 (canonical WAV header + PCM16 data). Any defect in the
+    * encoder, the EBML transport, the chunk walker, or the stats
+    * breaks the hash match. */
+  lazy val mmAudioFeatures: String =
+    s"""WITH ${pcmSamplesCte},
+    lagged AS (SELECT event_id, i, s,
+        lag(s) OVER (PARTITION BY event_id ORDER BY i) AS ps,
+        lead(s) OVER (PARTITION BY event_id ORDER BY i) AS ns
+      FROM smp)
+    SELECT event_id, cast(172 as bigint) AS frame_bytes,
+      cast(8000 as bigint) AS sample_rate, cast(64 as bigint) AS n_samples,
+      max(abs(s)) AS peak, cast(sum(abs(s)) as bigint) AS sum_abs,
+      cast(sum(CASE WHEN i > 0 AND ((s >= 0) != (ps >= 0)) THEN 1 ELSE 0 END)
+        as bigint) AS zero_crossings,
+      ${signed(s"""sum(CASE WHEN i < 63 AND abs(ns) > abs(s)
+        THEN (1::HUGEINT << i::INT) ELSE 0::HUGEINT END)::UBIGINT""")}
+        AS env_sig
+    FROM lagged GROUP BY event_id
+    ORDER BY event_id"""
+
+  /** mm_audio_vad: the voice-activity gate + per-user voiced census
+    * replayed — voiced iff sum|s| >= 64 * 4096 (exact integers), rolled
+    * up per user with the permille as floor division. */
+  lazy val mmAudioVad: String =
+    s"""WITH ${pcmSamplesCte},
+    fr AS (SELECT e.event_id, e.user_id,
+        CASE WHEN a.sum_abs >= 64 * 4096 THEN 1 ELSE 0 END AS voiced
+      FROM events e JOIN (SELECT event_id, sum(abs(s)) AS sum_abs
+        FROM smp GROUP BY event_id) a ON e.event_id = a.event_id)
+    SELECT user_id, count(*) AS n_frames,
+      cast(sum(voiced) as bigint) AS n_voiced,
+      (cast(sum(voiced) as bigint) * 1000) // count(*) AS voiced_permille
+    FROM fr GROUP BY user_id
+    ORDER BY user_id"""
+
   /** mm_frame_dedup: the 7-band pigeonhole layout replayed on the
     * pattern (complete for Hamming <= 6), DISTINCT band-bucket pairs,
     * bit_count verification — the same candidate set the operator's

@@ -162,6 +162,8 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
+    "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(tables(s, d))),
+    "mm_audio_vad" -> ((s, d) => Multimodal.mmAudioVad(tables(s, d))),
     // G7: incremental frame dedup against the persisted dHash-band
     // index — the seq == 6 slice of the sampled library (seq =
     // (frame_id/10) % 8; an even slice, so it carries planted family
@@ -1629,6 +1631,8 @@ object SparkEntry {
     // G2 real-decoder / G6 perceptual-dedup oracles: generated mix64
     // replays of the frame pattern (OracleSql.framePatternCte)
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
+    "mm_audio_features" -> OracleSql.mmAudioFeatures,
+    "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_frame_dedup" -> OracleSql.mmFrameDedup,
     "mm_frame_dedup_incremental" -> OracleSql.mmFrameDedupIncremental
   )

@@ -264,6 +264,62 @@ object Multimodal {
   def mmFeaturesBmp(t: Tables): DataFrame =
     featuresCore(withBmpBlobSorted(t), BmpFrameDecoder)
 
+  /** Whether an event's synthetic audio frame is PLANTED silent: every
+    * 5th event carries a low-amplitude (|s| <= 128) sample stream, the
+    * rest span the full 16-bit range — the two populations a
+    * voice-activity gate must separate. */
+  private def silentCol: Column = col("event_id") % 5L === 0L
+
+  private def wavBlobCol: Column = EbmlFunctions.encodeFragmentFrame(
+    col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+    call_function("graft_wav_encode", col("event_id"), silentCol))
+
+  /** Sorted-before-encode variant (the [[withBlobSorted]] rule). */
+  private def withWavBlobSorted(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", wavBlobCol)
+  }
+
+  /** G8 — the AUDIO modality through the same codec seam: fragments
+    * whose SimpleBlock payload is a RIFF/WAVE PCM16 frame
+    * ([[graft.plans.AudioKernels]]), decoded by [[WavFrameDecoder]] —
+    * generic chunk walk, exact integer signal stats (peak, sum|s|,
+    * zero crossings) and the 64-bit envelope signature (the audio
+    * dHash). Identical plan shape to [[mmFeaturesBmp]] (shared
+    * [[featuresCore]]); the oracle replays every PCM sample from the
+    * splitmix64 stream spec, pinning encoder ∘ EBML transport ∘ block
+    * walk ∘ decoder end to end. */
+  def mmAudioFeatures(t: Tables): DataFrame =
+    featuresCore(withWavBlobSorted(t), WavFrameDecoder)
+
+  /** G8b — voice-activity gating + per-user voiced census: decode each
+    * audio frame, gate on mean |amplitude| (sum_abs >= n_samples *
+    * minMeanAbs, exact integers so the cut cannot waver), and roll up
+    * per user — the audio curation step that drops silence before
+    * expensive ASR/embedding stages. The planted silent population
+    * (every 5th event, amplitude <= 128) sits ~2000x below the voiced
+    * one, so the gate's behavior is provable, and the oracle replays
+    * the same sample arithmetic. Plan: per-row encode/decode kernels,
+    * ONE exchange (the user rollup's partial agg). */
+  def mmAudioVad(t: Tables, minMeanAbs: Long = 4096L): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val f = call_function("graft_wav_features",
+      call_function("graft_wav_encode", col("event_id"), silentCol))
+    t.events
+      .withColumn("voiced",
+        (f.getField("sum_abs") >= f.getField("n_samples") * minMeanAbs)
+          .cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("voiced")).as("n_voiced"))
+      .withColumn("voiced_permille",
+        call_function("div", col("n_voiced") * 1000L, col("n_frames")))
+      .orderBy("user_id")
+  }
+
   /** The sampled frame library as a plain (frame_id, frame) binary
     * frame table — the shared input of [[mmFrameDedup]] and the
     * persisted [[FrameIndex]] lifecycle (decode happens downstream of
@@ -336,6 +392,25 @@ object BmpFrameDecoder extends FrameDecoder {
       f.getField("height").as("height"),
       f.getField("mean_milli").as("mean_milli"),
       f.getField("dhash").as("dhash"))
+  }
+}
+
+/** The audio twin of [[BmpFrameDecoder]] over
+  * [[graft.plans.AudioKernels]]'s RIFF/WAVE frames: exact integer
+  * signal statistics from a real chunk-walking parse (one codegen
+  * kernel; subexpression elimination evaluates the decode once per row
+  * across the six fields). */
+object WavFrameDecoder extends FrameDecoder {
+  val name = "wav-pcm16"
+  def features(frame: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val f = call_function("graft_wav_features", frame)
+    Seq(f.getField("sample_rate").as("sample_rate"),
+      f.getField("n_samples").as("n_samples"),
+      f.getField("peak").as("peak"),
+      f.getField("sum_abs").as("sum_abs"),
+      f.getField("zero_crossings").as("zero_crossings"),
+      f.getField("env_sig").as("env_sig"))
   }
 }
 

@@ -612,6 +612,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => BmpEncode(exprs.head)),
     ("graft_bmp_features", classOf[BmpFeatures],
       (exprs: Seq[Expression]) => BmpFeatures(exprs.head)),
+    ("graft_wav_encode", classOf[WavEncode],
+      (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
+    ("graft_wav_features", classOf[WavFeatures],
+      (exprs: Seq[Expression]) => WavFeatures(exprs.head)),
     // bare AggregateFunction like graft_vec_sum: the analyzer wraps it
     ("graft_bloom_agg", classOf[BloomAgg],
       (exprs: Seq[Expression]) => BloomAgg(exprs.head,

@@ -41,4 +41,42 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.forall(p => banded.exists(x => (x._1, x._2) == p)),
       "every planted same-user family pair must be detected")
   }
+
+  test("mm_audio_vad gate separates the planted silent population EXACTLY (G8b)") {
+    graft.plans.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    // per-frame gate verdicts, recomputed independently of the rollup
+    val f = call_function("graft_wav_features",
+      call_function("graft_wav_encode", col("event_id"), col("event_id") % 5 === 0))
+    val verdicts = t.events
+      .select(col("event_id"),
+        (f.getField("sum_abs") >= f.getField("n_samples") * 4096L).as("voiced"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(verdicts.nonEmpty)
+    // the gate must equal the plant: voiced iff event_id % 5 != 0 —
+    // silent frames are bounded at sum|s| <= 64*128, voiced ones sit
+    // ~2000x above the threshold, so NO frame may straddle it
+    verdicts.foreach { case (id, voiced) =>
+      assert(voiced == (id % 5 != 0), s"gate misclassified event $id")
+    }
+    // and the rollup conserves counts: sum over users == total frames
+    val rolled = Multimodal.mmAudioVad(t).collect()
+    assert(rolled.map(_.getLong(1)).sum == verdicts.length)
+    assert(rolled.map(_.getLong(2)).sum == verdicts.count(_._2))
+  }
+
+  test("mm_audio_features rides the EBML transport: decode(firstBlock(encode)) == direct decode (G8)") {
+    graft.plans.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val direct = call_function("graft_wav_features",
+      call_function("graft_wav_encode", col("event_id"), col("event_id") % 5 === 0))
+    val expect = t.events
+      .select(col("event_id"), direct.getField("env_sig").as("sig"),
+        direct.getField("zero_crossings").as("zc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Multimodal.mmAudioFeatures(t)
+      .select("event_id", "env_sig", "zero_crossings")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "EBML block transport must be byte-lossless for audio frames")
+  }
 }
