@@ -58,6 +58,11 @@ object SparkEntry {
     // result hashes identically to enrich_events
     "enrich_events_bucketed" -> ((s, d) =>
       Analytics.enrichEventsBucketed(tables(s, d), d)),
+    // H13: MERGE upsert/delete into a hash-partitioned parquet
+    // snapshot, touched-partition-only rewrite (replay-idempotent, so
+    // every run times the real merge write)
+    "merge_upsert" -> ((s, d) =>
+      graft.sources.Snapshot.mergeUpsertQuery(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
@@ -777,6 +782,21 @@ object SparkEntry {
           cast(sum($centsValue) as bigint) AS sum_value_c
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // H13: the MERGE's final state replayed relationally — survivors
+    // (base minus every batch key) + modified upserts + new-key inserts
+    "merge_upsert" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+          $centsTotal AS total_c, o_orderpriority AS priority FROM orders),
+        batch_keys AS (SELECT k FROM base WHERE (k % 7 = 3 AND k % 11 != 5) OR k % 11 = 5),
+        up AS (SELECT k, 'M' AS status, total_c + 12345 AS total_c, priority
+          FROM base WHERE k % 7 = 3 AND k % 11 != 5),
+        ins AS (SELECT k + 10000000 AS k, 'N' AS status, total_c, priority
+          FROM base WHERE k % 13 = 1)
+        SELECT k, status, total_c, priority FROM base
+          WHERE k NOT IN (SELECT k FROM batch_keys)
+        UNION ALL SELECT * FROM up
+        UNION ALL SELECT * FROM ins
+        ORDER BY k""",
     "quality_by_source" ->
       """WITH d AS (SELECT source, cast(length(text) as bigint) AS len,
           cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS w,
