@@ -63,6 +63,12 @@ object SparkEntry {
     // every run times the real merge write)
     "merge_upsert" -> ((s, d) =>
       graft.sources.Snapshot.mergeUpsertQuery(tables(s, d), d)),
+    // H13b: versioned APPLY CHANGES with tombstones — the events
+    // changelog applied in four OUT-OF-ORDER micro-batches; the oracle
+    // gates that the end state equals the global latest-wins election
+    // regardless of the batch split
+    "merge_cdc" -> ((s, d) =>
+      graft.sources.Snapshot.mergeCdcQuery(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
@@ -797,6 +803,19 @@ object SparkEntry {
         UNION ALL SELECT * FROM up
         UNION ALL SELECT * FROM ins
         ORDER BY k""",
+    // H13b: whatever the micro-batch split and order, the CDC end state
+    // is the per-key global-max-version row, with error-latest keys
+    // tombstoned away
+    "merge_cdc" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+          cast(round(value*100) as bigint) AS value_c FROM events),
+        r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e)
+        SELECT user_id, event_id AS last_event_id, ts_ms AS last_ms,
+          event_type AS last_type, value_c AS last_value_c
+        FROM r WHERE rn = 1 AND event_type != 'error'
+        ORDER BY user_id""",
     "quality_by_source" ->
       """WITH d AS (SELECT source, cast(length(text) as bigint) AS len,
           cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS w,

@@ -96,6 +96,118 @@ object Snapshot {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("bucket")
 
+  /** H13b — APPLY CHANGES INTO (the CDC form of [[merge]], Delta's
+    * `APPLY CHANGES` / Iceberg's upsert sink): `changes` carries the
+    * key, an orderable `ver` column (struct versions work — here
+    * (ts_ms, event_id)), an `op` column ("U" upsert / "D" delete), and
+    * payload. Unlike [[merge]], application is VERSIONED — a change
+    * applies only if its version is >= the stored one — and deletes
+    * write TOMBSTONES (a `deleted` flag carrying the version) instead
+    * of dropping the row, so an out-of-order older upsert arriving in a
+    * LATER batch cannot resurrect a deleted key (the classic CDC-sink
+    * hazard). Consequences, all spec-pinned:
+    *
+    *   - micro-batches may arrive in ANY order: the final state is the
+    *     per-key global-max-version row, whatever the batch split;
+    *   - replay-idempotent (re-applying any batch is a no-op);
+    *   - storage cost: touched partitions only, exactly as [[merge]].
+    *
+    * Within-batch compaction happens here too (max (ver, …) struct per
+    * key — the B23 election), so callers stream raw changelogs. */
+  def mergeCdc(spark: SparkSession, path: String, changes: DataFrame,
+      keyCol: String, buckets: Int = DefaultBuckets): Unit = {
+    graft.plans.VectorFunctions.register(spark)
+    val payloadCols = changes.columns.filterNot(
+      c => c == keyCol || c == "ver" || c == "op").toSeq
+    // within-batch winner per key: ver leads the struct ordering and is
+    // unique per change, so the election is total
+    val winner = changes
+      .select(col(keyCol), struct(
+        (col("ver") +: col("op") +: payloadCols.map(col)): _*).as("w"))
+      .groupBy(keyCol).agg(max(col("w")).as("w"))
+      .select(col(keyCol) +: col("w.ver").as("ver") +:
+        col("w.op").as("op") +: payloadCols.map(c => col(s"w.$c").as(c)): _*)
+    val bb = winner.withColumn("bucket", bucketOf(col(keyCol), buckets))
+    val touched = bb.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    // stored struct layout — identical field order on both sides
+    def stored(df: DataFrame, deleted: Column): Column = struct(
+      (col("ver") +: payloadCols.map(col)) :+ deleted.as("deleted") :+
+        col("bucket"): _*)
+    val basePath = new Path(path)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasBase = fs.exists(basePath) &&
+      fs.listStatus(basePath).exists(_.getPath.getName.startsWith("bucket="))
+    val chg = bb.select(col(keyCol), stored(bb, col("op") === "D").as("c"))
+    val joined = if (hasBase) {
+      val base = spark.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*))
+      val b2 = base.select(col(keyCol), struct(
+        (col("ver") +: payloadCols.map(col)) :+ col("deleted") :+
+          col("bucket"): _*).as("b"))
+      b2.join(chg, Seq(keyCol), "full_outer")
+    } else chg.withColumn("b", lit(null).cast(chg.schema("c").dataType))
+    val picked = when(col("c").isNull, col("b"))
+      .when(col("b").isNull, col("c"))
+      .when(col("c.ver") >= col("b.ver"), col("c"))
+      .otherwise(col("b"))
+    val merged = joined.select(col(keyCol), picked.as("st"))
+      .select(col(keyCol), col("st.*"))
+      .localCheckpoint(true)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    merged.unpersist()
+  }
+
+  /** The live rows of a CDC snapshot (tombstones and layout dropped). */
+  def readLive(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(!col("deleted"))
+      .drop("deleted", "bucket")
+
+  /** The [Q:merge_cdc] fixture: the events changelog keyed by user_id,
+    * version = (ts_ms, event_id), op = D for 'error' events (the
+    * account-close tombstone) else U — applied in FOUR out-of-order
+    * micro-batches (event_id % 4 slices in order 3 → 1 → 0 → 2, slice 3
+    * seeding the snapshot), so the version discipline and tombstone
+    * semantics are what the oracle actually gates: the end state must
+    * equal the global latest-wins election with error-latest users
+    * absent, regardless of the batch split. Replay-idempotent per
+    * batch, so every run re-applies the three merges onto the settled
+    * snapshot and converges to the same state. */
+  def mergeCdcQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.events.sparkSession
+    val changes = t.events
+      .withColumn("ts_ms", graft.functions.nanosToMs(col("ts")))
+      .select(col("user_id"),
+        struct(col("ts_ms"), col("event_id")).as("ver"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type").as("typ"),
+        graft.functions.cents(col("value")).as("value_c"),
+        col("event_id"))
+    val out = new Path(System.getProperty("java.io.tmpdir"),
+      s"graft_cdc_snapshot_v1_b$DefaultBuckets" + s"_${math.abs(sfDir.hashCode)}")
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(out.getParent, out.getName + "_SEEDED")
+    def slice(i: Int) = changes.filter(col("event_id") % 4 === i).drop("event_id")
+    if (!fs.exists(marker)) {
+      fs.delete(out, true)
+      mergeCdc(spark, out.toString, slice(3), "user_id")
+      fs.create(marker, true).close()
+    }
+    for (i <- Seq(1, 0, 2)) mergeCdc(spark, out.toString, slice(i), "user_id")
+    readLive(spark, out.toString)
+      .select(col("user_id"), col("ver.event_id").as("last_event_id"),
+        col("ver.ts_ms").as("last_ms"), col("typ").as("last_type"),
+        col("value_c").as("last_value_c"))
+      .orderBy("user_id")
+  }
+
   /** The [Q:merge_upsert] fixture: base = orders keyed by o_orderkey
     * (status/price-cents/priority payload), batch = all three MERGE
     * verbs derived deterministically from the base — modified-row

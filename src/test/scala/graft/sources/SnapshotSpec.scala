@@ -80,6 +80,85 @@ class SnapshotSpec extends SparkSpec {
     assert(got(k0) == "changed" && got.size == keys.size)
   }
 
+  private def cdcBatch(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v", "op", "payload")
+      .select(col("k"), col("v").as("ver"), col("op"), col("payload"))
+  }
+
+  private def cdcState(dir: String): Map[Long, (Long, String)] =
+    Snapshot.readLive(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("mergeCdc: version discipline — an older change arriving later cannot regress state") {
+    val dir = freshDir()
+    Snapshot.mergeCdc(spark, dir, cdcBatch(Seq((1L, 5L, "U", "v5"))), "k")
+    Snapshot.mergeCdc(spark, dir, cdcBatch(Seq((1L, 3L, "U", "v3-stale"))), "k")
+    assert(cdcState(dir) == Map(1L -> (5L, "v5")))
+  }
+
+  test("mergeCdc: tombstones block resurrection by stale upserts, newer upserts revive") {
+    val dir = freshDir()
+    Snapshot.mergeCdc(spark, dir, cdcBatch(Seq((1L, 10L, "D", "x"), (2L, 1L, "U", "a"))), "k")
+    // stale upsert (ver 7 < tombstone ver 10) must NOT resurrect key 1
+    Snapshot.mergeCdc(spark, dir, cdcBatch(Seq((1L, 7L, "U", "stale"))), "k")
+    assert(cdcState(dir) == Map(2L -> (1L, "a")))
+    // a genuinely newer upsert revives it
+    Snapshot.mergeCdc(spark, dir, cdcBatch(Seq((1L, 12L, "U", "revived"))), "k")
+    assert(cdcState(dir) == Map(1L -> (12L, "revived"), 2L -> (1L, "a")))
+  }
+
+  test("mergeCdc: end state is batch-split invariant and equals the latest-wins election") {
+    import spark.implicits._
+    // a changelog of 60 changes over 12 keys, versions shuffled across
+    // batches deterministically
+    val changes = (1L to 60L).map { v =>
+      val k = v % 12
+      val op = if (Hashing.mix64(v) % 4 == 0) "D" else "U"
+      (k, v, op, s"p$v")
+    }
+    val expect = changes.groupBy(_._1).map { case (k, cs) =>
+      k -> cs.maxBy(_._2)
+    }.collect { case (k, (_, v, "U", p)) => k -> (v, p) }.toMap
+    for (nSplits <- Seq(1, 3, 5)) {
+      val dir = freshDir()
+      // interleaved assignment + reversed application order: batches
+      // arrive thoroughly out of version order
+      val batches = (0 until nSplits).reverse.map(i =>
+        changes.filter(c => (c._2 % nSplits) == i))
+      batches.foreach(b => Snapshot.mergeCdc(spark, dir, cdcBatch(b), "k"))
+      assert(cdcState(dir) == expect, s"state diverged at $nSplits splits")
+      // replaying every batch again is a no-op
+      batches.foreach(b => Snapshot.mergeCdc(spark, dir, cdcBatch(b), "k"))
+      assert(cdcState(dir) == expect, s"replay changed state at $nSplits splits")
+    }
+  }
+
+  test("mergeCdc as a streaming sink: foreachBatch loop over a MemoryStream changelog ≡ latest-wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = input.toDF().toDF("k", "v", "op", "payload")
+      .select(col("k"), col("v").as("ver"), col("op"), col("payload"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Snapshot.mergeCdc(spark, dir, batch, "k")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cdc_ck").toString)
+      .start()
+    input.addData((1L, 2L, "U", "b1"), (2L, 1L, "U", "x"))
+    q.processAllAvailable()
+    input.addData((1L, 1L, "U", "stale"), (2L, 5L, "D", ""))
+    q.processAllAvailable()
+    input.addData((3L, 9L, "U", "new"))
+    q.processAllAvailable()
+    q.stop()
+    assert(cdcState(dir) == Map(1L -> (2L, "b1"), 3L -> (9L, "new")))
+  }
+
   test("a bucket whose rows are all deleted is swept (dynamic overwrite writes nothing there)") {
     import spark.implicits._
     val dir = freshDir()
