@@ -1181,6 +1181,36 @@ private[graft] object OracleSql {
     FROM pat p JOIN adj ON p.event_id = adj.event_id
     ORDER BY p.event_id"""
 
+  /** C22 replay — the k-round exact-integer PageRank as k chained CTE
+    * blocks over the bipartite purchase graph: micro-unit ranks,
+    * damping as the rational 17/20, per-edge floor division; same
+    * arithmetic, same fixpoint, bit-for-bit. */
+  def supplierPagerank(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH pairs AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+    edges AS (SELECT c + 10000000 AS src, s AS dst, w FROM pairs
+      UNION ALL SELECT s AS src, c + 10000000 AS dst, w FROM pairs),
+    ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.wout FROM edges e
+      JOIN (SELECT src, cast(sum(w) as bigint) AS wout FROM edges GROUP BY src) o
+        ON e.src = o.src),
+    r0 AS MATERIALIZED (SELECT DISTINCT src AS node, cast(1000000 as bigint) AS r
+      FROM edges)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+    r$i AS MATERIALIZED (SELECT n.node,
+        150000 + coalesce(cast(sum((r.r * 17 * e.w) // (e.wout * 20)) as bigint), 0) AS r
+      FROM r0 n
+      LEFT JOIN ew e ON e.dst = n.node
+      LEFT JOIN r${i - 1} r ON r.node = e.src
+      GROUP BY n.node)""")
+    }
+    sb.append(s"""
+    SELECT node AS s_suppkey, r AS rank_u FROM r$iters
+    WHERE node < 10000000 ORDER BY node""")
+    sb.toString
+  }
+
   /** The G8 PCM-sample CTE: per event, the 64 int16 samples its
     * synthetic WAV frame carries (AudioKernels.pcmSample replayed —
     * sample i = low 16 bits of mix64(event_id*64 + i) minus 32768;

@@ -71,6 +71,8 @@ object SparkEntry {
       graft.sources.Snapshot.mergeCdcQuery(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
+    // C22: exact-integer PageRank fixpoint over the purchase graph
+    "supplier_pagerank" -> ((s, d) => Analytics.supplierPagerank(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
     "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
     // B1b: backward as-of — the "state in force at event time" mirror
@@ -831,6 +833,7 @@ object SparkEntry {
       s"""SELECT o_orderkey, $centsTotal AS price_c FROM orders
         WHERE $centsTotal > (SELECT cast(sum($centsTotal) as bigint)/count(*) FROM orders)
         ORDER BY o_orderkey""",
+    "supplier_pagerank" -> OracleSql.supplierPagerank(6),
     "asof_next_marker" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
           CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)

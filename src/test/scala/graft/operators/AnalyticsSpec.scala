@@ -190,4 +190,24 @@ class AnalyticsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
   }
+
+  test("pagerank: micro-unit quantization is drift-free on regular graphs, ranks order by structure (C22)") {
+    import spark.implicits._
+    // symmetric 2-cycle: contribution = (1e6*17*w)//(20*w) = 850000,
+    // rank = 150000 + 850000 = exactly 1e6 every round — the integer
+    // discipline introduces NO drift where the real fixpoint is uniform
+    val ring = Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    val r2 = Analytics.pagerankOf(ring, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1000000L, 2L -> 1000000L))
+    // a star: the hub receives every spoke's full damped mass and must
+    // outrank the spokes, which split the hub's mass k ways
+    val star = (2L to 5L).flatMap(s => Seq((1L, s, 1L), (s, 1L, 1L)))
+      .toDF("src", "dst", "w")
+    val rs = Analytics.pagerankOf(star, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 5L).forall(s => rs(1L) > rs(s)),
+      s"hub must outrank spokes: $rs")
+    assert((2L to 5L).map(rs).distinct.size == 1, "spokes are symmetric")
+  }
 }
