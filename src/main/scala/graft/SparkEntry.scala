@@ -73,6 +73,8 @@ object SparkEntry {
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // C22: exact-integer PageRank fixpoint over the purchase graph
     "supplier_pagerank" -> ((s, d) => Analytics.supplierPagerank(tables(s, d))),
+    // C23: Deequ-style constraint audit (healthy tables -> all zeros)
+    "dq_audit" -> ((s, d) => Analytics.dqAudit(tables(s, d))),
     // §2B consumer stream semantics (batch forms)
     "asof_next_marker" -> ((s, d) => EventOps.asofNextMarker(tables(s, d))),
     // B1b: backward as-of — the "state in force at event time" mirror
@@ -834,6 +836,43 @@ object SparkEntry {
         WHERE $centsTotal > (SELECT cast(sum($centsTotal) as bigint)/count(*) FROM orders)
         ORDER BY o_orderkey""",
     "supplier_pagerank" -> OracleSql.supplierPagerank(6),
+    // C23: each constraint check replayed as a scalar count
+    "dq_audit" ->
+      """SELECT * FROM (
+        SELECT 'customer_orphan_nation' AS check_name, count(*) AS n_violations
+          FROM customer c WHERE c_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL SELECT 'documents_duplicate_id', count(*) FROM
+          (SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+        UNION ALL SELECT 'documents_empty_text', count(*) FROM documents
+          WHERE text IS NULL OR length(text) = 0
+        UNION ALL SELECT 'events_duplicate_id', count(*) FROM
+          (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+        UNION ALL SELECT 'events_negative_value', count(*) FROM events WHERE value < 0
+        UNION ALL SELECT 'events_null_user', count(*) FROM events WHERE user_id IS NULL
+        UNION ALL SELECT 'lineitem_duplicate_line', count(*) FROM
+          (SELECT l_orderkey, l_linenumber FROM lineitem
+           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        UNION ALL SELECT 'lineitem_orphan_order', count(*) FROM lineitem l
+          WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL SELECT 'lineitem_orphan_part', count(*) FROM lineitem l
+          WHERE l_partkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL SELECT 'lineitem_orphan_supplier', count(*) FROM lineitem l
+          WHERE l_suppkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        UNION ALL SELECT 'orders_duplicate_key', count(*) FROM
+          (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL SELECT 'orders_orphan_customer', count(*) FROM orders o
+          WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL SELECT 'orders_unknown_status', count(*) FROM orders
+          WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')
+        UNION ALL SELECT 'supplier_orphan_nation', count(*) FROM supplier s
+          WHERE s_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        ) ORDER BY check_name""",
     "asof_next_marker" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
           CASE WHEN event_type='error' THEN event_id END AS marker_id FROM events)

@@ -659,6 +659,70 @@ object Analytics {
     ranks
   }
 
+  /** C23 — declarative DATA-QUALITY AUDIT (the Deequ/dbt-test role): a
+    * catalog of constraint checks — referential integrity, key
+    * uniqueness, null/empty payloads, domain membership — evaluated in
+    * one submission, each as the violation COUNT a monitoring system
+    * alerts on. Healthy tables audit to all-zero counts (this corpus
+    * does — the point of the query); the library forms below are what a
+    * user composes over their own tables, and the spec plants each
+    * violation class to prove detection.
+    *
+    * Scale shape: every check is one scan + at most one exchange
+    * (anti-join on the key for orphans — parent side broadcast when
+    * dim-sized; partial-agg dedup census for uniqueness); checks are
+    * independent branches of one union, so the scheduler overlaps
+    * them. Nothing collects. */
+  def dqAudit(t: Tables): DataFrame = {
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "customer_orphan_nation" ->
+        orphans(t.customer, t.nation, "c_nationkey", "n_nationkey"),
+      "documents_duplicate_id" -> duplicateKeys(t.documents, Seq("doc_id")),
+      "documents_empty_text" ->
+        t.documents.filter(col("text").isNull || length(col("text")) === 0),
+      "events_duplicate_id" -> duplicateKeys(t.events, Seq("event_id")),
+      "events_negative_value" -> t.events.filter(col("value") < 0),
+      "events_null_user" -> t.events.filter(col("user_id").isNull),
+      "lineitem_duplicate_line" ->
+        duplicateKeys(t.lineitem, Seq("l_orderkey", "l_linenumber")),
+      "lineitem_orphan_order" ->
+        orphans(t.lineitem, t.orders, "l_orderkey", "o_orderkey"),
+      "lineitem_orphan_part" ->
+        orphans(t.lineitem, t.part, "l_partkey", "p_partkey"),
+      "lineitem_orphan_supplier" ->
+        orphans(t.lineitem, t.supplier, "l_suppkey", "s_suppkey"),
+      "orders_duplicate_key" -> duplicateKeys(t.orders, Seq("o_orderkey")),
+      "orders_orphan_customer" ->
+        orphans(t.orders, t.customer, "o_custkey", "c_custkey"),
+      "orders_unknown_status" ->
+        domainViolations(t.orders, "o_orderstatus", Seq("O", "F", "P")),
+      "supplier_orphan_nation" ->
+        orphans(t.supplier, t.nation, "s_nationkey", "n_nationkey"))
+    checks.map { case (name, viol) =>
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  /** Referential-integrity violations: child rows whose foreign key has
+    * no parent (NULL keys excluded — that is the null check's job). */
+  def orphans(child: DataFrame, parent: DataFrame,
+      fk: String, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+
+  /** Key-uniqueness violations: one row per key value occurring > 1
+    * times (so the count is "how many keys are duplicated"). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Domain-membership violations: rows whose column is outside the
+    * allowed value set (NULL counts as a violation — an enum column
+    * must be populated). */
+  def domainViolations(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.filter(col(c).isNull || !col(c).isin(allowed: _*))
+
   /** C13 — scalar-aggregate filter (orders above global average price); the
     * 1-row average is broadcast, not recomputed per row. */
   def aboveAvgFilter(t: Tables): DataFrame = {

@@ -210,4 +210,36 @@ class AnalyticsSpec extends SparkSpec {
       s"hub must outrank spokes: $rs")
     assert((2L to 5L).map(rs).distinct.size == 1, "spokes are symmetric")
   }
+
+  test("dq checks detect every planted violation class (C23)") {
+    import spark.implicits._
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val child = Seq[(Long, java.lang.Long)]((10L, 1L), (11L, 2L),
+      (12L, 99L), // 99 orphan
+      (13L, null)) // null fk: NOT an orphan
+      .toDF("id", "fk")
+    assert(Analytics.orphans(child, parent, "fk", "pk")
+      .collect().map(_.getLong(0)).toSeq == Seq(12L))
+    val dups = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w"), (3L, "v"))
+      .toDF("k", "v")
+    assert(Analytics.duplicateKeys(dups, Seq("k"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // composite key: same first component, distinct pairs -> no dup
+    val comp = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)).toDF("a", "b")
+    assert(Analytics.duplicateKeys(comp, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    val dom = Seq("O", "F", "Z", null).toDF("st")
+    assert(Analytics.domainViolations(dom, "st", Seq("O", "F", "P")).count() == 2L)
+    // the corpus audit: one row per check, everything clean EXCEPT the
+    // real finding — the synthetic generator does not enforce
+    // (l_orderkey, l_linenumber) uniqueness, which is exactly the kind
+    // of generator defect this audit exists to surface
+    val audit = Analytics.dqAudit(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.size == 14)
+    assert(audit("lineitem_duplicate_line") > 0L,
+      "the known generator defect must be detected")
+    assert((audit - "lineitem_duplicate_line").values.forall(_ == 0L),
+      s"unexpected violations: ${audit.filter(_._2 != 0).mkString(",")}")
+  }
 }
