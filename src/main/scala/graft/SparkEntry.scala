@@ -101,6 +101,8 @@ object SparkEntry {
     "lag_monitor" -> ((s, d) => EventOps.lagMonitor(tables(s, d))),
     "resume_from_token" -> ((s, d) => EventOps.resumeFromToken(tables(s, d))),
     "sessionize" -> ((s, d) => EventOps.sessionize(tables(s, d))),
+    // B28: per-session ordered transcript assembly (chat-corpus step)
+    "session_transcripts" -> ((s, d) => EventOps.sessionTranscripts(tables(s, d))),
     "reconnect_accounting" -> ((s, d) => EventOps.reconnectAccounting(tables(s, d))),
     // B23-B25 CDC/state shapes over the change log: latest-wins
     // compaction (partial-agg max-struct, no window sort), SCD-2
@@ -943,6 +945,18 @@ object SparkEntry {
         c AS (SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id
           ORDER BY ts_ms, event_id) as bigint) AS session_id FROM s)
         SELECT user_id, session_id, count(*) AS n, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // B28: same session labeling, transcript = total-order string_agg
+    "session_transcripts" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e),
+        s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+          THEN 1 ELSE 0 END AS new_sess FROM l),
+        c AS (SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id) as bigint) AS session_id FROM s)
+        SELECT user_id, session_id, count(*) AS n_turns,
+          max(ts_ms) - min(ts_ms) AS dur_ms,
+          string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS transcript
         FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "reconnect_accounting" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),

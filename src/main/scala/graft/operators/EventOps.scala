@@ -153,6 +153,43 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** B28 — SESSION-TRANSCRIPT assembly (round 13): turn the sessionized
+    * event log into one ordered transcript row per session — the
+    * chat/interaction-corpus construction step an LLM data pipeline
+    * runs between sessionization and tokenization (each transcript is
+    * a training document). Same session rule as [[sessionize]] (gap >
+    * 1 h splits), same SINGLE user_id exchange: the window labels
+    * sessions and the per-session agg rides the window's partitioning
+    * (subset rule). The collected payload is session-bounded metadata
+    * (event types + timestamps, not raw payloads), the G5c justification
+    * — a session fits executor memory at any corpus scale; sort_array
+    * over (ts_ms, event_id) structs makes the concatenation order total
+    * and partitioning-independent. */
+  def sessionTranscripts(t: Tables, gapMs: Long = 3600000L): DataFrame =
+    sessionTranscriptsOf(withMs(t), gapMs)
+
+  /** Library form over any (user_id, event_id, ts_ms, event_type). */
+  def sessionTranscriptsOf(e: DataFrame, gapMs: Long = 3600000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    e
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("dur_ms"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col("ts_ms"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("transcript"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** B7b — reconnect accounting (parser.py:223-229): the reference counts
     * a reconnect after at least one successfully-read packet as a RENEWAL
     * (the continuation token advanced; the counter resets the failure

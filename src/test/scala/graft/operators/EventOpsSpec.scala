@@ -334,4 +334,28 @@ class EventOpsSpec extends SparkSpec {
     assert("partial_collect_set|objHashAggregate|ObjectHashAggregate".r
       .findAllIn(plan).nonEmpty, s"expected map-side partial collect_set:\n$plan")
   }
+
+  test("session transcripts: ordered assembly, gap splits, one user_id exchange (B28)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted: user 1 has two sessions (gap > 1h), order within session
+    // decided by ts then event_id; user 2 one session out-of-arrival-order
+    val h = 3600000L
+    val e = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, 1000L, "b"), (1L, 3L, 1000L, "c"),
+      (1L, 4L, 2 * h + 1000L, "d"),
+      (2L, 5L, 500L, "y"), (2L, 6L, 100L, "x"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+    val got = graft.operators.EventOps.sessionTranscriptsOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 1000L, "a>b>c"),
+      (1L, 2L, 1L, 0L, "d"),
+      (2L, 1L, 2L, 400L, "x>y")))
+    val plan = graft.operators.EventOps.sessionTranscripts(t)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"transcript assembly must ride the window's user_id exchange, got $exchanges:\n$plan")
+  }
 }
