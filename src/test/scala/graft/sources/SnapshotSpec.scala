@@ -159,6 +159,50 @@ class SnapshotSpec extends SparkSpec {
     assert(cdcState(dir) == Map(1L -> (2L, "b1"), 3L -> (9L, "new")))
   }
 
+  test("compaction bin-packs merge-fragmented partitions losslessly; large files untouched (H14)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.writeBase(baseDf(1L to 200L), "k", dir)
+    // fragment: five single-key merges each leave another small file in
+    // the touched partition
+    for (k <- Seq(5L, 5L + 16L, 5L + 32L, 5L + 48L, 5L + 64L)) {
+      val b = Seq((k, s"u$k", "U")).toDF("k", "payload", "op")
+      Snapshot.merge(spark, dir, b, "k")
+    }
+    def contents() = Snapshot.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def nFiles() = (0L until B.toLong).map { b =>
+      val d = new java.io.File(s"$dir/bucket=$b")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet")) else 0
+    }.sum
+    val want = contents()
+    val fragmented = nFiles()
+    // everything here is tiny, so with a 1 MiB small-file threshold all
+    // files pack; huge target -> exactly one output file per partition
+    val stats = Compaction.compact(spark, dir,
+      targetBytes = 1L << 30, smallBytes = 1L << 20)
+    assert(stats.filesBefore == fragmented)
+    assert(stats.filesAfter < fragmented, s"no packing happened: $stats")
+    assert(nFiles() == stats.filesAfter)
+    assert(contents() == want, "compaction changed table content")
+    // idempotent: a second pass finds <= 1 small file per partition
+    val again = Compaction.compact(spark, dir,
+      targetBytes = 1L << 30, smallBytes = 1L << 20)
+    assert(again.partitionsCompacted == 0 && nFiles() == stats.filesAfter)
+    // smallBytes = 1: nothing qualifies as small -> untouched no-op
+    val files0 = (0L until B.toLong).flatMap { b =>
+      val d = new java.io.File(s"$dir/bucket=$b")
+      if (d.exists()) d.listFiles().map(f => f.getName -> f.lastModified()) else Nil
+    }.toSet
+    val noop = Compaction.compact(spark, dir, smallBytes = 1L)
+    assert(noop.partitionsCompacted == 0 && noop.bytesRewritten == 0L)
+    val files1 = (0L until B.toLong).flatMap { b =>
+      val d = new java.io.File(s"$dir/bucket=$b")
+      if (d.exists()) d.listFiles().map(f => f.getName -> f.lastModified()) else Nil
+    }.toSet
+    assert(files1 == files0, "no-op compaction touched files")
+  }
+
   test("a bucket whose rows are all deleted is swept (dynamic overwrite writes nothing there)") {
     import spark.implicits._
     val dir = freshDir()
