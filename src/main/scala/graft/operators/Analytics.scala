@@ -704,6 +704,29 @@ object Analytics {
     }.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** C23b/H15 — INLINE observability: the audit counters of [[dqAudit]]
+    * piggybacked on a production pass via `Dataset.observe` — the
+    * metrics are computed by the SAME scan that serves the query (an
+    * AggregatingAccumulator fed from the plan's observe node), so a
+    * 100 TB pipeline gets its row-quality telemetry for ZERO extra
+    * jobs, scans, or shuffles. Returns the production result plus the
+    * [[org.apache.spark.sql.Observation]] whose `get` yields the
+    * counters once the query's action completes. Streaming queries get
+    * the same numbers per micro-batch via
+    * `StreamingQueryProgress.observedMetrics` — same plan node. */
+  def observedSourceCensus(t: Tables)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_dq")
+    val observed = t.documents.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_text"),
+      sum(length(col("text")).cast("long")).as("total_chars"))
+    val result = observed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs")).orderBy("source")
+    (result, obs)
+  }
+
   /** Referential-integrity violations: child rows whose foreign key has
     * no parent (NULL keys excluded — that is the null check's job). */
   def orphans(child: DataFrame, parent: DataFrame,

@@ -242,4 +242,39 @@ class AnalyticsSpec extends SparkSpec {
     assert((audit - "lineitem_duplicate_line").values.forall(_ == 0L),
       s"unexpected violations: ${audit.filter(_._2 != 0).mkString(",")}")
   }
+
+  test("observe(): audit counters ride the production scan, no extra job (H15)") {
+    import org.apache.spark.sql.functions._
+    val (result, obs) = Analytics.observedSourceCensus(t)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = result.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Thread.sleep(200) // let the collect's job-start events drain
+      val jobsAfterCollect = jobs.get
+      val m = obs.get // metrics already sit in the accumulator:
+      Thread.sleep(200)
+      assert(jobs.get == jobsAfterCollect,
+        "reading observed metrics launched extra jobs")
+      // the metrics must equal an independent recomputation...
+      val expect = t.documents.agg(
+        count(lit(1)), sum(when(col("text").isNull ||
+          length(col("text")) === 0, 1L).otherwise(0L)),
+        sum(length(col("text")).cast("long"))).collect()(0)
+      assert(m("n_rows") == expect.getLong(0))
+      assert(m("n_empty_text") == expect.getLong(1))
+      assert(m("total_chars") == expect.getLong(2))
+      // ...and the production result is unperturbed by the observe node
+      val plain = t.documents.groupBy("source")
+        .agg(count(lit(1)).as("n_docs")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == plain)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
