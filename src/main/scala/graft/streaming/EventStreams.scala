@@ -338,6 +338,66 @@ object EventStreams {
     graft.operators.EventOps.latestStateCore(
       events.withColumn("ts_ms", unix_millis(col("ts"))))
 
+  final case class Turn(ts_ms: Long, event_id: Long, event_type: String)
+  final case class Transcript(user_id: Long, start_ms: Long, n_turns: Long,
+      dur_ms: Long, transcript: String)
+
+  /** B28 streaming twin — LIVE session-transcript assembly: per user,
+    * buffer the session's turns as keyed state and EMIT the assembled
+    * transcript once the session is provably over — a gap-segment
+    * closes only when the event-time watermark passes its end by the
+    * session gap (no event that could extend it can still arrive), and
+    * an idle user's final session flushes via event-time timeout at
+    * exactly that horizon. Append-mode-legal by construction: each
+    * transcript is emitted once, finished, immutable — the property
+    * batch recomputation gets by rereading, the stream gets from the
+    * watermark.
+    *
+    * State per user = the OPEN sessions' turns (types + timestamps,
+    * session-bounded — the B28/G5c metadata-payload rule); closed
+    * segments leave state immediately, so an eternal user costs one
+    * active session, not their history. Stream ≡ batch
+    * ([[graft.operators.EventOps.sessionTranscriptsOf]]) on the union
+    * of all micro-batches for in-watermark arrivals, any batch split —
+    * StreamingSpec pins it including cross-batch session stitching. */
+  def transcriptStream(events: Dataset[Event], gapMs: Long = 3600000L,
+      lateness: String = "1 minute"): Dataset[Transcript] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Turn], Transcript](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[List[Turn]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++ rows.map(e =>
+            Turn(e.ts.getTime, e.event_id, e.event_type))
+          val ordered = buf.sortBy(t => (t.ts_ms, t.event_id))
+          // split the buffer into gap-segments (same rule as batch)
+          val segments = ordered.foldLeft(List.empty[List[Turn]]) {
+            case (acc, t) => acc match {
+              case cur :: rest if t.ts_ms - cur.last.ts_ms <= gapMs =>
+                (cur :+ t) :: rest
+              case _ => List(t) :: acc
+            }
+          }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) =
+            if (state.hasTimedOut) (segments, Nil) // wm passed last+gap
+            else segments.partition(s => s.last.ts_ms + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.flatten)
+            val lastTs = open.last.last.ts_ms
+            state.setTimeoutTimestamp(math.max(lastTs + gapMs, wm + 1))
+          }
+          closed.iterator.map { s =>
+            Transcript(uid, s.head.ts_ms, s.length.toLong,
+              s.last.ts_ms - s.head.ts_ms,
+              s.map(_.event_type).mkString(">"))
+          }
+      }
+  }
+
   final case class StageEvent(user_id: Long, event_type: String, ts_ms: Long)
   final case class FunnelOut(user_id: Long, stage_times: Seq[Long], stage: Long)
 

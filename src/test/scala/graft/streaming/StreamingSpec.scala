@@ -144,6 +144,74 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transcript stream: watermark-closed sessions ≡ batch assembly, cross-batch stitching (B28 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Event
+    def at(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val input = MemoryStream[Event]
+    val query = EventStreams.transcriptStream(input.toDS())
+      .writeStream.format("memory").queryName("transcripts")
+      .outputMode("append").start()
+    try {
+      // session A of user 1 spans two micro-batches (stitching);
+      // user 2's clock is the watermark driver
+      input.addData(
+        Event(1L, at("00:00:00"), 1L, "a", 0),
+        Event(2L, at("00:10:00"), 1L, "b", 0),
+        Event(9L, at("00:10:00"), 2L, "x", 0))
+      query.processAllAvailable()
+      input.addData(Event(3L, at("00:20:00"), 1L, "c", 0))
+      query.processAllAvailable()
+      // nothing is closable yet: watermark ~ 00:19, session A open
+      assert(spark.sql("select * from transcripts").count() == 0)
+      // user 1's SECOND session starts 2h later: its first event pushes
+      // the watermark past session A's end + gap, closing A (next batch)
+      input.addData(Event(4L, at("02:30:00"), 1L, "d", 0))
+      query.processAllAvailable()
+      input.addData(Event(5L, at("02:40:00"), 1L, "e", 0))
+      query.processAllAvailable()
+      val afterA = spark.sql(
+        "select user_id, transcript from transcripts order by 1")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // session A closes exactly once; user 2's idle "x" session timed
+      // out at the same watermark advance
+      assert(afterA.toSet == Set((1L, "a>b>c"), (2L, "x")),
+        s"unexpected closures: ${afterA.mkString(",")}")
+      // idle flush: advance the watermark far past everything via the
+      // driver user, then one more nudge batch fires the timeouts
+      input.addData(Event(10L, at("09:00:00"), 2L, "y", 0))
+      query.processAllAvailable()
+      input.addData(Event(11L, at("09:00:01"), 2L, "z", 0))
+      query.processAllAvailable()
+      input.addData(Event(12L, at("23:00:00"), 3L, "w", 0))
+      query.processAllAvailable()
+      input.addData(Event(13L, at("23:00:02"), 3L, "w2", 0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "select user_id, start_ms, n_turns, dur_ms, transcript from transcripts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      // batch twin over the union of every in-watermark event
+      val all = Seq(
+        (1L, 1L, at("00:00:00")), (1L, 2L, at("00:10:00")),
+        (1L, 3L, at("00:20:00")), (1L, 4L, at("02:30:00")),
+        (1L, 5L, at("02:40:00")), (2L, 9L, at("00:10:00")),
+        (2L, 10L, at("09:00:00")), (2L, 11L, at("09:00:01")))
+      val batchDf = all.map { case (u, id, ts) =>
+        (u, id, ts.getTime, Seq("", "a", "b", "c", "d", "e", "", "", "",
+          "x", "y", "z")(id.toInt)) }
+        .toDF("user_id", "event_id", "ts_ms", "event_type")
+      val expect = graft.operators.EventOps.sessionTranscriptsOf(batchDf)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      // streamed rows must be exactly the batch sessions of the flushed
+      // users (user 3's session is still open -> absent from the stream)
+      assert(got.map(x => (x._1, x._3, x._4, x._5)) == expect,
+        s"stream=$got\nbatch=$expect")
+    } finally query.stop()
+  }
+
   test("streaming decontamination flags arriving docs statelessly (F6 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
