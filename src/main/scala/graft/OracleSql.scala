@@ -1181,6 +1181,57 @@ private[graft] object OracleSql {
     FROM pat p JOIN adj ON p.event_id = adj.event_id
     ORDER BY p.event_id"""
 
+  /** E12 replay — the n-round greedy MMR selection as n chained CTE
+    * blocks: identical sequential dot fold, identical λ/1−λ literals,
+    * identical (score DESC, id) argmax tiebreak — the greedy chain is
+    * bit-reproducible on both engines. */
+  def mmrTopK(m: Int, n: Int): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(list_zip($x, $y), pp -> pp[1]*pp[2])), (s, x) -> s + x)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+    nn AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+      list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
+    qq AS (SELECT vec_id AS q_id, v, norm FROM nn WHERE vec_id < 10),
+    cand AS MATERIALIZED (SELECT q_id, n_id, rel, v, norm FROM (
+      SELECT q.q_id, c.vec_id AS n_id,
+        ${dot("q.v", "c.v")} / (sqrt(q.norm)*sqrt(c.norm)) AS rel,
+        c.v, c.norm,
+        row_number() OVER (PARTITION BY q.q_id
+          ORDER BY ${dot("q.v", "c.v")} / (sqrt(q.norm)*sqrt(c.norm)) DESC,
+            c.vec_id) AS rnk
+      FROM qq q JOIN nn c ON q.q_id <> c.vec_id) WHERE rnk <= $m),
+    sim AS MATERIALIZED (SELECT a.q_id, a.n_id AS c_id, b.n_id AS s_id,
+        ${dot("a.v", "b.v")} / (sqrt(a.norm)*sqrt(b.norm)) AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+    sel1 AS (SELECT q_id, n_id, cast(1 as bigint) AS mmr_rank, 0.7*rel AS score
+      FROM (SELECT q_id, n_id, rel,
+        row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+        FROM cand) WHERE rn = 1)""")
+    for (r <- 2 to n) {
+      val p = s"sel${r - 1}"
+      sb.append(s""",
+    pick$r AS (SELECT q_id, n_id, cast($r as bigint) AS mmr_rank, score FROM (
+      SELECT c.q_id, c.n_id, 0.7*c.rel - 0.3*mx.ms AS score,
+        row_number() OVER (PARTITION BY c.q_id
+          ORDER BY 0.7*c.rel - 0.3*mx.ms DESC, c.n_id) AS rn
+      FROM cand c
+      JOIN (SELECT s.q_id, s.c_id, max(s.sim) AS ms FROM sim s
+            JOIN $p ps ON s.q_id = ps.q_id AND s.s_id = ps.n_id
+            GROUP BY s.q_id, s.c_id) mx
+        ON c.q_id = mx.q_id AND c.n_id = mx.c_id
+      WHERE NOT EXISTS (SELECT 1 FROM $p ps
+        WHERE ps.q_id = c.q_id AND ps.n_id = c.n_id)
+      ) WHERE rn = 1),
+    sel$r AS (SELECT * FROM $p UNION ALL SELECT * FROM pick$r)""")
+    }
+    sb.append(s"""
+    SELECT q_id, mmr_rank, n_id, round(score, 4) AS score4 FROM sel$n
+    ORDER BY q_id, mmr_rank""")
+    sb.toString
+  }
+
   /** C22 replay — the k-round exact-integer PageRank as k chained CTE
     * blocks over the bipartite purchase graph: micro-unit ranks,
     * damping as the rational 17/20, per-edge floor division; same

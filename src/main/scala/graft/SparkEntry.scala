@@ -163,6 +163,8 @@ object SparkEntry {
     "dedup_clusters_lsh" -> ((s, d) => Dedup.dedupClustersLsh(tables(s, d))),
     // §2E similarity search
     "ann_brute_topk" -> ((s, d) => Similarity.annBruteTopK(tables(s, d))),
+    // E12: MMR diverse re-ranking over the E1 candidate tier
+    "ann_mmr_topk" -> ((s, d) => Similarity.mmrTopK(tables(s, d))),
     // E10: kNN majority-vote label propagation (held-out = vec_id%10==0)
     "knn_classify" -> ((s, d) => Similarity.knnClassify(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
@@ -1411,6 +1413,7 @@ object SparkEntry {
             cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "ann_mmr_topk" -> OracleSql.mmrTopK(20, 5),
     // E10: the E1 exact-cosine CTE over the held-out/labeled split, then
     // a per-(query,label) vote with (votes desc, best rank, label) ties
     "knn_classify" ->

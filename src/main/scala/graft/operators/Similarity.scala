@@ -43,6 +43,85 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** E12 — MAXIMAL MARGINAL RELEVANCE re-ranking (round 13 — the
+    * retrieval-diversity step between ANN candidate generation and a
+    * RAG consumer: plain top-k returns near-duplicate passages; MMR
+    * greedily picks argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * trading relevance against redundancy). Carbonell & Goldstein 1998.
+    *
+    * Determinism: every cosine goes through the SAME sequential fold as
+    * E1 (graft_dot ↔ the oracle's list_reduce), λ and 1−λ are passed as
+    * two explicit literals (computing 1−0.7 in the driver would yield
+    * 0.30000000000000004 and diverge from the oracle's 0.3), and every
+    * argmax breaks float ties by candidate id — so the greedy chain is
+    * bit-reproducible and DuckDB replays it as n chained CTEs.
+    *
+    * Scale shape: the EXPENSIVE stage is candidate generation, which is
+    * E1/E2/E5's job (brute here as the oracle tier; swap the prefit
+    * index at scale). Everything after operates on the candidate set —
+    * (queries × m) rows — so the n greedy rounds and the m² pairwise
+    * sims are query-batch-sized by construction, never corpus-sized:
+    * localCheckpoints keep the round plans shallow, and the only
+    * corpus-sized work is the one E1 scan. */
+  def mmrTopK(t: Tables, m: Int = 20, n: Int = 5,
+      lam: Double = 0.7, lamBar: Double = 0.3): DataFrame =
+    mmrTopKOf(t.embeddings, m, n, lam, lamBar)
+
+  /** Library form over any (vec_id, embedding) frame. */
+  def mmrTopKOf(embeddings: DataFrame, m: Int, n: Int,
+      lam: Double, lamBar: Double): DataFrame = {
+    val vecs = withNorm(embeddings)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("v").as("v_n"), col("norm").as("norm_n"))
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))
+    val cands = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("rel",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= m)
+      .select(col("q_id"), col("n_id"), col("rel"), col("v_n"), col("norm_n"))
+      .localCheckpoint(true)
+    val a = cands.select(col("q_id"), col("n_id").as("c_id"),
+      col("v_n").as("v_a"), col("norm_n").as("norm_a"))
+    val b = cands.select(col("q_id").as("q2"), col("n_id").as("s_id"),
+      col("v_n").as("v_b"), col("norm_n").as("norm_b"))
+    val sims = a.join(b, col("q_id") === col("q2") && col("c_id") =!= col("s_id"))
+      .select(col("q_id"), col("c_id"), col("s_id"),
+        (call_function("graft_dot", col("v_a"), col("v_b")) /
+          (sqrt(col("norm_a")) * sqrt(col("norm_b")))).as("sim"))
+      .localCheckpoint(true)
+    val lean = cands.select("q_id", "n_id", "rel")
+    var selAll = lean
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("mmr_rank"),
+        (lit(lam) * col("rel")).as("score"))
+      .localCheckpoint(true)
+    for (r <- 2 to n) {
+      val wScore = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+      val maxsim = sims
+        .join(selAll.select(col("q_id").as("qs"), col("n_id").as("sp")),
+          col("q_id") === col("qs") && col("s_id") === col("sp"))
+        .groupBy(col("q_id"), col("c_id")).agg(max(col("sim")).as("ms"))
+      val pick = lean
+        .join(selAll.select(col("q_id").as("qp"), col("n_id").as("np")),
+          col("q_id") === col("qp") && col("n_id") === col("np"), "left_anti")
+        .join(maxsim.select(col("q_id").as("qm"), col("c_id"), col("ms")),
+          col("q_id") === col("qm") && col("n_id") === col("c_id"))
+        .withColumn("score", lit(lam) * col("rel") - lit(lamBar) * col("ms"))
+        .withColumn("rn", row_number().over(wScore))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(r.toLong).as("mmr_rank"), col("score"))
+      selAll = selAll.unionByName(pick).localCheckpoint(true)
+    }
+    selAll
+      .select(col("q_id"), col("mmr_rank"), col("n_id"),
+        round(col("score"), 4).as("score4"))
+      .orderBy("q_id", "mmr_rank")
+  }
+
   /** E3 — IVF coarse quantizer: Lloyd's k-means over the corpus (each
     * iteration = one broadcast of k·dim doubles out, one groupBy shuffle
     * back — the standard distributed k-means shape; only the k×64 model

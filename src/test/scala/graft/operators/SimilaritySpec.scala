@@ -412,4 +412,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == Similarity.embedStats(t).collect().map(_.toSeq).toSet)
   }
+
+  test("MMR re-ranking skips the near-duplicate a plain top-k would keep (E12)") {
+    import spark.implicits._
+    // query 0 = e_x; candidates: 10 and 11 are EXACT duplicates closest
+    // to the query, 12 is relevant but diverse. Plain top-2 = {10, 11};
+    // MMR (diversity-weighted) must pick 10 then 12 — the duplicate's
+    // sim-to-selected is exactly 1, so its margin collapses.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f)),
+      (10L, Array(1.0f, 0.05f, 0f)),
+      (11L, Array(1.0f, 0.05f, 0f)),
+      (12L, Array(0.8f, 0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopKOf(vecs, m = 3, n = 2, lam = 0.3, lamBar = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 10L), (0L, 2L, 12L)),
+      s"MMR must diversify: ${got.mkString(",")}")
+    // relevance-only weighting degenerates to plain top-k order
+    val rel = Similarity.mmrTopKOf(vecs, m = 3, n = 2, lam = 1.0, lamBar = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rel.toSeq == Seq((0L, 1L, 10L), (0L, 2L, 11L)))
+  }
 }
