@@ -338,6 +338,75 @@ object EventStreams {
     graft.operators.EventOps.latestStateCore(
       events.withColumn("ts_ms", unix_millis(col("ts"))))
 
+  final case class BucketState(open: Map[Long, Long], ring: List[(Long, Long)])
+  final case class Anomaly(event_type: String, bucket: Long, n: Long,
+      z4: Option[Double], is_spike: Option[Long])
+
+  /** B25 streaming twin — LIVE rate-anomaly detection per event type:
+    * the batch z-score ([[graft.operators.EventOps.rateAnomaly]]'s
+    * trailing-window discipline) evaluated as buckets CLOSE in event
+    * time. Keyed state per type = the still-open buckets (bounded by
+    * lateness/width + 1) plus a ring of the last `trail` closed bucket
+    * counts — a few dozen longs however long the stream runs. A bucket
+    * closes when the watermark passes its end; its z is computed
+    * against the ring (exactly the batch form's trailing stats, with
+    * the same decimal-free small-scale arithmetic guarded by the same
+    * t_cnt == trail completeness rule), emitted ONCE (Append-legal),
+    * and the ring advances. Gaps are real: an empty bucket between
+    * closings enters the ring as n = 0, matching a monitoring system's
+    * view that silence is a rate of zero — this is where the live form
+    * deliberately extends the batch query, which only sees buckets that
+    * contain events. */
+  def rateAnomalyStream(events: Dataset[Event], widthMs: Long = 600000L,
+      trail: Int = 24, zThreshold: Double = 3.0,
+      lateness: String = "1 minute"): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BucketState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Map.empty, Nil))
+          var open = st.open
+          rows.foreach { e =>
+            val b = e.ts.getTime / widthMs
+            open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // buckets whose extension horizon has passed close now, in
+          // order, with interior silent buckets closed as n = 0
+          val closable = open.keys.filter(b => (b + 1) * widthMs <= wm)
+          var ring = st.ring
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          if (closable.nonEmpty) {
+            val lo = ring.lastOption.map(_._1 + 1).getOrElse(closable.min)
+            (lo to closable.max).foreach { b =>
+              val n = open.getOrElse(b, 0L)
+              val z4 =
+                if (ring.length == trail) {
+                  val tSum = ring.map(_._2).sum
+                  val tSumSq = ring.map(x => x._2 * x._2).sum
+                  val varNum = trail.toLong * tSumSq - tSum * tSum
+                  if (varNum > 0L) {
+                    val z = (n * trail - tSum).toDouble / trail /
+                      math.sqrt(varNum.toDouble / (trail.toLong * trail))
+                    // same HALF_UP rounding as the batch round(z, 4)
+                    Some(BigDecimal(z)
+                      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                  } else None
+                } else None
+              out += Anomaly(typ, b, n, z4,
+                z4.map(z => if (math.abs(z) > zThreshold) 1L else 0L))
+              ring = (ring :+ (b, n)).takeRight(trail)
+              open = open - b
+            }
+          }
+          state.update(BucketState(open, ring))
+          out.iterator
+      }
+  }
+
   final case class Turn(ts_ms: Long, event_id: Long, event_type: String)
   final case class Transcript(user_id: Long, start_ms: Long, n_turns: Long,
       dur_ms: Long, transcript: String)

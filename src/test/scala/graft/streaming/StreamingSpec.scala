@@ -212,6 +212,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rate-anomaly stream: buckets close once, silent gaps count as zero, z matches the trailing form (B25 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Event
+    def ev(id: Long, sec: Long, typ: String) =
+      Event(id, new Timestamp(sec * 1000L), 1L, typ, 0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.rateAnomalyStream(input.toDS(),
+        widthMs = 60000L, trail = 3)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      // type-a counts per 1-min bucket: 0->2, 1->1, 2->3, then a 10x
+      // spike in 3, 4->1, 5 SILENT, 6->2; type b drives the watermark
+      var id = 0L
+      def burst(bucket: Long, n: Int): Seq[Event] =
+        (1 to n).map { i => id += 1; ev(id, bucket * 60 + i, "a") }
+      input.addData(burst(0, 2) ++ burst(1, 1) ++ burst(2, 3) :+ ev(900L, 0, "b"))
+      query.processAllAvailable()
+      input.addData(burst(3, 10) ++ burst(4, 1) ++ burst(6, 2) :+ ev(901L, 1200, "b"))
+      query.processAllAvailable()
+      input.addData(burst(30, 1))
+      query.processAllAvailable()
+      val got = spark.sql(
+        """select bucket, n, z4, is_spike from anomalies
+           where event_type = 'a' order by bucket""")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // reference: the batch trailing-window math over the closed series
+      val series = Seq(2L, 1L, 3L, 10L, 1L, 0L, 2L)
+      val expect = series.zipWithIndex.map { case (n, b) =>
+        if (b < 3) (b.toLong, n, None, None)
+        else {
+          val ring = series.slice(b - 3, b)
+          val tSum = ring.sum
+          val varNum = 3 * ring.map(x => x * x).sum - tSum * tSum
+          if (varNum > 0) {
+            val z = (n * 3 - tSum).toDouble / 3 / math.sqrt(varNum.toDouble / 9)
+            val z4 = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (b.toLong, n, Some(z4), Some(if (math.abs(z4) > 3.0) 1L else 0L))
+          } else (b.toLong, n, None, None)
+        }
+      }
+      assert(got.toSeq == expect,
+        s"\nstream=${got.mkString(",")}\nbatch =${expect.mkString(",")}")
+      // the planted 10x burst is the one flagged spike
+      assert(got.count(_._4.contains(1L)) == 1 && got(3)._4.contains(1L))
+    } finally query.stop()
+  }
+
   test("streaming decontamination flags arriving docs statelessly (F6 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
