@@ -209,6 +209,41 @@ class AnalyticsSpec extends SparkSpec {
     assert((2L to 5L).forall(s => rs(1L) > rs(s)),
       s"hub must outrank spokes: $rs")
     assert((2L to 5L).map(rs).distinct.size == 1, "spokes are symmetric")
+    // structural pin on the final (un-checkpointed) iteration: the
+    // EDGE relation is served from its cache and sits beneath NO
+    // shuffle — per round only node-sized data moves (rank table +
+    // inflow agg). String counting can't express this (the cached
+    // relation's internal build plan renders its own exchanges), so
+    // walk the executed tree, treating cache scans as leaves and
+    // descending through AQE wrappers and query stages.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Analytics.supplierPagerank(t)
+    df.collect() // finalize AQE before inspecting
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    def isEdgesScan(n: SparkPlan): Boolean =
+      n.nodeName.contains("InMemoryTableScan") &&
+        n.output.exists(_.name == "wout")
+    // root-to-scan path: raw edge rows must reach their first (partial)
+    // aggregate without crossing any shuffle — after map-side combine
+    // the flow is node-sized, so shuffles above the aggregate are fine,
+    // as is a BroadcastExchange (small-SF artifact: broadcast is not a
+    // repartition of the edge relation)
+    def pathTo(n: SparkPlan): Option[List[SparkPlan]] =
+      if (isEdgesScan(n)) Some(List(n))
+      else kids(n).view.flatMap(k => pathTo(k).map(n :: _)).headOption
+    val path = pathTo(df.queryExecution.executedPlan)
+    assert(path.isDefined, "edges must be served from cache")
+    val upward = path.get.reverse.drop(1)
+      .takeWhile(n => !n.nodeName.contains("HashAggregate"))
+    assert(!upward.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"raw edge rows cross a shuffle before aggregation:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 
   test("dq checks detect every planted violation class (C23)") {
