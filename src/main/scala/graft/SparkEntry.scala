@@ -117,6 +117,8 @@ object SparkEntry {
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(tables(s, d))),
     // §2D dedup
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(tables(s, d))),
+    // D12: per-source doc/token savings under the D1 keeper election
+    "dedup_savings" -> ((s, d) => Dedup.dedupSavings(tables(s, d))),
     // D8 sub-document boilerplate removal (word-block paragraphs —
     // the corpus has no newlines; DedupSpec covers blank-line prose)
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraphsBlocks(tables(s, d))),
@@ -1099,6 +1101,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         GROUP BY text ORDER BY keep_id""",
+    // D12: keeper election replayed by RAW text (collision-proof, the
+    // D1 rule), savings as floor-division permille
+    "dedup_savings" ->
+      """WITH k AS (SELECT doc_id, source,
+          cast(len(regexp_extract_all(text,'\S+')) as bigint) AS n_tok,
+          CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+               THEN 1 ELSE 0 END AS kept
+        FROM documents)
+        SELECT source, count(*) AS n_docs,
+          cast(sum(kept) as bigint) AS n_kept,
+          cast(sum(n_tok) as bigint) AS tokens_total,
+          cast(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) as bigint) AS tokens_kept,
+          CASE WHEN sum(n_tok) = 0 THEN 0
+               ELSE ((cast(sum(n_tok) as bigint) -
+                      cast(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) as bigint)) * 1000)
+                    // cast(sum(n_tok) as bigint) END AS saved_permille
+        FROM k GROUP BY source ORDER BY source""",
     // D8: same 8-word blocks, same global-first election ((doc_id, idx)
     // order), same space-joined reassembly — the oracle elects by raw
     // paragraph text where Spark elects by the 128-bit hash, so any

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{words, Sketches}
 import graft.sources.Tables
@@ -33,6 +34,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
+
+  /** D12 — dedup SAVINGS census (round 13): the report a curation
+    * pipeline publishes after exact dedup — per source, how many
+    * documents and whitespace tokens survive when only each content
+    * cluster's GLOBAL keeper (min doc_id, the D1 election) is kept.
+    * Clusters span sources, so a source is charged for every copy that
+    * is not the global keeper — exactly what cross-source syndication
+    * costs a token budget. Plan: the D1 content-hash exchange (now
+    * carrying (source, n_tok) alongside the 128-bit hash — text never
+    * crosses), the keeper election as a window min on the same
+    * partitioning (no second exchange), one source rollup. */
+  def dedupSavings(t: Tables): DataFrame = {
+    val nWs = size(call_function("regexp_extract_all",
+      col("text"), lit("\\S+"), lit(0))).cast("long")
+    val w = Window.partitionBy("h1", "h2")
+    t.documents
+      .select(col("doc_id"), col("source"), nWs.as("n_tok"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"))
+      .withColumn("kept",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("saved_permille",
+        when(col("tokens_total") === 0L, 0L).otherwise(
+          call_function("div",
+            (col("tokens_total") - col("tokens_kept")) * 1000L,
+            col("tokens_total"))))
+      .orderBy("source")
+  }
 
   private def tokenized(t: Tables): DataFrame = tokenizedDocs(t.documents)
 

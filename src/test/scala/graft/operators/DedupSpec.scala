@@ -488,4 +488,24 @@ class DedupSpec extends SparkSpec {
     // the corpus must actually exercise the cut
     assert(rem.exists(_._3 > 0L), "no document had any span removed")
   }
+
+  test("dedup savings census conserves totals; hash+rollup exchanges carry no text (D12)") {
+    val out = Dedup.dedupSavings(t)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // conservation: per-source kept <= docs, tokens_kept <= total, and
+    // the global kept count equals the number of D1 clusters
+    rows.foreach { case (s, nd, nk, tt, tk, pm) =>
+      assert(nk <= nd && tk <= tt, s"source $s over-counts")
+      assert(pm == (tt - tk) * 1000 / tt, s"source $s permille")
+    }
+    assert(rows.map(_._2).sum == t.documents.count())
+    assert(rows.map(_._3).sum == Dedup.dedupExact(t).count(),
+      "global keeper count must equal the D1 cluster count")
+    out.collect()
+    val exchanges = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"an exchange carries document text:\n$exchanges")
+  }
 }
