@@ -162,4 +162,18 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaSql == exact)
   }
+
+  test("round-13 audio kernels (wav_encode, wav_features) work from SQL") {
+    graft.plans.VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT f.sample_rate, f.n_samples, f.peak, f.env_sig FROM (
+           SELECT graft_wav_features(graft_wav_encode(7, false)) AS f)""")
+      .collect()(0)
+    val direct = graft.plans.AudioKernels.wavFeatures(
+      graft.plans.AudioKernels.wavEncode(7L, silent = false))
+    assert(r.getLong(0) == 8000L)
+    assert(r.getLong(1) == 64L)
+    assert(r.getLong(2) == direct.getLong(2))
+    assert(r.getLong(3) == direct.getLong(5))
+  }
 }

@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late-data accounting: the watermark drops stragglers, visibly in progress metrics (B8/B29)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedRates(input.toDF())
+      .writeStream.format("memory").queryName("rates_late")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(30), 10, "view", 1.0)) // watermark -> ~:29
+      query.processAllAvailable()
+      // a straggler an hour behind the watermark: silently EXCLUDED
+      // from results, but ACCOUNTED in numRowsDroppedByWatermark — the
+      // operational counter a pipeline alarms on before trusting the
+      // aggregates (the reference's millis-behind-latest role)
+      input.addData(Event(3, ts(2), 10, "click", 1.0))
+      query.processAllAvailable()
+      val dropped = query.lastProgress.stateOperators.head.numRowsDroppedByWatermark
+      assert(dropped == 1L, s"expected the straggler accounted, got $dropped")
+      val clicks = spark.sql(
+        "select sum(n) from rates_late where event_type = 'click'")
+        .collect()(0).getLong(0)
+      assert(clicks == 1L, "the dropped straggler must not reach the aggregate")
+    } finally query.stop()
+  }
+
   test("session windows split on gaps and close on watermark (B7 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
