@@ -1317,6 +1317,28 @@ private[graft] object OracleSql {
     FROM fr GROUP BY user_id
     ORDER BY user_id"""
 
+  /** mm_scene_cuts (G9): the per-frame mean luma recomputed from the
+    * pattern spec (the mmFeaturesBmp closed form), lagged per user
+    * stream, thresholded with the same exact-integer rule. */
+  def mmSceneCuts(tauMilli: Long): String =
+    s"""WITH ${framePatternCte()},
+    bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),
+    adj AS (SELECT event_id,
+        sum((8 - (i % 8)) * (2 * ((d >> i::INT) & 1::UBIGINT)::BIGINT - 1)) AS a
+      FROM bits GROUP BY event_id),
+    m AS (SELECT e.user_id, a.event_id,
+        cast((9216 + a.a) * 1000 // 72 as bigint) AS mean_milli
+      FROM adj a JOIN events e ON e.event_id = a.event_id),
+    l AS (SELECT user_id, event_id, mean_milli,
+        lag(mean_milli) OVER (PARTITION BY user_id ORDER BY event_id)
+          AS prev_milli
+      FROM m)
+    SELECT user_id, event_id, mean_milli, prev_milli,
+      mean_milli - prev_milli AS delta_milli
+    FROM l
+    WHERE prev_milli IS NOT NULL AND abs(mean_milli - prev_milli) >= $tauMilli
+    ORDER BY user_id, event_id"""
+
   /** mm_frame_dedup: the 7-band pigeonhole layout replayed on the
     * pattern (complete for Hamming <= 6), DISTINCT band-bucket pairs,
     * bit_count verification — the same candidate set the operator's

@@ -185,6 +185,8 @@ object SparkEntry {
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
     "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(tables(s, d))),
     "mm_audio_vad" -> ((s, d) => Multimodal.mmAudioVad(tables(s, d))),
+    // G9: scene-change detection (keyframe rule) over decoded frames
+    "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G7: incremental frame dedup against the persisted dHash-band
     // index — the seq == 6 slice of the sampled library (seq =
     // (frame_id/10) % 8; an even slice, so it carries planted family
@@ -283,6 +285,8 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
+    // F32: lang-ID confusion matrix vs the labeled language
+    "lang_confusion" -> ((s, d) => TextOps.langConfusion(tables(s, d))),
     "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d))),
     // benchmark decontamination: every 100th doc plays the eval set;
     // broadcast gram-membership probe, corpus never shuffles
@@ -601,6 +605,33 @@ object SparkEntry {
                ELSE 'de' END AS pred_lang,
           lang AS true_lang
         FROM s ORDER BY doc_id""",
+    // F32: the same scoring, folded to the (true, pred) confusion
+    // matrix with per-label shares as floor-division permille
+    "lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang,
+          regexp_extract_all(lower(text), '[a-z]+') AS toks,
+          cast(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) as bigint) AS zh
+        FROM documents),
+        s AS (SELECT doc_id, lang, zh,
+          cast(len(list_filter(toks, tk -> tk IN ('the','and','of','to','is'))) as bigint) AS en,
+          cast(len(list_filter(toks, tk -> tk IN ('el','la','de','que','los'))) as bigint) AS es,
+          cast(len(list_filter(toks, tk -> tk IN ('le','les','des','et','une'))) as bigint) AS fr,
+          cast(len(list_filter(toks, tk -> tk IN ('der','die','das','und','nicht'))) as bigint) AS de
+        FROM w),
+        p AS (SELECT lang AS true_lang,
+          CASE WHEN greatest(en, es, fr, de, zh) = 0 THEN 'und'
+               WHEN zh = greatest(en, es, fr, de, zh) THEN 'zh'
+               WHEN en = greatest(en, es, fr, de, zh) THEN 'en'
+               WHEN es = greatest(en, es, fr, de, zh) THEN 'es'
+               WHEN fr = greatest(en, es, fr, de, zh) THEN 'fr'
+               ELSE 'de' END AS pred_lang
+        FROM s),
+        c AS (SELECT true_lang, pred_lang, count(*) AS n
+          FROM p GROUP BY true_lang, pred_lang)
+        SELECT true_lang, pred_lang, n,
+          cast((n * 1000) // sum(n) OVER (PARTITION BY true_lang) as bigint)
+            AS share_permille
+        FROM c ORDER BY true_lang, pred_lang""",
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           cast(sum($centsQty) as bigint) AS sum_qty_c,
@@ -1750,6 +1781,7 @@ object SparkEntry {
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
     "mm_audio_vad" -> OracleSql.mmAudioVad,
+    "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),
     "mm_frame_dedup" -> OracleSql.mmFrameDedup,
     "mm_frame_dedup_incremental" -> OracleSql.mmFrameDedupIncremental
   )

@@ -264,6 +264,33 @@ object Multimodal {
   def mmFeaturesBmp(t: Tables): DataFrame =
     featuresCore(withBmpBlobSorted(t), BmpFrameDecoder)
 
+  /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
+    * video-curation keyframe rule — emit a CUT wherever consecutive
+    * frames of a stream jump in mean luma by >= `tauMilli` (exact
+    * integer milli-luma from the G2 BMP decode, so the threshold
+    * cannot waver). Streams are per-user frame sequences ordered by
+    * fragment number; ONE user_id exchange (the lag window), per-row
+    * decode kernels, no media bytes past the projection. The planted
+    * frame structure makes cuts meaningful: every 4th event renders a
+    * near-base image, the rest mix64 noise — cuts cluster at the
+    * noise↔base transitions, exactly where a sampler wants keyframes. */
+  def mmSceneCuts(t: Tables, tauMilli: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    withBmpBlob(t)
+      .select(col("user_id"), col("event_id"),
+        call_function("graft_bmp_features",
+          EbmlFunctions.firstBlock(col("blob")))
+          .getField("mean_milli").as("mean_milli"))
+      .withColumn("prev_milli", lag(col("mean_milli"), 1).over(w))
+      .filter(col("prev_milli").isNotNull &&
+        abs(col("mean_milli") - col("prev_milli")) >= tauMilli)
+      .select(col("user_id"), col("event_id"), col("mean_milli"),
+        col("prev_milli"),
+        (col("mean_milli") - col("prev_milli")).as("delta_milli"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Whether an event's synthetic audio frame is PLANTED silent: every
     * 5th event carries a low-amplitude (|s| <= 128) sample stream, the
     * rest span the full 16-bit range — the two populations a

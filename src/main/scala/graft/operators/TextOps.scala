@@ -624,6 +624,24 @@ object TextOps {
       col("lang").as("true_lang"))
   }
 
+  /** F30 — language-ID AGREEMENT audit (round 13): the confusion
+    * matrix between the labeled language and F4's prediction, with
+    * each cell's share of its true-label total in permille — the QA
+    * report that decides whether a lang-ID gate can be trusted before
+    * it drops terabytes of "wrong-language" text. Two label-cardinality
+    * exchanges (the (true, pred) agg, then the per-label window);
+    * everything after the per-doc scoring is label-sized. */
+  def langConfusion(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(t)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_permille", call_function("div",
+        col("n") * 1000L,
+        sum(col("n")).over(Window.partitionBy("true_lang"))))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** F12 — text NORMALIZATION/CLEANING: Unicode NFC (composed vs
     * decomposed accents must hash identically before any dedup tier
     * sees them — [[graft.plans.NfcKernel]]), strip ASCII control and

@@ -42,6 +42,32 @@ class MultimodalSpec extends SparkSpec {
       "every planted same-user family pair must be detected")
   }
 
+  test("mm_scene_cuts equals the lag rule over decoded means; one user exchange (G9)") {
+    import org.apache.spark.sql.functions._
+    // independent recompute: decoded means from the G2 feature path,
+    // lagged in the driver
+    val means = Multimodal.mmFeaturesBmp(t)
+      .join(t.events.select(col("event_id"), col("user_id")), "event_id")
+      .select("user_id", "event_id", "mean_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = means.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(_._2)
+      s.zip(s.drop(1)).collect {
+        case ((u, _, p), (_, e, m)) if math.abs(m - p) >= 2000L =>
+          (u, e, m, p, m - p)
+      }
+    }.toSet
+    val got = Multimodal.mmSceneCuts(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect, s"got ${got.size} cuts, expected ${expect.size}")
+    assert(got.nonEmpty, "fixture must produce cuts")
+    // plan: the lag window rides ONE user_id exchange (plus the
+    // presentation range sort)
+    val plan = Multimodal.mmSceneCuts(t).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("mm_audio_vad gate separates the planted silent population EXACTLY (G8b)") {
     graft.plans.VectorFunctions.register(spark)
     import org.apache.spark.sql.functions._

@@ -1477,4 +1477,19 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(!flat.contains(-1L) && flat.keySet == toks.filter(_._2.nonEmpty).keySet)
   }
+
+  test("lang confusion matrix conserves totals and matches the per-doc scorer (F30)") {
+    val perDoc = TextOps.langId(t).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (pred, true)
+    val expect = perDoc.groupBy(p => (p._2, p._1)).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.langConfusion(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap == expect)
+    // cell shares: floor-division permille of the true-label total
+    val totals = expect.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    got.foreach { case ((tl, pl), (n, pm)) =>
+      assert(pm == n * 1000 / totals(tl), s"share off for ($tl,$pl)")
+    }
+    assert(got.values.map(_._1).sum == t.documents.count())
+  }
 }
