@@ -144,4 +144,22 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("wav codec: encode->decode stats equal brute recomputes over arbitrary seeds") {
+    import graft.plans.AudioKernels
+    for (seed <- samples(Gen.long, 120); silent <- Seq(false, true)) {
+      val s = Array.tabulate(AudioKernels.NumSamples)(i =>
+        AudioKernels.pcmSample(seed, i, silent))
+      val row = AudioKernels.wavFeatures(AudioKernels.wavEncode(seed, silent))
+      assert(row != null, s"decode failed for seed $seed")
+      assert(row.getLong(2) == s.map(x => math.abs(x.toLong)).max)
+      assert(row.getLong(3) == s.map(x => math.abs(x.toLong)).sum)
+      assert(row.getLong(4) ==
+        (1 until s.length).count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong)
+      var sig = 0L
+      for (i <- 0 until s.length - 1)
+        if (math.abs(s(i + 1).toLong) > math.abs(s(i).toLong)) sig |= 1L << i
+      assert(row.getLong(5) == sig, s"env_sig mismatch for seed $seed")
+    }
+  }
 }

@@ -203,6 +203,31 @@ class SnapshotSpec extends SparkSpec {
     assert(files1 == files0, "no-op compaction touched files")
   }
 
+  test("lifecycle: merge -> compact -> merge preserves content and the maintenance loop composes (H13+H14)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.writeBase(baseDf(1L to 100L), "k", dir)
+    def upd(k: Long) = Seq((k, s"u$k", "U")).toDF("k", "payload", "op")
+    // fragment with three merges, compact, then merge AGAIN into the
+    // compacted layout — the weekly maintenance loop a real table runs
+    Seq(7L, 23L, 39L).foreach(k => Snapshot.merge(spark, dir, upd(k), "k"))
+    Compaction.compact(spark, dir, targetBytes = 1L << 30, smallBytes = 1L << 20)
+    Snapshot.merge(spark, dir, upd(55L), "k")
+    val got = Snapshot.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (1L to 100L).map(k =>
+      k -> (if (Seq(7L, 23L, 39L, 55L).contains(k)) s"u$k" else s"v$k")).toMap
+    assert(got == expect, "content diverged across the maintenance loop")
+    // and compacted files are real inputs to the next merge: the final
+    // merge read the compacted partition without error and the swept
+    // staging dirs are gone
+    (0L until B.toLong).foreach { b =>
+      val d = new java.io.File(s"$dir/bucket=$b")
+      if (d.exists())
+        assert(!d.listFiles().exists(_.getName == "_compact_tmp"))
+    }
+  }
+
   test("a bucket whose rows are all deleted is swept (dynamic overwrite writes nothing there)") {
     import spark.implicits._
     val dir = freshDir()

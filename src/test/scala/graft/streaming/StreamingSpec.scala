@@ -289,6 +289,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("consumer changelog -> CDC snapshot e2e: streamed events materialize the batch latest-wins state (B23 ∘ H13b)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import EventStreams.Event
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_e2e").toString + "/state"
+    val input = MemoryStream[Event]
+    // the H13b deployment loop: each micro-batch becomes a raw CDC
+    // changelog (ver = (ts_ms, event_id), error = tombstone) and is
+    // applied versioned — arrival order across batches is free
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val changes = batch.select(col("user_id"),
+          struct(unix_millis(col("ts")).as("ts_ms"), col("event_id")).as("ver"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type").as("typ"),
+          graft.functions.cents(col("value")).as("value_c"))
+        graft.sources.Snapshot.mergeCdc(spark, dir, changes, "user_id")
+      }
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc_e2e_ck").toString)
+      .start()
+    // out-of-version-order batches: user 10's final state lands first
+    input.addData(Event(5, ts(50), 10, "purchase", 2.0),
+      Event(6, ts(50), 11, "error", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "view", 3.0),
+      Event(3, ts(3), 12, "signup", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val live = graft.sources.Snapshot.readLive(spark, dir)
+      .select(col("user_id"), col("ver.event_id"), col("typ"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // user 10: the ts(50) purchase wins over the late-arriving older
+    // click; user 11: the error tombstone at ts(50) blocks the older
+    // view from resurrecting; user 12: plain insert
+    assert(live == Set((10L, 5L, "purchase"), (12L, 3L, "signup")),
+      s"end state: $live")
+  }
+
   test("streaming decontamination flags arriving docs statelessly (F6 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
