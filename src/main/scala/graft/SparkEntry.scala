@@ -285,7 +285,7 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(tables(s, d))),
     "fingerprint" -> ((s, d) => TextOps.fingerprint(tables(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(tables(s, d))),
-    // F32: lang-ID confusion matrix vs the labeled language
+    // F30: lang-ID confusion matrix vs the labeled language
     "lang_confusion" -> ((s, d) => TextOps.langConfusion(tables(s, d))),
     "curation_pipeline" -> ((s, d) => TextOps.curationPipeline(tables(s, d))),
     // benchmark decontamination: every 100th doc plays the eval set;
@@ -605,7 +605,7 @@ object SparkEntry {
                ELSE 'de' END AS pred_lang,
           lang AS true_lang
         FROM s ORDER BY doc_id""",
-    // F32: the same scoring, folded to the (true, pred) confusion
+    // F30: the same scoring, folded to the (true, pred) confusion
     // matrix with per-label shares as floor-division permille
     "lang_confusion" ->
       """WITH w AS (SELECT doc_id, lang,
@@ -837,7 +837,7 @@ object SparkEntry {
         batch_keys AS (SELECT k FROM base WHERE (k % 7 = 3 AND k % 11 != 5) OR k % 11 = 5),
         up AS (SELECT k, 'M' AS status, total_c + 12345 AS total_c, priority
           FROM base WHERE k % 7 = 3 AND k % 11 != 5),
-        ins AS (SELECT k + 10000000 AS k, 'N' AS status, total_c, priority
+        ins AS (SELECT k + 1000000000000 AS k, 'N' AS status, total_c, priority
           FROM base WHERE k % 13 = 1)
         SELECT k, status, total_c, priority FROM base
           WHERE k NOT IN (SELECT k FROM batch_keys)

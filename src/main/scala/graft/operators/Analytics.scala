@@ -640,7 +640,16 @@ object Analytics {
     * k rounds of the exact-integer PageRank update; returns (node, r)
     * in micro-units, unordered. Every node must have ≥1 out-edge
     * (bipartite symmetric graphs do by construction); dangling nodes
-    * would need the standard mass-redistribution term. */
+    * would need the standard mass-redistribution term.
+    *
+    * Cache lifecycle: edges/nodes stay persisted after return because
+    * the result's final-round plan still reads them lazily. Spark's
+    * CacheManager keys entries by CANONICALIZED plan, so repeated
+    * invocations over the same input reuse one entry rather than
+    * accumulating; a caller that is done with a given graph releases
+    * it with `df.unpersist()` on its own edges input or
+    * `spark.catalog.clearCache()` — the MEMORY_AND_DISK default means
+    * an unreleased graph degrades to disk, never to OOM. */
   def pagerankOf(edges0: DataFrame, iters: Int): DataFrame = {
     val outw = edges0.groupBy("src").agg(sum(col("w")).as("wout"))
     val edges = edges0.join(outw, "src")

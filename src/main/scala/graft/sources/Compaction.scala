@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *   2. the small ones are read back (with `basePath` so the partition
   *      column survives) and written as ceil(Σbytes / targetBytes)
   *      files into a `_compact_tmp` staging dir;
-  *   3. staged files move into the partition, then the old small files
-  *      are deleted — a crash between 3a and 3b leaves DUPLICATE rows
-  *      visible (the same window the FrameIndex compactor documents);
-  *      idempotent re-run converges because staging is cleared first.
+  *   3. a `_compact_pending` REDO marker (listing the small files) is
+  *      written, staged files move into the partition, the old small
+  *      files are deleted, and the marker is removed. A crash anywhere
+  *      in that window leaves duplicates or stragglers VISIBLE — but
+  *      the next run replays the redo log first (finish the moves,
+  *      delete the listed smalls) before doing anything new, so re-runs
+  *      converge to the exact compacted state instead of baking the
+  *      crash-window duplicates in permanently (the failure mode of
+  *      marker-less move-then-delete). The marker is written only after
+  *      staging fully materializes, so replay never loses rows.
   *
   * Driver state: file metadata only (names + sizes), never rows. The
   * rewrite is one narrow coalesce job per compaction — no shuffle, no
@@ -46,6 +52,7 @@ object Compaction {
     var after = 0
     var rewritten = 0L
     parts.foreach { p =>
+      recoverCrash(fs, p.getPath)
       val files = fs.listStatus(p.getPath).filter(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
       val small = files.filter(_.getLen < smallBytes)
@@ -57,7 +64,7 @@ object Compaction {
         val bytes = small.map(_.getLen).sum
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         val tmp = new Path(p.getPath, "_compact_tmp")
-        fs.delete(tmp, true) // idempotent re-run: clear stale staging
+        fs.delete(tmp, true) // no marker => staging is restartable scratch
         spark.read.option("basePath", path)
           .parquet(small.map(_.getPath.toString): _*)
           .drop(p.getPath.getName.split("=")(0)) // dir name re-adds it
@@ -65,16 +72,57 @@ object Compaction {
           .write.mode("overwrite").parquet(tmp.toString)
         val staged = fs.listStatus(tmp).filter(s =>
           s.isFile && s.getPath.getName.endsWith(".parquet"))
+        // redo log: from here on, a re-run COMPLETES this compaction
+        // instead of restarting it
+        writePending(fs, p.getPath, small.map(_.getPath.getName))
         staged.foreach { s =>
           fs.rename(s.getPath,
             new Path(p.getPath, "compacted-" + s.getPath.getName))
         }
         small.foreach(s => fs.delete(s.getPath, false))
         fs.delete(tmp, true)
+        fs.delete(new Path(p.getPath, PendingName), false)
         rewritten += bytes
         after += files.length - small.length + staged.length
       }
     }
     CompactionStats(nParts, before, after, rewritten)
+  }
+
+  private val PendingName = "_compact_pending"
+
+  private def writePending(fs: FileSystem, part: Path,
+      smallNames: Seq[String]): Unit = {
+    val outS = fs.create(new Path(part, PendingName), true)
+    outS.write(smallNames.mkString("\n").getBytes("UTF-8"))
+    outS.close()
+  }
+
+  /** Replay a crashed compaction's redo log: the marker exists only
+    * once staging fully materialized, so finishing = move any staged
+    * files still in `_compact_tmp` into the partition, delete the
+    * listed small files that survive, then drop marker + staging. */
+  private def recoverCrash(fs: FileSystem, part: Path): Unit = {
+    val marker = new Path(part, PendingName)
+    if (!fs.exists(marker)) return
+    val tmp = new Path(part, "_compact_tmp")
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")).foreach { s =>
+        fs.rename(s.getPath, new Path(part, "compacted-" + s.getPath.getName))
+      }
+    }
+    val in = fs.open(marker)
+    val names = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    in.close()
+    names.foreach { n =>
+      val f = new Path(part, n)
+      if (fs.exists(f)) fs.delete(f, false)
+      ()
+    }
+    fs.delete(tmp, true)
+    fs.delete(marker, false)
+    ()
   }
 }

@@ -131,21 +131,21 @@ object Snapshot {
     val touched = bb.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (touched.isEmpty) return
-    // stored struct layout — identical field order on both sides
-    def stored(df: DataFrame, deleted: Column): Column = struct(
+    // stored struct layout — ONE definition so both sides provably
+    // agree field-for-field (the version comparison below is
+    // struct-ordered; a drifted field order would compare garbage)
+    def stored(deleted: Column): Column = struct(
       (col("ver") +: payloadCols.map(col)) :+ deleted.as("deleted") :+
         col("bucket"): _*)
     val basePath = new Path(path)
     val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
     val hasBase = fs.exists(basePath) &&
       fs.listStatus(basePath).exists(_.getPath.getName.startsWith("bucket="))
-    val chg = bb.select(col(keyCol), stored(bb, col("op") === "D").as("c"))
+    val chg = bb.select(col(keyCol), stored(col("op") === "D").as("c"))
     val joined = if (hasBase) {
       val base = spark.read.parquet(path)
         .filter(col("bucket").isin(touched: _*))
-      val b2 = base.select(col(keyCol), struct(
-        (col("ver") +: payloadCols.map(col)) :+ col("deleted") :+
-          col("bucket"): _*).as("b"))
+      val b2 = base.select(col(keyCol), stored(col("deleted")).as("b"))
       b2.join(chg, Seq(keyCol), "full_outer")
     } else chg.withColumn("b", lit(null).cast(chg.schema("c").dataType))
     val picked = when(col("c").isNull, col("b"))
@@ -193,7 +193,11 @@ object Snapshot {
     val out = new Path(System.getProperty("java.io.tmpdir"),
       s"graft_cdc_snapshot_v1_b$DefaultBuckets" + s"_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(out.getParent, out.getName + "_SEEDED")
+    // the marker lives INSIDE the snapshot (underscore files are
+    // invisible to parquet reads; dynamic overwrite touches only
+    // bucket= dirs): a sibling marker could outlive a cleaned-up
+    // snapshot dir and silently skip the seed forever
+    val marker = new Path(out, "_SEEDED")
     def slice(i: Int) = changes.filter(col("event_id") % 4 === i).drop("event_id")
     if (!fs.exists(marker)) {
       fs.delete(out, true)
@@ -225,8 +229,10 @@ object Snapshot {
       col("o_orderstatus").as("status"),
       graft.functions.cents(col("o_totalprice")).as("total_c"),
       col("o_orderpriority").as("priority"))
+    // v2: the insert-key offset moved to 1e12 — the fixture dir must
+    // not carry rows merged under the old constant
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_snapshot_v1_b$DefaultBuckets" + s"_${math.abs(sfDir.hashCode)}")
+      s"graft_snapshot_v2_b$DefaultBuckets" + s"_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_BASE_SUCCESS")
     if (!fs.exists(marker)) {
@@ -238,8 +244,12 @@ object Snapshot {
       .withColumn("status", lit("M"))
       .withColumn("total_c", col("total_c") + 12345L)
       .withColumn("op", lit("U"))
+    // insert keys sit 1e12 above the key space: o_orderkey tops out at
+    // 6e6·SF, so the offset stays collision-free to SF ~160,000 (a
+    // 1e7 offset would silently collide — and desync the oracle, whose
+    // batch_keys CTE does not carry insert keys — from SF 2 up)
     val inserts = baseDf.filter(col("k") % 13 === 1)
-      .withColumn("k", col("k") + 10000000L)
+      .withColumn("k", col("k") + 1000000000000L)
       .withColumn("status", lit("N"))
       .withColumn("op", lit("U"))
     val deletes = baseDf.filter(col("k") % 11 === 5)

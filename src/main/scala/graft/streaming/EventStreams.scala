@@ -356,7 +356,19 @@ object EventStreams {
     * closings enters the ring as n = 0, matching a monitoring system's
     * view that silence is a rate of zero — this is where the live form
     * deliberately extends the batch query, which only sees buckets that
-    * contain events. */
+    * contain events.
+    *
+    * Two deliberate guards (both bug classes this file has seen):
+    * EventTimeTimeout — NOT NoTimeout — because Spark applies its
+    * late-row filter to flatMapGroupsWithState ONLY under event-time
+    * timeout (verified against the 4.1.2 jars): with NoTimeout a
+    * straggler behind the watermark would re-open an already-closed
+    * bucket and sit in the state map forever. And the trailing-variance
+    * products run in BigInt, because trail·Σn² − (Σn)² wraps int64 at
+    * the same ~1.3e8 events/bucket where the BATCH form switched to
+    * decimal(38,0) — the twin must not silently diverge exactly at
+    * deploy-scale rates. The timeout also FLUSHES an idle key: closable
+    * buckets emit without waiting for the key's next arrival. */
   def rateAnomalyStream(events: Dataset[Event], widthMs: Long = 600000L,
       trail: Int = 24, zThreshold: Double = 3.0,
       lateness: String = "1 minute"): Dataset[Anomaly] = {
@@ -365,7 +377,7 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[BucketState, Anomaly](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (typ: String, rows: Iterator[Event], state: GroupState[BucketState]) =>
           val st = state.getOption.getOrElse(BucketState(Map.empty, Nil))
           var open = st.open
@@ -380,16 +392,27 @@ object EventStreams {
           var ring = st.ring
           val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
           if (closable.nonEmpty) {
-            val lo = ring.lastOption.map(_._1 + 1).getOrElse(closable.min)
+            val contiguous = ring.lastOption.map(_._1 + 1).getOrElse(closable.min)
+            // a silent span longer than 4 trails restarts the baseline
+            // instead of emitting unbounded zero-buckets (the standard
+            // monitoring "too stale, re-learn" rule); the ring resets
+            // because it is no longer contiguous with what follows
+            val lo =
+              if (closable.max - contiguous > 4L * trail) {
+                ring = Nil
+                closable.max - 4L * trail
+              } else contiguous
             (lo to closable.max).foreach { b =>
               val n = open.getOrElse(b, 0L)
               val z4 =
                 if (ring.length == trail) {
-                  val tSum = ring.map(_._2).sum
-                  val tSumSq = ring.map(x => x._2 * x._2).sum
-                  val varNum = trail.toLong * tSumSq - tSum * tSum
-                  if (varNum > 0L) {
-                    val z = (n * trail - tSum).toDouble / trail /
+                  // exact products (the batch decimal(38,0) guard):
+                  // int64 wraps at deploy-plausible per-bucket counts
+                  val tSum = ring.map(x => BigInt(x._2)).sum
+                  val tSumSq = ring.map(x => BigInt(x._2) * BigInt(x._2)).sum
+                  val varNum = BigInt(trail) * tSumSq - tSum * tSum
+                  if (varNum > 0) {
+                    val z = (BigInt(n) * trail - tSum).toDouble / trail /
                       math.sqrt(varNum.toDouble / (trail.toLong * trail))
                     // same HALF_UP rounding as the batch round(z, 4)
                     Some(BigDecimal(z)
@@ -402,7 +425,17 @@ object EventStreams {
               open = open - b
             }
           }
+          // state stays BOUNDED either way: open is emptied by closes
+          // (lateness/width + 1 entries at most between them) and the
+          // ring holds <= trail counts — an eternal key costs a few
+          // dozen longs, never its history. Timeout re-arms only while
+          // something is open, so a fully-flushed key parks with just
+          // its ring until the next arrival.
           state.update(BucketState(open, ring))
+          if (open.nonEmpty) {
+            val next = (open.keys.min + 1) * widthMs
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
           out.iterator
       }
   }

@@ -228,6 +228,81 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compaction crash recovery: a run killed between move-in and delete converges, no duplicates (H14)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = freshDir()
+    // 8-way parallel base write: every bucket lands several files
+    Snapshot.writeBase(baseDf(1L to 200L).repartition(8), "k", dir)
+    val want = Snapshot.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // construct the EXACT post-crash state: staged files moved in,
+    // redo marker present, old small files NOT yet deleted
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .maxBy(s => fs.listStatus(s.getPath).count(_.getPath.getName.endsWith(".parquet")))
+      .getPath
+    val smalls = fs.listStatus(part)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(smalls.length >= 2, "fixture must be fragmented")
+    // stage a combined file the way compact() would
+    val tmp = new Path(part, "_compact_tmp")
+    spark.read.option("basePath", dir)
+      .parquet(smalls.map(_.getPath.toString): _*)
+      .drop("bucket").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val pending = new Path(part, "_compact_pending")
+    val o = fs.create(pending, true)
+    o.write(smalls.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    o.close()
+    // "crash" happened: move HALF the staged files in (here: the one
+    // staged file stays in tmp — the crash-before-any-rename case),
+    // then a second scenario below covers crash-after-renames
+    // scenario A: recovery must finish the moves and delete the smalls
+    // (smallBytes = 1 => the pass does recovery ONLY, leaving the other
+    // partitions fragmented for scenario B)
+    val statsA = Compaction.compact(spark, dir, smallBytes = 1L)
+    val gotA = Snapshot.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotA == want, "recovery diverged (crash before renames)")
+    assert(!fs.exists(pending) && !fs.exists(tmp))
+    val _ = statsA
+    // scenario B: crash AFTER the renames, before the deletes — the
+    // reviewed duplicate window. Re-fragment a DIFFERENT partition (the
+    // first one still holding >= 2 files), stage, move in, leave
+    // marker + old smalls in place.
+    val want2 = want
+    val part2 = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .filter(_.getPath != part)
+      .find(s => fs.listStatus(s.getPath)
+        .count(x => x.isFile && x.getPath.getName.endsWith(".parquet")) >= 2)
+      .map(_.getPath).getOrElse(fail("no second fragmented partition"))
+    val tmp2 = new Path(part2, "_compact_tmp")
+    val pending2 = new Path(part2, "_compact_pending")
+    val smalls2 = fs.listStatus(part2)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(smalls2.length >= 2)
+    spark.read.option("basePath", dir)
+      .parquet(smalls2.map(_.getPath.toString): _*)
+      .drop("bucket").coalesce(1)
+      .write.mode("overwrite").parquet(tmp2.toString)
+    val o2 = fs.create(pending2, true)
+    o2.write(smalls2.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    o2.close()
+    fs.listStatus(tmp2).filter(_.getPath.getName.endsWith(".parquet")).foreach { s =>
+      fs.rename(s.getPath, new Path(part2, "compacted-" + s.getPath.getName))
+    }
+    // duplicates are now VISIBLE (moved-in copy + undeleted originals);
+    // recovery must fold them away, not bake them in
+    Compaction.compact(spark, dir, targetBytes = 1L << 30, smallBytes = 1L << 20)
+    val gotB = Snapshot.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotB == want2, "recovery baked in the crash-window duplicates")
+    assert(Snapshot.read(spark, dir).count() == want2.size.toLong)
+  }
+
   test("a bucket whose rows are all deleted is swept (dynamic overwrite writes nothing there)") {
     import spark.implicits._
     val dir = freshDir()

@@ -286,6 +286,20 @@ class StreamingSpec extends SparkSpec {
         s"\nstream=${got.mkString(",")}\nbatch =${expect.mkString(",")}")
       // the planted 10x burst is the one flagged spike
       assert(got.count(_._4.contains(1L)) == 1 && got(3)._4.contains(1L))
+      // straggler: an event far behind the watermark is filtered by
+      // the event-time-timeout discipline — it neither re-opens the
+      // closed bucket (no duplicate emission) nor grows state
+      val nStates = query.lastProgress.stateOperators.head.numRowsTotal
+      input.addData(ev(999L, 30, "a")) // bucket 0, long closed
+      query.processAllAvailable()
+      input.addData(ev(998L, 2000, "b"))
+      query.processAllAvailable()
+      val again = spark.sql(
+        "select count(*) from anomalies where event_type = 'a' and bucket = 0")
+        .collect()(0).getLong(0)
+      assert(again == 1L, "closed bucket re-emitted after a straggler")
+      assert(query.lastProgress.stateOperators.head.numRowsTotal <= nStates + 1,
+        "straggler grew the keyed state") // +1 allows b's own key entry
     } finally query.stop()
   }
 
