@@ -1240,8 +1240,8 @@ private[graft] object OracleSql {
     val sb = new StringBuilder
     sb.append(s"""WITH pairs AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-    edges AS (SELECT c + 10000000 AS src, s AS dst, w FROM pairs
-      UNION ALL SELECT s AS src, c + 10000000 AS dst, w FROM pairs),
+    edges AS (SELECT c + 1000000000000 AS src, s AS dst, w FROM pairs
+      UNION ALL SELECT s AS src, c + 1000000000000 AS dst, w FROM pairs),
     ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.wout FROM edges e
       JOIN (SELECT src, cast(sum(w) as bigint) AS wout FROM edges GROUP BY src) o
         ON e.src = o.src),
@@ -1258,7 +1258,7 @@ private[graft] object OracleSql {
     }
     sb.append(s"""
     SELECT node AS s_suppkey, r AS rank_u FROM r$iters
-    WHERE node < 10000000 ORDER BY node""")
+    WHERE node < 1000000000000 ORDER BY node""")
     sb.toString
   }
 
@@ -1501,7 +1501,8 @@ private[graft] object OracleSql {
     * CTEs densified to ordered 64-lists, then the ann_brute_topk
     * cosine fold (the identical sequential list_reduce as graft_dot /
     * graft_norm2) and (cos DESC, n_id) ranking. */
-  def embedSearch(dim: Int, k: Int, every: Int): String = materialized {
+  def embedSearch(dim: Int, k: Int, every: Int,
+      maxQId: Int = 500): String = materialized {
     s"""${embedDocsCtes(dim)},
     ids AS (SELECT DISTINCT doc_id FROM comps),
     grid AS (SELECT ids.doc_id, g.i FROM ids
@@ -1511,7 +1512,8 @@ private[graft] object OracleSql {
       GROUP BY g.doc_id),
     n AS (SELECT doc_id, v, list_reduce(list_prepend(cast(0.0 as double),
         list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM dense),
-    q AS (SELECT doc_id AS q_id, v, norm FROM n WHERE doc_id % $every = 0),
+    q AS (SELECT doc_id AS q_id, v, norm FROM n
+      WHERE doc_id % $every = 0 AND doc_id < $maxQId),
     s AS (SELECT q.q_id, c.doc_id AS n_id,
         list_reduce(list_prepend(cast(0.0 as double),
           list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])), (s,x) -> s+x)

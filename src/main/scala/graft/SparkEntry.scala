@@ -69,6 +69,13 @@ object SparkEntry {
     // regardless of the batch split
     "merge_cdc" -> ((s, d) =>
       graft.sources.Snapshot.mergeCdcQuery(tables(s, d), d)),
+    // H16: read AS OF an intermediate version of the copy-on-write
+    // versioned snapshot — the history builds once (marker-gated), the
+    // benched query is the manifest-driven partition-pruned read, and
+    // the hash gate proves historical reads are insulated from the two
+    // LATER commits (incl. later deletes/re-upserts)
+    "snapshot_time_travel" -> ((s, d) =>
+      graft.sources.VersionedSnapshot.timeTravelQuery(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // C22: exact-integer PageRank fixpoint over the purchase graph
@@ -137,11 +144,23 @@ object SparkEntry {
     "dedup_embed_clusters" -> ((s, d) => Dedup.embedClustersLsh(tables(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(tables(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(tables(s, d))),
-    // D9 corpus version audit; D10 incremental components (oracle = the
-    // full-recompute closure — hash equality IS the incremental claim)
+    // D9 corpus version audit; D10 incremental components — the DEPLOY
+    // shape since round 14: settled corpus present only as two persisted
+    // artifacts (label table + D7 band index, both built once per
+    // session, marker-gated), per-batch work = index probe + exact
+    // verify + quotient merge. Oracle = the full LSH-recompute closure
+    // (dedup_clusters_lsh's text) — hash equality IS the incremental
+    // claim, and it is exact by construction (candidate generation is a
+    // pure pair function), not by band recall
     "snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(tables(s, d))),
-    "dedup_clusters_incremental" -> ((s, d) =>
-      Dedup.dedupClustersIncremental(tables(s, d))),
+    "dedup_clusters_incremental" -> ((s, d) => {
+      val t = tables(s, d)
+      val idxDir = TextIndex.materialize(t, d)
+      val labDir = Dedup.materializeSettledLabels(t, d)
+      Dedup.dedupClustersIncrementalIndexed(t.documents,
+        pmod(col("doc_id"), lit(8L)) === 7L,
+        s.read.parquet(labDir), idxDir)
+    }),
     // incremental dedup against the persisted text index: the % 8 == 7
     // slice is the "new ingest", probed against the settled corpus's
     // hash + band artifact (built once, marker-gated, full lifecycle)
@@ -857,6 +876,21 @@ object SparkEntry {
           event_type AS last_type, value_c AS last_value_c
         FROM r WHERE rn = 1 AND event_type != 'error'
         ORDER BY user_id""",
+    // H16: the as-of-v2 table = latest-wins election restricted to the
+    // two slices that had landed by version 2 (3 then 1) — rows from
+    // the later slices {0, 2} must be invisible however their versions
+    // interleave, and error-latest users (tombstones) stay absent
+    "snapshot_time_travel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+          cast(round(value*100) as bigint) AS value_c FROM events
+        WHERE event_id % 4 IN (3, 1)),
+        r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e)
+        SELECT user_id, event_id AS last_event_id, ts_ms AS last_ms,
+          event_type AS last_type, value_c AS last_value_c
+        FROM r WHERE rn = 1 AND event_type != 'error'
+        ORDER BY user_id""",
     "quality_by_source" ->
       """WITH d AS (SELECT source, cast(length(text) as bigint) AS len,
           cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS w,
@@ -1229,8 +1263,12 @@ object SparkEntry {
                ELSE 'test' END AS split
         FROM h ORDER BY doc_id""",
     // D10: the incremental path must land on the FULL recompute's
-    // clusters exactly — same oracle text by construction
-    "dedup_clusters_incremental" -> clustersClosureOracle,
+    // clusters exactly — since round 14 the deploy-shape harness probes
+    // the D7 band index, so the full recompute it must equal is the LSH
+    // closure (dedup_clusters_lsh's own oracle text, shared verbatim):
+    // settled-only clustering + fresh-probe candidates partition the
+    // full candidate set exactly, so equality is by construction
+    "dedup_clusters_incremental" -> OracleSql.dedupClustersLsh,
     // D9: the oracle diffs RAW text where Spark diffs 128-bit content
     // hashes (the D1 rule: a collision fails loudly)
     "snapshot_diff" ->

@@ -622,7 +622,12 @@ object Analytics {
     * the edges cache scan beneath it. Ranks are NOT collected — driver
     * state is nil. */
   def supplierPagerank(t: Tables, iters: Int = 6): DataFrame = {
-    val Offset = 10000000L // customer ids shifted above any supplier id
+    // customer ids shifted into a disjoint node-id space; 1e12 (the
+    // Snapshot.mergeUpsertQuery rule) because s_suppkey grows 10,000
+    // per SF and would cross a 1e7 offset at SF≈1,000 — silently
+    // conflating supplier and shifted-customer nodes, invisible to the
+    // oracle (which shares the constant)
+    val Offset = 1000000000000L
     val pairs = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))

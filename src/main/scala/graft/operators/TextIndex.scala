@@ -276,6 +276,15 @@ object TextIndex {
     * batch id here). */
   def dedupBatch(newDocs: DataFrame, dir: String,
       excludeBatch: Option[Long] = None): DataFrame =
+    dedupBatchCore(newDocs, dir, excludeBatch)
+      .orderBy("id_a", "id_b", "reason")
+
+  /** [[dedupBatch]] without the presentation sort — for consumers that
+    * immediately re-shuffle the pairs (the D10 indexed clustering
+    * harness verifies and closes over them; a global sort there is a
+    * wasted exchange + job). */
+  private[operators] def dedupBatchCore(newDocs: DataFrame, dir: String,
+      excludeBatch: Option[Long] = None): DataFrame =
     dedupBatchFrom(signatures(newDocs).localCheckpoint(true), dir,
       excludeBatch)
 
@@ -331,7 +340,6 @@ object TextIndex {
       // candidate pair exactly once
       .distinct()
     exact.unionByName(within).unionByName(cross)
-      .orderBy("id_a", "id_b", "reason")
   }
 
   /** The curation-gate keeper rule shared by [[curateStream]] and

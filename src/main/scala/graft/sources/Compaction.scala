@@ -91,11 +91,21 @@ object Compaction {
 
   private val PendingName = "_compact_pending"
 
+  /** The marker must be all-or-nothing: recoverCrash deletes exactly the
+    * listed smalls, so a half-written (truncated) marker would finish the
+    * moves but leave unlisted smalls in place — permanent duplicates. We
+    * get atomicity from the filesystem: write to a `.tmp` name, then
+    * rename into place (atomic on HDFS and POSIX); a crash mid-write
+    * leaves only the ignored `.tmp`, never a valid-looking partial log. */
   private def writePending(fs: FileSystem, part: Path,
       smallNames: Seq[String]): Unit = {
-    val outS = fs.create(new Path(part, PendingName), true)
+    val tmpMarker = new Path(part, PendingName + ".tmp")
+    val outS = fs.create(tmpMarker, true)
     outS.write(smallNames.mkString("\n").getBytes("UTF-8"))
     outS.close()
+    if (!fs.rename(tmpMarker, new Path(part, PendingName)))
+      throw new java.io.IOException(
+        s"could not publish compaction redo marker under $part")
   }
 
   /** Replay a crashed compaction's redo log: the marker exists only
@@ -103,6 +113,9 @@ object Compaction {
     * files still in `_compact_tmp` into the partition, delete the
     * listed small files that survive, then drop marker + staging. */
   private def recoverCrash(fs: FileSystem, part: Path): Unit = {
+    // a leftover .tmp is a crash BEFORE publication: staging was intact
+    // but no move/delete had started — plain scratch, safe to discard
+    fs.delete(new Path(part, PendingName + ".tmp"), false)
     val marker = new Path(part, PendingName)
     if (!fs.exists(marker)) return
     val tmp = new Path(part, "_compact_tmp")

@@ -70,8 +70,14 @@ object Layout {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val stats = zCols.indices.map(i =>
-      (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    val stats = zCols.indices.map { i =>
+      // min/max are null iff the column has no non-null values (or the
+      // frame is empty) — fail with the cause instead of an opaque NPE
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zorder column '${zCols(i)}' has no non-null values; " +
+          "cannot fit a (min, max) model for the Morton scaling")
+      (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
     df.withColumn("__z", mortonValue(zCols.map(col), stats))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

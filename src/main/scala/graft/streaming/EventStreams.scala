@@ -424,6 +424,12 @@ object EventStreams {
               ring = (ring :+ (b, n)).takeRight(trail)
               open = open - b
             }
+            // in the baseline-restart branch the loop starts at lo >
+            // some closable buckets; those predate the re-learn horizon
+            // and are dropped, not emitted — leaving them in `open`
+            // would pin open.keys.min and re-arm an always-past timeout
+            // every trigger forever (a permanent state + CPU leak)
+            open = open -- closable
           }
           // state stays BOUNDED either way: open is emptied by closes
           // (lateness/width + 1 entries at most between them) and the

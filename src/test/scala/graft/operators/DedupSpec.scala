@@ -402,6 +402,48 @@ class DedupSpec extends SparkSpec {
     assert(inc(5L) == 5L)
   }
 
+  test("indexed incremental clustering (D10 deploy shape) equals the full LSH recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("d10idx").toString
+    // same bridge fixture as the exact-tier test: fresh 15 merges the
+    // two settled clusters through j≈0.951 edges
+    def txt(idx: Seq[Int]) = idx.map(i => s"w$i").mkString(" ")
+    val a = txt((1 to 39) :+ 41)
+    val b = txt((1 to 39) :+ 42)
+    val f = txt(1 to 40)
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, b), (4L, b),
+      (5L, "completely different text about nothing shared"),
+      (15L, f)).toDF("doc_id", "text")
+    val isFresh = pmod(col("doc_id"), lit(8L)) === 7L
+    val settled = docs.filter(!isFresh)
+    TextIndex.build(settled, dir)
+    val settledLabels = Dedup.clusterDocsLsh(settled)
+    val inc = Dedup.dedupClustersIncrementalIndexed(
+        docs, isFresh, settledLabels, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the equality claim is vs the full LSH recompute — BY CONSTRUCTION
+    // (settled-only clustering + fresh index-probe candidates partition
+    // the full candidate set), not by band recall
+    val full = Dedup.clusterDocsLsh(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"indexed incremental $inc != full LSH $full")
+    assert(Seq(2L, 3L, 4L, 15L).forall(id => inc(id) == inc(1L)),
+      s"fresh bridge did not merge the settled clusters: $inc")
+    // and on the real corpus: the %8 split against the sf0.001 documents
+    val cdir = java.nio.file.Files.createTempDirectory("d10idx_corpus").toString
+    val corpusFresh = pmod(col("doc_id"), lit(8L)) === 7L
+    val corpusSettled = t.documents.filter(!corpusFresh)
+    TextIndex.build(corpusSettled, cdir)
+    val corpusInc = Dedup.dedupClustersIncrementalIndexed(t.documents,
+        corpusFresh, Dedup.clusterDocsLsh(corpusSettled), cdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusFull = Dedup.clusterDocsLsh(t.documents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corpusInc == corpusFull)
+  }
+
   test("span coverage: planted cross-doc / within-doc spans, interval union, no text in exchanges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
