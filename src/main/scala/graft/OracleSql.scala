@@ -1317,6 +1317,40 @@ private[graft] object OracleSql {
     FROM fr GROUP BY user_id
     ORDER BY user_id"""
 
+  /** mm_cross_align (G10): the cross-modal backward as-of + census
+    * replayed — the B1b last_value IGNORE NULLS window over the
+    * modality-split event stream, the G8b voiced gate from the full
+    * PCM sample replay, exact-integer gap integrals. A defect in the
+    * as-of tie rule, the VAD arithmetic, or the null semantics of the
+    * never-aligned user breaks the hash. */
+  lazy val mmCrossAlign: String =
+    s"""WITH ${pcmSamplesCte},
+    va AS (SELECT event_id,
+        CASE WHEN sum(abs(s)) >= 64 * 4096 THEN 1 ELSE 0 END AS voiced
+      FROM smp GROUP BY event_id),
+    e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) END AS img_ts,
+        CASE WHEN event_id % 3 = 0 THEN event_id END AS img_id
+      FROM events),
+    al AS (SELECT event_id, user_id, ts_ms,
+        last_value(img_ts IGNORE NULLS) OVER w AS a_img_ts,
+        last_value(img_id IGNORE NULLS) OVER w AS a_img_id
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    au AS (SELECT al.*, va.voiced FROM al JOIN va USING (event_id)
+      WHERE event_id % 3 <> 0)
+    SELECT user_id, count(*) AS n_audio,
+      cast(sum(CASE WHEN a_img_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+        AS n_aligned,
+      cast(sum(CASE WHEN voiced = 1 AND a_img_id IS NOT NULL THEN 1 ELSE 0 END)
+        as bigint) AS n_voiced_aligned,
+      cast(sum(CASE WHEN a_img_id IS NOT NULL THEN ts_ms - a_img_ts END)
+        as bigint) AS sum_gap_ms,
+      max(CASE WHEN a_img_id IS NOT NULL THEN ts_ms - a_img_ts END)
+        AS max_gap_ms
+    FROM au GROUP BY user_id ORDER BY user_id"""
+
   /** mm_scene_cuts (G9): the per-frame mean luma recomputed from the
     * pattern spec (the mmFeaturesBmp closed form), lagged per user
     * stream, thresholded with the same exact-integer rule. */

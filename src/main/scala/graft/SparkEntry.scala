@@ -206,6 +206,9 @@ object SparkEntry {
     "mm_audio_vad" -> ((s, d) => Multimodal.mmAudioVad(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
+    // G10: cross-modal backward as-of (audio fragment → latest image
+    // keyframe of the same user stream) + per-user alignment census
+    "mm_cross_align" -> ((s, d) => Multimodal.mmCrossAlign(tables(s, d))),
     // G7: incremental frame dedup against the persisted dHash-band
     // index — the seq == 6 slice of the sampled library (seq =
     // (frame_id/10) % 8; an even slice, so it carries planted family
@@ -1820,6 +1823,7 @@ object SparkEntry {
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
     "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),
+    "mm_cross_align" -> OracleSql.mmCrossAlign,
     "mm_frame_dedup" -> OracleSql.mmFrameDedup,
     "mm_frame_dedup_incremental" -> OracleSql.mmFrameDedupIncremental
   )

@@ -347,6 +347,59 @@ object Multimodal {
       .orderBy("user_id")
   }
 
+  /** G10 — CROSS-MODAL alignment census (round 14): associate every
+    * AUDIO fragment with the most recent IMAGE frame of the same user
+    * stream at (ts, id) ≤ its own — the multimodal form of the B1b
+    * backward as-of, which is exactly how an A/V training-pair builder
+    * aligns a transcript/audio window to its video keyframe — then
+    * census per user: fragments, aligned fragments, voiced-and-aligned
+    * fragments (the G8b exact-integer VAD gate), and the alignment gap
+    * integrals. The two modality streams derive disjointly from the
+    * one event log (every 3rd event renders an image keyframe, the
+    * rest carry WAV audio — the interleave a real A/V mux produces).
+    *
+    * Scale shape: ONE user_id exchange — the B1b running window and
+    * the per-user census share the same partitioning (the funnel
+    * exchange-elimination rule); the VAD bit is a per-row codegen
+    * kernel chain riding the scan. Tie rule documented and pinned: an
+    * image at the same millisecond counts iff its event_id is smaller
+    * (lexicographic (ts, id) ≤ — the window order makes it exact).
+    * Null semantics: a user whose audio all precedes any image
+    * reports n_aligned = 0 and NULL gap integrals (SQL sum-of-empty),
+    * identically on both engines. */
+  def mmCrossAlign(t: Tables, minMeanAbs: Long = 4096L): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val isImage = col("event_id") % 3L === 0L
+    val e = t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .withColumn("img_ts", when(isImage, col("ts_ms")))
+      .withColumn("img_id", when(isImage, col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aligned = e
+      .withColumn("a_img_ts", last(col("img_ts"), ignoreNulls = true).over(w))
+      .withColumn("a_img_id", last(col("img_id"), ignoreNulls = true).over(w))
+      .filter(!isImage)
+    val f = call_function("graft_wav_features",
+      call_function("graft_wav_encode", col("event_id"), silentCol))
+    val gap = when(col("a_img_id").isNotNull, col("ts_ms") - col("a_img_ts"))
+    aligned
+      .withColumn("voiced",
+        (f.getField("sum_abs") >= f.getField("n_samples") * minMeanAbs)
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_audio"),
+        sum(col("a_img_id").isNotNull.cast("long")).as("n_aligned"),
+        sum((col("voiced") === 1L && col("a_img_id").isNotNull)
+          .cast("long")).as("n_voiced_aligned"),
+        sum(gap).as("sum_gap_ms"),
+        max(gap).as("max_gap_ms"))
+      .orderBy("user_id")
+  }
+
   /** The sampled frame library as a plain (frame_id, frame) binary
     * frame table — the shared input of [[mmFrameDedup]] and the
     * persisted [[FrameIndex]] lifecycle (decode happens downstream of

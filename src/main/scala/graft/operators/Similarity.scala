@@ -83,6 +83,49 @@ object Similarity {
       .filter(col("rnk") <= m)
       .select(col("q_id"), col("n_id"), col("rel"), col("v_n"), col("norm_n"))
       .localCheckpoint(true)
+    mmrFromCandidates(cands, n, lam, lamBar)
+  }
+
+  /** E12 over the E5 PREFIT INDEX (round 14 — the round-13 verdict's
+    * candidate-source parameterization): candidate generation is
+    * [[VectorIndex.searchTopK]] — partition-pruned to the probed cells,
+    * ZERO fit jobs — and the greedy diversity stage is the SAME
+    * [[mmrFromCandidates]] code the oracle tier runs, so index-sourced
+    * MMR ≡ oracle-tier MMR wherever the index's exact-reranked top-m
+    * equals E1's (nprobe = kCells makes that unconditional; smaller
+    * nprobe prices the usual IVF recall trade). `rel` is recomputed
+    * with the E1 fold over the original vectors (one candidate-id
+    * broadcast join back to the corpus — batch-sized), so the greedy
+    * arithmetic is bit-identical to the oracle tier's, not a rounded
+    * surface value. `queries` carries (vec_id, v, norm) — the
+    * searchTopK contract. */
+  def mmrTopKIndexed(corpus: DataFrame, queries: DataFrame, dir: String,
+      m: Int = 20, n: Int = 5, lam: Double = 0.7, lamBar: Double = 0.3,
+      nprobe: Int = 3, rerank: Int = 100): DataFrame = {
+    val hits = VectorIndex.searchTopK(corpus, queries, dir, m, nprobe, rerank)
+      .select(col("q_id"), col("n_id"))
+    val qn = queries.select(col("vec_id").as("q_id"),
+      col("v").as("v_q"), col("norm").as("norm_q"))
+    val cv = withNorm(corpus).select(col("vec_id").as("n_id"),
+      col("v").as("v_n"), col("norm").as("norm_n"))
+    val cands = hits
+      .join(broadcast(qn), "q_id")
+      .join(cv, "n_id")
+      .withColumn("rel",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .select(col("q_id"), col("n_id"), col("rel"), col("v_n"), col("norm_n"))
+      .localCheckpoint(true)
+    mmrFromCandidates(cands, n, lam, lamBar)
+  }
+
+  /** The greedy MMR stage over ANY candidate frame
+    * (q_id, n_id, rel, v_n, norm_n) — query-batch-sized by
+    * construction; shared verbatim by the E1 oracle tier and the E5
+    * index tier so the two provably run the same selection chain. */
+  private def mmrFromCandidates(cands: DataFrame, n: Int,
+      lam: Double, lamBar: Double): DataFrame = {
+    val wRel = Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))
     val a = cands.select(col("q_id"), col("n_id").as("c_id"),
       col("v_n").as("v_a"), col("norm_n").as("norm_a"))
     val b = cands.select(col("q_id").as("q2"), col("n_id").as("s_id"),

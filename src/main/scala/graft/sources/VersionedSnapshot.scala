@@ -134,6 +134,9 @@ object VersionedSnapshot {
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
       keyCol: String, buckets: Int = Snapshot.DefaultBuckets): Long = {
     graft.plans.VectorFunctions.register(spark)
+    // foreachBatch frames analyze against a cloned session state (the
+    // Snapshot.merge rule): register the kernels on the frame's session
+    graft.plans.VectorFunctions.register(changes.sparkSession)
     val cur = currentVersion(spark, path)
     require(cur >= 0L, s"$path is not initialized (call init first)")
     val manifest = readManifest(spark, path, cur)

@@ -446,6 +446,90 @@ object EventStreams {
       }
   }
 
+  final case class Scd2Closed(user_id: Long, event_id: Long,
+      valid_from_ms: Long, valid_to_ms: Long)
+
+  /** B24 streaming twin (round 14) — LIVE SCD-2 interval assembly: each
+    * key's version becomes a validity interval [own ts, next version's
+    * ts), emitted exactly ONCE when it is provably closed — the
+    * event-time watermark has passed its END strictly, so no arrival
+    * can still land inside it (arrivals are watermark-filtered under
+    * EventTimeTimeout, the B25b discipline) or tie into its boundary
+    * (same-ms arrivals at exactly the watermark are why the close is
+    * strict). The OPEN interval per key — batch's valid_to NULL row —
+    * never emits: a stream cannot know a version is final, which is
+    * precisely the Append-mode reading of "is_current".
+    *
+    * State per key = the versions whose intervals are not yet closed:
+    * the open head plus anything inside the lateness horizon — bounded
+    * by change rate × lateness + 1, never by history (closed versions
+    * leave state the batch they emit). Same (ts_ms, event_id) total
+    * order as the batch window, so stream ≡ batch on the union for
+    * every closed interval (StreamingSpec pins it, incl. a same-ms tie
+    * and an out-of-order insertion between two buffered versions).
+    * Timeout re-arms at the exact next finalization horizon, so idle
+    * keys flush without waiting for their own next event. */
+  def scd2Stream(events: Dataset[Event],
+      lateness: String = "1 minute"): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long)], Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event],
+            state: GroupState[List[(Long, Long)]]) =>
+          // merged version buffer in the batch form's (ts, id) order;
+          // distinct folds replayed duplicates
+          var buf = (state.getOption.getOrElse(Nil) ++
+            rows.map(e => (e.ts.getTime, e.event_id))).distinct.sorted
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          // head interval [v0, v1) is final iff v1.ts < wm: a row could
+          // only break it by carrying ts < v1.ts <= wm — filtered
+          while (buf.lengthCompare(2) >= 0 && buf(1)._1 < wm) {
+            out += Scd2Closed(uid, buf.head._2, buf.head._1, buf(1)._1)
+            buf = buf.tail
+          }
+          state.update(buf)
+          // a pending close exists whenever >= 2 versions are buffered;
+          // its horizon is exactly the successor's ts (+1 past the wm
+          // guard) — idle keys finalize on watermark advance alone
+          if (buf.lengthCompare(2) >= 0)
+            state.setTimeoutTimestamp(math.max(buf(1)._1 + 1, wm + 1))
+          out.iterator
+      }
+  }
+
+  /** D9 streaming twin (round 14) — LIVE snapshot diff: classify the
+    * NEW corpus version's documents as added / changed / unchanged AS
+    * THEY ARRIVE, against the settled version reduced to its
+    * (doc_id, 128-bit hash) table — the D1 exchange discipline makes
+    * the static side ~24 B/row, never text, so it hash-joins (or
+    * broadcasts) like B18's dimension and is re-scanned per
+    * micro-batch. STATELESS: one projection + one stream-static left
+    * join, append mode, no state store, no watermark.
+    *
+    * 'removed' is deliberately absent: a key is removed only when the
+    * new snapshot ENDS without it — a whole-snapshot property no
+    * arrival can decide — so the live gate emits the three
+    * arrival-decidable statuses and the batch complement
+    * ([[graft.operators.Dedup.snapshotDiffOf]]'s removed rows) runs at
+    * snapshot close. StreamingSpec pins stream ≡ batch minus removed
+    * on the union, and that the plan carries no state operator. */
+  def snapshotDiffStream(neu: DataFrame, oldSnap: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, p: String) = df.select(col("doc_id"),
+      xxhash64(col("text")).as(s"${p}h1"),
+      xxhash64(lit(1L), col("text")).as(s"${p}h2"))
+    hashed(neu, "n_")
+      .join(hashed(oldSnap, "o_"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("o_h1").isNull, "added")
+          .when(col("o_h1") === col("n_h1") && col("o_h2") === col("n_h2"),
+            "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   final case class Turn(ts_ms: Long, event_id: Long, event_type: String)
   final case class Transcript(user_id: Long, start_ms: Long, n_turns: Long,
       dur_ms: Long, transcript: String)

@@ -105,4 +105,45 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect, "EBML block transport must be byte-lossless for audio frames")
   }
+
+  test("cross-modal alignment: driver recompute per user, (ts,id) tie rule, one user_id exchange (G10)") {
+    import org.apache.spark.sql.functions._
+    // driver-side reference: per user, sort all events by (ts_ms,
+    // event_id); each audio row (id % 3 != 0) takes the latest image
+    // row (id % 3 == 0) at or before it in that order
+    val evs = t.events
+      .selectExpr("event_id", "user_id", "ts div 1000000 as ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = evs.groupBy(_._2).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      var img: Option[(Long, Long)] = None // (ts, id)
+      var nA = 0L; var nAl = 0L; var nVA = 0L
+      var sumG = 0L; var maxG = Option.empty[Long]
+      ordered.foreach { case (id, _, ts) =>
+        if (id % 3 == 0) img = Some((ts, id))
+        else {
+          nA += 1
+          img.foreach { case (its, _) =>
+            nAl += 1
+            val g = ts - its
+            sumG += g
+            maxG = Some(maxG.fold(g)(math.max(g, _)))
+            if (id % 5 != 0) nVA += 1 // voiced iff not planted silent
+          }
+        }
+      }
+      u -> (nA, nAl, nVA, if (nAl > 0) Some(sumG) else None, maxG)
+    }
+    val got = Multimodal.mmCrossAlign(t).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+    // scale pin: the B1b window and the census share ONE user_id
+    // exchange (the funnel exchange-elimination rule)
+    val plan = Multimodal.mmCrossAlign(t).queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 hash exchange, saw $n:\n${plan.take(1500)}")
+  }
 }

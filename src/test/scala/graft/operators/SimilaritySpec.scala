@@ -434,4 +434,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rel.toSeq == Seq((0L, 1L, 10L), (0L, 2L, 11L)))
   }
+
+  test("index-sourced MMR equals the oracle tier with zero fit jobs (E12 over E5)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_idx").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val fitJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).flatMap(Option(_))
+        if (g.contains(VectorIndex.FitJobGroup)) { fitJobs.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val queries = Similarity.withNorm(t.embeddings).filter(col("vec_id") < 10)
+      // nprobe = every cell and rerank >= corpus make the index's
+      // exact-reranked top-m unconditionally E1's top-m, so the shared
+      // greedy stage must land on the identical selection chain
+      val idx = Similarity.mmrTopKIndexed(t.embeddings, queries, dir,
+          nprobe = 8, rerank = 100000)
+        .collect().map(_.toSeq).toSeq
+      val oracle = Similarity.mmrTopK(t).collect().map(_.toSeq).toSeq
+      assert(idx == oracle, "index-sourced MMR diverged from the oracle tier")
+      Thread.sleep(300) // drain async listener events
+      assert(fitJobs.get == 0,
+        s"index-sourced MMR launched ${fitJobs.get} fit jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

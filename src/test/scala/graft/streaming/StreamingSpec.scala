@@ -303,6 +303,90 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scd2 stream: closed validity intervals ≡ batch tiling, out-of-order insertion and same-ms ties honored (B24 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Event
+    def ev(id: Long, sec: Long, u: Long) =
+      Event(id, new Timestamp(sec * 1000L), u, "v", 0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    try {
+      // user 1 versions at 100s and 200s; user 2 drives the watermark
+      input.addData(ev(1L, 100, 1L), ev(2L, 200, 1L), ev(900L, 160, 2L))
+      query.processAllAvailable()
+      // out-of-order INSERTION: 150s lands between the two buffered
+      // versions (watermark is 100s — still admissible), then the
+      // watermark advances past everything
+      input.addData(ev(3L, 150, 1L), ev(901L, 400, 2L))
+      query.processAllAvailable()
+      input.addData(ev(902L, 401, 2L))
+      query.processAllAvailable()
+      // same-ms tie: ids 4 and 5 at 500s order by event_id — a
+      // zero-length [500,500) interval for id 4, id 5 stays open
+      input.addData(ev(4L, 500, 1L), ev(5L, 500, 1L), ev(903L, 700, 2L))
+      query.processAllAvailable()
+      input.addData(ev(904L, 701, 2L))
+      query.processAllAvailable()
+      input.addData(ev(905L, 702, 2L)) // nudge: fire pending timeouts
+      query.processAllAvailable()
+      val got = spark.sql(
+        "select user_id, event_id, valid_from_ms, valid_to_ms from scd2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // batch reference: adjacent (ts, id)-ordered pairs per user,
+      // CLOSED (end strictly below the final watermark 642s) only
+      val all = Map(
+        1L -> Seq((100L, 1L), (150L, 3L), (200L, 2L), (500L, 4L), (500L, 5L)),
+        2L -> Seq((160L, 900L), (400L, 901L), (401L, 902L), (700L, 903L),
+          (701L, 904L), (702L, 905L)))
+      val wmFinal = 702L - 60L
+      val expect = all.flatMap { case (u, vs) =>
+        vs.sorted.sliding(2).collect {
+          case Seq((f, id), (to, _)) if to < wmFinal =>
+            (u, id, f * 1000L, to * 1000L)
+        }
+      }.toSet
+      assert(got == expect, s"\nstream=$got\nbatch =$expect")
+      // the open interval per key is absent (ids 5 / 903+ never emit
+      // as valid_from rows with the final versions)
+      assert(!got.exists(_._2 == 5L))
+    } finally query.stop()
+  }
+
+  test("snapshot-diff stream: arrival statuses ≡ batch diff minus removed, stateless plan (D9 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStreams.snapshotDiffStream(
+        input.toDF().toDF("doc_id", "text"), v1)
+      .writeStream.format("memory").queryName("snapdiff")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta CHANGED"))
+      query.processAllAvailable()
+      input.addData((4L, "delta"))
+      query.processAllAvailable()
+      val got = spark.sql("select doc_id, status from snapdiff")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch reference over the full arrived v2, minus the
+      // whole-snapshot 'removed' status the stream cannot decide
+      val v2 = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.snapshotDiffOf(v1, v2)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+        .filter(_._2 != "removed").toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      // stateless: no state store operator in the streaming plan
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "snapshot-diff stream must not carry a state store")
+    } finally query.stop()
+  }
+
   test("consumer changelog -> CDC snapshot e2e: streamed events materialize the batch latest-wins state (B23 ∘ H13b)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
