@@ -1317,6 +1317,54 @@ private[graft] object OracleSql {
     FROM fr GROUP BY user_id
     ORDER BY user_id"""
 
+  /** F31 replay — the k-round deterministic DoReMi fixpoint as chained
+    * CTE blocks (the PageRank/Lloyd pattern): per-source unigram
+    * counts, own-entropy numerators, then per round the exact-integer
+    * mixture mass, quantized word costs, one floor-divided excess per
+    * domain, and the integer-renormalized multiplicative-weights
+    * update. Same quantization points, same floor divisions — bit for
+    * bit. */
+  def doremiWeights(iters: Int, capU: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH toks AS (SELECT source,
+      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+    cd AS MATERIALIZED (SELECT source, word, count(*)::BIGINT AS c
+      FROM toks GROUP BY 1, 2),
+    nd AS (SELECT source, cast(sum(c) as bigint) AS n FROM cd GROUP BY 1),
+    dc AS (SELECT count(*)::BIGINT AS dd FROM nd),
+    selfc AS (SELECT cd.source, cd.word, cd.c, nd.n,
+        cast(round(-ln(cd.c::DOUBLE / nd.n::DOUBLE) * 1e6) as bigint) AS sc_u
+      FROM cd JOIN nd USING (source)),
+    hb AS MATERIALIZED (SELECT source, n, cast(sum(c * sc_u) as bigint) AS hnum
+      FROM selfc GROUP BY 1, 2),
+    w0 AS MATERIALIZED (SELECT source, n, hnum, (1000000 // dd) AS a_u,
+      0::BIGINT AS excess_u FROM hb, dc)""")
+    for (r <- 1 to iters) {
+      sb.append(s""",
+    p$r AS MATERIALIZED (SELECT cd.word,
+        greatest(cast(sum(w.a_u * ((cd.c * 1000000000) // w.n)) as bigint), 1) AS p_u
+      FROM cd JOIN w${r - 1} w USING (source)
+      GROUP BY cd.word),
+    cost$r AS (SELECT word,
+        cast(round(-ln(p_u::DOUBLE / 1e15) * 1e6) as bigint) AS cost_u FROM p$r),
+    l$r AS (SELECT cd.source, cast(sum(cd.c * t.cost_u) as bigint) AS cnum
+      FROM cd JOIN cost$r t USING (word) GROUP BY 1),
+    u$r AS MATERIALIZED (SELECT w.source, w.n, w.hnum,
+        least($capU, greatest(0, (l.cnum - w.hnum) // w.n)) AS excess_u,
+        cast(round(w.a_u::DOUBLE * exp(
+          least($capU, greatest(0, (l.cnum - w.hnum) // w.n))::DOUBLE / 1e6))
+          as bigint) AS raw_u
+      FROM w${r - 1} w JOIN l$r l USING (source)),
+    w$r AS MATERIALIZED (SELECT source, n, hnum,
+        (raw_u * 1000000) // (SELECT cast(sum(raw_u) as bigint) FROM u$r) AS a_u,
+        excess_u
+      FROM u$r)""")
+    }
+    sb.append(s"""
+    SELECT source, excess_u, a_u AS weight_u FROM w$iters ORDER BY source""")
+    sb.toString
+  }
+
   /** mm_cross_align (G10): the cross-modal backward as-of + census
     * replayed — the B1b last_value IGNORE NULLS window over the
     * modality-split event stream, the G8b voiced gate from the full
@@ -1558,6 +1606,68 @@ private[graft] object OracleSql {
         cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
       FROM s)
     WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
+
+  /** F32 replay — hybrid RRF retrieval: the F22 BM25 chain (renamed
+    * CTEs) and the F29 featurizer + query-vector-in-corpus-feature-
+    * space semantic chain, fused by exact integer floor-divided
+    * reciprocal ranks. No float crosses the output gate — ranks and
+    * integer rrf only. */
+  def hybridSearch(queryTerms: Seq[String], dim: Int, n: Int, k: Int,
+      kRrf: Long): String = materialized {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""${embedDocsCtes(dim)},
+    ids AS (SELECT DISTINCT doc_id FROM comps),
+    grid AS (SELECT ids.doc_id, g.i FROM ids
+      CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) g),
+    dense AS (SELECT g.doc_id, list(cast(coalesce(c.v, 0) as double) ORDER BY g.i) AS v
+      FROM grid g LEFT JOIN comps c ON c.doc_id = g.doc_id AND c.j = g.i
+      GROUP BY g.doc_id),
+    nrm AS (SELECT doc_id, v, list_reduce(list_prepend(cast(0.0 as double),
+        list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM dense),
+    qt AS (SELECT unnest([$termList]) AS term),
+    qh AS (SELECT ${hashToken("term")} AS h FROM qt),
+    qf AS (SELECT f.j, cast(sum(f.sign * f.idf_u) as bigint) AS qv
+      FROM qh JOIN feat f USING (h) GROUP BY f.j),
+    qd AS (SELECT list(cast(coalesce(qf.qv, 0) as double) ORDER BY g.i) AS vq
+      FROM (SELECT unnest(range(0, $dim)) AS i) g LEFT JOIN qf ON qf.j = g.i),
+    es AS (SELECT nrm.doc_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(nrm.v, qd.vq), p -> p[1]*p[2])), (s,x) -> s+x)
+          / sqrt(nrm.norm) AS score
+      FROM nrm CROSS JOIN qd),
+    er AS (SELECT doc_id,
+        cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint) AS rnk_embed
+      FROM es),
+    btoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z]+')) AS term FROM documents),
+    blens AS (SELECT doc_id, cast(count(*) as bigint) AS len FROM btoks GROUP BY 1),
+    bstats AS (SELECT cast(count(*) as bigint) AS n_docs, cast(sum(len) as bigint) AS l_total FROM blens),
+    btf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM btoks
+      WHERE term IN ($termList) GROUP BY 1, 2),
+    bdf AS (SELECT term, cast(count(*) as bigint) AS df FROM btf GROUP BY 1),
+    bidf AS (SELECT term, cast(round(ln(1.0
+          + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5)) * 1000000.0) as bigint) AS idf_u
+      FROM bdf CROSS JOIN bstats),
+    bscored AS (SELECT btf.doc_id,
+        cast(sum(cast(round(cast(bidf.idf_u as double)
+          * (cast(22::HUGEINT * btf.tf * s.l_total as double)
+            / cast(10::HUGEINT * btf.tf * s.l_total + 3::HUGEINT * s.l_total
+                + 9::HUGEINT * blens.len * s.n_docs as double))) as bigint)) as bigint) AS score_u
+      FROM btf JOIN bidf USING (term) JOIN blens USING (doc_id) CROSS JOIN bstats s
+      GROUP BY btf.doc_id),
+    branked AS (SELECT doc_id,
+        cast(row_number() OVER (ORDER BY score_u DESC, doc_id) as bigint) AS rnk_bm25
+      FROM bscored),
+    fa AS (SELECT doc_id, rnk_bm25 FROM branked WHERE rnk_bm25 <= $n),
+    fb AS (SELECT doc_id, rnk_embed FROM er WHERE rnk_embed <= $n),
+    fu AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        coalesce(1000000 // ($kRrf + fa.rnk_bm25), 0)
+          + coalesce(1000000 // ($kRrf + fb.rnk_embed), 0) AS rrf_u,
+        fa.rnk_bm25, fb.rnk_embed
+      FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id)
+    SELECT cast(row_number() OVER (ORDER BY rrf_u DESC, doc_id) as bigint) AS rnk,
+      doc_id, cast(rrf_u as bigint) AS rrf_u, rnk_bm25, rnk_embed
+    FROM fu ORDER BY rrf_u DESC, doc_id LIMIT $k"""
   }
 
   /** E11 replay — per-label cohesion: quantized component sums (exact

@@ -76,6 +76,10 @@ object SparkEntry {
     // LATER commits (incl. later deletes/re-upserts)
     "snapshot_time_travel" -> ((s, d) =>
       graft.sources.VersionedSnapshot.timeTravelQuery(tables(s, d), d)),
+    // H16b: table_changes(v2, v4] — the CDF read over the same history,
+    // manifest-pruned to remapped buckets before any file opens
+    "snapshot_changes" -> ((s, d) =>
+      graft.sources.VersionedSnapshot.changesQuery(tables(s, d), d)),
     "quality_by_source" -> ((s, d) => TextOps.qualityBySource(tables(s, d))),
     "above_avg_filter" -> ((s, d) => Analytics.aboveAvgFilter(tables(s, d))),
     // C22: exact-integer PageRank fixpoint over the purchase graph
@@ -272,6 +276,9 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextOps.nbQualityClassifier(tables(s, d))),
     // F22 BM25 keyword retrieval top-k
     "bm25_topk" -> ((s, d) => TextOps.bm25TopK(tables(s, d))),
+    // F32: hybrid retrieval — BM25 ⊕ featurized-embedding ranks fused
+    // by exact integer reciprocal rank (RRF); no float in the output
+    "hybrid_search_topk" -> ((s, d) => TextOps.hybridSearchTopK(tables(s, d))),
     // F22b: the same retrieval served from the persisted inverted index
     // — build once (marker-gated), search with zero corpus rescans
     "bm25_search_prefit" -> ((s, d) => {
@@ -366,7 +373,10 @@ object SparkEntry {
     "sample_k_per_source" -> ((s, d) => TextOps.sampleKPerSource(tables(s, d))),
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
-    "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d)))
+    "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d))),
+    // F31: deterministic DoReMi — k-round multiplicative weights over
+    // per-source excess loss under the α-weighted mixture unigram LM
+    "doremi_mixture" -> ((s, d) => TextOps.doremiWeights(tables(s, d)))
   )
 
   /** Shared by dedup_clusters and dedup_clusters_incremental: the
@@ -602,6 +612,9 @@ object SparkEntry {
     "dedup_clusters_lsh" -> OracleSql.dedupClustersLsh,
     "dedup_embed_clusters" -> OracleSql.dedupEmbedClusters,
     "curation_full" -> OracleSql.curationFull,
+    // F31: the 3-round deterministic DoReMi fixpoint replayed as
+    // chained CTEs — same quantization points, same floor divisions
+    "doremi_mixture" -> OracleSql.doremiWeights(3, 20000000L),
     "ann_lsh_topk" -> OracleSql.annLshTopK,
     "ann_radius" -> OracleSql.annRadius,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
@@ -894,6 +907,27 @@ object SparkEntry {
           event_type AS last_type, value_c AS last_value_c
         FROM r WHERE rn = 1 AND event_type != 'error'
         ORDER BY user_id""",
+    // H16b: both versions' latest-wins elections replayed from raw
+    // events, classified insert/update/delete — tombstone transitions
+    // in both directions (insert = revival past a tombstone too)
+    "snapshot_changes" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        w2 AS (SELECT user_id, event_id, ts_ms, (event_type = 'error') AS del FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e WHERE event_id % 4 IN (3, 1)) WHERE rn = 1),
+        w4 AS (SELECT user_id, event_id, ts_ms, (event_type = 'error') AS del FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e) WHERE rn = 1),
+        c AS (SELECT w4.user_id,
+          CASE WHEN (w2.user_id IS NULL OR w2.del) AND NOT w4.del THEN 'insert'
+               WHEN w2.user_id IS NOT NULL AND NOT w2.del AND w4.del THEN 'delete'
+               WHEN w2.user_id IS NOT NULL AND NOT w2.del AND NOT w4.del
+                    AND (w4.ts_ms <> w2.ts_ms OR w4.event_id <> w2.event_id) THEN 'update'
+          END AS change,
+          w4.event_id AS last_event_id, w4.ts_ms AS last_ms
+        FROM w4 LEFT JOIN w2 ON w4.user_id = w2.user_id)
+        SELECT user_id, change, last_event_id, last_ms FROM c
+        WHERE change IS NOT NULL ORDER BY user_id""",
     "quality_by_source" ->
       """WITH d AS (SELECT source, cast(length(text) as bigint) AS len,
           cast(len(regexp_extract_all(lower(text),'[a-z]+')) as bigint) AS w,
@@ -1397,6 +1431,10 @@ object SparkEntry {
     // (decimal(38,0) on the Spark side); ln once per query term,
     // quantized to micro-nats; per-doc score = exact int sum
     "bm25_topk" -> bm25Sql,
+    // F32: both arms replayed (renamed-CTE BM25 chain + featurizer
+    // query-vector chain) and fused by floor-divided integer RRF
+    "hybrid_search_topk" -> OracleSql.hybridSearch(
+      Seq("stream", "vector", "customer"), 64, 20, 10, 60L),
     // F22b: the prefit index search must equal the inline full-corpus
     // query bit-for-bit — same oracle
     "bm25_search_prefit" -> bm25Sql,

@@ -817,14 +817,13 @@ object TextOps {
   def embedDocs(t: Tables, dim: Int = 64): DataFrame =
     embedDocsLong(t.documents, dim)
 
-  /** Long-form library core: one (doc_id, j, v, unit4) row per nonzero
-    * component — the oracle-checked shape. */
-  def embedDocsLong(docs: DataFrame, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(dim > 0 && (dim & (dim - 1)) == 0,
-      s"dim=$dim must be a power of two (bitmask ≡ unsigned mod)")
-    val spark = docs.sparkSession
-    graft.plans.VectorFunctions.register(spark)
+  /** The featurizer's (tf, feature map) stage shared by
+    * [[embedDocsLong]] and the F32 hybrid query-vector builder: tf =
+    * (doc_id, h, tf) with hashes computed at the scan; feat =
+    * (h, j, sign, idf_u), the corpus's vocab-sized hashing/idf model —
+    * ONE definition so a query vector and the corpus vectors provably
+    * share the same feature space. */
+  private def embedFeatParts(docs: DataFrame, dim: Int): (DataFrame, DataFrame) = {
     // LAZY localCheckpoint (the D8 rule): df derives from tf, so
     // without it the scan+tokenize+hash+agg would run twice per action
     val tf = docs
@@ -844,6 +843,20 @@ object TextOps {
           * shiftrightunsigned(m, 6).bitwiseAND(lit(1L))).as("sign"),
         round(log(col("n_docs").cast("double") / col("df").cast("double"))
           * 1e6).cast("long").as("idf_u"))
+    (tf, feat)
+  }
+
+  /** Long-form library core: one (doc_id, j, v, unit4) row per nonzero
+    * component — the oracle-checked shape. */
+  def embedDocsLong(docs: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim=$dim must be a power of two (bitmask ≡ unsigned mod)")
+    val spark = docs.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    // LAZY localCheckpoint (the D8 rule): df derives from tf, so
+    // without it the scan+tokenize+hash+agg would run twice per action
+    val (tf, feat) = embedFeatParts(docs, dim)
     val comps = tf.join(feat, "h")
       .groupBy("doc_id", "j")
       .agg(sum(col("sign") * col("tf") * col("idf_u")).as("v"))
@@ -913,6 +926,82 @@ object TextOps {
       .select(col("q_id"), col("rnk"), col("n_id"),
         round(col("cos"), 4).as("cos4"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** F32 — HYBRID RETRIEVAL via Reciprocal Rank Fusion (round 14;
+    * Cormack, Clarke & Buettcher 2009 — the fusion every production
+    * RAG/search stack runs over its lexical and semantic rankers):
+    * fuse the F22 BM25 top-n and the F29-featurized embedding top-n
+    * for the SAME query into one ranking by
+    * rrf_u(doc) = Σ_lists ⌊10⁶ / (k_rrf + rank)⌋ — exact integer floor
+    * divisions, so fusion carries no float at all; docs absent from a
+    * list contribute 0 from it. The semantic query vector is built IN
+    * THE CORPUS'S OWN FEATURE SPACE ([[embedFeatParts]]' (h, j, sign,
+    * idf_u) map probed at the query-term hashes, tf = 1 — the
+    * "more-like-this" form; a term absent from the corpus contributes
+    * nothing, identically on both engines) and is DRIVER-SIDE literal
+    * state (≤ dim doubles — the IVF-centroid class), so the semantic
+    * scan is one corpus pass scored by the bit-stable graft_dot fold
+    * against a constant; ranking uses dot/√norm_v (the query norm is a
+    * positive constant — dividing by it cannot reorder), top-n via
+    * TakeOrdered, never a corpus window.
+    *
+    * Scale shape: the BM25 arm is F22's one-exchange shape (deploy
+    * swaps in the F22b inverted index); the semantic arm is the
+    * featurizer's two vocab-keyed shuffles + a projection scan (deploy
+    * swaps in the E5 prefit index over the same vectors); fusion is a
+    * 2n-row full-outer join. Output exposes ranks and integer rrf
+    * only — no float column crosses the gate. */
+  def hybridSearchTopK(t: Tables,
+      queryTerms: Seq[String] = Seq("stream", "vector", "customer"),
+      dim: Int = 64, n: Int = 20, k: Int = 10,
+      kRrf: Long = 60L): DataFrame =
+    hybridSearchTopKOf(t.documents, queryTerms, dim, n, k, kRrf)
+
+  /** Library form over any (doc_id, text) frame. */
+  def hybridSearchTopKOf(docs: DataFrame, queryTerms: Seq[String],
+      dim: Int, n: Int, k: Int, kRrf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
+    val spark = docs.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    // lexical arm: the F22 ranked list to depth n
+    val lex = bm25TopKOf(docs, queryTerms, n)
+      .select(col("doc_id"), col("rnk").as("rnk_bm25"))
+    // semantic arm: query vector = the corpus feature map probed at the
+    // query-term hashes (tf = 1) — model-sized driver state
+    val (_, feat) = embedFeatParts(docs, dim)
+    val qHashes = queryTerms.map(graft.functions.Hashing.hashString)
+    val qFeat = feat.filter(col("h").isin(qHashes: _*))
+      .select(col("j"), col("sign") * col("idf_u")).collect()
+    val qArr = new Array[Double](dim)
+    qFeat.foreach(r => qArr(r.getLong(0).toInt) += r.getLong(1).toDouble)
+    val vecs = graft.operators.Similarity.withNorm(embedDocsVectors(docs, dim))
+    // dot and norm through the same sequential folds as every E-family
+    // cosine; the query norm is a constant positive factor and is
+    // deliberately NOT divided out — fewer float ops, same order
+    val sem = vecs
+      .select(col("vec_id").as("doc_id"),
+        (call_function("graft_dot", col("v"), typedLit(qArr.toSeq))
+          / sqrt(col("norm"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+      .withColumn("rnk_embed",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("rnk_embed"))
+    // fusion: exact integer reciprocal ranks, absent list contributes 0
+    def rr(c: org.apache.spark.sql.Column) =
+      coalesce(call_function("div", lit(1000000L), lit(kRrf) + c), lit(0L))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_u", rr(col("rnk_bm25")) + rr(col("rnk_embed")))
+    fused
+      .orderBy(col("rrf_u").desc, col("doc_id")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rrf_u").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("rnk"), col("doc_id"), col("rrf_u"),
+        col("rnk_bm25"), col("rnk_embed"))
+      .orderBy("rnk")
   }
 
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
@@ -1307,6 +1396,89 @@ object TextOps {
           / 1e6, 4))
       .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("avg_nll4"))
       .orderBy("doc_id")
+  }
+
+  /** F31 — DoReMi-style MIXTURE-WEIGHT learning (round 14; Xie et al.
+    * 2023 §3, made deterministic): learn per-source sampling weights by
+    * k rounds of multiplicative-weights over each domain's EXCESS LOSS —
+    * its cross-entropy under the current α-weighted mixture unigram LM
+    * minus its own-model entropy (the irreducible part; the difference
+    * is ≥ 0 by Gibbs' inequality, so "how much the mixture underserves
+    * this domain"). DoReMi trains a neural proxy under Group DRO; the
+    * deterministic form replaces proxy training with the exact
+    * mixture-LM re-scoring that weight updates imply — count tables mix
+    * LINEARLY in α, so each round is re-weighting, never re-training.
+    * Domains the uniform mixture prices badly (distinct vocabularies)
+    * gain weight; redundant domains shrink — the published behavior.
+    *
+    * Bit-stability (§4): ln once per (word, round) and exp once per
+    * (domain, round), each quantized immediately (micro-nats /
+    * micro-units); everything else is exact int64 with floor division
+    * (`div` ≡ DuckDB `//` on nonnegatives) — per-word mixture mass
+    * t = α_u·((c·10⁹) div n) summed exactly, per-domain excess as ONE
+    * floor division of the exact numerator, weights renormalized by
+    * integer floor division. The oracle replays all k rounds as
+    * chained CTEs (the PageRank/Lloyd pattern).
+    *
+    * Scale shape: text never crosses an exchange — the per-(source,
+    * word) count table is the only corpus-sized agg (partial-aggregated,
+    * vocab×D rows out); each round is two vocab-sized aggs + a D-row
+    * weight update, with the D-row weight table broadcast back. At
+    * 100 TB the int64 numerators need the B25 decimal(38,0) upgrade
+    * (Σ c·cost crosses 9.2e18 near ~2.6e11 tokens per domain);
+    * documented, not yet load-bearing at bench SFs. */
+  def doremiWeights(t: Tables, iters: Int = 3,
+      capU: Long = 20000000L): DataFrame = doremiWeightsOf(t.documents, iters, capU)
+
+  /** Library form over any (source, text) frame. */
+  def doremiWeightsOf(docs: DataFrame, iters: Int, capU: Long): DataFrame = {
+    val toks = docs.select(col("source"), explode(words(col("text"))).as("word"))
+    val cd = toks.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nd = cd.groupBy("source").agg(sum(col("c")).as("n"))
+    // own-domain entropy numerator (micro-nats·tokens), fixed across
+    // rounds: Σ_w c·round(-ln(c/n)·1e6)
+    val selfc = cd.join(nd, "source")
+      .withColumn("sc_u",
+        round(-log(col("c").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long"))
+    val hBase = selfc.groupBy("source", "n")
+      .agg(sum(col("c") * col("sc_u")).as("hnum"))
+      .localCheckpoint(true)
+    val dCount = hBase.count() // D: model-sized driver scalar
+    var w = hBase.withColumn("a_u", lit(1000000L / math.max(dCount, 1L)))
+      .withColumn("excess_u", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val wd = broadcast(w.select(col("source"), col("a_u")))
+      // per-word mixture mass P_u(w) ≈ p(w)·1e15, exact int sum
+      val p = cd.join(wd, "source")
+        .join(nd, "source")
+        .select(col("word"), (col("a_u") *
+          call_function("div", col("c") * 1000000000L, col("n"))).as("t_u"))
+        .groupBy("word").agg(greatest(sum(col("t_u")), lit(1L)).as("p_u"))
+      val cost = p.select(col("word"),
+        round(-log(col("p_u").cast("double") / 1e15) * 1e6)
+          .cast("long").as("cost_u"))
+      // exact excess numerator, one floor division per domain
+      val l = cd.join(cost, "word")
+        .groupBy("source").agg(sum(col("c") * col("cost_u")).as("cnum"))
+      val upd = w.select(col("source"), col("n"), col("hnum"), col("a_u"))
+        .join(l, "source")
+        .withColumn("excess_u", least(lit(capU), greatest(lit(0L),
+          call_function("div", col("cnum") - col("hnum"), col("n")))))
+        .withColumn("raw_u",
+          round(col("a_u").cast("double")
+            * exp(col("excess_u").cast("double") / 1e6)).cast("long"))
+      val tot = upd.agg(sum(col("raw_u")).as("tot"))
+      w = upd.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("hnum"),
+          call_function("div", col("raw_u") * 1000000L, col("tot")).as("a_u"),
+          col("excess_u"))
+        .localCheckpoint(true)
+    }
+    w.select(col("source"), col("excess_u"), col("a_u").as("weight_u"))
+      .orderBy("source")
   }
 
   /** F19b — BIGRAM language-model quality with stupid backoff: the

@@ -82,22 +82,38 @@ object VersionedSnapshot {
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
-    lines.map { l =>
+    lines.filterNot(_.startsWith("#")).map { l =>
       val Array(b, c) = l.split("=", 2); b.toLong -> c.toLong
     }.toMap
+  }
+
+  /** The ingest-batch id stamped into version `v`'s manifest (None for
+    * non-stream commits) — the [[applyChangesBatch]] replay decision. */
+  def manifestBatchId(spark: SparkSession, path: String,
+      v: Long): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val p = manifestPath(path, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList
+    finally in.close()
+    lines.find(_.startsWith("#batch="))
+      .map(_.stripPrefix("#batch=").toLong)
   }
 
   /** Publish manifest `v`: temp write + atomic rename (all-or-nothing —
     * a reader can never observe a truncated bucket map). */
   private def writeManifest(spark: SparkSession, path: String, v: Long,
-      entries: Map[Long, Long]): Unit = {
+      entries: Map[Long, Long], batchId: Option[Long] = None): Unit = {
     val fs = fsOf(spark, path)
     val target = manifestPath(path, v)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)
-    out.write(entries.toSeq.sorted.map { case (b, c) => s"$b=$c" }
-      .mkString("\n").getBytes("UTF-8"))
+    val body = batchId.map(id => s"#batch=$id").toSeq ++
+      entries.toSeq.sorted.map { case (b, c) => s"$b=$c" }
+    out.write(body.mkString("\n").getBytes("UTF-8"))
     out.close()
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"could not publish manifest $target")
@@ -132,7 +148,46 @@ object VersionedSnapshot {
     * version. Replay-safe: a crashed commit never published its
     * manifest, and the retry overwrites the orphan data directory. */
   def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
-      keyCol: String, buckets: Int = Snapshot.DefaultBuckets): Long = {
+      keyCol: String, buckets: Int = Snapshot.DefaultBuckets): Long =
+    applyChangesImpl(spark, path, changes, keyCol, buckets, None)
+
+  /** One STREAM micro-batch as one published version, idempotently:
+    * the committing manifest is stamped with the micro-batch id, so a
+    * replayed batch (crash after publish, before the checkpoint
+    * advanced) sees its own id on the current version and SKIPS
+    * instead of double-committing — the manifest rename is the atomic
+    * commit point, so the decision is exact. A crash BEFORE publish
+    * leaves only an orphan data dir the retry overwrites (the
+    * applyChanges contract). Used by [[applyChangesStream]]. */
+  def applyChangesBatch(spark: SparkSession, path: String,
+      batch: DataFrame, keyCol: String, batchId: Long,
+      buckets: Int = Snapshot.DefaultBuckets): Long = {
+    val cur = currentVersion(spark, path)
+    if (cur >= 0L && manifestBatchId(spark, path, cur).contains(batchId)) cur
+    else applyChangesImpl(spark, path, batch, keyCol, buckets, Some(batchId))
+  }
+
+  /** H16c — continuous versioned ingestion: every micro-batch of a CDC
+    * changelog stream becomes ONE published, time-travelable version
+    * (the B19 idempotent-persist rule lifted to whole versions): crash
+    * replays converge to the identical history, and a reader holding
+    * any version keeps reading it unchanged while the stream commits
+    * ahead. Single writer per table path (the manifest counter is the
+    * commit sequence). */
+  def applyChangesStream(changes: DataFrame, path: String, keyCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChangesBatch(batch.sparkSession, path,
+          batch.localCheckpoint(true), keyCol, batchId)
+        ()
+      }
+      .start()
+
+  private def applyChangesImpl(spark: SparkSession, path: String,
+      changes: DataFrame, keyCol: String, buckets: Int,
+      batchId: Option[Long]): Long = {
     graft.plans.VectorFunctions.register(spark)
     // foreachBatch frames analyze against a cloned session state (the
     // Snapshot.merge rule): register the kernels on the frame's session
@@ -183,7 +238,7 @@ object VersionedSnapshot {
     merged.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data/v=$next")
     writeManifest(spark, path, next,
-      manifest ++ touched.map(_ -> next))
+      manifest ++ touched.map(_ -> next), batchId)
     next
   }
 
@@ -192,14 +247,68 @@ object VersionedSnapshot {
     * shuffle. */
   def readAsOf(spark: SparkSession, path: String, version: Long): DataFrame = {
     val manifest = readManifest(spark, path, version)
-    val branches = manifest.toSeq.groupBy(_._2).toSeq
-      .sortBy(_._1).map { case (commit, entries) =>
-        spark.read.parquet(s"$path/data/v=$commit")
-          .filter(col("bucket").isin(entries.map(_._1): _*))
-      }
-    branches.reduceOption(_ unionByName _)
+    readBuckets(spark, path, manifest)
       .getOrElse(throw new IllegalArgumentException(
         s"version $version of $path maps no buckets"))
+  }
+
+  private def readBuckets(spark: SparkSession, path: String,
+      entries: Map[Long, Long]): Option[DataFrame] =
+    entries.toSeq.groupBy(_._2).toSeq
+      .sortBy(_._1).map { case (commit, es) =>
+        spark.read.parquet(s"$path/data/v=$commit")
+          .filter(col("bucket").isin(es.map(_._1): _*))
+      }.reduceOption(_ unionByName _)
+
+  /** H16b — `table_changes(fromV, toV]`: the keyed CHANGE SET between
+    * two published versions (Delta's Change Data Feed read), classified
+    * insert / update / delete by comparing each key's stored
+    * (ver, deleted) state at the two versions. The read is pruned at
+    * the MANIFEST level before any file opens: a bucket whose manifest
+    * entry is identical in both versions points at the same immutable
+    * commit directory — byte-identical by construction — so only
+    * REMAPPED buckets are scanned on either side. A day's incremental
+    * consumer therefore reads the touched slice of the table, never
+    * the 100 TB of settled buckets. One key-hash join over the pruned
+    * slice; tombstone semantics carry through (a key deleted in the
+    * range emits 'delete' with the tombstone's version; a tombstone
+    * overwritten by a NEWER upsert emits 'insert'). */
+  def tableChanges(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val mFrom = readManifest(spark, path, fromV)
+    val mTo = readManifest(spark, path, toV)
+    // manifest-level pruning: only remapped buckets can differ
+    val changed = (mTo.toSet -- mFrom.toSet).map(_._1) ++
+      (mFrom.keySet -- mTo.keySet)
+    val keyCol = spark.read.parquet(
+      s"$path/data/v=${mTo.values.toSeq.sorted.last}")
+      .columns.head // key is written first in every commit
+    def side(m: Map[Long, Long], p: String) =
+      readBuckets(spark, path, m.filter(e => changed(e._1)))
+        .map(_.select(col(keyCol),
+          struct(col("ver"), col("deleted")).as(s"${p}st")))
+    (side(mFrom, "o_"), side(mTo, "n_")) match {
+      case (Some(o), Some(n)) =>
+        o.join(n, Seq(keyCol), "full_outer")
+          .withColumn("change",
+            when((col("o_st").isNull || col("o_st.deleted")) &&
+              col("n_st").isNotNull && !col("n_st.deleted"), "insert")
+              .when(col("o_st").isNotNull && !col("o_st.deleted") &&
+                col("n_st").isNotNull && col("n_st.deleted"), "delete")
+              .when(col("o_st").isNotNull && !col("o_st.deleted") &&
+                col("n_st").isNotNull && !col("n_st.deleted") &&
+                !(col("n_st.ver") <=> col("o_st.ver")), "update"))
+          .filter(col("change").isNotNull)
+          .select(col(keyCol), col("change"),
+            coalesce(col("n_st.ver"), col("o_st.ver")).as("ver"))
+      case _ =>
+        // no remapped buckets (fromV == toV, or an un-grown side):
+        // empty change set with the table's own schema
+        spark.read.parquet(s"$path/data/v=${mTo.values.toSeq.sorted.last}")
+          .filter(lit(false))
+          .select(col(keyCol), lit("").as("change"), col("ver"))
+    }
   }
 
   /** The LIVE rows as of `version` (tombstones and layout dropped) —
@@ -261,7 +370,12 @@ object VersionedSnapshot {
     * re-upserts (slice 0/2 rows are invisible however they interleave).
     * History builds once (marker-gated); the benched query is the
     * manifest-driven pruned read, which is the feature. */
-  def timeTravelQuery(t: Tables, sfDir: String): DataFrame = {
+  /** Builds (once, marker-gated) the 5-version history both H16
+    * queries read: v0 empty init, then one version per out-of-order
+    * changelog slice — v1={3}, v2={3,1}, v3+={0}, v4+={2}. The marker
+    * lives INSIDE the snapshot (the mergeCdcQuery rule: underscore
+    * files are invisible to parquet reads). */
+  private def materializeHistory(t: Tables, sfDir: String): String = {
     val spark = t.events.sparkSession
     val changes = t.events
       .withColumn("ts_ms", graft.functions.nanosToMs(col("ts")))
@@ -275,21 +389,40 @@ object VersionedSnapshot {
       s"graft_tt_snapshot_v1_b${Snapshot.DefaultBuckets}" +
         s"_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
-    // in-snapshot marker (the mergeCdcQuery rule): underscore files are
-    // invisible to parquet reads and live inside the dir they gate
     val marker = new Path(out, "_SEEDED")
     if (!fs.exists(marker)) {
       fs.delete(out, true)
       def slice(i: Int) = changes.filter(col("event_id") % 4 === i)
         .drop("event_id")
-      // v0 = empty init (schema from the changelog payload), then one
-      // version per applied slice: v1={3}, v2={3,1}, v3+={0}, v4+={2}
       init(slice(3).filter(lit(false)).drop("op"), "user_id", out.toString)
       for (i <- Seq(3, 1, 0, 2)) applyChanges(spark, out.toString,
         slice(i), "user_id")
       fs.create(marker, true).close()
     }
-    readLiveAsOf(spark, out.toString, 2L)
+    out.toString
+  }
+
+  /** The [Q:snapshot_changes] fixture: `table_changes(v2, v4]` over the
+    * same history — every user whose state CHANGED after version 2,
+    * classified insert / update / delete with the winning version's
+    * (ts, id). The oracle replays both versions' latest-wins elections
+    * relationally and classifies from scratch, so the hash gate proves
+    * the manifest-pruned incremental read equals the full two-version
+    * diff — including tombstone transitions in both directions. */
+  def changesQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.events.sparkSession
+    val dir = materializeHistory(t, sfDir)
+    tableChanges(spark, dir, 2L, 4L)
+      .select(col("user_id"), col("change"),
+        col("ver.event_id").as("last_event_id"),
+        col("ver.ts_ms").as("last_ms"))
+      .orderBy("user_id")
+  }
+
+  def timeTravelQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.events.sparkSession
+    val dir = materializeHistory(t, sfDir)
+    readLiveAsOf(spark, dir, 2L)
       .select(col("user_id"), col("ver.event_id").as("last_event_id"),
         col("ver.ts_ms").as("last_ms"), col("typ").as("last_type"),
         col("value_c").as("last_value_c"))

@@ -446,6 +446,42 @@ object EventStreams {
       }
   }
 
+  final case class CrossAligned(user_id: Long, event_id: Long, ts_ms: Long,
+      img_id: Option[Long], img_ts: Option[Long])
+
+  /** G10 streaming twin (round 14) — LIVE cross-modal association: in
+    * the live A/V mux an image keyframe arrives BEFORE the audio
+    * fragments it contextualizes, so the association is "latest
+    * keyframe seen so far" per user stream — ONE (ts, id) pair of
+    * keyed state, exactly [[taggedAssociation]]'s steady-state
+    * discipline applied across modalities (same in-order-arrival
+    * caveat: within a micro-batch rows process in the batch form's
+    * (ts_ms, event_id) order, so batch and stream agree wherever
+    * arrival respects event time — the B10 contract). Emits the
+    * association only; the census and the VAD gate are pure column
+    * projections a consumer applies downstream of the sink (the
+    * batch/stream shared-builder rule — nothing stateful remains). */
+  def crossAlignStream(events: Dataset[Event]): Dataset[CrossAligned] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[(Long, Long)], CrossAligned](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event],
+            state: GroupState[Option[(Long, Long)]]) =>
+          var img: Option[(Long, Long)] = state.getOption.flatten
+          val out = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              if (e.event_id % 3 == 0) { img = Some((e.ts.getTime, e.event_id)); None }
+              else Some(CrossAligned(uid, e.event_id, e.ts.getTime,
+                img.map(_._2), img.map(_._1)))
+            }
+          state.update(img)
+          out.iterator
+      }
+  }
+
   final case class Scd2Closed(user_id: Long, event_id: Long,
       valid_from_ms: Long, valid_to_ms: Long)
 

@@ -1492,4 +1492,112 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(got.values.map(_._1).sum == t.documents.count())
   }
+
+  test("hybrid RRF search: full driver recompute of both arms and the integer fusion (F32)") {
+    import graft.functions.Hashing
+    val terms = Seq("stream", "vector", "customer")
+    val dim = 64; val n = 20; val kRrf = 60L
+    // lexical arm ranks from the already-oracle-gated F22 operator
+    val lex = TextOps.bm25TopKOf(t.documents, terms, n).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc_id -> rnk
+    // semantic arm recomputed from first principles: corpus feature
+    // space (hash → j/sign/idf) rebuilt driver-side, query vector =
+    // the query-term features at tf = 1, score = dot/sqrt(norm_v)
+    val docsToks = t.documents.selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val dfByHash = docsToks.flatMap { case (_, ws) =>
+      ws.map(Hashing.hashString).distinct }.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val nDocs = docsToks.length.toLong
+    def jOf(h: Long) = (Hashing.mix64(h) & (dim - 1)).toInt
+    def signOf(h: Long) = 1L - 2L * ((Hashing.mix64(h) >>> 6) & 1L)
+    def idfOf(h: Long) =
+      math.round(math.log(nDocs.toDouble / dfByHash(h).toDouble) * 1e6)
+    val qArr = new Array[Double](dim)
+    terms.map(Hashing.hashString).filter(dfByHash.contains).foreach { h =>
+      qArr(jOf(h)) += (signOf(h) * idfOf(h)).toDouble
+    }
+    val semScores = docsToks.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val v = new Array[Double](dim)
+      ws.map(Hashing.hashString).groupBy(identity).foreach { case (h, occ) =>
+        v(jOf(h)) += (signOf(h) * occ.length * idfOf(h)).toDouble
+      }
+      var dot = 0.0; var norm = 0.0; var j = 0
+      while (j < dim) { dot += v(j) * qArr(j); norm += v(j) * v(j); j += 1 }
+      id -> dot / math.sqrt(norm)
+    }.filter(x => !x._2.isNaN)
+    val semRanks = semScores.sortBy { case (id, s) => (-s, id) }
+      .take(n).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // integer fusion + top-k, exactly the operator's rule
+    def rr(r: Option[Long]) = r.fold(0L)(x => 1000000L / (kRrf + x))
+    val fusedAll = (lex.keySet ++ semRanks.keySet).toSeq.map { id =>
+      (id, rr(lex.get(id)) + rr(semRanks.get(id)), lex.get(id), semRanks.get(id))
+    }.sortBy { case (id, s, _, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, a, b), i) => (i + 1L, id, s, a, b) }
+    val got = TextOps.hybridSearchTopK(t).collect().map(r => (
+      r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == fusedAll, s"\ngot   =$got\nexpect=$fusedAll")
+    // RRF's defining property on this corpus: any doc present in BOTH
+    // arms outranks a doc of the same single-arm rank only
+    val both = got.filter(g => g._4.isDefined && g._5.isDefined)
+    assert(got.nonEmpty && (both.isEmpty || both.head._1 == got.head._1 ||
+      got.head._4.isDefined != got.head._5.isDefined))
+  }
+
+  test("doremi mixture: exact driver replay; the distinct-vocabulary domain gains weight (F31)") {
+    import spark.implicits._
+    // A and B are redundant twins (same token distribution); C speaks a
+    // disjoint vocabulary the uniform mixture prices terribly — DoReMi's
+    // defining behavior is C gaining weight at A/B's expense
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = (
+      (1 to 5).map(i => ("srcA", s"$common alpha beta")) ++
+      (1 to 5).map(i => ("srcB", s"$common beta gamma")) ++
+      (1 to 5).map(i => ("srcC", "qoph resh shin tav waw zayin heth teth"))
+    ).toDF("source", "text")
+    val iters = 3
+    val capU = 20000000L
+    val got = TextOps.doremiWeightsOf(docs, iters, capU).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact driver replay of the k-round arithmetic
+    val toks = Seq(
+      "srcA" -> (1 to 5).flatMap(_ => s"$common alpha beta".split(" ")),
+      "srcB" -> (1 to 5).flatMap(_ => s"$common beta gamma".split(" ")),
+      "srcC" -> (1 to 5).flatMap(_ =>
+        "qoph resh shin tav waw zayin heth teth".split(" ")))
+    val cd = toks.map { case (s, ws) =>
+      s -> ws.groupBy(identity).view.mapValues(_.length.toLong).toMap }.toMap
+    val nd = cd.view.mapValues(_.values.sum).toMap
+    val hnum = cd.map { case (s, m) => s -> m.map { case (_, c) =>
+      c * math.round(-math.log(c.toDouble / nd(s)) * 1e6) }.sum }
+    val srcs = cd.keys.toSeq.sorted
+    var aU = srcs.map(_ -> 1000000L / srcs.length).toMap
+    var exU = srcs.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val words = cd.values.flatMap(_.keys).toSet
+      val pU = words.map { w => w -> math.max(1L, srcs.map(s =>
+        aU(s) * (cd(s).getOrElse(w, 0L) * 1000000000L / nd(s))).sum) }.toMap
+      val costU = pU.view.mapValues(p =>
+        math.round(-math.log(p.toDouble / 1e15) * 1e6)).toMap
+      val cnum = srcs.map(s => s -> cd(s).map { case (w, c) =>
+        c * costU(w) }.sum).toMap
+      exU = srcs.map(s => s -> math.min(capU,
+        math.max(0L, (cnum(s) - hnum(s)) / nd(s)))).toMap
+      val rawU = srcs.map(s => s ->
+        math.round(aU(s) * math.exp(exU(s).toDouble / 1e6))).toMap
+      val tot = rawU.values.sum
+      aU = srcs.map(s => s -> rawU(s) * 1000000L / tot).toMap
+    }
+    srcs.foreach { s =>
+      assert(got(s) == ((exU(s), aU(s))), s"$s: got ${got(s)} expect ${(exU(s), aU(s))}")
+    }
+    // the defining behavior: C outweighs both redundant twins, and the
+    // weights remain a ~micro-unit partition (floor division loses < D)
+    assert(got("srcC")._2 > got("srcA")._2 && got("srcC")._2 > got("srcB")._2)
+    val totW = got.values.map(_._2).sum
+    assert(totW > 1000000L - 3 && totW <= 1000000L, s"weight sum $totW")
+  }
 }

@@ -129,6 +129,69 @@ class VersionedSnapshotSpec extends SparkSpec {
       s"kept $kept != referenced $refCommits")
   }
 
+  test("table_changes classifies insert/update/delete incl. tombstone revival; same-version diff is empty") {
+    import spark.implicits._
+    val dir = freshDir()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("k", "ver", "typ")
+    VersionedSnapshot.init(base, "k", dir) // v0
+    val v1 = VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((5L, 5L, 1L, "D", "x"))), "k") // tombstone for a NEW key
+    // range (v1, v4]: update k=1, delete k=2, insert k=6, revive k=5
+    // past its tombstone with a newer upsert; k=3/4 untouched
+    VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((1L, 10L, 2L, "U", "a2"), (2L, 10L, 3L, "D", "x"))), "k")
+    VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((6L, 20L, 4L, "U", "f"), (5L, 20L, 5L, "U", "alive"))), "k")
+    val v4 = VersionedSnapshot.currentVersion(spark, dir)
+    val got = VersionedSnapshot.tableChanges(spark, dir, v1, v4)
+      .select(col("k"), col("change"), col("ver.event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "update", 2L), (2L, "delete", 3L),
+      (6L, "insert", 4L), (5L, "insert", 5L)), got.toString)
+    // identical versions diff to nothing (manifest pruning leaves no
+    // remapped bucket to scan at all)
+    assert(VersionedSnapshot.tableChanges(spark, dir, v4, v4).count() == 0L)
+  }
+
+  test("streamed commits: one version per micro-batch, batch-stamped manifests make replays exact no-ops (H16c)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir()
+    val base = Seq((1L, "a")).toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("k", "ver", "typ")
+    VersionedSnapshot.init(base, "k", dir)
+    // direct idempotency: the SAME batch id commits exactly once
+    val b = batch(Seq((2L, 10L, 1L, "U", "b")))
+    val v1 = VersionedSnapshot.applyChangesBatch(spark, dir, b, "k", 7L)
+    val v1again = VersionedSnapshot.applyChangesBatch(spark, dir, b, "k", 7L)
+    assert(v1 == 1L && v1again == 1L,
+      s"replayed batch must not double-commit: $v1 / $v1again")
+    assert(VersionedSnapshot.manifestBatchId(spark, dir, v1).contains(7L))
+    // e2e: a changelog stream commits one version per micro-batch and
+    // the final live state is the latest-wins election
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val changes = input.toDF().toDF("k", "ts_ms", "event_id", "op", "typ")
+      .select(col("k"), struct(col("ts_ms"), col("event_id")).as("ver"),
+        col("op"), col("typ"))
+    val ck = java.nio.file.Files.createTempDirectory("vsnap_ck").toString
+    val q = VersionedSnapshot.applyChangesStream(changes, dir, "k", ck)
+    try {
+      input.addData((3L, 20L, 2L, "U", "c"), (1L, 20L, 3L, "D", "x"))
+      q.processAllAvailable()
+      input.addData((3L, 30L, 4L, "U", "c2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = VersionedSnapshot.currentVersion(spark, dir)
+    assert(cur == v1 + 2, s"expected one version per micro-batch, at $cur")
+    assert(liveMap(dir, cur) ==
+      Map(2L -> ("b", 1L), 3L -> ("c2", 4L)))
+    // a reader pinned at v1 is untouched by the stream's commits
+    assert(liveMap(dir, v1) == Map(1L -> ("a", 0L), 2L -> ("b", 1L)))
+  }
+
   test("replaying a batch converges: re-applying produces a new version with identical content") {
     import spark.implicits._
     val dir = freshDir()

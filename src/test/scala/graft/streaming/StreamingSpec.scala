@@ -356,6 +356,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("cross-modal align stream: latest-keyframe association ≡ batch backward as-of across batches (G10 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.Event
+    def ev(id: Long, sec: Long, u: Long) =
+      Event(id, new Timestamp(sec * 1000L), u, "v", 0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.crossAlignStream(input.toDS())
+      .writeStream.format("memory").queryName("xalign")
+      .outputMode("append").start()
+    try {
+      // ids % 3 == 0 are image keyframes; audio before any image is
+      // unaligned; the image carries ACROSS micro-batches
+      input.addData(ev(1L, 10, 1L), ev(3L, 20, 1L), ev(4L, 30, 1L))
+      query.processAllAvailable()
+      input.addData(ev(5L, 40, 1L), ev(6L, 50, 1L), ev(7L, 60, 1L))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "select event_id, img_id from xalign order by event_id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      // batch rule per the G10 window: audio takes the latest image at
+      // (ts, id) <= its own — 1 unaligned; 4,5 -> img 3; 7 -> img 6
+      assert(got.toSeq == Seq((1L, None), (4L, Some(3L)), (5L, Some(3L)),
+        (7L, Some(6L))), got.mkString(","))
+    } finally query.stop()
+  }
+
   test("snapshot-diff stream: arrival statuses ≡ batch diff minus removed, stateless plan (D9 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
