@@ -857,10 +857,7 @@ object TextOps {
     // LAZY localCheckpoint (the D8 rule): df derives from tf, so
     // without it the scan+tokenize+hash+agg would run twice per action
     val (tf, feat) = embedFeatParts(docs, dim)
-    val comps = tf.join(feat, "h")
-      .groupBy("doc_id", "j")
-      .agg(sum(col("sign") * col("tf") * col("idf_u")).as("v"))
-      .filter(col("v") =!= 0L)
+    val comps = compsOf(tf, feat)
     val wDoc = Window.partitionBy("doc_id")
     comps
       .withColumn("n2", sum(col("v").cast("decimal(38,0)")
@@ -880,7 +877,19 @@ object TextOps {
     * assembly is row-local (map + dense transform), no extra
     * exchange beyond the long form's. */
   def embedDocsVectors(docs: DataFrame, dim: Int): DataFrame =
-    embedDocsLong(docs, dim)
+    denseOf(embedDocsLong(docs, dim), dim)
+
+  /** Exact integer component sums per (doc, feature) — the shared core
+    * of the long form and the F32 hybrid's semantic arm. */
+  private def compsOf(tf: DataFrame, feat: DataFrame): DataFrame =
+    tf.join(feat, "h")
+      .groupBy("doc_id", "j")
+      .agg(sum(col("sign") * col("tf") * col("idf_u")).as("v"))
+      .filter(col("v") =!= 0L)
+
+  /** Row-local densification of a (doc_id, j, v) component frame. */
+  private def denseOf(comps: DataFrame, dim: Int): DataFrame =
+    comps
       .groupBy(col("doc_id").as("vec_id"))
       .agg(map_from_entries(collect_list(struct(col("j").cast("int"),
         col("v").cast("double")))).as("mp"))
@@ -969,14 +978,19 @@ object TextOps {
     val lex = bm25TopKOf(docs, queryTerms, n)
       .select(col("doc_id"), col("rnk").as("rnk_bm25"))
     // semantic arm: query vector = the corpus feature map probed at the
-    // query-term hashes (tf = 1) — model-sized driver state
-    val (_, feat) = embedFeatParts(docs, dim)
+    // query-term hashes (tf = 1) — model-sized driver state. The SAME
+    // (tf, feat) instance feeds the corpus vectors: tf's lazy
+    // localCheckpoint materializes once under the qFeat collect and the
+    // vector build reuses it (one corpus tokenization for the whole
+    // semantic arm, not two)
+    val (tf, feat) = embedFeatParts(docs, dim)
     val qHashes = queryTerms.map(graft.functions.Hashing.hashString)
     val qFeat = feat.filter(col("h").isin(qHashes: _*))
       .select(col("j"), col("sign") * col("idf_u")).collect()
     val qArr = new Array[Double](dim)
     qFeat.foreach(r => qArr(r.getLong(0).toInt) += r.getLong(1).toDouble)
-    val vecs = graft.operators.Similarity.withNorm(embedDocsVectors(docs, dim))
+    val vecs = graft.operators.Similarity.withNorm(
+      denseOf(compsOf(tf, feat), dim))
     // dot and norm through the same sequential folds as every E-family
     // cosine; the query norm is a constant positive factor and is
     // deliberately NOT divided out — fewer float ops, same order
