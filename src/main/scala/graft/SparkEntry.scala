@@ -286,6 +286,16 @@ object SparkEntry {
       val dir = SearchIndex.materialize(t, d)
       SearchIndex.search(s, dir, Seq("stream", "vector", "customer"))
     }),
+    // F32b: hybrid retrieval's DEPLOY shape — lexical arm from the F22b
+    // inverted index, semantic arm from the persisted featurizer/E5
+    // artifact, shared RRF fusion; zero corpus scans, zero fit jobs
+    "hybrid_search_prefit" -> ((s, d) => {
+      val t = tables(s, d)
+      val lexDir = SearchIndex.materialize(t, d)
+      val semDir = TextOps.materializeHybridSemantic(t, d)
+      TextOps.hybridSearchIndexed(s, lexDir, semDir,
+        Seq("stream", "vector", "customer"))
+    }),
     // F25 DSIR weighted sampling-without-replacement (Gumbel top-k)
     "dsir_sample" -> ((s, d) => TextOps.dsirResample(tables(s, d))),
     // F26 overlapping token-window chunking (embedding/RAG prep)
@@ -1438,6 +1448,10 @@ object SparkEntry {
     // F22b: the prefit index search must equal the inline full-corpus
     // query bit-for-bit — same oracle
     "bm25_search_prefit" -> bm25Sql,
+    // F32b: the index-served hybrid must equal the inline full-corpus
+    // hybrid bit-for-bit — same oracle as hybrid_search_topk
+    "hybrid_search_prefit" -> OracleSql.hybridSearch(
+      Seq("stream", "vector", "customer"), 64, 20, 10, 60L),
     // D11: the oracle censuses spans by RAW text where Spark groups by
     // the 128-bit hash (the D1 collision-detection rule); same 0-based
     // offsets, same running-max interval union

@@ -970,7 +970,6 @@ object TextOps {
   /** Library form over any (doc_id, text) frame. */
   def hybridSearchTopKOf(docs: DataFrame, queryTerms: Seq[String],
       dim: Int, n: Int, k: Int, kRrf: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
     val spark = docs.sparkSession
     graft.plans.VectorFunctions.register(spark)
@@ -984,26 +983,54 @@ object TextOps {
     // vector build reuses it (one corpus tokenization for the whole
     // semantic arm, not two)
     val (tf, feat) = embedFeatParts(docs, dim)
-    val qHashes = queryTerms.map(graft.functions.Hashing.hashString)
-    val qFeat = feat.filter(col("h").isin(qHashes: _*))
-      .select(col("j"), col("sign") * col("idf_u")).collect()
-    val qArr = new Array[Double](dim)
-    qFeat.foreach(r => qArr(r.getLong(0).toInt) += r.getLong(1).toDouble)
+    val qArr = hybridQueryVector(feat, queryTerms, dim)
     val vecs = graft.operators.Similarity.withNorm(
       denseOf(compsOf(tf, feat), dim))
     // dot and norm through the same sequential folds as every E-family
     // cosine; the query norm is a constant positive factor and is
     // deliberately NOT divided out — fewer float ops, same order
-    val sem = vecs
+    val sem = hybridSemTopN(vecs
       .select(col("vec_id").as("doc_id"),
         (call_function("graft_dot", col("v"), typedLit(qArr.toSeq))
-          / sqrt(col("norm"))).as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(n)
+          / sqrt(col("norm"))).as("score")), n)
+    rrfFuse(lex, sem, k, kRrf)
+  }
+
+  /** F32 query-vector builder shared by the oracle tier and the
+    * index tier: the feature map — live ([[embedFeatParts]]) or the
+    * artifact's persisted copy — probed at the query-term hashes,
+    * tf = 1. Components are ±idf_u int64 values accumulated in Double
+    * (< 2^53, so the float sum is exact and collect-order-independent):
+    * both tiers provably build the SAME vector. */
+  private def hybridQueryVector(feat: DataFrame, queryTerms: Seq[String],
+      dim: Int): Array[Double] = {
+    val qHashes = queryTerms.map(graft.functions.Hashing.hashString)
+    val qFeat = feat.filter(col("h").isin(qHashes: _*))
+      .select(col("j"), col("sign") * col("idf_u")).collect()
+    val qArr = new Array[Double](dim)
+    qFeat.foreach(r => qArr(r.getLong(0).toInt) += r.getLong(1).toDouble)
+    qArr
+  }
+
+  /** F32 semantic-rank stage shared by both tiers: top-n of any
+    * (doc_id, score) frame by (score desc, doc_id), ranks assigned over
+    * the n survivors only — never a corpus-wide window. */
+  private def hybridSemTopN(scored: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score").desc, col("doc_id")).limit(n)
       .withColumn("rnk_embed",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long"))
       .select(col("doc_id"), col("rnk_embed"))
-    // fusion: exact integer reciprocal ranks, absent list contributes 0
+  }
+
+  /** F32 fusion stage shared VERBATIM by the oracle tier and the index
+    * tier: exact integer reciprocal ranks ⌊10⁶/(k_rrf + rank)⌋, a doc
+    * absent from a list contributes 0 from it, final top-k by
+    * (rrf_u desc, doc_id). No float crosses this stage. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int,
+      kRrf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def rr(c: org.apache.spark.sql.Column) =
       coalesce(call_function("div", lit(1000000L), lit(kRrf) + c), lit(0L))
     val fused = lex.join(sem, Seq("doc_id"), "full_outer")
@@ -1016,6 +1043,102 @@ object TextOps {
       .select(col("rnk"), col("doc_id"), col("rrf_u"),
         col("rnk_bm25"), col("rnk_embed"))
       .orderBy("rnk")
+  }
+
+  /** The F32 semantic arm's DEPLOY artifact (round 15 — the round-14
+    * verdict's #1 item): persists, marker-gated per sf dir, everything
+    * the semantic arm needs so a query never touches the corpus:
+    *
+    *   - `featmap/` — the corpus's (h, j, sign, idf_u) hashing/idf
+    *     model (vocab-sized; the query-vector builder probes it with a
+    *     pushed-down hash predicate),
+    *   - `vectors_raw/` — (vec_id, v, norm), the featurized doc
+    *     vectors WITH their exact norms (the E5 artifact stores unit
+    *     vectors; the raw copy lets the deploy arm re-score candidates
+    *     with the oracle tier's bit-identical dot/√norm arithmetic),
+    *   - `vec_index/` — the E5 IVF+PQ artifact fit on those vectors
+    *     ([[VectorIndex.fit]]), whose exact tier partition-prunes
+    *     candidate generation to the probed cells.
+    *
+    * ONE featurizer pass feeds all three tables (shared (tf, feat)).
+    * The documents table is read here, at BUILD time, and never again
+    * by [[hybridSearchIndexed]]. */
+  def materializeHybridSemantic(t: Tables, sfDir: String,
+      dim: Int = 64): String = {
+    val spark = t.documents.sparkSession
+    graft.plans.VectorFunctions.register(spark)
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_hybrid_sem_v1_d$dim" + s"_${math.abs(sfDir.hashCode)}")
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(out, "_INDEX_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.delete(out, true)
+      val (tf, feat) = embedFeatParts(t.documents, dim)
+      feat.write.mode("overwrite").parquet(s"$out/featmap")
+      val vecs = denseOf(compsOf(tf, feat), dim).localCheckpoint()
+      graft.operators.Similarity.withNorm(vecs)
+        .write.mode("overwrite").parquet(s"$out/vectors_raw")
+      VectorIndex.fit(vecs, s"$out/vec_index")
+      fs.create(marker, true).close()
+    }
+    out.toString
+  }
+
+  /** F32b — HYBRID RETRIEVAL from PERSISTED INDEXES (round 15; the
+    * deployment shape of [[hybridSearchTopKOf]]): the lexical arm is
+    * served from the F22b inverted index ([[SearchIndex.search]] —
+    * postings pruned to the query terms' buckets, `bm25Rank` verbatim,
+    * so its ranked list is hash-identical to the inline arm's), the
+    * semantic arm from the [[materializeHybridSemantic]] artifact, and
+    * the two fuse through the SAME [[rrfFuse]] stage as the oracle
+    * tier. ZERO corpus scans and ZERO fit jobs anywhere in the query
+    * (spec-pinned): the only data-sized reads are the pruned postings
+    * buckets, the partition-pruned index cells, and a candidate-sized
+    * slice of `vectors_raw`.
+    *
+    * Semantic-arm equality: candidate generation is the E5 exact tier
+    * at nprobe = kCells (all cells probed ⇒ the artifact's exact global
+    * top-(n+cushion) by unit-space cosine); candidates then re-score
+    * through the oracle tier's bit-identical dot/√norm fold over
+    * `vectors_raw` and re-rank with the shared [[hybridSemTopN]].
+    * Unit-space cosine and raw dot/√norm order identically up to float
+    * rounding of the constant-factor rescale (|q| and the unit
+    * normalization), so the two top-n sets can differ only where docs
+    * sit within one ulp of each other ACROSS the n boundary — the
+    * `cushion` extra candidates absorb any such boundary swap, and
+    * within the pool the final order is the oracle arithmetic itself.
+    * Smaller `nprobe` buys latency with the usual priced IVF recall
+    * trade, exactly as in every E-family deploy tier. */
+  def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      lexDir: String, semDir: String, queryTerms: Seq[String],
+      dim: Int = 64, n: Int = 20, k: Int = 10, kRrf: Long = 60L,
+      nprobe: Int = 8, cushion: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct)
+    graft.plans.VectorFunctions.register(spark)
+    // lexical arm: zero-rescan BM25 from the inverted index
+    val lex = SearchIndex.search(spark, lexDir, queryTerms, n)
+      .select(col("doc_id"), col("rnk").as("rnk_bm25"))
+    // query vector from the artifact's persisted feature map — a
+    // model-sized pruned read, never a corpus tokenization
+    val qArr = hybridQueryVector(
+      spark.read.parquet(s"$semDir/featmap"), queryTerms, dim)
+    // candidate generation: E5 exact tier over the artifact's
+    // cell-partitioned unit vectors (vec_id -1 can never collide with a
+    // doc_id, so the self-exclusion predicate is vacuous here)
+    import spark.implicits._
+    val q = graft.operators.Similarity.withNorm(
+      Seq((-1L, qArr.toSeq)).toDF("vec_id", "embedding"))
+    val hits = VectorIndex.searchIvfTopK(q, s"$semDir/vec_index",
+      k = n + cushion, nprobe = nprobe).select(col("n_id"))
+    // re-score the candidate pool with the oracle tier's arithmetic
+    val cands = spark.read.parquet(s"$semDir/vectors_raw")
+      .join(broadcast(hits), col("vec_id") === col("n_id"))
+    val sem = hybridSemTopN(cands
+      .select(col("vec_id").as("doc_id"),
+        (call_function("graft_dot", col("v"), typedLit(qArr.toSeq))
+          / sqrt(col("norm"))).as("score")), n)
+    rrfFuse(lex, sem, k, kRrf)
   }
 
   /** F11 regexes — kept to syntax with IDENTICAL semantics in Java's
