@@ -102,16 +102,51 @@ object VersionedSnapshot {
       .map(_.stripPrefix("#batch=").toLong)
   }
 
+  /** The table's key-column name and bucket count as stamped into
+    * version `v`'s manifest header (round 15 — the round-14 advisory:
+    * the key must be DECLARED table metadata, never inferred from a
+    * commit's column order). None for pre-header manifests. */
+  private def readTableMeta(spark: SparkSession, path: String,
+      v: Long): (Option[String], Option[Int]) = {
+    val fs = fsOf(spark, path)
+    val p = manifestPath(path, v)
+    require(fs.exists(p), s"no version $v at $path (manifest missing)")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList
+    finally in.close()
+    (lines.find(_.startsWith("#key=")).map(_.stripPrefix("#key=")),
+      lines.find(_.startsWith("#buckets="))
+        .map(_.stripPrefix("#buckets=").toInt))
+  }
+
+  /** Validate a commit's declared (keyCol, buckets) against the table's
+    * stamped metadata — a caller re-keying or re-bucketing an existing
+    * table mis-routes every row, so it must fail LOUDLY, not mis-merge.
+    * Pre-header tables (no stamp) validate vacuously. */
+  private def requireTableMeta(spark: SparkSession, path: String,
+      v: Long, keyCol: String, buckets: Int): Unit = {
+    val (k, b) = readTableMeta(spark, path, v)
+    require(k.forall(_ == keyCol),
+      s"$path is keyed by '${k.get}' but the commit declares '$keyCol'")
+    require(b.forall(_ == buckets),
+      s"$path has ${b.get} buckets but the commit declares $buckets")
+  }
+
   /** Publish manifest `v`: temp write + atomic rename (all-or-nothing —
-    * a reader can never observe a truncated bucket map). */
+    * a reader can never observe a truncated bucket map). The header
+    * stamps the table's key column and bucket count alongside the
+    * optional ingest-batch id. */
   private def writeManifest(spark: SparkSession, path: String, v: Long,
-      entries: Map[Long, Long], batchId: Option[Long] = None): Unit = {
+      entries: Map[Long, Long], keyCol: String, buckets: Int,
+      batchId: Option[Long] = None): Unit = {
     val fs = fsOf(spark, path)
     val target = manifestPath(path, v)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)
-    val body = batchId.map(id => s"#batch=$id").toSeq ++
+    val body = Seq(s"#key=$keyCol", s"#buckets=$buckets") ++
+      batchId.map(id => s"#batch=$id").toSeq ++
       entries.toSeq.sorted.map { case (b, c) => s"$b=$c" }
     out.write(body.mkString("\n").getBytes("UTF-8"))
     out.close()
@@ -129,14 +164,21 @@ object VersionedSnapshot {
     graft.plans.VectorFunctions.register(spark)
     require(currentVersion(spark, path) < 0L,
       s"$path is already a versioned snapshot")
+    // key first in the stored layout regardless of the caller's column
+    // order (the round-14 advisory: pre-header readers inferred the key
+    // from position — the layout now guarantees it AND the manifest
+    // declares it)
+    val rest = df.columns.filterNot(_ == keyCol).toSeq
     val withB = df
+      .select(col(keyCol) +: rest.map(col): _*)
       .withColumn("deleted", lit(false))
       .withColumn("bucket", Snapshot.bucketOf(col(keyCol), buckets))
     withB.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data/v=0")
     val present = withB.select("bucket").distinct()
       .collect().map(_.getLong(0))
-    writeManifest(spark, path, 0L, present.map(_ -> 0L).toMap)
+    writeManifest(spark, path, 0L, present.map(_ -> 0L).toMap,
+      keyCol, buckets)
     0L
   }
 
@@ -194,6 +236,7 @@ object VersionedSnapshot {
     graft.plans.VectorFunctions.register(changes.sparkSession)
     val cur = currentVersion(spark, path)
     require(cur >= 0L, s"$path is not initialized (call init first)")
+    requireTableMeta(spark, path, cur, keyCol, buckets)
     val manifest = readManifest(spark, path, cur)
     val payloadCols = changes.columns.filterNot(
       c => c == keyCol || c == "ver" || c == "op").toSeq
@@ -238,7 +281,7 @@ object VersionedSnapshot {
     merged.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data/v=$next")
     writeManifest(spark, path, next,
-      manifest ++ touched.map(_ -> next), batchId)
+      manifest ++ touched.map(_ -> next), keyCol, buckets, batchId)
     next
   }
 
@@ -278,12 +321,23 @@ object VersionedSnapshot {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
     val mFrom = readManifest(spark, path, fromV)
     val mTo = readManifest(spark, path, toV)
+    // a table whose to-version maps no buckets has never committed a
+    // row: there is no parquet anywhere to shape an empty frame from,
+    // so fail with the contract instead of a NoSuchElementException
+    // (manifest keys only grow, so mFrom ⊆ mTo — both are empty here)
+    require(mTo.nonEmpty,
+      s"version $toV of $path maps no buckets (the table is empty at " +
+        s"$toV); no rows have ever committed, so ($fromV,$toV] has no " +
+        "change set")
     // manifest-level pruning: only remapped buckets can differ
     val changed = (mTo.toSet -- mFrom.toSet).map(_._1) ++
       (mFrom.keySet -- mTo.keySet)
-    val keyCol = spark.read.parquet(
-      s"$path/data/v=${mTo.values.toSeq.sorted.last}")
-      .columns.head // key is written first in every commit
+    // the key is DECLARED in the manifest header; the positional
+    // fallback serves pre-header tables only (key-first is guaranteed
+    // by both init and applyChanges)
+    val keyCol = readTableMeta(spark, path, toV)._1.getOrElse(
+      spark.read.parquet(s"$path/data/v=${mTo.values.toSeq.max}")
+        .columns.head)
     def side(m: Map[Long, Long], p: String) =
       readBuckets(spark, path, m.filter(e => changed(e._1)))
         .map(_.select(col(keyCol),
@@ -302,10 +356,25 @@ object VersionedSnapshot {
           .filter(col("change").isNotNull)
           .select(col(keyCol), col("change"),
             coalesce(col("n_st.ver"), col("o_st.ver")).as("ver"))
-      case _ =>
-        // no remapped buckets (fromV == toV, or an un-grown side):
-        // empty change set with the table's own schema
-        spark.read.parquet(s"$path/data/v=${mTo.values.toSeq.sorted.last}")
+      case (None, Some(n)) =>
+        // EVERY remapped bucket is new since fromV (e.g. diffing from
+        // an empty v0 — the round-14 advisory): each live key in them
+        // is an insert; in-range insert+delete pairs (tombstones) fall
+        // out, matching the full-outer classification
+        n.filter(!col("n_st.deleted"))
+          .select(col(keyCol), lit("insert").as("change"),
+            col("n_st.ver").as("ver"))
+      case (Some(o), None) =>
+        // the mirror (cannot arise while manifest keys only grow, but
+        // the classification is total): live from-side keys with no
+        // to-side bucket are deletes
+        o.filter(!col("o_st.deleted"))
+          .select(col(keyCol), lit("delete").as("change"),
+            col("o_st.ver").as("ver"))
+      case (None, None) =>
+        // no remapped buckets at all (fromV == toV): genuinely empty
+        // change set with the table's own schema
+        spark.read.parquet(s"$path/data/v=${mTo.values.toSeq.max}")
           .filter(lit(false))
           .select(col(keyCol), lit("").as("change"), col("ver"))
     }
@@ -330,8 +399,14 @@ object VersionedSnapshot {
     val all = readAsOf(spark, path, cur)
     all.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/data/v=$next")
+    // carry the table metadata through (pre-header tables: infer the
+    // key positionally once and stamp it going forward; the bucket
+    // count is recoverable from the manifest's own key set upper bound
+    // only via the default, which every pre-header writer used)
+    val (k, b) = readTableMeta(spark, path, cur)
     writeManifest(spark, path, next,
-      readManifest(spark, path, cur).keySet.map(_ -> next).toMap)
+      readManifest(spark, path, cur).keySet.map(_ -> next).toMap,
+      k.getOrElse(all.columns.head), b.getOrElse(Snapshot.DefaultBuckets))
     next
   }
 
@@ -386,7 +461,7 @@ object VersionedSnapshot {
         graft.functions.cents(col("value")).as("value_c"),
         col("event_id"))
     val out = new Path(System.getProperty("java.io.tmpdir"),
-      s"graft_tt_snapshot_v1_b${Snapshot.DefaultBuckets}" +
+      s"graft_tt_snapshot_v2_b${Snapshot.DefaultBuckets}" +
         s"_${math.abs(sfDir.hashCode)}")
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(out, "_SEEDED")

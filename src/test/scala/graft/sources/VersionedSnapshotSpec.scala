@@ -123,7 +123,7 @@ class VersionedSnapshotSpec extends SparkSpec {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       in.close()
-      lines.map(_.split("=")(1).toLong)
+      lines.filterNot(_.startsWith("#")).map(_.split("=")(1).toLong)
     }.toSet
     assert(kept == refCommits.map(c => s"v=$c"),
       s"kept $kept != referenced $refCommits")
@@ -153,6 +153,69 @@ class VersionedSnapshotSpec extends SparkSpec {
     // identical versions diff to nothing (manifest pruning leaves no
     // remapped bucket to scan at all)
     assert(VersionedSnapshot.tableChanges(spark, dir, v4, v4).count() == 0L)
+  }
+
+  test("diff from an empty v0 classifies every live key as insert; in-range insert+delete pairs fall out") {
+    import spark.implicits._
+    val dir = freshDir()
+    // exactly how a stream-seeded table starts: v0 initialized EMPTY,
+    // every bucket of later commits is new since v0 (the round-14
+    // advisory case: the old code returned an empty change set here)
+    val empty = Seq.empty[(Long, String)].toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("k", "ver", "typ")
+    VersionedSnapshot.init(empty, "k", dir)
+    VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((1L, 10L, 1L, "U", "a"), (2L, 10L, 2L, "U", "b"))), "k")
+    val vN = VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((2L, 20L, 3L, "D", "x"), (3L, 20L, 4L, "U", "c"))), "k")
+    val got = VersionedSnapshot.tableChanges(spark, dir, 0L, vN)
+      .select(col("k"), col("change"), col("ver.event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // k=2 was inserted AND deleted inside the range: not a change vs v0
+    assert(got == Set((1L, "insert", 1L), (3L, "insert", 4L)), got.toString)
+  }
+
+  test("manifest-declared key survives a caller's column order; re-keying an existing table fails loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    // init frame deliberately lists ver FIRST — the pre-header reader
+    // inferred the key positionally and would have diffed on 'ver'
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("ver", "typ", "k")
+    VersionedSnapshot.init(base, "k", dir)
+    val vN = VersionedSnapshot.applyChanges(spark, dir,
+      batch(Seq((1L, 10L, 1L, "U", "a2"), (9L, 10L, 2L, "U", "i"))), "k")
+    val got = VersionedSnapshot.tableChanges(spark, dir, 0L, vN)
+      .select(col("k"), col("change")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "update"), (9L, "insert")), got.toString)
+    // a commit declaring a different key or bucket count must fail with
+    // the declared-vs-stamped contract, never silently mis-route
+    val eKey = intercept[IllegalArgumentException] {
+      VersionedSnapshot.applyChanges(spark, dir,
+        batch(Seq((5L, 30L, 3L, "U", "e"))).withColumnRenamed("k", "typ2")
+          .withColumnRenamed("typ", "k").withColumnRenamed("typ2", "typ"),
+        "typ")
+    }
+    assert(eKey.getMessage.contains("keyed by 'k'"), eKey.getMessage)
+    val eBuckets = intercept[IllegalArgumentException] {
+      VersionedSnapshot.applyChanges(spark, dir,
+        batch(Seq((5L, 30L, 3L, "U", "e"))), "k",
+        buckets = Snapshot.DefaultBuckets * 2)
+    }
+    assert(eBuckets.getMessage.contains("buckets"), eBuckets.getMessage)
+  }
+
+  test("diffing a never-written table states the contract instead of crashing opaquely") {
+    import spark.implicits._
+    val dir = freshDir()
+    val empty = Seq.empty[(Long, String)].toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("k", "ver", "typ")
+    VersionedSnapshot.init(empty, "k", dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedSnapshot.tableChanges(spark, dir, 0L, 0L)
+    }
+    assert(e.getMessage.contains("maps no buckets"), e.getMessage)
   }
 
   test("streamed commits: one version per micro-batch, batch-stamped manifests make replays exact no-ops (H16c)") {
