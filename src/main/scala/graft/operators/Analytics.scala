@@ -643,9 +643,25 @@ object Analytics {
 
   /** Library form over any weighted directed edge list (src, dst, w):
     * k rounds of the exact-integer PageRank update; returns (node, r)
-    * in micro-units, unordered. Every node must have ≥1 out-edge
-    * (bipartite symmetric graphs do by construction); dangling nodes
-    * would need the standard mass-redistribution term.
+    * in micro-units, unordered. The node universe is src ∪ dst;
+    * DANGLING nodes (no out-edges) get the standard mass-redistribution
+    * term — each round their damped mass is split uniformly as
+    * (D·17) div (N·20) per node (exact floor division, so the k-round
+    * fixpoint still replays as chained integer CTEs; the ≤N·20-unit
+    * floor remainder per round is dropped deterministically, the same
+    * rule as every per-edge contribution). Graphs with no dangling
+    * nodes — detected ONCE from the node-sized cache, one boolean of
+    * driver state — skip the term entirely, keeping their iteration
+    * plan minimal (supplier_pagerank's bipartite symmetric graph takes
+    * this path, so its benched plan and oracle are unchanged).
+    *
+    * Overflow headroom (the B25 decimal rule): the per-edge numerator
+    * r·17·w is computed in decimal(38,0) — a hub node's micro-unit rank
+    * times a heavy edge weight crosses int64 near r·w ≈ 5.4e17, which a
+    * web-scale graph can reach; `div` floors back to the micro-unit
+    * long, so values below the wrap are bit-identical to the old int64
+    * path and values above it are now exact instead of silently
+    * negative.
     *
     * Cache lifecycle: edges/nodes stay persisted after return because
     * the result's final-round plan still reads them lazily. Spark's
@@ -660,24 +676,46 @@ object Analytics {
     val edges = edges0.join(outw, "src")
       .repartition(col("src"))
       .persist()
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // node universe with the dangling flag, derived from the cached
+    // edges (one exchange; dst-only nodes never appear as src)
+    val nodes = edges.select(col("src").as("node"), lit(1L).as("out"))
+      .unionByName(edges.select(col("dst").as("node"), lit(0L).as("out")))
+      .groupBy("node").agg((max(col("out")) === 0L).as("dangling"))
       .persist()
+    // model-sized driver scalars, read once from the node-sized cache
+    val nTotal = nodes.count()
+    val hasDangling = nodes.filter(col("dangling")).limit(1).count() > 0L
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (r <- 1 to iters) {
       val contrib = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"),
-          call_function("div", col("r") * 17L * col("w"),
-            col("wout") * 20L).as("ct"))
+          call_function("div",
+            col("r").cast("decimal(38,0)") * 17L * col("w"),
+            (col("wout") * 20L).cast("decimal(38,0)")).as("ct"))
         .groupBy("dst").agg(sum(col("ct")).as("inflow"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("r"))
+      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+      ranks =
+        if (!hasDangling)
+          base.select(col("node"), col("dangling"),
+            (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("r"))
+        else {
+          // this round's dangling mass D, redistributed uniformly: a
+          // node-sized agg broadcast back as one row
+          val dmass = ranks.filter(col("dangling"))
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dsum"))
+          base.crossJoin(broadcast(dmass))
+            .select(col("node"), col("dangling"),
+              (lit(150000L) + coalesce(col("inflow"), lit(0L)) +
+                call_function("div",
+                  col("dsum").cast("decimal(38,0)") * 17L,
+                  lit(nTotal * 20L).cast("decimal(38,0)"))).as("r"))
+        }
       // checkpoint bounds the lineage between rounds; the LAST round
       // stays un-checkpointed so the returned plan exposes one full
       // iteration for the exchange pin (execution is identical)
       if (r < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 
   /** C23 — declarative DATA-QUALITY AUDIT (the Deequ/dbt-test role): a

@@ -246,6 +246,40 @@ class AnalyticsSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("pagerank: dangling-node mass redistributes exactly (BigInt replay); numerator survives the int64 wrap") {
+    import spark.implicits._
+    // 1↔2 plus 1→3: node 3 is DANGLING — its damped mass must return
+    // to the graph each round via the uniform share, not evaporate
+    val edgeList = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L))
+    val g = edgeList.toDF("src", "dst", "w")
+    val iters = 4
+    // driver BigInt replay of the exact update rule (floor division on
+    // nonnegatives ≡ Spark's div)
+    val nodesAll = Seq(1L, 2L, 3L)
+    val out = Map(1L -> 2L, 2L -> 1L)
+    var exp = nodesAll.map(_ -> BigInt(1000000L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map(
+        nodesAll.map(_ -> BigInt(0)): _*)
+      for ((s, d, w) <- edgeList)
+        inflow(d) += (exp(s) * 17 * w) / (BigInt(out(s)) * 20)
+      val dshare = (exp(3L) * 17) / (BigInt(nodesAll.size) * 20)
+      exp = nodesAll.map(n =>
+        n -> (BigInt(150000) + inflow(n) + dshare)).toMap
+    }
+    val got = Analytics.pagerankOf(g, iters).collect()
+      .map(x => x.getLong(0) -> BigInt(x.getLong(1))).toMap
+    assert(got == exp, s"got $got expected $exp")
+    // heavy edge weights: r·17·w = 1.7e19 > Long.MaxValue — the
+    // decimal(38,0) numerator keeps the symmetric 2-cycle at exactly
+    // 1e6 where int64 arithmetic would wrap to a negative rank
+    val W = 1000000000000L
+    val heavy = Seq((1L, 2L, W), (2L, 1L, W)).toDF("src", "dst", "w")
+    val rh = Analytics.pagerankOf(heavy, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rh == Map(1L -> 1000000L, 2L -> 1000000L), rh.toString)
+  }
+
   test("dq checks detect every planted violation class (C23)") {
     import spark.implicits._
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
