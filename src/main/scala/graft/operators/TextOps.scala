@@ -1560,27 +1560,42 @@ object TextOps {
     * Scale shape: text never crosses an exchange — the per-(source,
     * word) count table is the only corpus-sized agg (partial-aggregated,
     * vocab×D rows out); each round is two vocab-sized aggs + a D-row
-    * weight update, with the D-row weight table broadcast back. At
-    * 100 TB the int64 numerators need the B25 decimal(38,0) upgrade
-    * (Σ c·cost crosses 9.2e18 near ~2.6e11 tokens per domain);
-    * documented, not yet load-bearing at bench SFs. */
+    * weight update, with the D-row weight table broadcast back. The
+    * int64-sensitive numerators — Σ c·cost (wraps near ~2.6e11 tokens
+    * per domain), the per-word mass c·10⁹, and the renorm raw·10⁶ —
+    * are computed in decimal(38,0) (the B25 rule), floored back to
+    * longs only where the quantized value is micro-unit-bounded, so
+    * values below the wrap are bit-identical to the int64 path and a
+    * 100 TB domain is exact instead of silently negative. */
   def doremiWeights(t: Tables, iters: Int = 3,
       capU: Long = 20000000L): DataFrame = doremiWeightsOf(t.documents, iters, capU)
 
   /** Library form over any (source, text) frame. */
-  def doremiWeightsOf(docs: DataFrame, iters: Int, capU: Long): DataFrame = {
-    val toks = docs.select(col("source"), explode(words(col("text"))).as("word"))
-    val cd = toks.groupBy("source", "word").agg(count(lit(1)).as("c"))
+  def doremiWeightsOf(docs: DataFrame, iters: Int, capU: Long): DataFrame =
+    doremiWeightsFromCounts(
+      docs.select(col("source"), explode(words(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c")),
+      iters, capU)
+
+  /** Count-table form over any (source, word, c) frame — the deploy
+    * entry point for pipelines that already maintain per-domain vocab
+    * counts (every LM-data stack does), and the seam where the decimal
+    * tier is testable at planted 100 TB-scale counts without 100 TB of
+    * text. */
+  def doremiWeightsFromCounts(counts: DataFrame, iters: Int,
+      capU: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cd = counts.select(col("source"), col("word"), col("c"))
       .localCheckpoint(true)
     val nd = cd.groupBy("source").agg(sum(col("c")).as("n"))
     // own-domain entropy numerator (micro-nats·tokens), fixed across
-    // rounds: Σ_w c·round(-ln(c/n)·1e6)
+    // rounds: Σ_w c·round(-ln(c/n)·1e6) — exact in decimal(38,0)
     val selfc = cd.join(nd, "source")
       .withColumn("sc_u",
         round(-log(col("c").cast("double") / col("n").cast("double")) * 1e6)
           .cast("long"))
     val hBase = selfc.groupBy("source", "n")
-      .agg(sum(col("c") * col("sc_u")).as("hnum"))
+      .agg(sum(col("c").cast(dec) * col("sc_u")).as("hnum"))
       .localCheckpoint(true)
     val dCount = hBase.count() // D: model-sized driver scalar
     var w = hBase.withColumn("a_u", lit(1000000L / math.max(dCount, 1L)))
@@ -1588,29 +1603,39 @@ object TextOps {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val wd = broadcast(w.select(col("source"), col("a_u")))
-      // per-word mixture mass P_u(w) ≈ p(w)·1e15, exact int sum
+      // per-word mixture mass P_u(w) ≈ p(w)·1e15: the c·10⁹ numerator
+      // in decimal (c > 9.2e9 for one word is real at corpus scale),
+      // floored to ≤10⁹ by div, so a_u·(·) and the D-way sum stay
+      // exact in int64 (≤ 10⁹·Σa_u = 10¹⁵)
       val p = cd.join(wd, "source")
         .join(nd, "source")
         .select(col("word"), (col("a_u") *
-          call_function("div", col("c") * 1000000000L, col("n"))).as("t_u"))
+          call_function("div", col("c").cast(dec) * 1000000000L,
+            col("n").cast(dec))).as("t_u"))
         .groupBy("word").agg(greatest(sum(col("t_u")), lit(1L)).as("p_u"))
       val cost = p.select(col("word"),
         round(-log(col("p_u").cast("double") / 1e15) * 1e6)
           .cast("long").as("cost_u"))
-      // exact excess numerator, one floor division per domain
+      // exact excess numerator in decimal, one floor division (→ long,
+      // capU-bounded) per domain
       val l = cd.join(cost, "word")
-        .groupBy("source").agg(sum(col("c") * col("cost_u")).as("cnum"))
+        .groupBy("source").agg(sum(col("c").cast(dec) * col("cost_u"))
+          .as("cnum"))
       val upd = w.select(col("source"), col("n"), col("hnum"), col("a_u"))
         .join(l, "source")
         .withColumn("excess_u", least(lit(capU), greatest(lit(0L),
-          call_function("div", col("cnum") - col("hnum"), col("n")))))
+          call_function("div", col("cnum") - col("hnum"),
+            col("n").cast(dec)))))
         .withColumn("raw_u",
           round(col("a_u").cast("double")
             * exp(col("excess_u").cast("double") / 1e6)).cast("long"))
-      val tot = upd.agg(sum(col("raw_u")).as("tot"))
+      // renorm in decimal: raw_u·10⁶ alone can cross int64 when one
+      // domain holds nearly all the weight at the excess cap
+      val tot = upd.agg(sum(col("raw_u").cast(dec)).as("tot"))
       w = upd.crossJoin(broadcast(tot))
         .select(col("source"), col("n"), col("hnum"),
-          call_function("div", col("raw_u") * 1000000L, col("tot")).as("a_u"),
+          call_function("div", col("raw_u").cast(dec) * 1000000L,
+            col("tot")).as("a_u"),
           col("excess_u"))
         .localCheckpoint(true)
     }

@@ -1599,5 +1599,68 @@ class TextOpsSpec extends SparkSpec {
     assert(got("srcC")._2 > got("srcA")._2 && got("srcC")._2 > got("srcB")._2)
     val totW = got.values.map(_._2).sum
     assert(totW > 1000000L - 3 && totW <= 1000000L, s"weight sum $totW")
+    // the count-table entry point is the same function: feeding it the
+    // fixture's own (source, word, c) agg reproduces every value
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    val viaCounts = TextOps.doremiWeightsFromCounts(
+      docs.select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c")),
+      iters, capU).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaCounts == got, s"\ncounts=$viaCounts\ntext  =$got")
+  }
+
+  test("doremi decimal tier: planted corpus-scale counts stay exact where int64 wraps (F31)") {
+    import spark.implicits._
+    // one domain with 10^13 tokens over two words: its cross-entropy
+    // numerator Σ c·cost ≈ 1.39e19 crosses Long.MaxValue — the int64
+    // path would wrap negative and clamp the excess to 0; the decimal
+    // tier must match an exact BigInt replay instead
+    val C = 5000000000000L
+    val counts = Seq(
+      ("srcBig", "w1", C), ("srcBig", "w2", C),
+      ("srcSmall", "w3", 10L), ("srcSmall", "w4", 30L)
+    ).toDF("source", "word", "c")
+    val iters = 2
+    val capU = 20000000L
+    val got = TextOps.doremiWeightsFromCounts(counts, iters, capU)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cd = Map(
+      "srcBig" -> Map("w1" -> BigInt(C), "w2" -> BigInt(C)),
+      "srcSmall" -> Map("w3" -> BigInt(10), "w4" -> BigInt(30)))
+    val nd = cd.view.mapValues(_.values.sum).toMap
+    val hnum = cd.map { case (s, m) => s -> m.values.map { c =>
+      c * BigInt(math.round(
+        -math.log(c.toDouble / nd(s).toDouble) * 1e6)) }.sum }
+    val srcs = cd.keys.toSeq.sorted
+    var aU = srcs.map(_ -> BigInt(1000000L / srcs.length)).toMap
+    var exU = srcs.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to iters) {
+      val words = cd.values.flatMap(_.keys).toSet
+      val pU = words.map { w => w -> srcs.map(s =>
+        aU(s) * ((cd(s).getOrElse(w, BigInt(0)) * 1000000000L) / nd(s)))
+        .sum.max(BigInt(1)) }.toMap
+      val costU = pU.view.mapValues(p => BigInt(math.round(
+        -math.log(p.toDouble / 1e15) * 1e6))).toMap
+      val cnum = srcs.map(s => s -> cd(s).map { case (w, c) =>
+        c * costU(w) }.sum).toMap
+      exU = srcs.map(s => s ->
+        ((cnum(s) - hnum(s)) / nd(s)).max(BigInt(0)).min(BigInt(capU))).toMap
+      val rawU = srcs.map(s => s -> BigInt(math.round(
+        aU(s).toDouble * math.exp(exU(s).toDouble / 1e6)))).toMap
+      val tot = rawU.values.sum
+      aU = srcs.map(s => s -> (rawU(s) * 1000000L) / tot).toMap
+    }
+    srcs.foreach { s =>
+      assert(got(s) == ((exU(s).toLong, aU(s).toLong)),
+        s"$s: got ${got(s)} expect ${(exU(s), aU(s))}")
+    }
+    // the fixture must actually exercise the wrap: a positive excess on
+    // the big domain, and an int64 cnum that would have gone negative
+    assert(exU("srcBig") > 0, "fixture failed to produce positive excess")
+    assert(cd("srcBig").values.sum * 1386294L > BigInt(Long.MaxValue),
+      "fixture no longer crosses the int64 wrap")
   }
 }
