@@ -45,11 +45,14 @@ object Dedup {
     * carrying (source, n_tok) alongside the 128-bit hash — text never
     * crosses), the keeper election as a window min on the same
     * partitioning (no second exchange), one source rollup. */
-  def dedupSavings(t: Tables): DataFrame = {
+  def dedupSavings(t: Tables): DataFrame = dedupSavingsOf(t.documents)
+
+  /** Library form over any (doc_id, source, text) frame. */
+  def dedupSavingsOf(docs: DataFrame): DataFrame = {
     val nWs = size(call_function("regexp_extract_all",
       col("text"), lit("\\S+"), lit(0))).cast("long")
     val w = Window.partitionBy("h1", "h2")
-    t.documents
+    docs
       .select(col("doc_id"), col("source"), nWs.as("n_tok"),
         xxhash64(col("text")).as("h1"),
         xxhash64(lit(1L), col("text")).as("h2"))
@@ -61,13 +64,17 @@ object Dedup {
         sum(col("n_tok")).as("tokens_total"),
         sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L))
           .as("tokens_kept"))
-      .withColumn("saved_permille",
-        when(col("tokens_total") === 0L, 0L).otherwise(
-          call_function("div",
-            (col("tokens_total") - col("tokens_kept")) * 1000L,
-            col("tokens_total"))))
+      .withColumn("saved_permille", savedPermille)
       .orderBy("source")
   }
+
+  /** The census's derived ratio, shared with the streaming twin's
+    * delta rollup so both report the identical exact-integer value. */
+  private[graft] def savedPermille: Column =
+    when(col("tokens_total") === 0L, 0L).otherwise(
+      call_function("div",
+        (col("tokens_total") - col("tokens_kept")) * 1000L,
+        col("tokens_total")))
 
   private def tokenized(t: Tables): DataFrame = tokenizedDocs(t.documents)
 

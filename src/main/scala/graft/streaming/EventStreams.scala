@@ -566,6 +566,86 @@ object EventStreams {
           .otherwise("changed").as("status"))
   }
 
+  final case class DocArrival(doc_id: Long, source: String,
+      h1: Long, h2: Long, n_tok: Long)
+  final case class SavingsKeeper(doc_id: Long, source: String, n_tok: Long)
+  final case class SavingsDelta(source: String, d_docs: Long, d_kept: Long,
+      d_tok_total: Long, d_tok_kept: Long)
+
+  /** D12 streaming twin — LIVE dedup-savings telemetry: the per-source
+    * kept/dropped document-and-token census
+    * ([[graft.operators.Dedup.dedupSavingsOf]]) maintained as documents
+    * ARRIVE. The exchange is the D1 discipline verbatim: each doc is
+    * reduced to (doc_id, source, 128-bit content hash, token count)
+    * BEFORE the shuffle — ~40 B/row, never text — and the state store
+    * is keyed by the hash pair, holding exactly one
+    * (keeper doc_id, source, n_tok) per distinct content ever seen.
+    *
+    * The twin emits DELTAS, not the census: every arrival charges its
+    * source (+1 doc, +n_tok total); the first copy of a content is
+    * provisionally kept; a LATER-arriving copy with a SMALLER doc_id —
+    * the batch election is global min, which a stream cannot know in
+    * advance — RETRACTS the old keeper's kept-attribution from its
+    * source and awards the new one (same n_tok, the texts are
+    * identical; the sources need not be). Summing all deltas per source
+    * therefore reproduces the batch census on the union EXACTLY,
+    * retroactive keeper flips included — [[savingsFromDeltas]] is that
+    * rollup with the shared saved_permille formula, and at deploy it
+    * runs inside a foreachBatch MERGE onto the serving table (the B23
+    * sink pattern; batch-id stamping makes retried micro-batches
+    * no-ops, the H16c rule). Update-mode keyed state, no watermark:
+    * content identity never expires, so state size is #distinct
+    * contents — the same ledger the D7 incremental band index persists,
+    * and the thing a 100 TB deployment fronts with that index. */
+  def savingsDeltaStream(docs: DataFrame): Dataset[SavingsDelta] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(1L), col("text")).as("h2"),
+        size(call_function("regexp_extract_all",
+          col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tok"))
+      .as[DocArrival]
+      .groupByKey(d => (d.h1, d.h2))
+      .flatMapGroupsWithState[SavingsKeeper, SavingsDelta](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, Long), rows: Iterator[DocArrival],
+            state: GroupState[SavingsKeeper]) =>
+          var keeper = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SavingsDelta]
+          // within a micro-batch, apply in doc_id order: the keeper
+          // lands directly instead of via an intra-batch retract pair
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            out += SavingsDelta(d.source, 1L, 0L, d.n_tok, 0L)
+            keeper match {
+              case None =>
+                keeper = Some(SavingsKeeper(d.doc_id, d.source, d.n_tok))
+                out += SavingsDelta(d.source, 0L, 1L, 0L, d.n_tok)
+              case Some(k) if d.doc_id < k.doc_id =>
+                out += SavingsDelta(k.source, 0L, -1L, 0L, -k.n_tok)
+                out += SavingsDelta(d.source, 0L, 1L, 0L, d.n_tok)
+                keeper = Some(SavingsKeeper(d.doc_id, d.source, d.n_tok))
+              case _ => () // a later copy: charged to its source, not kept
+            }
+          }
+          keeper.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** The delta→census rollup: summing every emitted [[SavingsDelta]]
+    * per source yields the batch census on the union, bit for bit
+    * (shared saved_permille formula). Batch-context — run it over the
+    * maintained delta ledger or inside the foreachBatch MERGE. */
+  def savingsFromDeltas(deltas: DataFrame): DataFrame =
+    deltas.groupBy("source")
+      .agg(sum(col("d_docs")).as("n_docs"),
+        sum(col("d_kept")).as("n_kept"),
+        sum(col("d_tok_total")).as("tokens_total"),
+        sum(col("d_tok_kept")).as("tokens_kept"))
+      .withColumn("saved_permille", graft.operators.Dedup.savedPermille)
+      .orderBy("source")
+
   final case class Turn(ts_ms: Long, event_id: Long, event_type: String)
   final case class Transcript(user_id: Long, start_ms: Long, n_turns: Long,
       dur_ms: Long, transcript: String)

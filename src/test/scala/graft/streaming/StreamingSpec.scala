@@ -1309,4 +1309,36 @@ class StreamingSpec extends SparkSpec {
         "cohortCellsOf over the stream end state ≡ batch cohortRetention")
     } finally query.stop()
   }
+
+  test("live dedup-savings deltas roll up to the batch census, keeper flips retracted (D12 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val b1 = Seq((5L, "srcA", "dup one text"), (7L, "srcB", "dup one text"),
+      (10L, "srcA", "unique alpha beta"))
+    // doc 2 arrives AFTER doc 5 but wins the min-doc_id election: the
+    // kept-attribution must move srcA -> srcB retroactively
+    val b2 = Seq((2L, "srcB", "dup one text"), (3L, "srcC", "solo gamma"))
+    val b3 = Seq((8L, "srcC", "dup one text")) // late copy, no flip
+    val input = MemoryStream[(Long, String, String)]
+    val query = EventStreams.savingsDeltaStream(
+        input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("savings_deltas")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      input.addData(b3: _*); query.processAllAvailable()
+      val deltas = spark.table("savings_deltas")
+      // the flip emitted a real retraction against srcA
+      assert(deltas.filter(col("d_kept") === -1L && col("source") === "srcA")
+        .count() == 1L, "expected exactly one retraction delta for srcA")
+      val got = EventStreams.savingsFromDeltas(deltas)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.Dedup.dedupSavingsOf(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "source", "text"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == batch, s"\nstream=$got\nbatch =$batch")
+    } finally query.stop()
+  }
 }
