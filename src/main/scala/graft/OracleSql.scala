@@ -1365,6 +1365,65 @@ private[graft] object OracleSql {
     sb.toString
   }
 
+  /** F31b replay — the bigram DoReMi fixpoint as chained CTEs: per-
+    * source transition counts, own conditional-entropy numerators
+    * (context totals derived from the transition table), then per round
+    * the α-pooled transition mass (clamped ≥1), the context mass summed
+    * from the CLAMPED masses, quantized conditional costs, one
+    * floor-divided excess per domain, and the integer-renormalized
+    * update. DuckDB sums are HUGEINT so the decimal(38,0) numerators
+    * replay exactly. */
+  def doremiWeights2(iters: Int, capU: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH d AS (SELECT source,
+      regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+    bg AS (SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i FROM d)),
+    cd AS MATERIALIZED (SELECT source, w1, w2, count(*)::BIGINT AS c
+      FROM bg GROUP BY 1, 2, 3),
+    nd AS (SELECT source, cast(sum(c) as bigint) AS n FROM cd GROUP BY 1),
+    cctx AS (SELECT source, w1, cast(sum(c) as bigint) AS cctx
+      FROM cd GROUP BY 1, 2),
+    dc AS (SELECT count(*)::BIGINT AS dd FROM nd),
+    selfc AS (SELECT cd.source, cd.c,
+        cast(round(-ln(cd.c::DOUBLE / x.cctx::DOUBLE) * 1e6) as bigint) AS sc_u
+      FROM cd JOIN cctx x USING (source, w1)),
+    hb AS MATERIALIZED (SELECT s.source, cast(sum(s.c * s.sc_u) as bigint)
+        AS hnum, nd.n
+      FROM selfc s JOIN nd USING (source) GROUP BY 1, 3),
+    w0 AS MATERIALIZED (SELECT source, n, hnum, (1000000 // dd) AS a_u,
+      0::BIGINT AS excess_u FROM hb, dc)""")
+    for (r <- 1 to iters) {
+      sb.append(s""",
+    p$r AS MATERIALIZED (SELECT cd.w1, cd.w2,
+        greatest(cast(sum(w.a_u * ((cd.c * 1000000000) // w.n)) as bigint), 1)
+          AS p_u
+      FROM cd JOIN w${r - 1} w USING (source)
+      GROUP BY 1, 2),
+    ctx$r AS (SELECT w1, cast(sum(p_u) as bigint) AS ctx_u FROM p$r
+      GROUP BY 1),
+    cost$r AS (SELECT p.w1, p.w2,
+        cast(round(-ln(p.p_u::DOUBLE / c.ctx_u::DOUBLE) * 1e6) as bigint)
+          AS cost_u
+      FROM p$r p JOIN ctx$r c USING (w1)),
+    l$r AS (SELECT cd.source, cast(sum(cd.c * t.cost_u) as bigint) AS cnum
+      FROM cd JOIN cost$r t USING (w1, w2) GROUP BY 1),
+    u$r AS MATERIALIZED (SELECT w.source, w.n, w.hnum,
+        least($capU, greatest(0, (l.cnum - w.hnum) // w.n)) AS excess_u,
+        cast(round(w.a_u::DOUBLE * exp(
+          least($capU, greatest(0, (l.cnum - w.hnum) // w.n))::DOUBLE / 1e6))
+          as bigint) AS raw_u
+      FROM w${r - 1} w JOIN l$r l USING (source)),
+    w$r AS MATERIALIZED (SELECT source, n, hnum,
+        (raw_u * 1000000) // (SELECT cast(sum(raw_u) as bigint) FROM u$r) AS a_u,
+        excess_u
+      FROM u$r)""")
+    }
+    sb.append(s"""
+    SELECT source, excess_u, a_u AS weight_u FROM w$iters ORDER BY source""")
+    sb.toString
+  }
+
   /** mm_cross_align (G10): the cross-modal backward as-of + census
     * replayed — the B1b last_value IGNORE NULLS window over the
     * modality-split event stream, the G8b voiced gate from the full

@@ -386,7 +386,11 @@ object SparkEntry {
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d))),
     // F31: deterministic DoReMi — k-round multiplicative weights over
     // per-source excess loss under the α-weighted mixture unigram LM
-    "doremi_mixture" -> ((s, d) => TextOps.doremiWeights(tables(s, d)))
+    "doremi_mixture" -> ((s, d) => TextOps.doremiWeights(tables(s, d))),
+    // F31b: DoReMi one model order up — excess loss under the α-pooled
+    // BIGRAM mixture (distinct word SEQUENCES gain weight, not just
+    // distinct vocabularies)
+    "doremi_mixture2" -> ((s, d) => TextOps.doremiWeights2(tables(s, d)))
   )
 
   /** Shared by dedup_clusters and dedup_clusters_incremental: the
@@ -625,6 +629,9 @@ object SparkEntry {
     // F31: the 3-round deterministic DoReMi fixpoint replayed as
     // chained CTEs — same quantization points, same floor divisions
     "doremi_mixture" -> OracleSql.doremiWeights(3, 20000000L),
+    // F31b: the bigram fixpoint replayed the same way — pooled
+    // transition masses, context totals from the clamped masses
+    "doremi_mixture2" -> OracleSql.doremiWeights2(3, 20000000L),
     "ann_lsh_topk" -> OracleSql.annLshTopK,
     "ann_radius" -> OracleSql.annRadius,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language

@@ -1643,6 +1643,110 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** F31b — DoReMi over the BIGRAM mixture (round 15; the F31
+    * discipline one model order up, the F19→F19b step applied to
+    * mixture-weight learning): each domain's excess loss is its
+    * cross-entropy under the α-weighted mixture BIGRAM model minus its
+    * own bigram conditional entropy. Counts still mix linearly in α —
+    * the mixture model is the one trained on the α-pooled transition
+    * counts, so p_mix(w2|w1) = pooled(w1,w2)/pooled(w1,·) and each
+    * round is re-weighting, never re-training (the F31 property that
+    * makes the deterministic form possible). A domain whose word
+    * SEQUENCES are distinct now gains weight even when its unigram
+    * vocabulary is redundant — word-salad domains that F31 prices as
+    * cheap twins are priced by their unseen transitions here (exactly
+    * the F19→F19b upgrade).
+    *
+    * Bit-stability (§4): ln once per (bigram, round) — on a ratio of
+    * two int64s below 2^53, so both engines divide the identical
+    * doubles — and exp once per (domain, round), each quantized
+    * immediately; everything else is exact: decimal(38,0) numerators
+    * (Σ c·cost, c·10⁹, raw·10⁶ — the F31 decimal tier from birth),
+    * floor divisions, and the clamp-to-[0,capU] excess. The mixture
+    * context mass is derived from the CLAMPED per-transition masses
+    * (Σ_w2 p_u), so cost_u ≥ 0 by construction and the oracle replays
+    * the same derivation. The excess is ≥ 0 by Gibbs per context,
+    * averaged by the domain's own context marginal.
+    *
+    * Scale shape: text never crosses an exchange — the per-(source,
+    * w1, w2) count table is the only corpus-sized agg
+    * (partial-aggregated, bigram-vocab×D rows out); each round is two
+    * bigram-vocab-sized aggs + a D-row broadcast update, the F31
+    * topology with a wider key. */
+  def doremiWeights2(t: Tables, iters: Int = 3,
+      capU: Long = 20000000L): DataFrame =
+    doremiWeights2Of(t.documents, iters, capU)
+
+  /** Library form over any (source, text) frame. */
+  def doremiWeights2Of(docs: DataFrame, iters: Int,
+      capU: Long): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cd = docs.select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> " +
+          "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // n = the domain's bigram-event count; cctx its per-context totals
+    // (derived from the transition table, consistent by construction —
+    // the F19b rule)
+    val nd = cd.groupBy("source").agg(sum(col("c")).as("n"))
+    val cctx = cd.groupBy("source", "w1").agg(sum(col("c")).as("cctx"))
+    // own-domain conditional entropy numerator, fixed across rounds:
+    // Σ_(w1,w2) c·round(-ln(c/cctx)·1e6)
+    val selfc = cd.join(cctx, Seq("source", "w1"))
+      .withColumn("sc_u",
+        round(-log(col("c").cast("double") / col("cctx").cast("double"))
+          * 1e6).cast("long"))
+    val hBase = selfc.groupBy("source")
+      .agg(sum(col("c").cast(dec) * col("sc_u")).as("hnum"))
+      .join(nd, "source")
+      .localCheckpoint(true)
+    val dCount = hBase.count() // D: model-sized driver scalar
+    var w = hBase.withColumn("a_u", lit(1000000L / math.max(dCount, 1L)))
+      .withColumn("excess_u", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val wd = broadcast(w.select(col("source"), col("a_u")))
+      // pooled transition mass: t = a_u·((c·10⁹) div n) summed exactly,
+      // clamped to ≥1 so the conditional below is always defined
+      val p2 = cd.join(wd, "source")
+        .join(nd, "source")
+        .select(col("w1"), col("w2"), (col("a_u") *
+          call_function("div", col("c").cast(dec) * 1000000000L,
+            col("n").cast(dec))).as("t_u"))
+        .groupBy("w1", "w2").agg(greatest(sum(col("t_u")), lit(1L)).as("p_u"))
+        .localCheckpoint(true) // reused by ctx + cost join this round
+      val ctx = p2.groupBy("w1").agg(sum(col("p_u")).as("ctx_u"))
+      val cost = p2.join(ctx, "w1")
+        .select(col("w1"), col("w2"),
+          round(-log(col("p_u").cast("double") / col("ctx_u").cast("double"))
+            * 1e6).cast("long").as("cost_u"))
+      val l = cd.join(cost, Seq("w1", "w2"))
+        .groupBy("source").agg(sum(col("c").cast(dec) * col("cost_u"))
+          .as("cnum"))
+      val upd = w.select(col("source"), col("n"), col("hnum"), col("a_u"))
+        .join(l, "source")
+        .withColumn("excess_u", least(lit(capU), greatest(lit(0L),
+          call_function("div", col("cnum") - col("hnum"),
+            col("n").cast(dec)))))
+        .withColumn("raw_u",
+          round(col("a_u").cast("double")
+            * exp(col("excess_u").cast("double") / 1e6)).cast("long"))
+      val tot = upd.agg(sum(col("raw_u").cast(dec)).as("tot"))
+      w = upd.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("hnum"),
+          call_function("div", col("raw_u").cast(dec) * 1000000L,
+            col("tot")).as("a_u"),
+          col("excess_u"))
+        .localCheckpoint(true)
+    }
+    w.select(col("source"), col("excess_u"), col("a_u").as("weight_u"))
+      .orderBy("source")
+  }
+
   /** F19b — BIGRAM language-model quality with stupid backoff: the
     * CCNet-shaped fluency filter in its distributed, self-trained form.
     * Each doc's score is its average per-token negative log prob under

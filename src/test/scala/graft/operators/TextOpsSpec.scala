@@ -1611,6 +1611,70 @@ class TextOpsSpec extends SparkSpec {
     assert(viaCounts == got, s"\ncounts=$viaCounts\ntext  =$got")
   }
 
+  test("bigram doremi: exact driver replay; the distinct-SEQUENCE domain gains weight (F31b)") {
+    import spark.implicits._
+    // A and B share the same transitions; C uses the SAME unigram
+    // vocabulary but in reversed word order — invisible to unigram
+    // DoReMi (identical word counts), priced by its unseen transitions
+    // under the bigram mixture
+    val fwd = "alpha beta gamma delta epsilon zeta"
+    val rev = fwd.split(" ").reverse.mkString(" ")
+    val docs = (
+      (1 to 4).map(_ => ("srcA", fwd)) ++
+      (1 to 4).map(_ => ("srcB", fwd)) ++
+      (1 to 4).map(_ => ("srcC", rev))
+    ).toDF("source", "text")
+    val iters = 3
+    val capU = 20000000L
+    val got = TextOps.doremiWeights2Of(docs, iters, capU).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact driver replay of the k-round bigram arithmetic
+    def bigramsOf(s: String) = s.split(" ").sliding(2)
+      .map(a => (a(0), a(1))).toSeq
+    val cd: Map[String, Map[(String, String), BigInt]] = Map(
+      "srcA" -> bigramsOf(fwd), "srcB" -> bigramsOf(fwd),
+      "srcC" -> bigramsOf(rev))
+      .view.mapValues(bs => (1 to 4).flatMap(_ => bs)
+        .groupBy(identity).view.mapValues(x => BigInt(x.length)).toMap)
+      .toMap
+    val nd = cd.view.mapValues(_.values.sum).toMap
+    val cctx = cd.map { case (s, m) =>
+      s -> m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap }
+    val hnum = cd.map { case (s, m) => s -> m.map { case ((w1, _), c) =>
+      c * BigInt(math.round(
+        -math.log(c.toDouble / cctx(s)(w1).toDouble) * 1e6)) }.sum }
+    val srcs = cd.keys.toSeq.sorted
+    var aU = srcs.map(_ -> BigInt(1000000L / srcs.length)).toMap
+    var exU = srcs.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to iters) {
+      val pairs = cd.values.flatMap(_.keys).toSet
+      val pU = pairs.map { b => b -> srcs.map(s =>
+        aU(s) * ((cd(s).getOrElse(b, BigInt(0)) * 1000000000L) / nd(s)))
+        .sum.max(BigInt(1)) }.toMap
+      val ctxU = pU.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val costU = pU.map { case (b, p) => b -> BigInt(math.round(
+        -math.log(p.toDouble / ctxU(b._1).toDouble) * 1e6)) }
+      val cnum = srcs.map(s => s -> cd(s).map { case (b, c) =>
+        c * costU(b) }.sum).toMap
+      exU = srcs.map(s => s ->
+        ((cnum(s) - hnum(s)) / nd(s)).max(BigInt(0)).min(BigInt(capU))).toMap
+      val rawU = srcs.map(s => s -> BigInt(math.round(
+        aU(s).toDouble * math.exp(exU(s).toDouble / 1e6)))).toMap
+      val tot = rawU.values.sum
+      aU = srcs.map(s => s -> (rawU(s) * 1000000L) / tot).toMap
+    }
+    srcs.foreach { s =>
+      assert(got(s) == ((exU(s).toLong, aU(s).toLong)),
+        s"$s: got ${got(s)} expect ${(exU(s), aU(s))}")
+    }
+    // the defining behavior unigram DoReMi CANNOT see: C's unigram
+    // counts equal A/B's, yet its reversed transitions earn it weight
+    assert(got("srcC")._2 > got("srcA")._2 && got("srcC")._2 > got("srcB")._2,
+      s"sequence-distinct domain must gain weight: $got")
+    val totW = got.values.map(_._2).sum
+    assert(totW > 1000000L - 3 && totW <= 1000000L, s"weight sum $totW")
+  }
+
   test("doremi decimal tier: planted corpus-scale counts stay exact where int64 wraps (F31)") {
     import spark.implicits._
     // one domain with 10^13 tokens over two words: its cross-entropy
