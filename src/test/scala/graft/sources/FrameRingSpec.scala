@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.FrameRing.Frame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class FrameRingSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_frame_ring").toString +
+      "/store"
+
+  private def mkPayload(id: Long): Array[Byte] =
+    Array[Byte](id.toByte, (id + 1).toByte)
+
+  test("catch_frame fold: gap thinning from the last ACCEPTED frame, bounded eviction, late drop") {
+    val frames = (0L to 9L).map(i =>
+      Frame(i * 100L, i, s"t$i", mkPayload(i)))
+    // gap 250ms over 100ms-spaced frames: greedy keeps 0, 300, 600, 900
+    val thinned = FrameRing.foldRing(Nil, frames, 10, 250L)
+    assert(thinned.map(_.ts_ms) == Seq(0L, 300L, 600L, 900L))
+    // eviction keeps the NEWEST maxLen, and the gap rule survives it
+    // (it depends only on the newest accepted frame)
+    val bounded = FrameRing.foldRing(Nil, frames, 3, 250L)
+    assert(bounded.map(_.ts_ms) == Seq(300L, 600L, 900L))
+    // an arrival behind the newest accepted frame is dropped
+    val late = FrameRing.foldRing(bounded,
+      Seq(Frame(700L, 99L, "late", mkPayload(99L))), 3, 250L)
+    assert(late == bounded)
+    // incremental fold ≡ one-shot fold on any split point
+    (1 to 9).foreach { cut =>
+      val (a, b) = frames.splitAt(cut)
+      assert(FrameRing.foldRing(FrameRing.foldRing(Nil, a, 3, 250L),
+        b, 3, 250L) == bounded, s"split at $cut diverges")
+    }
+  }
+
+  test("streamed maintenance ≡ batch bootstrap; accessors are reference-faithful; point read scans ONE bucket (B29)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val streamDir = freshDir()
+    val batchDir = freshDir()
+    val maxLen = 3
+    val gap = 150L
+    // two streams whose keys land in DIFFERENT buckets, frames arriving
+    // across three micro-batches
+    val s1 = 7L
+    val s2 = 11L
+    val all = Seq(
+      (s1, 0L, 1L, "a", mkPayload(1L)), (s2, 0L, 2L, "x", mkPayload(2L)),
+      (s1, 100L, 3L, "b", mkPayload(3L)), (s1, 200L, 4L, "c", mkPayload(4L)),
+      (s2, 500L, 5L, "y", mkPayload(5L)), (s1, 400L, 6L, "d", mkPayload(6L)),
+      (s1, 600L, 7L, "e", mkPayload(7L)), (s1, 900L, 8L, "f", mkPayload(8L)))
+    val input = MemoryStream[(Long, Long, Long, String, Array[Byte])]
+    val q = FrameRing.maintainStream(
+        input.toDF().toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+        streamDir, maxLen, gap)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("frame_ring_ck").toString)
+      .start()
+    try {
+      input.addData(all.take(3): _*); q.processAllAvailable()
+      input.addData(all.slice(3, 6): _*); q.processAllAvailable()
+      input.addData(all.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot batch bootstrap over the union
+    FrameRing.applyBatch(spark, batchDir,
+      all.toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+      maxLen, gap)
+    for (sid <- Seq(s1, s2)) {
+      val streamed = FrameRing.ringOf(spark, streamDir, sid)
+        .map(f => (f.ts_ms, f.frame_id, f.tags, f.payload.toSeq))
+      val batch = FrameRing.ringOf(spark, batchDir, sid)
+        .map(f => (f.ts_ms, f.frame_id, f.tags, f.payload.toSeq))
+      assert(streamed == batch, s"stream $sid: $streamed != $batch")
+    }
+    // driver replay: s1 greedy at gap 150 accepts ts 0,200,400,600,900
+    // → newest 3 = (400,6),(600,7),(900,8)
+    val r1 = FrameRing.ringOf(spark, streamDir, s1)
+    assert(r1.map(f => (f.ts_ms, f.frame_id)) ==
+      Seq((400L, 6L), (600L, 7L), (900L, 8L)), r1.map(_.ts_ms).toString)
+    // GetLastFrame = newest; GetFrame indexes the CURRENT queue with
+    // None outside bounds (parser.py:489-513)
+    assert(FrameRing.lastFrame(spark, streamDir, s1).map(_.frame_id)
+      .contains(8L))
+    assert(FrameRing.frameAt(spark, streamDir, s1, 0).map(_.frame_id)
+      .contains(6L))
+    assert(FrameRing.frameAt(spark, streamDir, s1, 3).isEmpty)
+    assert(FrameRing.frameAt(spark, streamDir, s1, -1).isEmpty)
+    assert(FrameRing.lastFrame(spark, streamDir, 999L).isEmpty)
+    // the store holds ≥ 2 bucket partitions, and the point read touches
+    // exactly ONE of them (partition pruning on the key bucket)
+    // (the bucket partition column reads back as int — cast for the set)
+    val allBuckets = spark.read.parquet(streamDir)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(allBuckets.size >= 2, s"fixture collapsed to $allBuckets")
+    val touched = spark.read.parquet(streamDir)
+      .filter(col("bucket") === (
+        ((graft.functions.Hashing.mix64(s1) % 32) + 32) % 32) &&
+        col("stream_id") === s1)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touched.nonEmpty && touched.forall(_.contains("bucket=")),
+      touched.toString)
+    assert(touched.map(f => f.substring(f.indexOf("bucket="))
+      .split("/").head).size == 1,
+      s"point read touched multiple buckets: $touched")
+  }
+}
