@@ -492,6 +492,36 @@ private[graft] object OracleSql {
         FROM cand JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id))
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** E13 replay — both arms re-run verbatim as derived tables (their
+    * own WITH chains nest inside parens), then the metric arithmetic:
+    * binary membership join, the div-antitone MRR max, DCG over the
+    * SAME driver-inlined weight literals as the Spark plan
+    * (Similarity.ndcgWeights — no cross-engine log), floor-divided
+    * permilles. */
+  def retrievalQuality(k: Int, truthSql: String, sysSql: String): String = {
+    val (w, pre) = graft.operators.Similarity.ndcgWeights(k)
+    val wVals = (1 to k)
+      .map(i => s"($i, ${w(i - 1)}, ${pre(i - 1)})").mkString(", ")
+    s"""WITH truth AS (SELECT q_id, rnk, n_id FROM ($truthSql)),
+    sys AS (SELECT q_id, rnk, n_id FROM ($sysSql)),
+    wt(rnk, w_u, pre_u) AS (VALUES $wVals),
+    j AS (SELECT s.q_id, s.rnk,
+        CASE WHEN t.n_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM sys s LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id),
+    tc AS (SELECT q_id, count(*)::BIGINT AS k_truth FROM truth GROUP BY 1),
+    m AS (SELECT j.q_id,
+        cast(sum(j.rel) as bigint) AS n_hits,
+        cast(max(j.rel * (1000000 // j.rnk)) as bigint) AS mrr_u,
+        cast(sum(j.rel * wt.w_u) as bigint) AS dcg_u
+      FROM j JOIN wt ON wt.rnk = j.rnk GROUP BY 1)
+    SELECT m.q_id, m.n_hits,
+      (m.n_hits * 1000) // least(tc.k_truth, $k) AS recall_permille,
+      m.mrr_u, m.dcg_u,
+      (m.dcg_u * 1000) // pw.pre_u AS ndcg_permille
+    FROM m JOIN tc USING (q_id) JOIN wt pw ON pw.rnk = least(tc.k_truth, $k)
+    ORDER BY q_id"""
+  }
+
   /** ann_radius: the annLshTopK candidate machinery (hyperplane buckets
     * + 1-bit multiprobe, DISTINCT pairs) with the per-query rank window
     * replaced by the exact-cosine ≥ τ cut — the cosine is the same

@@ -193,6 +193,9 @@ object SparkEntry {
     // E10: kNN majority-vote label propagation (held-out = vec_id%10==0)
     "knn_classify" -> ((s, d) => Similarity.knnClassify(tables(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.annLshTopK(tables(s, d))),
+    // E13: the eval loop itself — recall@k/MRR/nDCG of the LSH arm
+    // against the brute ground truth, exact integers end to end
+    "retrieval_quality" -> ((s, d) => Similarity.retrievalQuality(tables(s, d))),
     "ann_radius" -> ((s, d) => Similarity.annRadius(tables(s, d))),
     "ivf_assign" -> ((s, d) => Similarity.ivfAssign(tables(s, d))),
     // full IVF search — hash-exact since round 6: the canonical fit
@@ -497,6 +500,23 @@ object SparkEntry {
     * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
     * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
     * is lang_id (stopword/charset counts with a fixed tie priority). */
+  // E1 oracle body, shared with the E13 retrieval-quality replay
+  private val AnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
+        q AS (SELECT vec_id AS q_id, v, norm FROM n WHERE vec_id < 10),
+        s AS (SELECT q.q_id, c.vec_id AS n_id,
+          list_reduce(list_prepend(cast(0.0 as double),
+            list_transform(list_zip(q.v,c.v), p -> p[1]*p[2])), (s,x) -> s+x)
+            / (sqrt(q.norm)*sqrt(c.norm)) AS cos
+          FROM q JOIN n c ON q.q_id <> c.vec_id)
+        SELECT q_id, rnk, n_id, round(cos,4) AS cos4 FROM (
+          SELECT q_id, n_id, cos,
+            cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+          FROM s)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   // F19b oracle body, shared with the F19c tercile replay
   private val Lm2Sql: String =
     """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
@@ -633,6 +653,10 @@ object SparkEntry {
     // transition masses, context totals from the clamped masses
     "doremi_mixture2" -> OracleSql.doremiWeights2(3, 20000000L),
     "ann_lsh_topk" -> OracleSql.annLshTopK,
+    // E13: both arms replayed verbatim as derived tables, metrics over
+    // the SAME driver-inlined nDCG weight literals as the Spark plan
+    "retrieval_quality" ->
+      OracleSql.retrievalQuality(5, AnnBruteSql, OracleSql.annLshTopK),
     "ann_radius" -> OracleSql.annRadius,
     // the IDENTICAL scoring arithmetic as TextOps.langIdOf: per-language
     // function-word hit counts, non-ASCII char count for zh, greatest()
@@ -1548,21 +1572,7 @@ object SparkEntry {
           FROM c JOIN q ON q.doc_id = c.doc_id)
         SELECT cluster_id, doc_id AS keep_id, stop_ratio
         FROM r WHERE rn = 1 ORDER BY cluster_id""",
-    "ann_brute_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-        n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),
-          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
-        q AS (SELECT vec_id AS q_id, v, norm FROM n WHERE vec_id < 10),
-        s AS (SELECT q.q_id, c.vec_id AS n_id,
-          list_reduce(list_prepend(cast(0.0 as double),
-            list_transform(list_zip(q.v,c.v), p -> p[1]*p[2])), (s,x) -> s+x)
-            / (sqrt(q.norm)*sqrt(c.norm)) AS cos
-          FROM q JOIN n c ON q.q_id <> c.vec_id)
-        SELECT q_id, rnk, n_id, round(cos,4) AS cos4 FROM (
-          SELECT q_id, n_id, cos,
-            cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
-          FROM s)
-        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "ann_brute_topk" -> AnnBruteSql,
     "ann_mmr_topk" -> OracleSql.mmrTopK(20, 5),
     // E10: the E1 exact-cosine CTE over the held-out/labeled split, then
     // a per-(query,label) vote with (votes desc, best rank, label) ties

@@ -1172,4 +1172,66 @@ object Similarity {
         (col("mx4").cast("double") / 1e4).as("max_cos4"))
       .orderBy("label")
   }
+
+  /** The E13 position weights — w_i = round(10⁶ / log₂(i+1)) — and
+    * their prefix sums, computed ONCE on the driver and inlined as
+    * literals into BOTH engines' plans (the oracle SQL embeds the same
+    * Scala-computed constants), so no cross-engine log evaluation can
+    * ever disagree. */
+  private[graft] def ndcgWeights(k: Int): (Seq[Long], Seq[Long]) = {
+    val w = (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    (w, w.scanLeft(0L)(_ + _).tail)
+  }
+
+  /** E13 — RETRIEVAL-QUALITY census (recall@k, MRR, nDCG@k): score a
+    * candidate ranking against a ground-truth ranking per query — the
+    * eval loop every ANN/retrieval deployment runs before trading
+    * recall for speed (exactly how this repo's own E2/E3b/E4b tiers
+    * were tuned, now as a first-class operator). Default arms: the E2
+    * LSH ranking as the SYSTEM, the E1 brute-force ranking as TRUTH.
+    *
+    * EXACT-INTEGER discipline: relevance is binary membership in the
+    * truth top-k; recall@k = (hits·1000) div |truth|; MRR in
+    * micro-units = max over hits of (10⁶ div rank) — the max IS the
+    * first relevant rank's reciprocal since div is antitone in rank;
+    * DCG in micro-units = Σ w[rank] over hits with the driver-inlined
+    * weight literals ([[ndcgWeights]]); nDCG = (dcg·1000) div
+    * prefix[min(|truth|, k)]. No float crosses any gate.
+    *
+    * Scale shape: both inputs are query-batch-sized (q×k rows — the
+    * heavy lifting happened in the arms), so the join/agg here is
+    * broadcast-trivial at any corpus scale; the operator's cost IS its
+    * arms. */
+  def retrievalQuality(t: Tables, k: Int = 5): DataFrame =
+    retrievalQualityOf(annLshTopK(t, k), annBruteTopK(t, k), k)
+
+  /** Library form over any (q_id, rnk, n_id) system/truth rankings. */
+  def retrievalQualityOf(sys: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    val (w, pre) = ndcgWeights(k)
+    val truthSet = truth.select(col("q_id"), col("n_id"), lit(1L).as("rel"))
+    val tc = truth.groupBy("q_id").agg(count(lit(1)).as("k_truth"))
+    sys.select(col("q_id"), col("rnk"), col("n_id"))
+      .join(truthSet, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"), col("rnk"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+      .withColumn("w_u",
+        element_at(typedLit(w.toArray), col("rnk").cast("int")))
+      .groupBy("q_id")
+      .agg(sum(col("rel")).as("n_hits"),
+        max(col("rel") *
+          call_function("div", lit(1000000L), col("rnk"))).as("mrr_u"),
+        sum(col("rel") * col("w_u")).as("dcg_u"))
+      .join(tc, "q_id")
+      .select(col("q_id"), col("n_hits"),
+        call_function("div", col("n_hits") * 1000L,
+          least(col("k_truth"), lit(k.toLong))).as("recall_permille"),
+        col("mrr_u"), col("dcg_u"),
+        call_function("div", col("dcg_u") * 1000L,
+          element_at(typedLit(pre.toArray),
+            least(col("k_truth"), lit(k.toLong)).cast("int")))
+          .as("ndcg_permille"))
+      .orderBy("q_id")
+  }
 }

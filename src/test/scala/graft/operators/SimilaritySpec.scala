@@ -464,4 +464,37 @@ class SimilaritySpec extends SparkSpec {
         s"index-sourced MMR launched ${fitJobs.get} fit jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("retrieval-quality census: planted rankings hit every metric branch exactly (E13)") {
+    import spark.implicits._
+    val k = 5
+    val (w, pre) = Similarity.ndcgWeights(k)
+    // q1: truth {a,b,c}, system finds b@1, miss@2, a@3 → 2 hits
+    // q2: perfect ranking → recall 1000, ndcg 1000, mrr 1e6
+    // q3: nothing found → all zeros
+    val truth = Seq(
+      (1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L),
+      (2L, 1L, 201L), (2L, 2L, 202L),
+      (3L, 1L, 301L)).toDF("q_id", "rnk", "n_id")
+    val sys = Seq(
+      (1L, 1L, 102L), (1L, 2L, 999L), (1L, 3L, 101L),
+      (2L, 1L, 201L), (2L, 2L, 202L),
+      (3L, 1L, 888L)).toDF("q_id", "rnk", "n_id")
+    val got = Similarity.retrievalQualityOf(sys, truth, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val exp = Seq(
+      (1L, 2L, 2L * 1000 / 3, 1000000L, w(0) + w(2),
+        (w(0) + w(2)) * 1000 / pre(2)),
+      (2L, 2L, 1000L, 1000000L, w(0) + w(1), 1000L),
+      (3L, 0L, 0L, 0L, 0L, 0L))
+    assert(got == exp, s"\ngot=$got\nexp=$exp")
+    // the full-arm form runs on the fixture corpus and bounds hold
+    val full = Similarity.retrievalQuality(t).collect()
+    assert(full.length == 10)
+    assert(full.forall { r =>
+      val rec = r.getLong(2); val nd = r.getLong(5)
+      rec >= 0 && rec <= 1000 && nd >= 0 && nd <= 1000
+    })
+  }
 }
