@@ -655,13 +655,15 @@ object Analytics {
     * plan minimal (supplier_pagerank's bipartite symmetric graph takes
     * this path, so its benched plan and oracle are unchanged).
     *
-    * Overflow headroom (the B25 decimal rule): the per-edge numerator
-    * r·17·w is computed in decimal(38,0) — a hub node's micro-unit rank
-    * times a heavy edge weight crosses int64 near r·w ≈ 5.4e17, which a
-    * web-scale graph can reach; `div` floors back to the micro-unit
-    * long, so values below the wrap are bit-identical to the old int64
-    * path and values above it are now exact instead of silently
-    * negative.
+    * Overflow headroom (the B25 decimal rule, with a guarded fast
+    * path): the per-edge numerator r·17·w crosses int64 near
+    * r·w ≈ 5.4e17, which a web-scale hub × heavy edge weight can
+    * reach. A per-row bound check (one divide + branch) keeps regular
+    * rows on the original int64 arithmetic — no BigDecimal ever
+    * allocates on a regular graph — and routes only past-the-wrap rows
+    * through decimal(38,0); both branches floor to the identical
+    * micro-unit long below the wrap, and above it the value is exact
+    * instead of silently negative.
     *
     * Cache lifecycle: edges/nodes stay persisted after return because
     * the result's final-round plan still reads them lazily. Spark's
@@ -683,28 +685,44 @@ object Analytics {
       .groupBy("node").agg((max(col("out")) === 0L).as("dangling"))
       .persist()
     // model-sized driver scalars, read once from the node-sized cache
-    val nTotal = nodes.count()
-    val hasDangling = nodes.filter(col("dangling")).limit(1).count() > 0L
-    var ranks = nodes.withColumn("r", lit(1000000L))
+    // (one fused action: count + any-dangling)
+    val meta = nodes.agg(count(lit(1)), max(col("dangling"))).collect()(0)
+    val nTotal = meta.getLong(0)
+    val hasDangling = !meta.isNullAt(1) && meta.getBoolean(1)
+    // fast path: the numerator stays in int64 whenever r·17·w (and the
+    // denominator wout·20) provably fit — one divide + branch per row —
+    // so regular graphs never allocate a BigDecimal; only rows past the
+    // wrap take the decimal tier, with the identical floored value
+    // below it
+    val fitsLong = col("r") <= lit(Long.MaxValue / 17L) / col("w") &&
+      col("wout") <= lit(Long.MaxValue / 20L)
+    val ct = when(fitsLong,
+        call_function("div", col("r") * 17L * col("w"), col("wout") * 20L))
+      .otherwise(call_function("div",
+        col("r").cast("decimal(38,0)") * 17L * col("w"),
+        col("wout").cast("decimal(38,0)") * 20L))
+    // ranks stay (node, r) — the dangling flag lives only in the nodes
+    // cache, so the no-dangling iteration plan is byte-identical to the
+    // pre-dangling layout
+    val nodeIds = nodes.select(col("node"))
+    var ranks = nodeIds.withColumn("r", lit(1000000L))
     for (r <- 1 to iters) {
       val contrib = edges.join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          call_function("div",
-            col("r").cast("decimal(38,0)") * 17L * col("w"),
-            (col("wout") * 20L).cast("decimal(38,0)")).as("ct"))
+        .select(col("dst"), ct.as("ct"))
         .groupBy("dst").agg(sum(col("ct")).as("inflow"))
-      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+      val base = nodeIds.join(contrib, col("node") === col("dst"), "left")
       ranks =
         if (!hasDangling)
-          base.select(col("node"), col("dangling"),
+          base.select(col("node"),
             (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("r"))
         else {
           // this round's dangling mass D, redistributed uniformly: a
           // node-sized agg broadcast back as one row
-          val dmass = ranks.filter(col("dangling"))
+          val dmass = ranks
+            .join(nodes.filter(col("dangling")).select("node"), "node")
             .agg(coalesce(sum(col("r")), lit(0L)).as("dsum"))
           base.crossJoin(broadcast(dmass))
-            .select(col("node"), col("dangling"),
+            .select(col("node"),
               (lit(150000L) + coalesce(col("inflow"), lit(0L)) +
                 call_function("div",
                   col("dsum").cast("decimal(38,0)") * 17L,
@@ -715,7 +733,7 @@ object Analytics {
       // iteration for the exchange pin (execution is identical)
       if (r < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"), col("r"))
+    ranks
   }
 
   /** C23 — declarative DATA-QUALITY AUDIT (the Deequ/dbt-test role): a
