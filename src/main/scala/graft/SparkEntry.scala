@@ -206,6 +206,9 @@ object SparkEntry {
     // full IVF search — hash-exact since round 6: the canonical fit
     // makes routing + in-cell ranking replayable (OracleSql.ivfTopK)
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(tables(s, d))),
+    // E14: every vector's top-k neighbors via the cell-keyed shuffle
+    // join (the all-rows form of IVF search)
+    "knn_join" -> ((s, d) => Similarity.knnJoin(tables(s, d))),
     "sq8_topk" -> ((s, d) => Similarity.sq8TopK(tables(s, d))),
     "ivf_sq8_topk" -> ((s, d) => Similarity.ivfSq8TopK(tables(s, d))),
     // §2G multimodal / EBML
@@ -586,6 +589,8 @@ object SparkEntry {
     // the round-6 canonical-order reduction made the fit bit-reproducible
     "ivf_assign" -> OracleSql.ivfAssign,
     "ivf_topk" -> OracleSql.ivfTopK,
+    // E14: the fit + both-side cell assignment + cell join + top-3
+    "knn_join" -> OracleSql.knnJoin,
     "pq_topk" -> OracleSql.pqTopK,
     "sq8_topk" -> OracleSql.sq8TopK,
     "ivf_sq8_topk" -> OracleSql.ivfSq8TopK,

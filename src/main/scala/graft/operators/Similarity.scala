@@ -430,6 +430,63 @@ object Similarity {
     out
   }
 
+  /** E14 — k-NN similarity JOIN: every corpus vector gets its top-k
+    * neighbors — the all-rows form of E3b's per-query search, and the
+    * primitive under embedding-cluster curation, semantic dedup
+    * candidate generation, and graph construction over a corpus. Brute
+    * force is O(n²) in vectors; the IVF join bounds candidates to the
+    * probed cells: fit the coarse quantizer once, assign every vector
+    * to its ONE data cell, explode every vector into its `nprobe`
+    * nearest cells as a probe, and join probe↔data on the cell id.
+    *
+    * Scale shape — where this differs from [[ivfTopKOf]]: the probe
+    * side is CORPUS-sized (not a broadcastable query batch), so the
+    * join is a shuffle join keyed on the cell id — each side crosses
+    * the wire exactly once, and candidate volume is
+    * Σ_cell |probes| · |data| ≈ n²·nprobe/kCells, tuned by kCells
+    * (deployments size cells to executor memory, thousands of cells at
+    * 100 TB — the cell key fans out; the bench fixture's 8 cells are a
+    * recall-oriented small-SF setting). Vectors are DROPPED before the
+    * per-query top-k window, so the second exchange carries only
+    * (q_id, n_id, cos) — 24 B per candidate, never vector payloads.
+    * Hash-exact oracle: the canonical Lloyd fit + routing + the
+    * bit-proven cosine fold replay end to end (the ivf_topk pattern
+    * with the probe filter removed). */
+  def knnJoin(t: Tables, k: Int = 3, kCells: Int = 8, nprobe: Int = 2,
+      iters: Int = 3): DataFrame =
+    knnJoinOf(t.embeddings, k, kCells, nprobe, iters)
+
+  /** Library form over any (vec_id, embedding) frame. */
+  def knnJoinOf(corpus: DataFrame, k: Int, kCells: Int, nprobe: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val vecs = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
+    val data = vecs
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("v_n"), col("norm").as("norm_n"))
+    val probes = vecs
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = probes.join(data, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      // vectors end here: the rank exchange carries (q_id, n_id, cos)
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+    vecs.unpersist(blocking = false) // model frozen; the plan re-derives
+    out
+  }
+
   /** E4 — PRODUCT QUANTIZATION: the vector-compression ANN path. Unit
     * vectors split into `m` subspaces; each subspace gets its own
     * k-means codebook (`kCells` centroids), and a vector's code is its

@@ -465,6 +465,55 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("knn join: recall vs brute truth; vectors never cross the rank exchange (E14)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.functions.col
+    val k = 3
+    val df = Similarity.knnJoin(t, k)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (q_id, n_id)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute truth on the fixture corpus, driver-side
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(k).toSet
+    }.toMap
+    assert(got.size == vecs.size, s"every vector must get neighbors")
+    val recall = got.map { case (q, ns) =>
+      (ns intersect truth(q)).size.toDouble / k }.sum / got.size
+    assert(recall >= 0.5, f"IVF knn-join recall@3 $recall%.3f < 0.5")
+    // structural pin: the per-query rank exchange (hashpartitioning on
+    // q_id) carries only (q_id, n_id, cos) — no vector arrays; the one
+    // exchange allowed to carry vectors is the cell-keyed join
+    df.collect() // finalize AQE
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    def walk(n: SparkPlan): Seq[SparkPlan] = n +: kids(n).flatMap(walk)
+    val rankExchanges = walk(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike
+        if e.outputPartitioning.toString.contains("q_id") => e }
+    assert(rankExchanges.nonEmpty, "expected a q_id rank exchange")
+    rankExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"vectors crossed the rank exchange: ${e.output.map(_.name)}")
+    }
+  }
+
   test("retrieval-quality census: planted rankings hit every metric branch exactly (E13)") {
     import spark.implicits._
     val k = 5
