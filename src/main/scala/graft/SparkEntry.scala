@@ -145,6 +145,9 @@ object SparkEntry {
     // recall and exactness against dedup_ngram)
     "dedup_ngram_lsh" -> ((s, d) => Dedup.ngramLshPairs(tables(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(tables(s, d))),
+    // D13: precision/recall census of the LSH candidate stage vs the
+    // exact-Jaccard truth — the banding-layout tuning number
+    "dedup_eval" -> ((s, d) => Dedup.dedupEval(tables(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
@@ -508,6 +511,19 @@ object SparkEntry {
     * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
     * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
     * is lang_id (stopword/charset counts with a fixed tie priority). */
+  // D2 oracle body, shared with the D13 dedup-eval replay
+  private val JaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id,
+          list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
+          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n
+          FROM documents)
+        SELECT id_a, id_b, round(j,4) AS jaccard4 FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            cast(len(list_intersect(a.toks,b.toks)) as bigint)
+              / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) AS j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        WHERE j >= 0.95 ORDER BY id_a, id_b"""
+
   // E1 oracle body, shared with the E13 retrieval-quality replay
   private val AnnBruteSql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
@@ -1314,17 +1330,27 @@ object SparkEntry {
           coalesce(string_agg(para, ' ' ORDER BY idx)
             FILTER (WHERE NOT dropped), '') AS text
         FROM r GROUP BY doc_id ORDER BY doc_id""",
-    "dedup_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id,
-          list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
-          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n
-          FROM documents)
-        SELECT id_a, id_b, round(j,4) AS jaccard4 FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            cast(len(list_intersect(a.toks,b.toks)) as bigint)
-              / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) AS j
-          FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        WHERE j >= 0.95 ORDER BY id_a, id_b""",
+    "dedup_jaccard_pairs" -> JaccardPairsSql,
+    // D13: both stages replayed as nested derived tables, full-outer
+    // membership census, floor-divided permilles
+    "dedup_eval" ->
+      s"""WITH cand AS (SELECT id_a, id_b FROM (${OracleSql.dedupMinhash})),
+        truth AS (SELECT id_a, id_b FROM ($JaccardPairsSql)),
+        j AS (SELECT coalesce(c.id_a, t.id_a) AS id_a,
+            CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_c,
+            CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS in_t
+          FROM cand c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT cast(sum(in_c) as bigint) AS n_cand,
+          cast(sum(in_t) as bigint) AS n_truth,
+          cast(sum(in_c * in_t) as bigint) AS n_hit,
+          CASE WHEN sum(in_c) = 0 THEN 0
+            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
+              // cast(sum(in_c) as bigint) END AS precision_permille,
+          CASE WHEN sum(in_t) = 0 THEN 0
+            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
+              // cast(sum(in_t) as bigint) END AS recall_permille
+        FROM j""",
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),

@@ -300,6 +300,46 @@ object Dedup {
       .select(col("doc_id"),
         call_function("graft_minhash_bands", col("toks")).as("sigs")))
 
+  /** D13 — dedup CANDIDATE-QUALITY census (round 15; the D-family
+    * analog of the E13 retrieval eval): precision/recall of the
+    * MinHash-LSH candidate stage against the exact-Jaccard truth — the
+    * number every banded-dedup deployment tunes its (hashes, bands)
+    * layout against before trusting it at corpus scale. Precision
+    * prices the wasted verification work (candidates that fail the
+    * exact check); recall prices the silently-missed duplicates —
+    * the metric that CANNOT be observed in production (the misses are
+    * invisible), which is exactly why the census runs on a small
+    * exact-verifiable slice.
+    *
+    * Exact integers end to end: membership full-outer join on the
+    * (id_a, id_b) pair key (both stages emit a < b), counts, and two
+    * floor-divided permilles. Scale shape: the truth tier is the D2
+    * brute oracle — the census runs where truth is computable (a
+    * sampled slice at 100 TB); the candidate tier is the production
+    * banding. */
+  def dedupEval(t: Tables, threshold: Double = 0.95): DataFrame =
+    dedupEvalOf(minhashCandidateCore(t),
+      jaccardPairs(t, threshold).select(col("id_a"), col("id_b")))
+
+  /** Library form over any candidate / truth pair sets (id_a < id_b). */
+  def dedupEvalOf(cand: DataFrame, truth: DataFrame): DataFrame = {
+    val c = cand.select(col("id_a"), col("id_b"), lit(1L).as("in_c"))
+    val tr = truth.select(col("id_a"), col("id_b"), lit(1L).as("in_t"))
+    c.join(tr, Seq("id_a", "id_b"), "full")
+      .select(coalesce(col("in_c"), lit(0L)).as("in_c"),
+        coalesce(col("in_t"), lit(0L)).as("in_t"))
+      .agg(sum(col("in_c")).as("n_cand"),
+        sum(col("in_t")).as("n_truth"),
+        sum(col("in_c") * col("in_t")).as("n_hit"))
+      .select(col("n_cand"), col("n_truth"), col("n_hit"),
+        when(col("n_cand") === 0L, 0L).otherwise(
+          call_function("div", col("n_hit") * 1000L, col("n_cand")))
+          .as("precision_permille"),
+        when(col("n_truth") === 0L, 0L).otherwise(
+          call_function("div", col("n_hit") * 1000L, col("n_truth")))
+          .as("recall_permille"))
+  }
+
   /** Band layout for [[simhashPairs]]: 7 bands over 64 bits (widths
     * 10,9,9,9,9,9,9 as (offset, width)). A pair at Hamming distance d has
     * differing bits in at most d bands, so with 7 bands any pair at

@@ -550,4 +550,27 @@ class DedupSpec extends SparkSpec {
     assert(!exchanges.contains("text#"),
       s"an exchange carries document text:\n$exchanges")
   }
+
+  test("dedup-eval census: planted candidate/truth sets hit every branch exactly (D13)") {
+    import spark.implicits._
+    // truth {A,B,C}, candidates {A,B,X,Y}: 2 hits, 1 miss (C — the
+    // invisible-in-production case), 2 false candidates
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (7L, 8L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupEvalOf(cand, truth).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) ==
+      ((4L, 3L, 2L, 2L * 1000 / 4, 2L * 1000 / 3)), got.toString)
+    // empty candidate set: zero precision by convention, zero recall
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val z = Dedup.dedupEvalOf(none, truth).collect()(0)
+    assert((z.getLong(0), z.getLong(2), z.getLong(3), z.getLong(4)) ==
+      ((0L, 0L, 0L, 0L)), z.toString)
+    // the fixture-corpus census: LSH banding is recall-oriented by
+    // design — it must find most true pairs
+    val full = Dedup.dedupEval(t).collect()(0)
+    assert(full.getLong(4) >= 900,
+      s"minhash banding recall ${full.getLong(4)} permille < 900")
+  }
 }
