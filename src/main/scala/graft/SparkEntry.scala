@@ -398,6 +398,9 @@ object SparkEntry {
     // end-to-end curation incl. near-dup clustering (rows-only; spec
     // pins it to an independent driver-side recompute)
     "curation_full" -> ((s, d) => TextOps.curationFull(tables(s, d))),
+    // F33: count-of-counts spectrum + Good-Turing adjusted counts —
+    // the OOV-mass / vocabulary-growth audit
+    "vocab_spectrum" -> ((s, d) => TextOps.vocabSpectrum(tables(s, d))),
     // F31: deterministic DoReMi — k-round multiplicative weights over
     // per-source excess loss under the α-weighted mixture unigram LM
     "doremi_mixture" -> ((s, d) => TextOps.doremiWeights(tables(s, d))),
@@ -675,6 +678,26 @@ object SparkEntry {
     // F31: the 3-round deterministic DoReMi fixpoint replayed as
     // chained CTEs — same quantization points, same floor divisions
     "doremi_mixture" -> OracleSql.doremiWeights(3, 20000000L),
+    // F33: spectrum + cumulative permilles + raw Good-Turing r* — the
+    // r+1 row joined explicitly (the spectrum is not contiguous)
+    "vocab_spectrum" ->
+      """WITH v AS (SELECT word, count(*)::BIGINT AS r FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents) GROUP BY word),
+        s AS (SELECT r, count(*)::BIGINT AS n_types,
+            r * count(*)::BIGINT AS mass FROM v GROUP BY r),
+        t AS (SELECT cast(sum(n_types) as bigint) AS tt,
+            cast(sum(mass) as bigint) AS tm FROM s),
+        c AS (SELECT s.*, cast(sum(n_types) OVER (ORDER BY r) as bigint) AS ct,
+            cast(sum(mass) OVER (ORDER BY r) as bigint) AS cm FROM s)
+        SELECT c.r, c.n_types, c.mass,
+          (c.ct * 1000) // t.tt AS types_cum_permille,
+          (c.cm * 1000) // t.tm AS mass_cum_permille,
+          CASE WHEN nx.n_types IS NULL THEN 0
+               ELSE ((c.r + 1) * nx.n_types * 1000000) // c.n_types
+          END AS gt_rstar_u
+        FROM c CROSS JOIN t LEFT JOIN s nx ON nx.r = c.r + 1
+        ORDER BY c.r""",
     // F31b: the bigram fixpoint replayed the same way — pooled
     // transition masses, context totals from the clamped masses
     "doremi_mixture2" -> OracleSql.doremiWeights2(3, 20000000L),

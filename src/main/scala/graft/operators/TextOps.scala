@@ -2197,6 +2197,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** F33 — vocabulary FREQUENCY SPECTRUM with the Good-Turing estimator
+    * (round 15): the count-of-counts table n_r = |{words seen exactly r
+    * times}| — the object under Good-Turing smoothing (Gale & Sampson
+    * 1995), Heaps'-law vocabulary-growth estimation, and the standard
+    * "how much tail is singleton noise" corpus audit (n_1/N estimates
+    * the probability mass of UNSEEN words — the number a LM-data
+    * pipeline uses to size its OOV budget). Per spectrum row: the type
+    * and token-mass counts, cumulative permille shares (ascending r, so
+    * the singleton/doubleton head reads directly), and the Good-Turing
+    * adjusted count r* = (r+1)·n_{r+1}/n_r in micro-units — exact floor
+    * division against the true r+1 row (a self-join on r+1, NOT lead():
+    * the spectrum is not contiguous in r), 0 where n_{r+1} = 0 (the
+    * standard raw-GT gap, smoothed downstream).
+    *
+    * Scale shape: the corpus-sized stage is the F19 vocab count
+    * (partial-aggregated, (word, count) out); the spectrum is a
+    * vocab-sized agg to ~hundreds of rows, so the global cumulative
+    * window and the r+1 self-join run on MODEL-sized data — the
+    * single-partition window is deliberate and bounded, not a smell. */
+  def vocabSpectrum(t: Tables): DataFrame = vocabSpectrumOf(t.documents)
+
+  /** Library form over any (text) corpus frame. */
+  def vocabSpectrumOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("r") * col("n_types"))
+    val tot = spec.agg(sum(col("n_types")).as("tt"), sum(col("mass")).as("tm"))
+    val w = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spec.crossJoin(broadcast(tot))
+      .withColumn("types_cum_permille",
+        call_function("div", sum(col("n_types")).over(w) * 1000L, col("tt")))
+      .withColumn("mass_cum_permille",
+        call_function("div", sum(col("mass")).over(w) * 1000L, col("tm")))
+      .join(spec.select((col("r") - 1L).as("r"), col("n_types").as("n_next")),
+        Seq("r"), "left")
+      .withColumn("gt_rstar_u",
+        when(col("n_next").isNull, 0L).otherwise(call_function("div",
+          (col("r") + 1L) * col("n_next") * 1000000L, col("n_types"))))
+      .select(col("r"), col("n_types"), col("mass"),
+        col("types_cum_permille"), col("mass_cum_permille"),
+        col("gt_rstar_u"))
+      .orderBy("r")
+  }
+
   /** F27 — per-source VOCABULARY COVERAGE of a trained tokenizer: train
     * the F20b BPE on a train split (doc_id % 10 != 0 — the F18
     * discipline), then report, for every source, its out-of-vocabulary

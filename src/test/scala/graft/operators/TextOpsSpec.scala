@@ -1727,4 +1727,26 @@ class TextOpsSpec extends SparkSpec {
     assert(cd("srcBig").values.sum * 1386294L > BigInt(Long.MaxValue),
       "fixture no longer crosses the int64 wrap")
   }
+
+  test("vocab spectrum: planted counts-of-counts, cumulative shares, raw Good-Turing r* (F33)") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1 -> spectrum rows r=1,2,3 each with one type
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.vocabSpectrumOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // tt=3 types, tm=6 tokens; GT: r*=(r+1)*n_{r+1}/n_r micro-units,
+    // 0 at the open tail
+    val exp = Seq(
+      (1L, 1L, 1L, 1000L / 3, 1000L / 6, 2000000L),
+      (2L, 1L, 2L, 2000L / 3, 3000L / 6, 3000000L),
+      (3L, 1L, 3L, 1000L, 1000L, 0L))
+    assert(got == exp, s"\ngot=$got\nexp=$exp")
+    // non-contiguous spectrum: counts 1 and 3 but no 2 -> the r+1 join
+    // must NOT treat the next existing row as n_{r+1}
+    val gap = Seq((1L, "x y z w"), (2L, "v v v")).toDF("doc_id", "text")
+    val g = TextOps.vocabSpectrumOf(gap).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(g == Map(1L -> 0L, 3L -> 0L), g.toString)
+  }
 }
