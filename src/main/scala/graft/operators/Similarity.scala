@@ -456,22 +456,35 @@ object Similarity {
       iters: Int = 3): DataFrame =
     knnJoinOf(t.embeddings, k, kCells, nprobe, iters)
 
-  /** Library form over any (vec_id, embedding) frame. */
+  /** Library form over any (vec_id, embedding) frame. `blocks` salts
+    * the cell join: a kCells-key join bounds parallelism to kCells —
+    * and AQE, seeing only the TINY join inputs, coalesces it further
+    * (the blow-up is at join OUTPUT, invisible to size-based planning;
+    * measured 6.4 s → the salted form below). The data side takes a
+    * deterministic block (n_id mod blocks), the probe side replicates
+    * into every block — each pair still meets exactly once — and the
+    * explicit-count repartition is the AQE barrier (the jaccardPairs
+    * rule). Deployments with thousands of cells can set blocks = 1. */
   def knnJoinOf(corpus: DataFrame, k: Int, kCells: Int, nprobe: Int,
-      iters: Int): DataFrame = {
+      iters: Int, blocks: Int = 16): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val cores = corpus.sparkSession.sparkContext.defaultParallelism
     val vecs = withNorm(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
     val data = vecs
       .withColumn("cell", nearestCentroid(centroids).getField("cid"))
       .select(col("cell"), col("vec_id").as("n_id"),
         col("v").as("v_n"), col("norm").as("norm_n"))
+      .withColumn("blk", pmod(col("n_id"), lit(blocks.toLong)))
+      .repartition(cores, col("cell"), col("blk"))
     val probes = vecs
       .withColumn("cell", explode(probeCells(centroids, nprobe)))
       .select(col("cell"), col("vec_id").as("q_id"),
         col("v").as("v_q"), col("norm").as("norm_q"))
+      .withColumn("blk", explode(typedLit((0L until blocks).toArray)))
+      .repartition(cores, col("cell"), col("blk"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val out = probes.join(data, "cell")
+    val out = probes.join(data, Seq("cell", "blk"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
         call_function("graft_dot", col("v_q"), col("v_n")) /
