@@ -121,6 +121,11 @@ object SparkEntry {
     "latest_state" -> ((s, d) => EventOps.latestState(tables(s, d))),
     "scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(tables(s, d))),
     "rate_anomaly" -> ((s, d) => EventOps.rateAnomaly(tables(s, d))),
+    // H17: dynamic partition pruning — day-partitioned fact joined to
+    // a runtime-filtered day dim; the fact scan reads only qualifying
+    // day= directories via the injected dynamicpruning subquery
+    "dpp_join" ->
+      ((s, d) => graft.sources.Layout.dppJoinQuery(tables(s, d), d)),
     // B29: the queryable frame-store serving surface — the maintained
     // gap-thinned newest-N rings read back relationally (store builds
     // once behind a seed marker; the benched query is the serving scan)
@@ -1924,6 +1929,15 @@ object SparkEntry {
           row_number() OVER (PARTITION BY grp, bucket ORDER BY event_id) AS rn
           FROM b)
         SELECT event_id, grp, bucket FROM r WHERE rn = 1 ORDER BY event_id""",
+    // H17: the day-partitioned join replayed from raw events (the
+    // partition layout is an execution artifact, not semantics)
+    "dpp_join" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+            cast(round(value*100) as bigint) AS value_c FROM events),
+        d AS (SELECT DISTINCT day FROM e WHERE day % 7 = 2)
+        SELECT e.day, count(*) AS n_events,
+          cast(sum(e.value_c) as bigint) AS value_cents
+        FROM e JOIN d USING (day) GROUP BY 1 ORDER BY 1""",
     // B29: the frame-store rings replayed — per-stream greedy gap
     // acceptance (the G5c recursive next-kept chase, keyed by user)
     // then the newest-maxLen window with chronological slots

@@ -85,4 +85,66 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
     stats
   }
+
+  /** H17 — DYNAMIC PARTITION PRUNING over a date-partitioned fact
+    * (round 15): the other half of the layout story. Z-order (above)
+    * skips FILES via footer stats against LITERAL predicates; DPP
+    * skips PARTITIONS against predicates that only exist at RUNTIME —
+    * a dimension-side filter whose surviving keys aren't known at plan
+    * time. Catalyst injects a `dynamicpruning#` subquery into the fact
+    * scan that reuses the join's broadcast result, so the fact side
+    * lists and reads ONLY the surviving `day=` directories. At 100 TB
+    * with daily
+    * partitions this is the difference between scanning 3 years and
+    * scanning the qualifying week — for free, no manual predicate.
+    *
+    * The fixture (marker-gated) writes events day-partitioned — the
+    * standard fact layout every warehouse uses — and the query joins
+    * it to a dim carrying the filter (day % 7 = 2: "Tuesdays"), whose
+    * qualifying days are only known after the dim evaluates. The SPEC
+    * pins both the injected `dynamicpruning` filter in the plan and
+    * that the files actually read all belong to qualifying days. */
+  def materializeDayPartitioned(t: Tables, sfDir: String): String = {
+    val spark = t.events.sparkSession
+    val out = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_events_by_day_v1_${math.abs(sfDir.hashCode)}")
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(out, "_SEEDED")
+    if (!fs.exists(marker)) {
+      fs.delete(out, true)
+      t.events.select(
+          graft.functions.intDiv(graft.functions.nanosToMs(col("ts")),
+            86400000L).as("day"),
+          col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.cents(col("value")).as("value_c"))
+        .write.partitionBy("day").parquet(out.toString)
+      fs.create(marker, true).close()
+    }
+    out.toString
+  }
+
+  /** The [Q:dpp_join] query: day-partitioned fact ⋈ filtered day dim,
+    * per-day rollup. The dim derives from the raw events table (NOT
+    * the partitioned fixture — its scan must not touch the fact), so
+    * the qualifying day set is a runtime artifact of the broadcast. */
+  def dppJoinQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.events.sparkSession
+    val dir = materializeDayPartitioned(t, sfDir)
+    val fact = spark.read.parquet(dir)
+    // the DIM side casts to the partition column's inferred int type —
+    // a cast on the FACT side would sit between the scan and the join
+    // key and defeat the pruning-filter injection
+    val dim = t.events.select(graft.functions.intDiv(
+        graft.functions.nanosToMs(col("ts")), 86400000L).as("day"))
+      .distinct()
+      .filter(pmod(col("day"), lit(7L)) === 2L)
+      .select(col("day").cast("int").as("day"))
+    fact.join(broadcast(dim), "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("value_cents"))
+      .select(col("day").cast("long").as("day"), col("n_events"),
+        col("value_cents"))
+      .orderBy("day")
+  }
 }

@@ -294,4 +294,40 @@ class SourcesSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions <= 12,
       s"expected bin-packed partitions, got ${df.rdd.getNumPartitions}")
   }
+
+  test("dpp join: the fact scan carries an injected dynamicpruning filter and reads ONLY qualifying day dirs (H17)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Layout.dppJoinQuery(t, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture produced no Tuesday days")
+    val days = rows.map(_.getLong(0)).toSet
+    assert(days.forall(_ % 7 == 2), s"non-qualifying day in $days")
+    // the injected runtime filter is visible on the fact scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamicpruning subquery in the fact scan:\n$plan")
+    // and the scan ACTUALLY read fewer files than the table holds —
+    // runtime evidence of the pruning, not just the plan annotation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    def walk(n: SparkPlan): Seq[SparkPlan] = n +: kids(n).flatMap(walk)
+    val factScan = walk(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec
+        if s.output.exists(_.name == "value_c") => s }
+    assert(factScan.nonEmpty, "fact scan not found")
+    val scanned = factScan.head.metrics("numFiles").value
+    val dir = graft.sources.Layout.materializeDayPartitioned(t, sfDir)
+    val total = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val allDays = spark.read.parquet(dir).select("day").distinct().count()
+    assert(allDays > days.size, "fixture must have non-qualifying days")
+    assert(scanned > 0 && scanned < total,
+      s"DPP read $scanned of $total files — no runtime pruning")
+  }
 }
