@@ -743,6 +743,35 @@ private[graft] object OracleSql {
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** ann_filtered_topk (E15): the ivf_topk replay with the label
+    * predicate applied to the DATA side before ranking — the fit stays
+    * over the FULL corpus (one model serves every predicate), exactly
+    * the Spark plan's shape. */
+  lazy val annFilteredTopK: String = materialized {
+    val h = lloydReplayCtes(k = 8, iters = 5, eps = "1e-9", dim = 64,
+      buckets = 4096)
+    s"""${h.ctes},
+    probe AS (SELECT vec_id AS q_id, cid AS cell, v AS v_q, norm AS norm_q FROM (
+        SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS pr
+        FROM nrm n CROSS JOIN fin f WHERE n.vec_id < 10) WHERE pr <= 3),
+    asgf AS (SELECT vec_id AS n_id, cid AS cell, v AS v_n, norm AS norm_n FROM (
+        SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS rn
+        FROM nrm n JOIN embeddings e ON e.vec_id = n.vec_id AND e.label = 3
+        CROSS JOIN fin f) WHERE rn = 1),
+    cand AS (SELECT p.q_id, a.n_id,
+        list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(list_zip(p.v_q, a.v_n), pp -> pp[1]*pp[2])), (s, x) -> s + x)
+          / (sqrt(p.norm_q) * sqrt(a.norm_n)) AS cos
+      FROM probe p JOIN asgf a ON p.cell = a.cell AND p.q_id <> a.n_id)
+    SELECT q_id, rnk, n_id, round(cos, 4) AS cos4 FROM (
+      SELECT q_id, n_id, cos,
+        cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+      FROM cand)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
   /** knn_join (E14): the all-rows IVF join replayed — the SAME canonical
     * Lloyd fit as ivf_assign (k=8, iters=3), every vector assigned to
     * its one data cell AND exploded into its nprobe=2 probe cells (the

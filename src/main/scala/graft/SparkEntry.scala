@@ -217,6 +217,10 @@ object SparkEntry {
     // E14: every vector's top-k neighbors via the cell-keyed shuffle
     // join (the all-rows form of IVF search)
     "knn_join" -> ((s, d) => Similarity.knnJoin(tables(s, d))),
+    // E15: metadata-filtered top-k — the predicate applies BEFORE the
+    // ranking (pre-filter semantics), pushed into the corpus scan
+    "ann_filtered_topk" ->
+      ((s, d) => Similarity.annFilteredTopK(tables(s, d))),
     "sq8_topk" -> ((s, d) => Similarity.sq8TopK(tables(s, d))),
     "ivf_sq8_topk" -> ((s, d) => Similarity.ivfSq8TopK(tables(s, d))),
     // §2G multimodal / EBML
@@ -615,6 +619,8 @@ object SparkEntry {
     "ivf_topk" -> OracleSql.ivfTopK,
     // E14: the fit + both-side cell assignment + cell join + top-3
     "knn_join" -> OracleSql.knnJoin,
+    // E15: ivf_topk's replay with the label predicate on the data side
+    "ann_filtered_topk" -> OracleSql.annFilteredTopK,
     "pq_topk" -> OracleSql.pqTopK,
     "sq8_topk" -> OracleSql.sq8TopK,
     "ivf_sq8_topk" -> OracleSql.ivfSq8TopK,

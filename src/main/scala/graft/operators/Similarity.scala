@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Sketches
@@ -427,6 +427,65 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("cos"), 4).as("cos4"))
       .orderBy("q_id", "rnk")
     vecs.unpersist(blocking = false) // model frozen; the returned plan re-derives
+    out
+  }
+
+  /** E15 — FILTERED vector search: top-k under a metadata predicate —
+    * the feature every production vector store ships (per-tenant,
+    * per-language, per-license retrieval), with the one semantic that
+    * separates correct implementations from broken ones: the filter
+    * applies BEFORE the ranking, so the query returns the true top-k
+    * OF THE FILTERED SET. Post-filtering an unfiltered top-k — the
+    * classic bug — returns fewer than k rows and silently misses every
+    * qualifying neighbor that sat outside the unfiltered top-k
+    * (SimilaritySpec plants exactly that case). The index is fit on
+    * the FULL corpus (one model serves every predicate — queries
+    * filter, fits don't), and the predicate lands on the data side
+    * BEFORE assignment/ranking, where Catalyst pushes it into the
+    * corpus scan: at 100 TB a selective tenant filter prunes
+    * row-groups before a single distance is computed. */
+  def annFilteredTopK(t: Tables, k: Int = 5, kCells: Int = 8,
+      nprobe: Int = 3, iters: Int = 5): DataFrame =
+    ivfTopKFilteredOf(t.embeddings,
+      withNorm(t.embeddings).filter(col("vec_id") < 10),
+      col("label") === 3L, k, kCells, nprobe, iters)
+
+  /** Library form: `corpus` carries (vec_id, embedding, <attribute
+    * columns>); `dataFilter` is any predicate over those attributes. */
+  def ivfTopKFilteredOf(corpus: DataFrame, queries: DataFrame,
+      dataFilter: Column, k: Int = 5, kCells: Int = 8, nprobe: Int = 3,
+      iters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    VectorFunctions.register(corpus.sparkSession)
+    val fitVecs = withNorm(corpus.select("vec_id", "embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(fitVecs, kCells, iters, 1e-9)
+    val rest = corpus.columns
+      .filterNot(c => c == "vec_id" || c == "embedding").map(col).toSeq
+    val corpusCells = corpus
+      .select(col("vec_id") +: col("embedding").cast("array<double>").as("v")
+        +: rest: _*)
+      .filter(dataFilter) // BEFORE assignment/ranking — pushed to scan
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("v_n"), col("norm").as("norm_n"))
+    val q = queries
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("v").as("v_q"), col("norm").as("norm_q"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val out = broadcast(q).join(corpusCells, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rnk")
+    fitVecs.unpersist(blocking = false)
     out
   }
 

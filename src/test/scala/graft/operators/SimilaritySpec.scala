@@ -465,6 +465,36 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("filtered search returns the true top-k OF THE FILTERED SET; post-filtering would return nothing (E15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // label-a vectors hug the query; label-b vectors sit further out —
+    // the UNFILTERED top-3 is all-a, so post-filtering it for b yields
+    // the empty set while true filtered search yields the 3 nearest b's
+    def v(x: Float, y: Float, tail: Float): Array[Float] =
+      Array(x, y) ++ Array.fill(6)(tail)
+    val corpus = (
+      (0 to 4).map(i => (i.toLong, v(1f, 0.01f * (i + 1), 0f), "a")) ++
+      (5 to 9).map(i => (i.toLong, v(0.3f, 1f, 0.05f * (i + 1)), "b"))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Similarity.withNorm(
+      Seq((100L, v(1f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val filtered = Similarity.ivfTopKFilteredOf(corpus, queries,
+        col("label") === "b", k = 3, kCells = 2, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(filtered.length == 3 && filtered.forall(_._1 >= 5L),
+      s"filtered search must return label-b neighbors: ${filtered.toSeq}")
+    val unfiltered = Similarity.ivfTopKOf(
+        corpus.select("vec_id", "embedding"), queries,
+        k = 3, kCells = 2, nprobe = 2, iters = 2)
+      .collect().map(_.getLong(2))
+    assert(unfiltered.forall(_ <= 4L),
+      s"planted geometry broken: unfiltered top-3 ${unfiltered.toSeq}")
+    assert(unfiltered.toSet.intersect(filtered.map(_._1).toSet).isEmpty,
+      "post-filtering the unfiltered top-k would have returned nothing — " +
+        "the planted case no longer distinguishes the semantics")
+  }
+
   test("knn join: recall vs brute truth; vectors never cross the rank exchange (E14)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
