@@ -226,6 +226,10 @@ object SparkEntry {
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
+    // A9/G12: the fMP4 container (GetClip/HLS serve MP4 where GetMedia
+    // serves MKV) — typed round-trip + positional box walk
+    "mp4_roundtrip" -> ((s, d) => Multimodal.mp4Roundtrip(tables(s, d))),
+    "mp4_boxes" -> ((s, d) => Multimodal.mp4Boxes(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -1935,6 +1939,27 @@ object SparkEntry {
           row_number() OVER (PARTITION BY grp, bucket ORDER BY event_id) AS rn
           FROM b)
         SELECT event_id, grp, bucket FROM r WHERE rn = 1 ORDER BY event_id""",
+    // A9: fMP4 typed fields straight from the source rows — any
+    // writer/walker defect breaks the hash (the mm_roundtrip rule)
+    "mp4_roundtrip" ->
+      """SELECT event_id, event_id % 4294967296 AS seq32,
+          epoch_ms(ts) AS producer_ms, user_id,
+          cast(round(value*100) as bigint) AS value_c,
+          24 + strlen(props) AS mdat_len
+        FROM events ORDER BY event_id""",
+    // A9b: all seven box heads recomputed arithmetically from the
+    // fixed clip layout; only mdat varies (by the props byte length)
+    "mp4_boxes" ->
+      """WITH e AS (SELECT event_id, strlen(props) AS pl FROM events),
+        b(typ, position, size0, depth, var) AS (VALUES
+          ('ftyp', 0, 24, 0, 0), ('moof', 24, 68, 0, 0),
+          ('mfhd', 32, 16, 1, 0), ('traf', 48, 44, 1, 0),
+          ('tfhd', 56, 16, 2, 0), ('tfdt', 72, 20, 2, 0),
+          ('mdat', 92, 32, 0, 1))
+        SELECT e.event_id, b.typ, cast(b.position as bigint) AS position,
+          cast(b.size0 + b.var * e.pl as bigint) AS size,
+          cast(b.depth as bigint) AS depth
+        FROM e CROSS JOIN b ORDER BY event_id, position""",
     // H17: the day-partitioned join replayed from raw events (the
     // partition layout is an execution artifact, not semantics)
     "dpp_join" ->

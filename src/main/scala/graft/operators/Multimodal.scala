@@ -52,6 +52,51 @@ object Multimodal {
         col("tg.user_id").cast("long").as("user_id"),
         col("tg.continuation_token").as("token"))
 
+  /** A9/G12 — fMP4 (ISO BMFF) clip ROUND-TRIP: Kinesis Video's OTHER
+    * container — GetMedia streams MKV (the reference's only path), but
+    * GetClip returns MP4 and the HLS/DASH endpoints serve fMP4, so a
+    * consumer switching endpoints meets this format with the same
+    * payloads. Encode each event as a one-fragment clip
+    * (ftyp + moof(mfhd, traf(tfhd, tfdt v1)) + mdat carrying ids,
+    * value, and the props bytes), parse the typed fields back — writer
+    * or walker defects break the hash. Same execution shape as the
+    * EBML twins: native codegen expressions over binary columns, no
+    * shuffle. */
+  def mp4Roundtrip(t: Tables): DataFrame =
+    withClipSorted(t)
+      .withColumn("c", graft.bmff.BmffFunctions.parseClip(col("clip")))
+      .select(col("c.event_id").as("event_id"),
+        col("c.seq32").as("seq32"),
+        col("c.base_ms").as("producer_ms"),
+        col("c.user_id").as("user_id"),
+        col("c.value_c").as("value_c"),
+        col("c.mdat_len").as("mdat_len"))
+      .orderBy("event_id")
+
+  /** A9b/G12b — the positional BOX WALK (the ebml.py Position
+    * semantics applied to BMFF): every box head in document order with
+    * absolute position, total size, and nesting depth. The oracle
+    * recomputes all seven boxes arithmetically from the fixed clip
+    * layout (only mdat varies, by the props byte length) — any drift
+    * in the writer's size arithmetic or the walker's recursion breaks
+    * the hash. */
+  def mp4Boxes(t: Tables): DataFrame =
+    withClipSorted(t)
+      .withColumn("b",
+        explode(graft.bmff.BmffFunctions.parseBoxes(col("clip"))))
+      .select(col("event_id"), col("b.typ").as("typ"),
+        col("b.position").as("position"), col("b.size").as("size"),
+        col("b.depth").as("depth"))
+      .orderBy("event_id", "position")
+
+  private def withClipSorted(t: Tables): DataFrame =
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("clip", graft.bmff.BmffFunctions.encodeClip(
+        col("event_id"), col("ts_ms"), col("user_id"),
+        cents(col("value")), col("props")))
+
   /** G3/A7 — element walk with positions (ebml.py Position semantics):
     * per-fragment element count and byte length. The oracle recomputes the
     * byte length arithmetically from the fixed fragment layout. */
