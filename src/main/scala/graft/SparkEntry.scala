@@ -230,6 +230,7 @@ object SparkEntry {
     // serves MKV) — typed round-trip + positional box walk
     "mp4_roundtrip" -> ((s, d) => Multimodal.mp4Roundtrip(tables(s, d))),
     "mp4_boxes" -> ((s, d) => Multimodal.mp4Boxes(tables(s, d))),
+    "mp4_split_stream" -> ((s, d) => Multimodal.mp4SplitStream(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -1960,6 +1961,18 @@ object SparkEntry {
           cast(b.size0 + b.var * e.pl as bigint) AS size,
           cast(b.depth as bigint) AS depth
         FROM e CROSS JOIN b ORDER BY event_id, position""",
+    // A9c: positions as the running sum of the arithmetic clip lengths
+    // (124 + props bytes — the fixed layout), per packed stream
+    "mp4_split_stream" ->
+      """WITH b AS (SELECT event_id, event_id // 5 AS grp,
+          124 + strlen(props) AS clip_len FROM events)
+        SELECT event_id, grp,
+          coalesce(cast(sum(clip_len) OVER (PARTITION BY grp
+            ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0)
+            AS position,
+          cast(clip_len as bigint) AS clip_len
+        FROM b ORDER BY event_id""",
     // H17: the day-partitioned join replayed from raw events (the
     // partition layout is an execution artifact, not semantics)
     "dpp_join" ->

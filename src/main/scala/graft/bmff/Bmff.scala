@@ -124,6 +124,24 @@ object Bmff {
     out.toSeq
   }
 
+  /** Continuous-stream clip splitting — the A8 GetMedia boundary rule
+    * applied to the fMP4 endpoints (HLS segments arrive back to back
+    * on one connection): a clip starts at each top-level `ftyp` and
+    * runs to the next one (or EOF). A stream not opening with `ftyp`
+    * is malformed and throws, like the EBML splitter's header rule. */
+  def splitClips(buf: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    if (buf.isEmpty) return Nil
+    val tops = boxes(buf).filter(_.depth == 0)
+    if (tops.isEmpty || tops.head.typ != "ftyp")
+      throw new BmffException("stream does not open with an ftyp box")
+    val starts = tops.filter(_.typ == "ftyp").map(_.pos)
+    val bounds = starts :+ buf.length.toLong
+    starts.indices.map { i =>
+      (bounds(i), java.util.Arrays.copyOfRange(buf,
+        bounds(i).toInt, bounds(i + 1).toInt))
+    }
+  }
+
   final case class Clip(seq32: Long, baseMs: Long, eventId: Long,
       userId: Long, valueC: Long, mdatLen: Long)
 

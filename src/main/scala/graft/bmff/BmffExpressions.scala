@@ -37,6 +37,17 @@ object BmffKernels {
     val c = Bmff.clip(buf)
     InternalRow(c.seq32, c.baseMs, c.eventId, c.userId, c.valueC, c.mdatLen)
   }
+
+  def splitArray(buf: Array[Byte]): ArrayData = {
+    val cs = Bmff.splitClips(buf)
+    val rows = new Array[Any](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      rows(i) = InternalRow(cs(i)._1, cs(i)._2)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
 }
 
 object BmffExpressions {
@@ -49,6 +60,24 @@ object BmffExpressions {
   val clipType: StructType = StructType(Seq(
     "seq32", "base_ms", "event_id", "user_id", "value_c", "mdat_len")
     .map(StructField(_, LongType)))
+
+  val sliceType: StructType = StructType(Seq(
+    StructField("position", LongType),
+    StructField("clip", BinaryType)))
+}
+
+/** stream blob → array of (position, clip) slices at ftyp boundaries. */
+case class BmffSplitExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(BmffExpressions.sliceType, containsNull = false)
+  override def prettyName: String = "bmff_split_clips"
+  override def nullSafeEval(b: Any): Any =
+    BmffKernels.splitArray(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.bmff.BmffKernels.splitArray($c);")
+  override protected def withNewChildInternal(newChild: Expression): BmffSplitExpr =
+    copy(child = newChild)
 }
 
 /** (event_id, ts_ms, user_id, value_cents, props) → fMP4 clip blob. */
@@ -125,4 +154,7 @@ object BmffFunctions {
 
   def parseClip(blob: Column): Column =
     column(BmffClipExpr(expression(blob)))
+
+  def splitClips(stream: Column): Column =
+    column(BmffSplitExpr(expression(stream)))
 }

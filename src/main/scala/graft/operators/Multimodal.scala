@@ -89,6 +89,34 @@ object Multimodal {
         col("b.depth").as("depth"))
       .orderBy("event_id", "position")
 
+  /** A9c — continuous fMP4 STREAM SPLITTING (the A8 GetMedia boundary
+    * rule on the HLS/DASH side: segments arrive back to back): clips
+    * pack `groupSize` per stream blob, the splitter cuts at each
+    * top-level ftyp with absolute positions, and each slice re-parses
+    * to prove it is a well-formed clip. The oracle recomputes positions
+    * as the running sum of the arithmetic clip lengths (124 + props
+    * bytes — the fixed layout). One shuffle (the pack groupBy). */
+  def mp4SplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .withColumn("clip", graft.bmff.BmffFunctions.encodeClip(
+        col("event_id"), col("ts_ms"), col("user_id"),
+        cents(col("value")), col("props")))
+      .withColumn("grp", intDiv(col("event_id"), groupSize))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("clip"))))
+        .as("parts"))
+      .select(col("grp"), EbmlFunctions.concatBlobs(
+        transform(col("parts"), p => p.getField("clip"))).as("stream"))
+      .select(col("grp"),
+        explode(graft.bmff.BmffFunctions.splitClips(col("stream"))).as("fr"))
+      .select(col("grp"), col("fr.position").as("position"),
+        length(col("fr.clip")).cast("long").as("clip_len"),
+        graft.bmff.BmffFunctions.parseClip(col("fr.clip")).as("c"))
+      .select(col("c.event_id").as("event_id"), col("grp"),
+        col("position"), col("clip_len"))
+      .orderBy("event_id")
+
   private def withClipSorted(t: Tables): DataFrame =
     t.events
       .withColumn("ts_ms", nanosToMs(col("ts")))

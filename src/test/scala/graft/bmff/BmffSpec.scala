@@ -48,4 +48,15 @@ class BmffSpec extends AnyFunSuite {
     intercept[BmffException](
       boxes(concat(u32be(4L), fourcc("mdat"), Array[Byte](1, 2, 3, 4))))
   }
+
+  test("stream splitter cuts at ftyp boundaries with absolute positions; malformed opens throw") {
+    val a = buildClip(1L, 10L, 1L, 1L, "aa".getBytes)
+    val b = buildClip(2L, 20L, 2L, 2L, "bbbb".getBytes)
+    val got = splitClips(concat(a, b))
+    assert(got.map(_._1) == Seq(0L, a.length.toLong))
+    assert(got(0)._2.sameElements(a) && got(1)._2.sameElements(b))
+    assert(clip(got(1)._2).eventId == 2L)
+    intercept[BmffException](splitClips(box("mdat", u64be(1L))))
+    assert(splitClips(Array.emptyByteArray).isEmpty)
+  }
 }
