@@ -76,4 +76,25 @@ object FragmentSource {
     * the writeStream at a checkpoint location to make it resumable. */
   def fragmentRates(spark: SparkSession, dir: String): DataFrame =
     EventStreams.fragmentPipeline(continuousStream(spark, dir))
+
+  /** B13b — the GetClip/HLS ingestion path (round 15): the SAME
+    * binaryFile source consuming fMP4 segment files, each split at its
+    * top-level ftyp boundaries ([[graft.bmff.Bmff.splitClips]] — the
+    * A8 back-to-back rule on the second container) and every clip
+    * parsed to its typed fields. Stateless per-row split + parse, no
+    * shuffle, no state store; the checkpoint is the continuation token
+    * exactly as for the MKV path. A consumer that switches Kinesis
+    * Video endpoints changes ONE source call, nothing downstream. */
+  def clipStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    fragmentStream(spark, dir, maxFilesPerTrigger)
+      .select(col("path"),
+        explode(graft.bmff.BmffFunctions.splitClips(col("blob"))).as("fr"))
+      .select(col("path"), col("fr.position").as("position"),
+        graft.bmff.BmffFunctions.parseClip(col("fr.clip")).as("c"))
+      .select(col("path"), col("position"),
+        col("c.event_id").as("event_id"),
+        col("c.base_ms").as("producer_ms"),
+        col("c.user_id").as("user_id"),
+        col("c.value_c").as("value_c"))
 }

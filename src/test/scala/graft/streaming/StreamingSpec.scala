@@ -1341,4 +1341,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"\nstream=$got\nbatch =$batch")
     } finally query.stop()
   }
+
+  test("fMP4 clip ingestion: segment files split at ftyp boundaries, typed fields stream out statelessly (B13b)") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("graft_clips_in").toString
+    val outDir = Files.createTempDirectory("graft_clips_out").toString + "/p"
+    val chkDir = Files.createTempDirectory("graft_clips_chk").toString
+    def clipOf(id: Long, uid: Long) =
+      graft.bmff.Bmff.buildClip(id, id * 1000L, uid, id * 7L,
+        s"p$id".getBytes("UTF-8"))
+    // one file = one clip; another file = an HLS-style segment holding
+    // TWO clips back to back — the splitter must cut it
+    Files.write(Paths.get(inDir, "seg1.mp4"), clipOf(1L, 10L))
+    Files.write(Paths.get(inDir, "seg2.mp4"),
+      graft.bmff.Bmff.concat(clipOf(2L, 10L), clipOf(3L, 11L)))
+    val q = FragmentSource.clipStream(spark, inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chkDir)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "producer_ms", "user_id", "value_c", "position")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val c2len = clipOf(2L, 10L).length.toLong
+    assert(got == Set(
+      (1L, 1000L, 10L, 7L, 0L),
+      (2L, 2000L, 10L, 14L, 0L),
+      (3L, 3000L, 11L, 21L, c2len)), got.toString)
+  }
 }
