@@ -153,6 +153,9 @@ object SparkEntry {
     // D13: precision/recall census of the LSH candidate stage vs the
     // exact-Jaccard truth — the banding-layout tuning number
     "dedup_eval" -> ((s, d) => Dedup.dedupEval(tables(s, d))),
+    // D13b: the deploy form — the same census on a growth-stable hash
+    // slice (exact truth is only computable on a slice at 100 TB)
+    "dedup_eval_sampled" -> ((s, d) => Dedup.dedupEvalSampled(tables(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(tables(s, d))),
     "dedup_embed" -> ((s, d) => Dedup.embeddingPairs(tables(s, d))),
     "dedup_embed_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(tables(s, d))),
@@ -528,6 +531,27 @@ object SparkEntry {
     * integer arithmetic, which [[OracleSql]] regenerates in pure DuckDB
     * SQL (wrap-around multiplies via HUGEINT split arithmetic) — and so
     * is lang_id (stopword/charset counts with a fixed tie priority). */
+  // D13/D13b census: an optional leading CTE (e.g. the hash-slice
+  // shadow of `documents`) prefixes the shared body
+  private def dedupEvalSql(prefixCte: String): String =
+    s"""WITH ${prefixCte}cand AS (SELECT id_a, id_b FROM (${OracleSql.dedupMinhash})),
+        truth AS (SELECT id_a, id_b FROM ($JaccardPairsSql)),
+        j AS (SELECT coalesce(c.id_a, t.id_a) AS id_a,
+            CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_c,
+            CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS in_t
+          FROM cand c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT cast(sum(in_c) as bigint) AS n_cand,
+          cast(sum(in_t) as bigint) AS n_truth,
+          cast(sum(in_c * in_t) as bigint) AS n_hit,
+          CASE WHEN sum(in_c) = 0 THEN 0
+            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
+              // cast(sum(in_c) as bigint) END AS precision_permille,
+          CASE WHEN sum(in_t) = 0 THEN 0
+            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
+              // cast(sum(in_t) as bigint) END AS recall_permille
+        FROM j"""
+
   // D2 oracle body, shared with the D13 dedup-eval replay
   private val JaccardPairsSql: String =
     """WITH t AS (SELECT doc_id,
@@ -1372,24 +1396,13 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> JaccardPairsSql,
     // D13: both stages replayed as nested derived tables, full-outer
     // membership census, floor-divided permilles
-    "dedup_eval" ->
-      s"""WITH cand AS (SELECT id_a, id_b FROM (${OracleSql.dedupMinhash})),
-        truth AS (SELECT id_a, id_b FROM ($JaccardPairsSql)),
-        j AS (SELECT coalesce(c.id_a, t.id_a) AS id_a,
-            CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_c,
-            CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS in_t
-          FROM cand c FULL OUTER JOIN truth t
-            ON c.id_a = t.id_a AND c.id_b = t.id_b)
-        SELECT cast(sum(in_c) as bigint) AS n_cand,
-          cast(sum(in_t) as bigint) AS n_truth,
-          cast(sum(in_c * in_t) as bigint) AS n_hit,
-          CASE WHEN sum(in_c) = 0 THEN 0
-            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
-              // cast(sum(in_c) as bigint) END AS precision_permille,
-          CASE WHEN sum(in_t) = 0 THEN 0
-            ELSE (cast(sum(in_c * in_t) as bigint) * 1000)
-              // cast(sum(in_t) as bigint) END AS recall_permille
-        FROM j""",
+    "dedup_eval" -> dedupEvalSql(""),
+    // D13b: the same census with `documents` CTE-shadowed by the F18
+    // hash slice — exactly the Spark plan's growth-stable cohort
+    "dedup_eval_sampled" -> dedupEvalSql(
+      s"""documents AS (SELECT * FROM main.documents
+        WHERE ${OracleSql.mix64Bucket("doc_id")} < ${(1L << 20) / 4}),
+      """),
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
         n AS (SELECT vec_id, v, list_reduce(list_prepend(cast(0.0 as double),

@@ -105,17 +105,21 @@ object Dedup {
       col("n_b") * 1000000L >= col("n_a") * thrNum
   }
 
-  def jaccardPairs(t: Tables, threshold: Double = 0.95): DataFrame = {
+  def jaccardPairs(t: Tables, threshold: Double = 0.95): DataFrame =
+    jaccardPairsOf(t.documents, threshold)
+
+  /** Library form over any (doc_id, text) frame. */
+  def jaccardPairsOf(docs: DataFrame, threshold: Double = 0.95): DataFrame = {
     // explicit-count repartition: (1) spreads the O(n²) nested-loop join
     // across all cores — with an advisory (no-count) repartition AQE
     // coalesces these few-KB partitions back to one and the join runs
     // single-threaded; (2) acts as a barrier so tokenization runs once per
     // doc, not per pair
-    val cores = t.documents.sparkSession.sparkContext.defaultParallelism
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
     // pre-hash tokens to sorted longs: the pair-join condition then runs a
     // primitive merge loop with zero allocation (collision odds over the
     // whole corpus ~1e-10 — accepted; the oracle stays on string sets)
-    val hashed = tokenized(t).withColumn("toks_h",
+    val hashed = tokenizedDocs(docs).withColumn("toks_h",
       array_sort(transform(col("toks"), tk => xxhash64(tk))))
     val a = hashed.select(
       col("doc_id").as("id_a"), col("toks_h").as("toks_a"), col("n").as("n_a"))
@@ -295,7 +299,10 @@ object Dedup {
     * (repartition + orderBy): the edge source for [[dedupClustersLsh]],
     * where candidate order is irrelevant and the sort would be wasted. */
   private def minhashCandidateCore(t: Tables): DataFrame =
-    candidatesOf(tokenized(t)
+    minhashCandidateCoreOf(t.documents)
+
+  private def minhashCandidateCoreOf(docs: DataFrame): DataFrame =
+    candidatesOf(tokenizedDocs(docs)
       .filter(col("n") > 0)
       .select(col("doc_id"),
         call_function("graft_minhash_bands", col("toks")).as("sigs")))
@@ -320,6 +327,27 @@ object Dedup {
   def dedupEval(t: Tables, threshold: Double = 0.95): DataFrame =
     dedupEvalOf(minhashCandidateCore(t),
       jaccardPairs(t, threshold).select(col("id_a"), col("id_b")))
+
+  /** D13b — the census's DEPLOY form: the identical metrics over a
+    * growth-stable HASH SLICE of the corpus (the F18 bucket arithmetic:
+    * keep docs with mix64(doc_id) mod 2²⁰ below 2²⁰/denom), because at
+    * 100 TB the exact-truth tier is only computable on a slice — and a
+    * hash slice keeps each doc's membership STABLE under corpus growth,
+    * so successive audits measure the same cohort. Both stages restrict
+    * to the slice, so the estimate is the true precision/recall of the
+    * banding ON that cohort (pairs sample at rate 1/denom²; the audit
+    * trades variance for the m² cost reduction, the documented D13
+    * deployment substitution). */
+  def dedupEvalSampled(t: Tables, threshold: Double = 0.95,
+      denom: Int = 4): DataFrame = {
+    graft.plans.VectorFunctions.register(t.documents.sparkSession)
+    val buckets = 1L << 20
+    val sliced = t.documents.filter(
+      pmod(call_function("graft_mix64", col("doc_id")), lit(buckets))
+        < buckets / denom)
+    dedupEvalOf(minhashCandidateCoreOf(sliced),
+      jaccardPairsOf(sliced, threshold).select(col("id_a"), col("id_b")))
+  }
 
   /** Library form over any candidate / truth pair sets (id_a < id_b). */
   def dedupEvalOf(cand: DataFrame, truth: DataFrame): DataFrame = {

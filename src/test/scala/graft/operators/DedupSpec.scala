@@ -572,5 +572,11 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.dedupEval(t).collect()(0)
     assert(full.getLong(4) >= 900,
       s"minhash banding recall ${full.getLong(4)} permille < 900")
+    // the deploy form: the same census on the F18 hash slice — a
+    // strict subset of the full census's pairs, same metric bounds
+    val sampled = Dedup.dedupEvalSampled(t).collect()(0)
+    assert(sampled.getLong(0) <= full.getLong(0) &&
+      sampled.getLong(1) <= full.getLong(1), s"slice exceeded full: $sampled")
+    assert(sampled.getLong(4) >= 0 && sampled.getLong(4) <= 1000)
   }
 }
