@@ -219,6 +219,24 @@ object VectorIndex {
       k: Int = 5, nprobe: Int = 3): DataFrame =
     ivfExactSearch(queries, dir, k, nprobe, None, broadcastQueries = true)
 
+  /** E14b — the knn-JOIN deploy arm: every indexed vector's top-k
+    * neighbors straight from the prefit artifact — ZERO fit jobs
+    * (models load driver-side), and BOTH sides of the cell join are
+    * the artifact's own cell-partitioned vectors table, so the join
+    * is co-located by construction and nothing rescans the corpus.
+    * The probe side is corpus-sized, so the E14 block salt applies
+    * (the kCells-key collapse lesson). At nprobe = kCells the result
+    * is EXACTLY the brute unit-cosine knn of the indexed set —
+    * VectorCurateSpec pins it against a driver recompute. */
+  def knnJoinIndexed(spark: SparkSession, dir: String, k: Int = 3,
+      nprobe: Int = 2, saltBlocks: Int = 16): DataFrame = {
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("n_id").as("vec_id"), col("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+    ivfExactSearch(vecs, dir, k, nprobe, None,
+      broadcastQueries = false, saltBlocks = saltBlocks)
+  }
+
   /** Incremental embedding NEAR-DUP gate — the vector-side sibling of
     * [[TextIndex.dedupBatch]]: which vectors of a new ingest batch
     * near-duplicate the settled corpus, decided by probing the prefit
@@ -258,7 +276,7 @@ object VectorIndex {
   private def ivfExactSearch(queries: DataFrame, dir: String, k: Int,
       nprobe: Int,
       excludeNeighbor: Option[org.apache.spark.sql.Column],
-      broadcastQueries: Boolean): DataFrame = {
+      broadcastQueries: Boolean, saltBlocks: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     warnIfCompacting(spark, dir)
     val (coarse, _) = loadModel(spark, dir)
@@ -279,8 +297,26 @@ object VectorIndex {
     val members = excludeNeighbor.fold(members0)(p => members0.filter(!p))
       .select(col("cell"), col("n_id"), col("v").as("v_n"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val probe = if (broadcastQueries) broadcast(q) else q
-    probe.join(members, "cell")
+    // three probe-side regimes: query-sized → broadcast hint;
+    // ingest-sized → AQE size-gates the cell join; CORPUS-sized
+    // (knnJoinIndexed) → the kCells-key join collapses under AQE (the
+    // E14 lesson: join inputs look tiny, the blow-up is at output), so
+    // a deterministic block salt + explicit-count repartition restores
+    // parallelism — each pair still meets exactly once
+    val joined =
+      if (broadcastQueries) broadcast(q).join(members, "cell")
+      else if (saltBlocks > 0) {
+        val cores = spark.sparkContext.defaultParallelism
+        val mB = members
+          .withColumn("blk", pmod(col("n_id"), lit(saltBlocks.toLong)))
+          .repartition(cores, col("cell"), col("blk"))
+        val qB = q
+          .withColumn("blk",
+            explode(typedLit((0L until saltBlocks).toArray)))
+          .repartition(cores, col("cell"), col("blk"))
+        qB.join(mB, Seq("cell", "blk"))
+      } else q.join(members, "cell")
+    joined
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", call_function("graft_dot", col("v_q"), col("v_n")))
       .withColumn("rnk", row_number().over(w).cast("long"))

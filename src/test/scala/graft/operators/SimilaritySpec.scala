@@ -544,6 +544,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed knn-join at full probe equals the brute knn with zero fit jobs (E14b)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_idx").toString
+    VectorIndex.fit(t.embeddings, dir)
+    val fitJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).flatMap(Option(_))
+        if (g.contains(VectorIndex.FitJobGroup)) { fitJobs.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val k = 3
+      // nprobe = every cell ⇒ the artifact join sees ALL candidates, so
+      // the result must be exactly the brute unit-cosine knn
+      val got = VectorIndex.knnJoinIndexed(spark, dir, k, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val vecs = t.embeddings
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val truth = vecs.keys.map { q =>
+        q -> vecs.keys.filter(_ != q).toSeq
+          .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(k).toSet
+      }.toMap
+      assert(got.size == vecs.size)
+      assert(got == truth, "indexed knn-join at full probe != brute knn")
+      Thread.sleep(300) // drain async listener events
+      assert(fitJobs.get == 0,
+        s"indexed knn-join launched ${fitJobs.get} fit jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("retrieval-quality census: planted rankings hit every metric branch exactly (E13)") {
     import spark.implicits._
     val k = 5
