@@ -234,6 +234,10 @@ object SparkEntry {
     "mp4_roundtrip" -> ((s, d) => Multimodal.mp4Roundtrip(tables(s, d))),
     "mp4_boxes" -> ((s, d) => Multimodal.mp4Boxes(tables(s, d))),
     "mp4_split_stream" -> ((s, d) => Multimodal.mp4SplitStream(tables(s, d))),
+    // A10: MKV -> fMP4 transmux (GetMedia archive answered as GetClip)
+    // — four codec passes, two formats, one row
+    "mkv_to_mp4_transmux" ->
+      ((s, d) => Multimodal.mkvToMp4Transmux(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -1986,6 +1990,13 @@ object SparkEntry {
             AS position,
           cast(clip_len as bigint) AS clip_len
         FROM b ORDER BY event_id""",
+    // A10: four codec passes collapse to the source rows; the clip's
+    // mdat carries the MKV continuation token ("tok-<id>")
+    "mkv_to_mp4_transmux" ->
+      """SELECT event_id, epoch_ms(ts) AS producer_ms, user_id,
+          cast(round(value*100) as bigint) AS value_c,
+          28 + length(cast(event_id as varchar)) AS mdat_len
+        FROM events ORDER BY event_id""",
     // H17: the day-partitioned join replayed from raw events (the
     // partition layout is an execution artifact, not semantics)
     "dpp_join" ->

@@ -117,6 +117,39 @@ object Multimodal {
         col("position"), col("clip_len"))
       .orderBy("event_id")
 
+  /** A10 — MKV → fMP4 TRANSMUX: the serving transformation between
+    * Kinesis Video's two containers (GetMedia archives MKV; GetClip
+    * answers MP4 from the same fragments). Each event round-trips the
+    * WHOLE chain: encode as an MKV fragment, parse the AWS tag set
+    * back out, REBUILD those parsed values as an fMP4 clip, and parse
+    * the clip — four codec passes, two formats, one row. The oracle
+    * reads the source rows directly, so a defect in EITHER writer or
+    * EITHER parser (or a field dropped at the container boundary)
+    * breaks the hash. Per-row codegen kernels, no shuffle. */
+  def mkvToMp4Transmux(t: Tables): DataFrame = {
+    val blobbed = t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", EbmlFunctions.encodeFragment(
+        col("event_id"), col("ts_ms"), col("user_id"),
+        cents(col("value")), col("props")))
+    blobbed
+      .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
+      .withColumn("clip", graft.bmff.BmffFunctions.encodeClip(
+        col("tg.fragment_number").cast("long"),
+        col("tg.producer_ts").cast("long"),
+        col("tg.user_id").cast("long"),
+        col("tg.value_cents").cast("long"),
+        col("tg.continuation_token")))
+      .withColumn("c", graft.bmff.BmffFunctions.parseClip(col("clip")))
+      .select(col("c.event_id").as("event_id"),
+        col("c.base_ms").as("producer_ms"),
+        col("c.user_id").as("user_id"),
+        col("c.value_c").as("value_c"),
+        col("c.mdat_len").as("mdat_len"))
+      .orderBy("event_id")
+  }
+
   private def withClipSorted(t: Tables): DataFrame =
     t.events
       .withColumn("ts_ms", nanosToMs(col("ts")))
