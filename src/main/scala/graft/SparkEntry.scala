@@ -290,6 +290,14 @@ object SparkEntry {
     // F19/F20 tokenizer-adjacent corpus statistics
     "lm_quality" -> ((s, d) => TextOps.lmQuality(tables(s, d))),
     "lm_quality2" -> ((s, d) => TextOps.lmQuality2(tables(s, d))),
+    // F19b deploy split: train on the F18 train cohort, score the
+    // held-out docs — the backoff tiers (unseen bigram → α·unigram,
+    // OOV → α/N) are EXERCISED by the hash gate, not just the spec
+    "lm_quality2_holdout" -> ((s, d) => {
+      val docs = tables(s, d).documents
+      TextOps.lmQuality2Of(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     // F19d trigram stupid-backoff LM (one order past F19b)
     "lm_quality3" -> ((s, d) => TextOps.lmQuality3(tables(s, d))),
     // F29 deterministic hashed TF-IDF text->vector featurizer
@@ -604,6 +612,43 @@ object SparkEntry {
         fc AS (SELECT doc_id, uni_u AS c FROM
           (SELECT doc_id, ws[1] AS word FROM d WHERE len(ws) > 0) f JOIN uni USING (word)),
         gc AS (SELECT doc_id, cost_u AS c FROM bg JOIN bcost USING (w1, w2)),
+        allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
+        SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
+          round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
+        FROM allc GROUP BY doc_id ORDER BY doc_id"""
+
+  // F19b holdout: the SAME chain trained on the %10≠0 cohort and
+  // scored on the held-out docs — unseen-bigram and OOV tiers land in
+  // the hash gate (the self-trained Lm2Sql never exercises them)
+  private val Lm2HoldoutSql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        tr AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+        sc AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+        tok AS (SELECT unnest(ws) AS word FROM tr),
+        v AS (SELECT word, count(*) AS n_w FROM tok GROUP BY word),
+        tot AS (SELECT cast(sum(n_w) as bigint) AS n_total FROM v),
+        uni AS (SELECT word,
+            cast(round(-ln(cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS uni_u,
+            cast(round(-ln(0.4 * cast(n_w as double) / cast(n_total as double)) * 1000000.0) as bigint) AS back_u
+          FROM v CROSS JOIN tot),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tr)),
+        bc AS (SELECT w1, w2, count(*) AS n_big FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(n_big) AS n_ctx FROM bc GROUP BY 1),
+        bcost AS (SELECT w1, w2,
+            cast(round(-ln(cast(n_big as double) / cast(n_ctx as double)) * 1000000.0) as bigint) AS cost_u
+          FROM bc JOIN ctx USING (w1)),
+        sbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM sc)),
+        fc AS (SELECT f.doc_id, coalesce(uni.uni_u,
+            cast(round(-ln(1.0 / cast(tot.n_total as double)) * 1000000.0) as bigint)) AS c
+          FROM (SELECT doc_id, ws[1] AS word FROM sc WHERE len(ws) > 0) f
+          LEFT JOIN uni USING (word) CROSS JOIN tot),
+        gc AS (SELECT sbg.doc_id, coalesce(bcost.cost_u, u2.back_u,
+            cast(round(-ln(0.4 / cast(tot.n_total as double)) * 1000000.0) as bigint)) AS c
+          FROM sbg LEFT JOIN bcost USING (w1, w2)
+          LEFT JOIN (SELECT word AS w2, back_u FROM uni) u2 USING (w2)
+          CROSS JOIN tot),
         allc AS (SELECT * FROM fc UNION ALL SELECT * FROM gc)
         SELECT doc_id, count(*) AS n_tokens, cast(sum(c) as bigint) AS nll_micro,
           round(cast(sum(c) as double) / cast(count(*) as double) / 1000000.0, 4) AS avg_nll4
@@ -1469,6 +1514,7 @@ object SparkEntry {
     // legitimately absent here (the spec exercises them on an external
     // score set); ln once per distinct (bi)gram, micro-nat quantized
     "lm_quality2" -> Lm2Sql,
+    "lm_quality2_holdout" -> Lm2HoldoutSql,
     "lm_quality3" -> Lm3Sql,
     "embed_docs" -> OracleSql.embedDocs(64),
     "embed_search_topk" -> OracleSql.embedSearch(64, 5, 50),
