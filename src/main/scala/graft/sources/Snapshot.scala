@@ -177,6 +177,38 @@ object Snapshot {
     spark.read.parquet(path).filter(!col("deleted"))
       .drop("deleted", "bucket")
 
+  /** The key's bucket as a driver scalar — the same splitmix64
+    * arithmetic as [[bucketOf]], for partition-pruned point reads. */
+  private def bucketScalar(key: Long, buckets: Int): Long = {
+    val m = graft.functions.Hashing.mix64(key) % buckets
+    if (m < 0) m + buckets else m
+  }
+
+  /** B30 — POINT LOOKUP on a [[merge]] store: the serving read a
+    * GetRecord-style API makes against the compacted state. Scans
+    * exactly ONE `bucket=` partition (the FrameRing discipline applied
+    * to the upsert store): a 10⁹-key table and a 10³-key table cost
+    * the same small-file read per lookup. */
+  def lookup(spark: SparkSession, path: String, keyCol: String, key: Long,
+      buckets: Int = DefaultBuckets): Option[org.apache.spark.sql.Row] = {
+    spark.read.parquet(path)
+      .filter(col("bucket") === bucketScalar(key, buckets) &&
+        col(keyCol) === key)
+      .drop("bucket")
+      .collect().headOption
+  }
+
+  /** The CDC sibling over [[mergeCdc]] state: a tombstoned key resolves
+    * to None — the [[readLive]] contract at point-read cost. */
+  def lookupLive(spark: SparkSession, path: String, keyCol: String,
+      key: Long, buckets: Int = DefaultBuckets): Option[org.apache.spark.sql.Row] = {
+    spark.read.parquet(path)
+      .filter(col("bucket") === bucketScalar(key, buckets) &&
+        col(keyCol) === key && !col("deleted"))
+      .drop("bucket", "deleted")
+      .collect().headOption
+  }
+
   /** The [Q:merge_cdc] fixture: the events changelog keyed by user_id,
     * version = (ts_ms, event_id), op = D for 'error' events (the
     * account-close tombstone) else U — applied in FOUR out-of-order

@@ -319,4 +319,37 @@ class SnapshotSpec extends SparkSpec {
     val got = Snapshot.read(spark, dir).collect().map(_.getLong(0)).toSet
     assert(got == keys.toSet -- victimKeys)
   }
+
+  test("point lookups scan one bucket: live hit, tombstoned None, absent None (B30)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.writeBase(baseDf(1L to 200L), "k", dir)
+    // merge-store lookup: a hit returns the payload, a miss None
+    assert(Snapshot.lookup(spark, dir, "k", 42L)
+      .map(_.getString(1)).contains("v42"))
+    assert(Snapshot.lookup(spark, dir, "k", 9999L).isEmpty)
+    // the read actually touches ONE bucket directory
+    val files = spark.read.parquet(dir)
+      .filter(col("bucket") === bucket(42L) && col("k") === 42L)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files.nonEmpty &&
+      files.map(f => f.substring(f.indexOf("bucket="))
+        .split("/").head).size == 1, files.toString)
+    // CDC-store lookup: tombstones resolve to None (the readLive
+    // contract at point-read cost)
+    val cdcDir = freshDir()
+    val changes = Seq(
+      (1L, 10L, 1L, "U", "a"), (2L, 10L, 2L, "U", "b"),
+      (2L, 20L, 3L, "D", null.asInstanceOf[String]))
+      .toDF("k", "ts_ms", "event_id", "op", "payload")
+      .select(col("k"), struct(col("ts_ms"), col("event_id")).as("ver"),
+        col("op"), col("payload"))
+    Snapshot.mergeCdc(spark, cdcDir, changes, "k")
+    assert(Snapshot.lookupLive(spark, cdcDir, "k", 1L)
+      .map(_.getString(2)).contains("a"))
+    assert(Snapshot.lookupLive(spark, cdcDir, "k", 2L).isEmpty,
+      "tombstoned key must resolve to None")
+    assert(Snapshot.lookupLive(spark, cdcDir, "k", 3L).isEmpty)
+  }
 }
