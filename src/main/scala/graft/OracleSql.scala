@@ -1256,6 +1256,32 @@ private[graft] object OracleSql {
     * = pixel_sum·1000 // 72; frame_bytes = 54 + 28·8 = 278 (stride-
     * padded BMP). Any defect in the encoder, the EBML block transport,
     * or the decoder breaks the hash match. */
+  /** mm_resize (G13): the 2×-downsampled lumas recomputed from the ramp
+    * pattern — pixel v(x,y) = 128 + Σ_{i<x} (2·b_{y·8+i} − 1) by a
+    * lateral prefix join, each output cell = floor-average of its
+    * in-bounds ≤4 sources (x//2, y//2 tiling: the 9th column halves to
+    * a 2-source cell), mean_milli = Σ lumas · 1000 // 20 over the 5×4
+    * result. Any drift in the resize kernel's edge rule or integer
+    * division breaks the hash. */
+  lazy val mmResize: String =
+    s"""WITH ${framePatternCte()},
+    xs AS (SELECT unnest(range(0, 9)) AS x),
+    ys AS (SELECT unnest(range(0, 8)) AS y),
+    dxs AS (SELECT unnest(range(0, 8)) AS dx),
+    cells AS (SELECT p.event_id, ys.y, xs.x,
+        128 + coalesce(sum(CASE WHEN dxs.dx IS NULL THEN 0
+          WHEN ((p.d >> (ys.y * 8 + dxs.dx)::INT) & 1::UBIGINT) = 1::UBIGINT
+            THEN 1 ELSE -1 END), 0) AS v
+      FROM pat p CROSS JOIN ys CROSS JOIN xs
+      LEFT JOIN dxs ON dxs.dx < xs.x
+      GROUP BY 1, 2, 3),
+    rs AS (SELECT event_id, x // 2 AS ox, y // 2 AS oy,
+        cast(sum(v) as bigint) // count(*) AS l
+      FROM cells GROUP BY 1, 2, 3)
+    SELECT event_id, cast(5 as bigint) AS width, cast(4 as bigint) AS height,
+      cast(sum(l) * 1000 // 20 as bigint) AS mean_milli
+    FROM rs GROUP BY event_id ORDER BY event_id"""
+
   lazy val mmFeaturesBmp: String =
     s"""WITH ${framePatternCte()},
     bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),

@@ -238,6 +238,9 @@ object SparkEntry {
     // — four codec passes, two formats, one row
     "mkv_to_mp4_transmux" ->
       ((s, d) => Multimodal.mkvToMp4Transmux(tables(s, d))),
+    // G13: in-plan 2x box downsample of each frame's BMP payload,
+    // re-parsed by the generic decoder
+    "mm_resize" -> ((s, d) => Multimodal.mmResize(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -2102,6 +2105,7 @@ object SparkEntry {
     // G2 real-decoder / G6 perceptual-dedup oracles: generated mix64
     // replays of the frame pattern (OracleSql.framePatternCte)
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
+    "mm_resize" -> OracleSql.mmResize,
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
     "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),

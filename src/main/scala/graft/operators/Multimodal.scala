@@ -370,6 +370,29 @@ object Multimodal {
   def mmFeaturesBmp(t: Tables): DataFrame =
     featuresCore(withBmpBlobSorted(t), BmpFrameDecoder)
 
+  /** G13 — RESIZE: the missing verb of the decode / feature-extract /
+    * resize / frame-sample quartet — each frame's BMP payload is
+    * 2×-box-downsampled IN PLAN (`graft_bmp_resize2x`: exact integer
+    * channel averages, in-bounds-only at odd edges) and the RESIZED
+    * image re-parsed by the generic decoder, so the hash gate pins
+    * encoder ∘ transport ∘ resize ∘ decode end to end. The oracle
+    * recomputes the downsampled lumas arithmetically from the ramp
+    * pattern (each output pixel = floor-average of its ≤4 sources).
+    * Per-row codegen kernels, no shuffle — at 100 TB resize runs at
+    * scan speed, which is the point of doing it in-plan instead of a
+    * Python hop. */
+  def mmResize(t: Tables): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withBmpBlobSorted(t)
+      .withColumn("small",
+        call_function("graft_bmp_resize2x", frame))
+      .withColumn("f", call_function("graft_bmp_features", col("small")))
+      .select(col("event_id"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.mean_milli").as("mean_milli"))
+      .orderBy("event_id")
+  }
+
   /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
     * video-curation keyframe rule — emit a CUT wherever consecutive
     * frames of a stream jump in mean luma by >= `tauMilli` (exact

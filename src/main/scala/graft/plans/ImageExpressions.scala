@@ -117,6 +117,80 @@ object ImageKernels {
     }
     InternalRow(w.toLong, h.toLong, meanMilli, dhash)
   }
+
+  /** G13 — RESIZE: 2× box downsample of a generic 24-bit BMP, exact
+    * integer arithmetic (out channel = floor of the in-bounds 2×2
+    * source sum over its count, so odd edges average their 1–2 real
+    * sources — no phantom black border). Returns a well-formed
+    * ⌈w/2⌉×⌈h/2⌉ BMP that [[bmpFeatures]] parses like any other, or
+    * null on anything that is not a parseable bottom-up 24-bit BMP —
+    * the decode-null contract of the whole kernel family. */
+  def bmpResize2x(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return null
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || w <= 0 || h <= 0) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    val ostride = ((ow * 3 + 3) / 4) * 4
+    val oimg = ostride * oh
+    val out = new Array[Byte](54 + oimg)
+    def ple32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    ple32(2, 54 + oimg); ple32(10, 54); ple32(14, 40)
+    ple32(18, ow); ple32(22, oh)
+    out(26) = 1; out(28) = 24
+    ple32(34, oimg)
+    var oy = 0
+    while (oy < oh) {
+      val orow = 54 + (oh - 1 - oy) * ostride
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        var sb = 0; var sg = 0; var sr = 0
+        var dy = 0
+        while (dy < 2) {
+          val sy = oy * 2 + dy
+          if (sy < h) {
+            val srow = dataOff + (h - 1 - sy) * stride
+            var dx = 0
+            while (dx < 2) {
+              val sx = ox * 2 + dx
+              if (sx < w) {
+                val o = srow + sx * 3
+                sb += bytes(o) & 0xff
+                sg += bytes(o + 1) & 0xff
+                sr += bytes(o + 2) & 0xff
+                c += 1
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        val oo = orow + ox * 3
+        out(oo) = (sb / c).toByte
+        out(oo + 1) = (sg / c).toByte
+        out(oo + 2) = (sr / c).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
 }
 
 /** `graft_bmp_encode(bits)` — deterministic 9×8 gray BMP from a 64-bit
@@ -165,4 +239,24 @@ object BmpFeatures {
   val featureType: StructType = StructType(Seq(
     StructField("width", LongType), StructField("height", LongType),
     StructField("mean_milli", LongType), StructField("dhash", LongType)))
+}
+
+/** `graft_bmp_resize2x(blob)` — exact-integer 2× box downsample of a
+  * 24-bit BMP; null for unparseable input (the family's contract). */
+case class BmpResize2x(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bmp_resize2x"
+
+  override def nullSafeEval(a: Any): Any =
+    ImageKernels.bmpResize2x(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.ImageKernels.bmpResize2x($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpResize2x =
+    copy(child = newChild)
 }

@@ -612,6 +612,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => BmpEncode(exprs.head)),
     ("graft_bmp_features", classOf[BmpFeatures],
       (exprs: Seq[Expression]) => BmpFeatures(exprs.head)),
+    ("graft_bmp_resize2x", classOf[BmpResize2x],
+      (exprs: Seq[Expression]) => BmpResize2x(exprs.head)),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
     ("graft_wav_features", classOf[WavFeatures],

@@ -64,4 +64,26 @@ class ImageSpec extends AnyFunSuite {
     wrongBpp(28) = 8
     assert(ImageKernels.bmpFeatures(wrongBpp) == null)
   }
+
+  test("bmp resize2x: exact box averages, odd-edge in-bounds rule, decode-null contract (G13)") {
+    // bits = 0: every row ramps DOWN from 128 (all comparisons false)
+    val out = ImageKernels.bmpResize2x(ImageKernels.bmpEncode(0L))
+    val f = ImageKernels.bmpFeatures(out)
+    assert(f.getLong(0) == 5L && f.getLong(1) == 4L, f.toString)
+    // driver recompute: source pixel v(x,y) = 128 - x; output cell
+    // (ox,oy) = floor-average of its in-bounds <= 4 sources
+    val lumas = for (oy <- 0 until 4; ox <- 0 until 5) yield {
+      val srcs = for (dy <- 0 until 2; dx <- 0 until 2;
+        sx = ox * 2 + dx; sy = oy * 2 + dy; if sx < 9 && sy < 8)
+        yield 128 - sx
+      srcs.sum / srcs.size
+    }
+    assert(f.getLong(2) == lumas.map(_.toLong).sum * 1000L / 20L,
+      s"mean ${f.getLong(2)} != driver recompute")
+    // the 9th column halves to a 2-source cell: ox=4 averages x=8 only
+    assert(lumas(4) == 120)
+    // anything unparseable resizes to null (the family's contract)
+    assert(ImageKernels.bmpResize2x("junk".getBytes) == null)
+    assert(ImageKernels.bmpResize2x(null) == null)
+  }
 }
