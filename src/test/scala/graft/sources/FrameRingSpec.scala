@@ -108,4 +108,47 @@ class FrameRingSpec extends SparkSpec {
       .split("/").head).size == 1,
       s"point read touched multiple buckets: $touched")
   }
+
+  test("E2E on the second container: fMP4 segments -> clip stream -> ring store -> GetLastFrame (B13b . B29)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // the full reference pipeline shape on the GetClip/HLS side: a
+    // directory of fMP4 segments ingests through the clip splitter,
+    // maintains the bounded per-stream ring, and serves point reads —
+    // one query graph from bytes on disk to GetLastFrame
+    val inDir = Files.createTempDirectory("graft_e2e_clips").toString
+    val storeDir = freshDir()
+    def clipOf(id: Long, ts: Long, uid: Long) =
+      graft.bmff.Bmff.buildClip(id, ts, uid, id * 3L,
+        s"p$id".getBytes("UTF-8"))
+    // stream 5: three frames, 200ms apart; stream 6: one frame.
+    // frames 1+2 arrive as ONE two-clip segment
+    Files.write(Paths.get(inDir, "seg1.mp4"),
+      graft.bmff.Bmff.concat(clipOf(1L, 100L, 5L), clipOf(2L, 300L, 5L)))
+    Files.write(Paths.get(inDir, "seg2.mp4"), clipOf(3L, 500L, 5L))
+    Files.write(Paths.get(inDir, "seg3.mp4"), clipOf(4L, 100L, 6L))
+    import org.apache.spark.sql.functions._
+    val frames = graft.streaming.FragmentSource.clipStream(spark, inDir)
+      .select(col("user_id").as("stream_id"),
+        col("producer_ms").as("ts_ms"),
+        col("event_id").as("frame_id"),
+        col("path").as("tags"),
+        encode(col("value_c").cast("string"), "UTF-8").as("payload"))
+    val q = FrameRing.maintainStream(frames, storeDir, maxLen = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_e2e_ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // maxLen 2 evicts stream 5's oldest frame; GetLastFrame = newest
+    val r5 = FrameRing.ringOf(spark, storeDir, 5L)
+    assert(r5.map(f => (f.ts_ms, f.frame_id)) ==
+      Seq((300L, 2L), (500L, 3L)), r5.map(_.frame_id).toString)
+    assert(FrameRing.lastFrame(spark, storeDir, 5L).map(_.frame_id)
+      .contains(3L))
+    assert(new String(FrameRing.lastFrame(spark, storeDir, 5L).get.payload,
+      "UTF-8") == "9") // value_c = 3 * 3
+    assert(FrameRing.frameAt(spark, storeDir, 6L, 0).map(_.frame_id)
+      .contains(4L))
+    assert(FrameRing.frameAt(spark, storeDir, 6L, 1).isEmpty)
+  }
 }
