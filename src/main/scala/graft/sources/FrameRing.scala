@@ -93,6 +93,11 @@ object FrameRing {
     val exists = fs.exists(new org.apache.hadoop.fs.Path(dir))
     val touched = neu.select("bucket").distinct()
       .collect().map(_.getLong(0)) // model-sized: ≤ buckets
+    // an EMPTY micro-batch must be a no-op: writing an empty frame to a
+    // fresh dir would create a schema-less store (just _SUCCESS) that
+    // poisons the next batch's read-modify-write with an
+    // unable-to-infer-schema failure
+    if (touched.isEmpty) return
     val old =
       if (exists)
         spark.read.parquet(dir)

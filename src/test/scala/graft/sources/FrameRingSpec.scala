@@ -151,4 +151,20 @@ class FrameRingSpec extends SparkSpec {
       .contains(4L))
     assert(FrameRing.frameAt(spark, storeDir, 6L, 1).isEmpty)
   }
+
+  test("an empty micro-batch is a no-op: no schema-less store, later batches unharmed") {
+    import spark.implicits._
+    val dir = freshDir()
+    val empty = Seq.empty[(Long, Long, Long, String, Array[Byte])]
+      .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload")
+    FrameRing.applyBatch(spark, dir, empty, maxLen = 3)
+    assert(!new java.io.File(dir).exists(),
+      "an empty first batch must not create a store directory")
+    FrameRing.applyBatch(spark, dir,
+      Seq((1L, 10L, 1L, "a", mkPayload(1L)))
+        .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+      maxLen = 3)
+    FrameRing.applyBatch(spark, dir, empty, maxLen = 3)
+    assert(FrameRing.lastFrame(spark, dir, 1L).map(_.frame_id).contains(1L))
+  }
 }
