@@ -694,7 +694,11 @@ object Analytics {
     // so regular graphs never allocate a BigDecimal; only rows past the
     // wrap take the decimal tier, with the identical floored value
     // below it
-    val fitsLong = col("r") <= lit(Long.MaxValue / 17L) / col("w") &&
+    // integer FLOOR division for the bound: double `/` loses precision
+    // above 2^53, misclassifying rows in the rounding band onto the
+    // int64 path where they'd silently wrap; floor-div is conservative
+    val fitsLong = col("r") <=
+      call_function("div", lit(Long.MaxValue / 17L), col("w")) &&
       col("wout") <= lit(Long.MaxValue / 20L)
     val ct = when(fitsLong,
         call_function("div", col("r") * 17L * col("w"), col("wout") * 20L))

@@ -1342,6 +1342,10 @@ object Similarity {
     val truthSet = truth.select(col("q_id"), col("n_id"), lit(1L).as("rel"))
     val tc = truth.groupBy("q_id").agg(count(lit(1)).as("k_truth"))
     sys.select(col("q_id"), col("rnk"), col("n_id"))
+      // the documented @k truncation: a caller passing a DEEPER system
+      // ranking must not index past the weight table (out-of-bounds
+      // element_at under ANSI, silent null DCG otherwise)
+      .filter(col("rnk") <= lit(k.toLong))
       .join(truthSet, Seq("q_id", "n_id"), "left")
       .select(col("q_id"), col("rnk"),
         coalesce(col("rel"), lit(0L)).as("rel"))

@@ -52,12 +52,18 @@ object FrameRing {
   val DefaultBuckets = 32
 
   /** The reference's catch_frame acceptance fold, event-time form:
-    * arrivals in (ts_ms, frame_id) order against the persisted ring. */
+    * arrivals in (ts_ms, frame_id) order against the persisted ring.
+    * An arrival identical to a buffered frame (same ts_ms AND frame_id)
+    * is skipped — frame_id is an identity, so a crash-window replay of
+    * an already-folded batch re-presents frames the ring still holds
+    * and they must not duplicate (the residual window the batch-id
+    * stamp can't close: data written, marker not yet renamed). */
   private[sources] def foldRing(old: Seq[Frame], arrivals: Seq[Frame],
       maxLen: Int, minGapMs: Long): Seq[Frame] = {
     var ring = old.toVector
     arrivals.sortBy(f => (f.ts_ms, f.frame_id)).foreach { f =>
-      if (ring.isEmpty || f.ts_ms >= ring.last.ts_ms + minGapMs) {
+      val dup = ring.exists(g => g.ts_ms == f.ts_ms && g.frame_id == f.frame_id)
+      if (!dup && (ring.isEmpty || f.ts_ms >= ring.last.ts_ms + minGapMs)) {
         ring = ring :+ f
         if (ring.length > maxLen) ring = ring.drop(ring.length - maxLen)
       }
@@ -70,14 +76,57 @@ object FrameRing {
     if (m < 0) m + buckets else m
   }
 
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_LAST_BATCH")
+
+  /** The last micro-batch id folded into the store, if any. */
+  private[sources] def lastBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Long] = {
+    val p = markerPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(buf)
+        val s = new String(buf, "UTF-8").trim
+        if (s.isEmpty) None else Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Publish the applied-batch stamp: temp write + atomic rename, the
+    * VersionedSnapshot manifest discipline. */
+  private def stampBatch(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      id: Long): Unit = {
+    val target = markerPath(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_LAST_BATCH.tmp")
+    val out = fs.create(tmp, true)
+    out.write(id.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not publish batch stamp $target")
+  }
+
   /** Fold one micro-batch (or the batch bootstrap) of arrivals into the
     * store at `dir`. Frames schema: (stream_id, ts_ms, frame_id, tags,
-    * payload). Only the buckets with arrivals are read and rewritten. */
+    * payload). Only the buckets with arrivals are read and rewritten —
+    * and every ring already IN a touched bucket is carried through
+    * unchanged (full-outer against the arrivals), so co-bucketed
+    * streams with no arrivals this batch survive the partition
+    * overwrite. With `batchId` set (the streaming maintainer), a batch
+    * whose id matches the store's stamp is a NO-OP — micro-batch
+    * replay after a crash-before-checkpoint cannot re-fold arrivals
+    * (the B23/H16c idempotent-sink rule). */
   def applyBatch(spark: SparkSession, dir: String, frames: DataFrame,
       maxLen: Int, minGapMs: Long = 0L,
-      buckets: Int = DefaultBuckets): Unit = {
+      buckets: Int = DefaultBuckets, batchId: Option[Long] = None): Unit = {
     graft.plans.VectorFunctions.register(spark)
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId.isDefined && lastBatchId(fs, dir) == batchId) return
     val neu = frames
       .select(col("stream_id").cast("long"), col("ts_ms").cast("long"),
         col("frame_id").cast("long"), col("tags"), col("payload"))
@@ -88,15 +137,14 @@ object FrameRing {
       }
       .toDF("stream_id", "arrivals")
       .withColumn("bucket", Snapshot.bucketOf(col("stream_id"), buckets))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(dir))
     val touched = neu.select("bucket").distinct()
       .collect().map(_.getLong(0)) // model-sized: ≤ buckets
     // an EMPTY micro-batch must be a no-op: writing an empty frame to a
     // fresh dir would create a schema-less store (just _SUCCESS) that
     // poisons the next batch's read-modify-write with an
-    // unable-to-infer-schema failure
+    // unable-to-infer-schema failure. (Replaying an empty batch is
+    // trivially idempotent, so it needs no stamp either.)
     if (touched.isEmpty) return
     val old =
       if (exists)
@@ -105,11 +153,16 @@ object FrameRing {
           .select(col("stream_id"), col("ring"))
       else
         Seq.empty[(Long, Seq[Frame])].toDF("stream_id", "ring")
+    // FULL OUTER on the stream key: a ring that shares a touched bucket
+    // but received no arrivals this batch must be REWRITTEN AS-IS, not
+    // dropped — the bucket partition it lives in is about to be
+    // overwritten wholesale
     val merged = neu.select(col("stream_id"), col("arrivals"))
-      .join(old, Seq("stream_id"), "left")
-      .as[(Long, Seq[Frame], Option[Seq[Frame]])]
+      .join(old, Seq("stream_id"), "full")
+      .as[(Long, Option[Seq[Frame]], Option[Seq[Frame]])]
       .map { case (k, arrivals, ring) =>
-        (k, foldRing(ring.getOrElse(Nil), arrivals, maxLen, minGapMs))
+        (k, foldRing(ring.getOrElse(Nil), arrivals.getOrElse(Nil),
+          maxLen, minGapMs))
       }
       .toDF("stream_id", "ring")
       .withColumn("bucket", Snapshot.bucketOf(col("stream_id"), buckets))
@@ -119,16 +172,25 @@ object FrameRing {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(dir)
+    batchId.foreach(stampBatch(fs, dir, _))
   }
 
   /** The streaming maintainer: foreachBatch over any (stream_id, ts_ms,
-    * frame_id, tags, payload) stream — the B15/B23 sink pattern. */
+    * frame_id, tags, payload) stream — the B15/B23 sink pattern, now
+    * batch-stamped so crash replays are no-ops. `catching` is the
+    * reference's StartCatchFrames/StopCatchFrames runtime toggle
+    * (parser.py:516-527): evaluated once per micro-batch; while false,
+    * arriving frames are DROPPED and the ring store is untouched —
+    * resume simply starts applying again from the next batch. */
   def maintainStream(frames: DataFrame, dir: String, maxLen: Int,
-      minGapMs: Long = 0L, buckets: Int = DefaultBuckets)
+      minGapMs: Long = 0L, buckets: Int = DefaultBuckets,
+      catching: () => Boolean = () => true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     frames.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch.sparkSession, dir, batch, maxLen, minGapMs, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (catching())
+          applyBatch(batch.sparkSession, dir, batch, maxLen, minGapMs,
+            buckets, Some(batchId))
       }
 
   /** The current ring for one stream — a partition-pruned point read:

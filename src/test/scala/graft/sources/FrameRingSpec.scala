@@ -152,6 +152,87 @@ class FrameRingSpec extends SparkSpec {
     assert(FrameRing.frameAt(spark, storeDir, 6L, 1).isEmpty)
   }
 
+  test("a co-bucketed stream with NO arrivals survives a batch that rewrites its bucket") {
+    import spark.implicits._
+    val dir = freshDir()
+    def bucketOf(id: Long): Long = {
+      val m = graft.functions.Hashing.mix64(id) % 32
+      if (m < 0) m + 32 else m
+    }
+    val s1 = 1L
+    val s2 = (2L to 10000L).find(i => bucketOf(i) == bucketOf(s1)).get
+    // batch 1: both streams land in the SAME bucket partition
+    FrameRing.applyBatch(spark, dir,
+      Seq((s1, 10L, 1L, "a", mkPayload(1L)),
+          (s2, 20L, 2L, "b", mkPayload(2L)))
+        .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+      maxLen = 3)
+    // batch 2: only s1 arrives — the overwrite of their shared bucket
+    // must carry s2's ring through unchanged
+    FrameRing.applyBatch(spark, dir,
+      Seq((s1, 30L, 3L, "c", mkPayload(3L)))
+        .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+      maxLen = 3)
+    assert(FrameRing.ringOf(spark, dir, s1).map(_.frame_id) == Seq(1L, 3L))
+    assert(FrameRing.ringOf(spark, dir, s2).map(_.frame_id) == Seq(2L),
+      s"s2 ($s2, bucket ${bucketOf(s2)}) lost its ring")
+  }
+
+  test("micro-batch replay is a no-op: batch-id stamp + identity skip (idempotent sink)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val b0 = Seq((1L, 10L, 1L, "a", mkPayload(1L)),
+        (1L, 10L, 2L, "b", mkPayload(2L)))
+      .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload")
+    FrameRing.applyBatch(spark, dir, b0, maxLen = 5, minGapMs = 0L,
+      batchId = Some(0L))
+    val once = FrameRing.ringOf(spark, dir, 1L).map(_.frame_id)
+    assert(once == Seq(1L, 2L))
+    // crash-after-publish replay: same batch id → stamped no-op
+    FrameRing.applyBatch(spark, dir, b0, maxLen = 5, minGapMs = 0L,
+      batchId = Some(0L))
+    assert(FrameRing.ringOf(spark, dir, 1L).map(_.frame_id) == Seq(1L, 2L))
+    // crash-BEFORE-stamp window: the same arrivals re-presented under a
+    // NEW id must not re-append frames the ring still holds (identity
+    // skip — with minGapMs=0 the gap rule alone would re-accept ts==last)
+    FrameRing.applyBatch(spark, dir, b0, maxLen = 5, minGapMs = 0L,
+      batchId = Some(1L))
+    assert(FrameRing.ringOf(spark, dir, 1L).map(_.frame_id) == Seq(1L, 2L))
+    // and the fold itself pins the skip
+    val ring = FrameRing.foldRing(Nil,
+      Seq(Frame(10L, 1L, "a", mkPayload(1L))), 5, 0L)
+    assert(FrameRing.foldRing(ring,
+      Seq(Frame(10L, 1L, "a", mkPayload(1L))), 5, 0L) == ring)
+  }
+
+  test("StartCatchFrames/StopCatchFrames: frames arriving while paused are dropped, resume picks up cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = freshDir()
+    @volatile var catching = true
+    val input = MemoryStream[(Long, Long, Long, String, Array[Byte])]
+    val q = FrameRing.maintainStream(
+        input.toDF().toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+        dir, maxLen = 5, catching = () => catching)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("frame_ring_gate_ck").toString)
+      .start()
+    try {
+      input.addData((1L, 10L, 1L, "a", mkPayload(1L)))
+      q.processAllAvailable()
+      assert(FrameRing.ringOf(spark, dir, 1L).map(_.frame_id) == Seq(1L))
+      catching = false // StopCatchFrames (parser.py:521-527)
+      input.addData((1L, 20L, 2L, "b", mkPayload(2L)))
+      q.processAllAvailable()
+      assert(FrameRing.ringOf(spark, dir, 1L).map(_.frame_id) == Seq(1L),
+        "paused maintainer must drop arrivals and leave the ring untouched")
+      catching = true // StartCatchFrames
+      input.addData((1L, 30L, 3L, "c", mkPayload(3L)))
+      q.processAllAvailable()
+      assert(FrameRing.ringOf(spark, dir, 1L).map(_.frame_id) == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("an empty micro-batch is a no-op: no schema-less store, later batches unharmed") {
     import spark.implicits._
     val dir = freshDir()
