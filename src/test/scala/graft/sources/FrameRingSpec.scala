@@ -152,6 +152,90 @@ class FrameRingSpec extends SparkSpec {
     assert(FrameRing.frameAt(spark, storeDir, 6L, 1).isEmpty)
   }
 
+  test("LIVE e2e with kill/resume: fMP4 segments -> clip stream -> thinned ring across 3 runs, accessors mid-stream, final state == batch bootstrap") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    // the reference's whole live loop (parser.py:411-513) as ONE
+    // resumable query graph: segments on disk → clip split → typed
+    // frames → gap-thinned bounded ring → point reads. The query is
+    // KILLED twice; each restart reuses the checkpoint (the
+    // CONTINUATION_TOKEN analog) and consumed segments are deleted
+    // between runs, like the reference's drained pipe.
+    val inDir = Files.createTempDirectory("graft_live_clips").toString
+    val storeDir = freshDir()
+    val ckDir = Files.createTempDirectory("graft_live_ck").toString
+    val maxLen = 2
+    val gap = 300L
+    def clipOf(id: Long, ts: Long, uid: Long) =
+      graft.bmff.Bmff.buildClip(id, ts, uid, id * 3L,
+        s"p$id".getBytes("UTF-8"))
+    // stream 5 frames at ts 100,300,500,700,900 (gap 300 keeps
+    // 100,500,900; maxLen 2 evicts 100); stream 6 one frame per run
+    val all = Seq( // (clip_id, ts, uid)
+      (1L, 100L, 5L), (2L, 300L, 5L),            // run 1 (one segment)
+      (10L, 50L, 6L),                            // run 1
+      (3L, 500L, 5L), (4L, 700L, 5L),            // run 2 (one segment)
+      (5L, 900L, 5L), (11L, 400L, 6L))           // run 3 (one segment)
+    def seg(name: String, clips: (Long, Long, Long)*): Unit =
+      Files.write(Paths.get(inDir, name), graft.bmff.Bmff.concat(
+        clips.map { case (id, ts, uid) => clipOf(id, ts, uid) }: _*))
+    def runOnce(): Unit = {
+      val frames = graft.streaming.FragmentSource.clipStream(spark, inDir)
+        .select(col("user_id").as("stream_id"),
+          col("producer_ms").as("ts_ms"),
+          col("event_id").as("frame_id"),
+          col("path").as("tags"),
+          encode(col("value_c").cast("string"), "UTF-8").as("payload"))
+      val q = FrameRing.maintainStream(frames, storeDir, maxLen, gap)
+        .option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop() // the kill
+    }
+    // run 1
+    seg("seg1.mp4", all(0), all(1)); seg("seg2.mp4", all(2))
+    runOnce()
+    // MID-STREAM accessors: greedy at gap 300 over {100,300} keeps 100
+    assert(FrameRing.lastFrame(spark, storeDir, 5L).map(_.frame_id)
+      .contains(1L))
+    assert(FrameRing.frameAt(spark, storeDir, 6L, 0).map(_.frame_id)
+      .contains(10L))
+    // consumed segments vanish; only the checkpoint remembers them
+    Files.delete(Paths.get(inDir, "seg1.mp4"))
+    Files.delete(Paths.get(inDir, "seg2.mp4"))
+    // run 2: resume, not replay
+    seg("seg3.mp4", all(3), all(4))
+    runOnce()
+    // greedy over {100,300,500,700} keeps 100,500 — both buffered
+    val mid = FrameRing.ringOf(spark, storeDir, 5L).map(_.ts_ms)
+    assert(mid == Seq(100L, 500L), mid.toString)
+    // run 3
+    Files.delete(Paths.get(inDir, "seg3.mp4"))
+    seg("seg4.mp4", all(5), all(6))
+    runOnce()
+    // final ring ≡ the ONE-SHOT batch bootstrap over all seven frames
+    val bootDir = freshDir()
+    FrameRing.applyBatch(spark, bootDir,
+      all.map { case (id, ts, uid) =>
+        (uid, ts, id, "x", s"${id * 3L}".getBytes("UTF-8")) }
+        .toDF("stream_id", "ts_ms", "frame_id", "tags", "payload"),
+      maxLen, gap)
+    for (sid <- Seq(5L, 6L)) {
+      val live = FrameRing.ringOf(spark, storeDir, sid)
+        .map(f => (f.ts_ms, f.frame_id, new String(f.payload, "UTF-8")))
+      val boot = FrameRing.ringOf(spark, bootDir, sid)
+        .map(f => (f.ts_ms, f.frame_id, new String(f.payload, "UTF-8")))
+      assert(live == boot, s"stream $sid: live $live != bootstrap $boot")
+    }
+    // stream 5 thinned to (500,3),(900,5); GetFrame indexes the queue
+    assert(FrameRing.ringOf(spark, storeDir, 5L)
+      .map(f => (f.ts_ms, f.frame_id)) == Seq((500L, 3L), (900L, 5L)))
+    assert(FrameRing.lastFrame(spark, storeDir, 5L).map(_.frame_id)
+      .contains(5L))
+    assert(FrameRing.frameAt(spark, storeDir, 5L, 2).isEmpty)
+    assert(FrameRing.ringOf(spark, storeDir, 6L)
+      .map(f => (f.ts_ms, f.frame_id)) == Seq((50L, 10L), (400L, 11L)))
+  }
+
   test("a co-bucketed stream with NO arrivals survives a batch that rewrites its bucket") {
     import spark.implicits._
     val dir = freshDir()
