@@ -255,6 +255,66 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(liveMap(dir, v1) == Map(1L -> ("a", 0L), 2L -> ("b", 1L)))
   }
 
+  test("H16c crash e2e: killed AFTER a version publishes, BEFORE the checkpoint commits — restart replays the batch as a no-op, no double version") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir()
+    val base = Seq((1L, "a")).toDF("k", "typ")
+      .withColumn("ver", ver(0L, 0L)).select("k", "ver", "typ")
+    VersionedSnapshot.init(base, "k", dir)
+    val input = MemoryStream[(Long, Long, Long, String, String)]
+    val changes = input.toDF().toDF("k", "ts_ms", "event_id", "op", "typ")
+      .select(col("k"), struct(col("ts_ms"), col("event_id")).as("ver"),
+        col("op"), col("typ"))
+    val ck = java.nio.file.Files.createTempDirectory("vsnap_crash_ck").toString
+    // the applyChangesStream sink with a crash injected IN the window
+    // the stamp exists to close: the manifest rename (publish) has
+    // happened, the micro-batch epoch commit has not
+    @volatile var crashArmed = false
+    def start() = changes.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        VersionedSnapshot.applyChangesBatch(b.sparkSession, dir,
+          b.localCheckpoint(true), "k", id)
+        if (crashArmed && id == 1L) {
+          crashArmed = false
+          throw new RuntimeException("injected crash after publish")
+        }
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData((2L, 10L, 1L, "U", "b"))
+      q1.processAllAvailable() // batch 0 → v1, committed cleanly
+      assert(VersionedSnapshot.currentVersion(spark, dir) == 1L)
+      crashArmed = true
+      input.addData((3L, 20L, 2L, "U", "c"))
+      intercept[Exception](q1.processAllAvailable()) // batch 1 → v2, then dies
+    } finally q1.stop()
+    // the crash landed exactly in the window: v2 IS published...
+    assert(VersionedSnapshot.currentVersion(spark, dir) == 2L)
+    assert(VersionedSnapshot.manifestBatchId(spark, dir, 2L).contains(1L))
+    // ...and the restart replays batch 1 (checkpoint never advanced),
+    // which the stamp turns into a no-op — still v2, stamped once
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(VersionedSnapshot.currentVersion(spark, dir) == 2L,
+        "replayed publish must not double-commit")
+      // and the stream keeps going: the NEXT batch commits v3
+      input.addData((3L, 30L, 3L, "U", "c2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(VersionedSnapshot.currentVersion(spark, dir) == 3L)
+    assert(liveMap(dir, 3L) ==
+      Map(1L -> ("a", 0L), 2L -> ("b", 1L), 3L -> ("c2", 3L)))
+    // history intact under the crash: every version readable
+    assert(liveMap(dir, 2L) ==
+      Map(1L -> ("a", 0L), 2L -> ("b", 1L), 3L -> ("c", 2L)))
+  }
+
   test("replaying a batch converges: re-applying produces a new version with identical content") {
     import spark.implicits._
     val dir = freshDir()
