@@ -1282,6 +1282,32 @@ private[graft] object OracleSql {
       cast(sum(l) * 1000 // 20 as bigint) AS mean_milli
     FROM rs GROUP BY event_id ORDER BY event_id"""
 
+  /** mm_patches (G14): the ramp lumas replayed per pixel (the mmResize
+    * lateral-prefix join), regrouped by the fixed 4×4 tile grid
+    * (x//4, y//4 — the 9th column becomes a 1-wide edge tile), each
+    * tile reduced to exact integer (n_px, sum_luma, mean_milli =
+    * sum·1000 // n). Any drift in the tiler's edge rule, tile order,
+    * or integer division breaks the hash. */
+  lazy val mmPatches: String =
+    s"""WITH ${framePatternCte()},
+    xs AS (SELECT unnest(range(0, 9)) AS x),
+    ys AS (SELECT unnest(range(0, 8)) AS y),
+    dxs AS (SELECT unnest(range(0, 8)) AS dx),
+    cells AS (SELECT p.event_id, ys.y, xs.x,
+        128 + coalesce(sum(CASE WHEN dxs.dx IS NULL THEN 0
+          WHEN ((p.d >> (ys.y * 8 + dxs.dx)::INT) & 1::UBIGINT) = 1::UBIGINT
+            THEN 1 ELSE -1 END), 0) AS v
+      FROM pat p CROSS JOIN ys CROSS JOIN xs
+      LEFT JOIN dxs ON dxs.dx < xs.x
+      GROUP BY 1, 2, 3),
+    ps AS (SELECT event_id, y // 4 AS py, x // 4 AS px,
+        count(*) AS n_px, cast(sum(v) as bigint) AS sum_luma
+      FROM cells GROUP BY 1, 2, 3)
+    SELECT event_id, cast(py as bigint) AS py, cast(px as bigint) AS px,
+      cast(n_px as bigint) AS n_px, sum_luma,
+      cast(sum_luma * 1000 // n_px as bigint) AS mean_milli
+    FROM ps ORDER BY event_id, py, px"""
+
   lazy val mmFeaturesBmp: String =
     s"""WITH ${framePatternCte()},
     bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),

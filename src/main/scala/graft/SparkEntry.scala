@@ -241,6 +241,7 @@ object SparkEntry {
     // G13: in-plan 2x box downsample of each frame's BMP payload,
     // re-parsed by the generic decoder
     "mm_resize" -> ((s, d) => Multimodal.mmResize(tables(s, d))),
+    "mm_patches" -> ((s, d) => Multimodal.mmPatches(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -2106,6 +2107,7 @@ object SparkEntry {
     // replays of the frame pattern (OracleSql.framePatternCte)
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_resize" -> OracleSql.mmResize,
+    "mm_patches" -> OracleSql.mmPatches,
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
     "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),

@@ -393,6 +393,29 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G14 — PATCH/TILE extraction (round 16, ViT prep — the consumer of
+    * the G13 resize verb): each frame's BMP payload is cut IN PLAN into
+    * a fixed p×p tile grid (`graft_bmp_patches`: ⌈w/p⌉ × ⌈h/p⌉ tiles,
+    * edge tiles keep in-bounds pixels only) and exploded into per-tile
+    * rows with EXACT integer luma stats — (py, px, n_px, sum_luma,
+    * mean_milli) — so the hash gate pins encoder ∘ EBML transport ∘
+    * block walk ∘ tiler end to end. The oracle recomputes every tile
+    * arithmetically from the ramp pattern (the mm_resize lateral-prefix
+    * replay, regrouped by x//p, y//p). Per-row codegen kernel +
+    * explode, no shuffle: at 100 TB patch extraction runs at scan
+    * speed, emitting tile rows ready for a ViT embedding stage. */
+  def mmPatches(t: Tables, p: Int = 4): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withBmpBlobSorted(t)
+      .withColumn("pt",
+        explode(call_function("graft_bmp_patches", frame, lit(p))))
+      .select(col("event_id"),
+        col("pt.py").as("py"), col("pt.px").as("px"),
+        col("pt.n_px").as("n_px"), col("pt.sum_luma").as("sum_luma"),
+        col("pt.mean_milli").as("mean_milli"))
+      .orderBy("event_id", "py", "px")
+  }
+
   /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
     * video-curation keyframe rule — emit a CUT wherever consecutive
     * frames of a stream jump in mean luma by >= `tauMilli` (exact

@@ -191,6 +191,62 @@ object ImageKernels {
     }
     out
   }
+
+  /** G14 — PATCH/TILE extraction (ViT prep): the image cut into a
+    * fixed p×p grid (⌈w/p⌉ × ⌈h/p⌉ tiles — edge tiles keep their
+    * in-bounds pixels only, no phantom border, the [[bmpResize2x]]
+    * edge rule), each tile reduced to exact integer luma stats:
+    * (py, px, n_px, sum_luma, mean_milli) with mean_milli =
+    * sum_luma·1000 // n_px. Tiles emit row-major (py, px) so the
+    * array order is deterministic. Null for anything that is not a
+    * parseable bottom-up 24-bit BMP — the family's contract. */
+  def bmpPatches(bytes: Array[Byte], p: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (p <= 0 || bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M')
+      return null
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || w <= 0 || h <= 0) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+    val tilesX = (w + p - 1) / p
+    val tilesY = (h + p - 1) / p
+    val out = new Array[Any](tilesY * tilesX)
+    var py = 0
+    while (py < tilesY) {
+      var px = 0
+      while (px < tilesX) {
+        var sum = 0L
+        var n = 0L
+        var y = py * p
+        val yEnd = math.min(h, py * p + p)
+        while (y < yEnd) {
+          val rowOff = dataOff + (h - 1 - y) * stride
+          var x = px * p
+          val xEnd = math.min(w, px * p + p)
+          while (x < xEnd) {
+            val o = rowOff + x * 3
+            sum += ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+              (bytes(o + 2) & 0xff)) / 3
+            n += 1L
+            x += 1
+          }
+          y += 1
+        }
+        out(py * tilesX + px) =
+          InternalRow(py.toLong, px.toLong, n, sum, sum * 1000L / n)
+        px += 1
+      }
+      py += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `graft_bmp_encode(bits)` — deterministic 9×8 gray BMP from a 64-bit
@@ -239,6 +295,35 @@ object BmpFeatures {
   val featureType: StructType = StructType(Seq(
     StructField("width", LongType), StructField("height", LongType),
     StructField("mean_milli", LongType), StructField("dhash", LongType)))
+}
+
+/** `graft_bmp_patches(blob, p)` — fixed-grid p×p tile explode of a
+  * 24-bit BMP into array<struct(py, px, n_px, sum_luma, mean_milli)>;
+  * null for unparseable input (the family's contract). The patch size
+  * rides as a compile-time literal so the generated loop is constant. */
+case class BmpPatches(child: Expression, p: Int) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BmpPatches.patchArrayType
+  override def prettyName: String = "graft_bmp_patches"
+
+  override def nullSafeEval(a: Any): Any =
+    ImageKernels.bmpPatches(a.asInstanceOf[Array[Byte]], p)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.ImageKernels.bmpPatches($a, $p);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPatches =
+    copy(child = newChild)
+}
+
+object BmpPatches {
+  val patchArrayType: ArrayType = ArrayType(StructType(Seq(
+    StructField("py", LongType), StructField("px", LongType),
+    StructField("n_px", LongType), StructField("sum_luma", LongType),
+    StructField("mean_milli", LongType))), containsNull = false)
 }
 
 /** `graft_bmp_resize2x(blob)` — exact-integer 2× box downsample of a

@@ -65,6 +65,50 @@ class ImageSpec extends AnyFunSuite {
     assert(ImageKernels.bmpFeatures(wrongBpp) == null)
   }
 
+  test("bmp patches: fixed-grid tiling, edge in-bounds rule, row-major order, driver recompute (G14)") {
+    // known ramp: bits = 0 -> v(x,y) = 128 - x everywhere
+    val arr = ImageKernels.bmpPatches(ImageKernels.bmpEncode(0L), 4)
+    assert(arr != null)
+    // 9x8 at p=4: 3 tile columns (widths 4,4,1) x 2 tile rows
+    assert(arr.numElements() == 6)
+    val rows = (0 until 6).map(arr.getStruct(_, 5))
+    // row-major (py, px) order
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+    // driver recompute of each tile over the known ramp
+    for (r <- rows) {
+      val (py, px) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val pix = for (y <- py * 4 until math.min(8, py * 4 + 4);
+        x <- px * 4 until math.min(9, px * 4 + 4)) yield 128L - x
+      assert(r.getLong(2) == pix.size, s"n_px tile ($py,$px)")
+      assert(r.getLong(3) == pix.sum, s"sum_luma tile ($py,$px)")
+      assert(r.getLong(4) == pix.sum * 1000L / pix.size,
+        s"mean_milli tile ($py,$px)")
+    }
+    // the edge column tile is 1 wide: n_px = 4, all-constant luma 120
+    assert(rows(2).getLong(2) == 4L && rows(2).getLong(4) == 120000L)
+    // an arbitrary pattern agrees with a full per-pixel driver replay
+    val bits = Hashing.mix64(99L)
+    val arr2 = ImageKernels.bmpPatches(ImageKernels.bmpEncode(bits), 3)
+    def luma(x: Int, y: Int): Long =
+      128L + (0 until x).map(i =>
+        if (((bits >>> (y * 8 + i)) & 1L) == 1L) 1L else -1L).sum
+    assert(arr2.numElements() == 9) // ceil(9/3) x ceil(8/3) = 3 x 3
+    for (i <- 0 until 9) {
+      val r = arr2.getStruct(i, 5)
+      val (py, px) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val pix = for (y <- py * 3 until math.min(8, py * 3 + 3);
+        x <- px * 3 until math.min(9, px * 3 + 3)) yield luma(x, y)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        (pix.size.toLong, pix.sum, pix.sum * 1000L / pix.size),
+        s"tile ($py,$px) vs driver replay")
+    }
+    // unparseable input and nonsense patch size -> null (the contract)
+    assert(ImageKernels.bmpPatches("junk".getBytes, 4) == null)
+    assert(ImageKernels.bmpPatches(null, 4) == null)
+    assert(ImageKernels.bmpPatches(ImageKernels.bmpEncode(0L), 0) == null)
+  }
+
   test("bmp resize2x: exact box averages, odd-edge in-bounds rule, decode-null contract (G13)") {
     // bits = 0: every row ramps DOWN from 128 (all comparisons false)
     val out = ImageKernels.bmpResize2x(ImageKernels.bmpEncode(0L))
