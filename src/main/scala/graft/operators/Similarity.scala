@@ -559,6 +559,53 @@ object Similarity {
     out
   }
 
+  /** E14's sizing rule made EXECUTABLE (round 16): [[knnJoinOf]]'s
+    * candidate volume is Σ_cell |probes|·|data| ≈ n·nprobe·occupancy
+    * once cells hold ~`targetOccupancy` vectors each — LINEAR in n,
+    * where a FIXED kCells makes it n²·nprobe/kCells (the bench
+    * fixture's documented quadratic-by-construction shape). kCells was
+    * a caller constant with the growth contract living in prose; this
+    * is that contract as code: ⌈n / targetOccupancy⌉ cells (≥ 1), so
+    * per-cell candidate work and executor memory stay CONSTANT as the
+    * corpus grows — at 100 TB the cell count fans out into the
+    * thousands and the cell-keyed shuffle join scales with it. */
+  def kCellsFor(n: Long, targetOccupancy: Long = 256L): Int = {
+    require(targetOccupancy > 0L,
+      s"targetOccupancy must be positive, got $targetOccupancy")
+    val cells = (n + targetOccupancy - 1L) / targetOccupancy
+    math.min(math.max(cells, 1L), Int.MaxValue.toLong).toInt
+  }
+
+  /** [[knnJoinOf]] with the coarse grid sized by [[kCellsFor]]: ONE
+    * count job (the sizing decision — a scan-shaped aggregate, not a
+    * data pass through the join), then the sized join. The form a
+    * deployment calls when the corpus size is not known a priori. */
+  def knnJoinSized(corpus: DataFrame, k: Int, nprobe: Int, iters: Int,
+      targetOccupancy: Long = 256L, blocks: Int = 16): DataFrame =
+    knnJoinOf(corpus, k,
+      kCellsFor(corpus.count(), targetOccupancy), nprobe, iters, blocks)
+
+  /** The EXACT candidate-pair volume [[knnJoinOf]] would generate at
+    * these settings — Σ_cell |probes(cell)| · |data(cell)|, computed
+    * from two per-cell COUNT aggregates joined on the cell id (pairs
+    * are never materialized, so probing the 10× growth shape of a
+    * sizing policy costs two groupBys, not the join itself). Includes
+    * the q_id = n_id self-pairs the join filters, a constant +n. */
+  def knnJoinCandidateVolume(corpus: DataFrame, kCells: Int, nprobe: Int,
+      iters: Int): Long = {
+    val vecs = withNorm(corpus)
+    val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
+    val dataCnt = vecs
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .groupBy("cell").agg(count(lit(1)).as("nd"))
+    val probeCnt = vecs
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .groupBy("cell").agg(count(lit(1)).as("np"))
+    probeCnt.join(dataCnt, Seq("cell"))
+      .agg(coalesce(sum(col("np") * col("nd")), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
   /** E4 — PRODUCT QUANTIZATION: the vector-compression ANN path. Unit
     * vectors split into `m` subspaces; each subspace gets its own
     * k-means codebook (`kCells` centroids), and a vector's code is its

@@ -544,6 +544,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kCellsFor: occupancy bounds and the 10x linear candidate volume of the SIZED knn join (E14)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // occupancy bounds: n/kCells never exceeds the target, and one
+    // cell fewer would (the grid is as coarse as the target allows)
+    for (n <- Seq(1L, 255L, 256L, 257L, 10000L, 1000000L);
+         occ <- Seq(64L, 256L, 1024L)) {
+      val cells = Similarity.kCellsFor(n, occ)
+      assert(cells >= 1, s"n=$n occ=$occ")
+      assert(n <= cells.toLong * occ,
+        s"occupancy ${n.toDouble / cells} above target $occ at n=$n")
+      assert(cells == 1 || n > (cells - 1L) * occ,
+        s"grid finer than the target requires: $cells cells at n=$n occ=$occ")
+    }
+    assert(Similarity.kCellsFor(0L) == 1)
+    intercept[IllegalArgumentException](Similarity.kCellsFor(10L, 0L))
+    // the 10x probe, executable: deterministic synthetic corpora at n
+    // and 10n, both sized by the SAME occupancy target — candidate
+    // volume must grow ~linearly (the fixed-kCells form grows ~100x)
+    def corpus(n: Int) = (0 until n).map { i =>
+      val v = Array.tabulate(4) { d =>
+        (graft.functions.Hashing.mix64(i.toLong * 4 + d) % 1000L).toFloat / 1000f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val occ = 50L
+    val (n1, n2) = (300, 3000)
+    val v1 = Similarity.knnJoinCandidateVolume(corpus(n1),
+      Similarity.kCellsFor(n1, occ), nprobe = 2, iters = 3)
+    val v2 = Similarity.knnJoinCandidateVolume(corpus(n2),
+      Similarity.kCellsFor(n2, occ), nprobe = 2, iters = 3)
+    info(s"sized candidate volume: n=$n1 -> $v1, n=$n2 -> $v2 " +
+      f"(ratio ${v2.toDouble / v1}%.1f at 10x data)")
+    // linear shape with headroom for Lloyd cell imbalance; quadratic
+    // would be ~100x
+    assert(v2.toDouble / v1 <= 30.0,
+      s"candidate volume grew ${v2.toDouble / v1}x at 10x data — not linear")
+    // absolute bound: nprobe * occupancy * n, with imbalance slack
+    assert(v2 <= 2L * occ * n2 * 6L,
+      s"volume $v2 exceeds the occupancy model's bound")
+    // and the sized join IS the contract: identical rows to knnJoinOf
+    // at the kCellsFor grid
+    val small = corpus(120)
+    val sized = Similarity.knnJoinSized(small, k = 3, nprobe = 2,
+      iters = 3, targetOccupancy = occ).collect().toSeq
+    val manual = Similarity.knnJoinOf(small, k = 3,
+      Similarity.kCellsFor(120L, occ), nprobe = 2, iters = 3)
+      .collect().toSeq
+    assert(sized == manual)
+  }
+
   test("indexed knn-join at full probe equals the brute knn with zero fit jobs (E14b)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.functions.col
