@@ -226,6 +226,10 @@ object SparkEntry {
       ((s, d) => Similarity.annFilteredTopK(tables(s, d))),
     "sq8_topk" -> ((s, d) => Similarity.sq8TopK(tables(s, d))),
     "ivf_sq8_topk" -> ((s, d) => Similarity.ivfSq8TopK(tables(s, d))),
+    // E16: contrastive pair mining — nearest same-label positive +
+    // k hardest different-label negatives per anchor
+    "contrastive_pairs" ->
+      ((s, d) => Similarity.contrastivePairs(tables(s, d))),
     // §2G multimodal / EBML
     "mm_roundtrip" -> ((s, d) => Multimodal.mmRoundtrip(tables(s, d))),
     "mm_elements" -> ((s, d) => Multimodal.mmElements(tables(s, d))),
@@ -597,6 +601,31 @@ object SparkEntry {
             cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
           FROM s)
         WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  // E16 oracle: the E1 scored pass split by label agreement — nearest
+  // same-label positive (pr = 1) joined to the k hardest
+  // different-label negatives; same fold, same tie rule, so the pair
+  // table is hash-exact
+  private val ContrastivePairsSql: String =
+    """WITH e AS (SELECT vec_id, cast(label as bigint) AS label,
+          list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v, list_reduce(list_prepend(cast(0.0 as double),
+          list_transform(v, x -> x*x)), (s,x) -> s+x) AS norm FROM e),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v, norm FROM n WHERE vec_id < 10),
+        s AS (SELECT q.q_id, q.q_label, c.vec_id AS n_id, c.label AS n_label,
+          list_reduce(list_prepend(cast(0.0 as double),
+            list_transform(list_zip(q.v,c.v), p -> p[1]*p[2])), (s,x) -> s+x)
+            / (sqrt(q.norm)*sqrt(c.norm)) AS cos
+          FROM q JOIN n c ON q.q_id <> c.vec_id),
+        pos AS (SELECT q_id, n_id AS pos_id, round(cos,4) AS pos_cos4,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS pr
+          FROM s WHERE n_label = q_label),
+        neg AS (SELECT q_id, n_id AS neg_id, round(cos,4) AS neg_cos4,
+            cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
+          FROM s WHERE n_label <> q_label)
+        SELECT q_id, pos_id, pos_cos4, rnk, neg_id, neg_cos4
+        FROM pos JOIN neg USING (q_id)
+        WHERE pr = 1 AND rnk <= 5 ORDER BY q_id, rnk"""
 
   // F19b oracle body, shared with the F19c tercile replay
   private val Lm2Sql: String =
@@ -1715,6 +1744,7 @@ object SparkEntry {
         SELECT cluster_id, doc_id AS keep_id, stop_ratio
         FROM r WHERE rn = 1 ORDER BY cluster_id""",
     "ann_brute_topk" -> AnnBruteSql,
+    "contrastive_pairs" -> ContrastivePairsSql,
     "ann_mmr_topk" -> OracleSql.mmrTopK(20, 5),
     // E10: the E1 exact-cosine CTE over the held-out/labeled split, then
     // a per-(query,label) vote with (votes desc, best rank, label) ties

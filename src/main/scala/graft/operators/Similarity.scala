@@ -43,6 +43,63 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** E16 — CONTRASTIVE PAIR MINING (round 16): the embedding-training
+    * data builder — for each anchor, its nearest SAME-label vector as
+    * the positive and the k highest-cosine DIFFERENT-label vectors as
+    * HARD negatives (the pairs a contrastive/triplet loss learns most
+    * from; random negatives are trivially separable). One scored pass
+    * (the E1 broadcast-anchor join, same bit-reproducible cosine fold)
+    * split by label agreement into two rank windows; vectors are
+    * dropped before either window, so the q_id rank exchanges carry
+    * (q_id, n_id, cos) only. Anchors with no same-label peer mine
+    * nothing (inner join — a supervised pair needs its positive).
+    *
+    * Scale shape: anchors are a query BATCH (broadcast); the corpus is
+    * scanned once. Corpus-wide mining (negatives for EVERY vector)
+    * composes [[knnJoinSized]]'s cell join instead of the broadcast —
+    * same downstream label split. */
+  def contrastivePairs(t: Tables, k: Int = 5): DataFrame =
+    contrastivePairsOf(t.embeddings, col("vec_id") < 10, k)
+
+  /** Library form over any (vec_id, embedding, label) frame; `anchors`
+    * selects the anchor batch. */
+  def contrastivePairsOf(corpus: DataFrame,
+      anchors: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val vecs = corpus.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+    val q = vecs.filter(anchors)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("v_q"), col("norm").as("norm_q"))
+    val c = vecs.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"), col("v").as("v_n"),
+      col("norm").as("norm_n"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      // vectors end here: both rank exchanges carry ids + cos only
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val pos = scored.filter(col("n_label") === col("q_label"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"),
+        round(col("cos"), 4).as("pos_cos4"))
+    val neg = scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id").as("neg_id"),
+        round(col("cos"), 4).as("neg_cos4"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos4"),
+        col("rnk"), col("neg_id"), col("neg_cos4"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** E12 — MAXIMAL MARGINAL RELEVANCE re-ranking (round 13 — the
     * retrieval-diversity step between ANN candidate generation and a
     * RAG consumer: plain top-k returns near-duplicate passages; MMR

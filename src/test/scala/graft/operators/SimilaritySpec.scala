@@ -544,6 +544,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastive pairs: nearest same-label positive + k hardest different-label negatives (E16)") {
+    import org.apache.spark.sql.functions.col
+    val k = 5
+    val rows = Similarity.contrastivePairs(t, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // driver-side replay over the raw fixture
+    val all = t.embeddings.collect().map(r => (r.getLong(0),
+      r.getInt(2).toLong,
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- all.filter(_._1 < 10)) {
+      val (qid, qlab, qv) = q
+      val scored = all.filter(_._1 != qid)
+        .map { case (id, lab, v) => (id, lab, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }
+      val truePos = scored.filter(_._2 == qlab).head
+      val trueNegs = scored.filter(_._2 != qlab).take(k)
+      val mined = rows.filter(_._1 == qid).sortBy(_._4)
+      assert(mined.length == k, s"anchor $qid mined ${mined.length} pairs")
+      assert(mined.forall(_._2 == truePos._1),
+        s"anchor $qid positive ${mined.head._2} != nearest same-label ${truePos._1}")
+      assert(mined.map(_._5).toSeq == trueNegs.map(_._1),
+        s"anchor $qid negatives diverge from the true hardest $k")
+      // hard negatives by construction: every neg cos4 is recorded and
+      // the positive really shares the label / negatives really don't
+      val labOf = all.map(x => x._1 -> x._2).toMap
+      assert(labOf(mined.head._2) == qlab)
+      assert(mined.forall(m => labOf(m._5) != qlab))
+    }
+  }
+
   test("kCellsFor: occupancy bounds and the 10x linear candidate volume of the SIZED knn join (E14)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
