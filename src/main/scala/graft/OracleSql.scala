@@ -1308,6 +1308,32 @@ private[graft] object OracleSql {
       cast(sum_luma * 1000 // n_px as bigint) AS mean_milli
     FROM ps ORDER BY event_id, py, px"""
 
+  /** mm_flip (G15): the mm_patches replay under the horizontal mirror —
+    * the flipped pixel at x holds the ORIGINAL ramp value at 8−x, i.e.
+    * 128 + Σ_{dx < 8−x} ±1, so the only change from [[mmPatches]] is
+    * the prefix-join bound; the tile grid then addresses the flipped
+    * geometry (the 1-wide edge tile swaps sides). Any drift in the
+    * mirror remap, the tiler, or their composition breaks the hash. */
+  lazy val mmFlip: String =
+    s"""WITH ${framePatternCte()},
+    xs AS (SELECT unnest(range(0, 9)) AS x),
+    ys AS (SELECT unnest(range(0, 8)) AS y),
+    dxs AS (SELECT unnest(range(0, 8)) AS dx),
+    cells AS (SELECT p.event_id, ys.y, xs.x,
+        128 + coalesce(sum(CASE WHEN dxs.dx IS NULL THEN 0
+          WHEN ((p.d >> (ys.y * 8 + dxs.dx)::INT) & 1::UBIGINT) = 1::UBIGINT
+            THEN 1 ELSE -1 END), 0) AS v
+      FROM pat p CROSS JOIN ys CROSS JOIN xs
+      LEFT JOIN dxs ON dxs.dx < 8 - xs.x
+      GROUP BY 1, 2, 3),
+    ps AS (SELECT event_id, y // 4 AS py, x // 4 AS px,
+        count(*) AS n_px, cast(sum(v) as bigint) AS sum_luma
+      FROM cells GROUP BY 1, 2, 3)
+    SELECT event_id, cast(py as bigint) AS py, cast(px as bigint) AS px,
+      cast(n_px as bigint) AS n_px, sum_luma,
+      cast(sum_luma * 1000 // n_px as bigint) AS mean_milli
+    FROM ps ORDER BY event_id, py, px"""
+
   lazy val mmFeaturesBmp: String =
     s"""WITH ${framePatternCte()},
     bits AS (SELECT event_id, d, unnest(range(0, 64)) AS i FROM pat),

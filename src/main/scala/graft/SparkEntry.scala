@@ -246,6 +246,8 @@ object SparkEntry {
     // re-parsed by the generic decoder
     "mm_resize" -> ((s, d) => Multimodal.mmResize(tables(s, d))),
     "mm_patches" -> ((s, d) => Multimodal.mmPatches(tables(s, d))),
+    // G15: horizontal flip augmentation, gated through the G14 tiler
+    "mm_flip" -> ((s, d) => Multimodal.mmFlip(tables(s, d))),
     "mm_features" -> ((s, d) => Multimodal.mmFeatures(tables(s, d))),
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
@@ -2138,6 +2140,7 @@ object SparkEntry {
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_resize" -> OracleSql.mmResize,
     "mm_patches" -> OracleSql.mmPatches,
+    "mm_flip" -> OracleSql.mmFlip,
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
     "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),

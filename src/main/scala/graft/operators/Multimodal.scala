@@ -416,6 +416,28 @@ object Multimodal {
       .orderBy("event_id", "py", "px")
   }
 
+  /** G15 — horizontal FLIP augmentation (round 16 — the standard
+    * label-preserving vision augmentation, in plan): each frame's BMP
+    * payload mirrored by `graft_bmp_flip` (pixel (x,y) → (w−1−x,y), a
+    * pure byte remap — flip ∘ flip ≡ identity exactly), then cut by the
+    * G14 tiler so the hash gate sees the GEOMETRY (mean luma is
+    * flip-invariant; tile sums are not). Oracle recomputes every tile
+    * from the ramp pattern with the x-axis mirrored — the mm_patches
+    * replay under x → w−1−x. Two chained per-row kernels, no shuffle:
+    * augmentation runs at scan speed, the point of in-plan transforms
+    * for a training-data pipeline. */
+  def mmFlip(t: Tables, p: Int = 4): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withBmpBlobSorted(t)
+      .withColumn("pt", explode(call_function("graft_bmp_patches",
+        call_function("graft_bmp_flip", frame), lit(p))))
+      .select(col("event_id"),
+        col("pt.py").as("py"), col("pt.px").as("px"),
+        col("pt.n_px").as("n_px"), col("pt.sum_luma").as("sum_luma"),
+        col("pt.mean_milli").as("mean_milli"))
+      .orderBy("event_id", "py", "px")
+  }
+
   /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
     * video-curation keyframe rule — emit a CUT wherever consecutive
     * frames of a stream jump in mean luma by >= `tauMilli` (exact

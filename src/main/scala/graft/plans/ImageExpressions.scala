@@ -192,6 +192,57 @@ object ImageKernels {
     out
   }
 
+  /** G15 — horizontal FLIP (mirror) augmentation: pixel (x, y) moves
+    * to (w−1−x, y), channels untouched — the standard label-preserving
+    * vision augmentation, as a pure byte-level remap (no arithmetic, so
+    * flip ∘ flip ≡ identity exactly). Returns a well-formed BMP of the
+    * same dimensions that the rest of the kernel family parses like any
+    * other; null on anything that is not a parseable bottom-up 24-bit
+    * BMP — the family's decode-null contract. */
+  def bmpFlipH(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return null
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || w <= 0 || h <= 0) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+    val img = stride * h
+    val out = new Array[Byte](54 + img)
+    def ple32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    ple32(2, 54 + img); ple32(10, 54); ple32(14, 40)
+    ple32(18, w); ple32(22, h)
+    out(26) = 1; out(28) = 24
+    ple32(34, img)
+    var y = 0
+    while (y < h) {
+      val srow = dataOff + y * stride
+      val orow = 54 + y * stride
+      var x = 0
+      while (x < w) {
+        val s = srow + x * 3
+        val o = orow + (w - 1 - x) * 3
+        out(o) = bytes(s)
+        out(o + 1) = bytes(s + 1)
+        out(o + 2) = bytes(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** G14 — PATCH/TILE extraction (ViT prep): the image cut into a
     * fixed p×p grid (⌈w/p⌉ × ⌈h/p⌉ tiles — edge tiles keep their
     * in-bounds pixels only, no phantom border, the [[bmpResize2x]]
@@ -328,6 +379,26 @@ object BmpPatches {
 
 /** `graft_bmp_resize2x(blob)` — exact-integer 2× box downsample of a
   * 24-bit BMP; null for unparseable input (the family's contract). */
+/** `graft_bmp_flip(blob)` — horizontal mirror of a 24-bit BMP; null for
+  * unparseable input (the family's contract). */
+case class BmpFlipH(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bmp_flip"
+
+  override def nullSafeEval(a: Any): Any =
+    ImageKernels.bmpFlipH(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.ImageKernels.bmpFlipH($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpFlipH =
+    copy(child = newChild)
+}
+
 case class BmpResize2x(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType

@@ -614,6 +614,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => BmpFeatures(exprs.head)),
     ("graft_bmp_resize2x", classOf[BmpResize2x],
       (exprs: Seq[Expression]) => BmpResize2x(exprs.head)),
+    ("graft_bmp_flip", classOf[BmpFlipH],
+      (exprs: Seq[Expression]) => BmpFlipH(exprs.head)),
     ("graft_bmp_patches", classOf[BmpPatches],
       (exprs: Seq[Expression]) => BmpPatches(exprs.head,
         IntLitArg.of("graft_bmp_patches(blob, p)", "p", exprs(1)))),

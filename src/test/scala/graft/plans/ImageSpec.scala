@@ -109,6 +109,41 @@ class ImageSpec extends AnyFunSuite {
     assert(ImageKernels.bmpPatches(ImageKernels.bmpEncode(0L), 0) == null)
   }
 
+  test("bmp flip: exact mirror remap, involution, null contract (G15)") {
+    val bits = Hashing.mix64(7L)
+    val src = ImageKernels.bmpEncode(bits)
+    val flipped = ImageKernels.bmpFlipH(src)
+    assert(flipped != null)
+    // flip . flip == identity, byte-for-byte (pure remap, no arithmetic)
+    assert(ImageKernels.bmpFlipH(flipped).toSeq == src.toSeq)
+    // per-pixel driver recompute: flipped (x, y) == original (8-x, y)
+    def luma(bytes: Array[Byte], x: Int, y: Int): Int = {
+      // bottom-up rows, 9x8, stride 28 ((9*3+3)/4*4), dataOff 54
+      val o = 54 + (8 - 1 - y) * 28 + x * 3
+      ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+    }
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(luma(flipped, x, y) == luma(src, 8 - x, y), s"pixel ($x,$y)")
+    // dims and parseability preserved: the family's decoder reads it
+    val feats = ImageKernels.bmpFeatures(flipped)
+    assert(feats != null && feats.getLong(0) == 9L && feats.getLong(1) == 8L)
+    // mean luma is flip-invariant; the tile sums are NOT (the gate's
+    // reason to compose with the tiler)
+    assert(feats.getLong(2) == ImageKernels.bmpFeatures(src).getLong(2))
+    val pSrc = ImageKernels.bmpPatches(src, 4)
+    val pFlip = ImageKernels.bmpPatches(flipped, 4)
+    val sums = (0 until 6).map(i => pFlip.getStruct(i, 5).getLong(3))
+    val srcSums = (0 until 6).map(i => pSrc.getStruct(i, 5).getLong(3))
+    assert(sums != srcSums, "flip must move luma mass across tiles")
+    // the flipped left tile holds the source's RIGHT-side columns:
+    // tile (py, 0) of flipped covers source x in {8,7,6,5}
+    val expectLeft = (for (y <- 0 until 4; x <- 5 to 8) yield luma(src, x, y).toLong).sum
+    assert(pFlip.getStruct(0, 5).getLong(3) == expectLeft)
+    // null contract
+    assert(ImageKernels.bmpFlipH(null) == null)
+    assert(ImageKernels.bmpFlipH("junk".getBytes) == null)
+  }
+
   test("bmp resize2x: exact box averages, odd-edge in-bounds rule, decode-null contract (G13)") {
     // bits = 0: every row ramps DOWN from 128 (all comparisons false)
     val out = ImageKernels.bmpResize2x(ImageKernels.bmpEncode(0L))
