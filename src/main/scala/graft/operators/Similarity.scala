@@ -100,6 +100,76 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** E16's CORPUS-WIDE form: hard negatives (and the nearest positive)
+    * for EVERY vector — the full-dataset mining pass before a
+    * contrastive training run, built on the E14 cell join instead of
+    * the broadcast (anchors are the corpus itself, so the probe side is
+    * corpus-sized and shuffles once on the cell id; the E14 block salt
+    * keeps parallelism under AQE). At full probe (nprobe = kCells)
+    * candidates are unconditionally complete, so the output equals
+    * [[contrastivePairsOf]] over every anchor — the spec's equivalence
+    * pin; smaller nprobe prices the usual IVF recall trade. Size the
+    * grid with [[kCellsFor]] (the `Sized` wrapper) so candidate volume
+    * stays linear in n. */
+  def contrastivePairsAll(corpus: DataFrame, k: Int, kCells: Int,
+      nprobe: Int, iters: Int, blocks: Int = 16): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    VectorFunctions.register(corpus.sparkSession)
+    val cores = corpus.sparkSession.sparkContext.defaultParallelism
+    val vecs = corpus.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", call_function("graft_norm2", col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (centroids, _) = lloyd(vecs, kCells, iters, 1e-9)
+    val data = vecs
+      .withColumn("cell", nearestCentroid(centroids).getField("cid"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("v").as("v_n"),
+        col("norm").as("norm_n"))
+      .withColumn("blk", pmod(col("n_id"), lit(blocks.toLong)))
+      .repartition(cores, col("cell"), col("blk"))
+    val probes = vecs
+      .withColumn("cell", explode(probeCells(centroids, nprobe)))
+      .select(col("cell"), col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("v").as("v_q"),
+        col("norm").as("norm_q"))
+      .withColumn("blk", explode(typedLit((0L until blocks).toArray)))
+      .repartition(cores, col("cell"), col("blk"))
+    val scored = probes.join(data, Seq("cell", "blk"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("v_q"), col("v_n")) /
+          (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
+      // vectors end here (the E14 rule): the rank exchanges carry
+      // (q_id, labels, n_id, cos) only
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val pos = scored.filter(col("n_label") === col("q_label"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"),
+        round(col("cos"), 4).as("pos_cos4"))
+    val neg = scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id").as("neg_id"),
+        round(col("cos"), 4).as("neg_cos4"))
+    val out = pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos4"),
+        col("rnk"), col("neg_id"), col("neg_cos4"))
+      .orderBy("q_id", "rnk")
+    vecs.unpersist(blocking = false)
+    out
+  }
+
+  /** [[contrastivePairsAll]] with the grid sized by [[kCellsFor]]. */
+  def contrastivePairsAllSized(corpus: DataFrame, k: Int, nprobe: Int,
+      iters: Int, targetOccupancy: Long = 256L, blocks: Int = 16): DataFrame =
+    contrastivePairsAll(corpus, k,
+      kCellsFor(corpus.count(), targetOccupancy), nprobe, iters, blocks)
+
   /** E12 — MAXIMAL MARGINAL RELEVANCE re-ranking (round 13 — the
     * retrieval-diversity step between ANN candidate generation and a
     * RAG consumer: plain top-k returns near-duplicate passages; MMR

@@ -580,6 +580,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("corpus-wide contrastive mining at full probe equals the per-anchor form for every vector (E16)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val k = 3
+    val all = Similarity.contrastivePairsAll(t.embeddings, k,
+      kCells = 8, nprobe = 8, iters = 3).collect().map(_.toSeq).toSeq
+    val anchored = Similarity.contrastivePairsOf(t.embeddings, lit(true), k)
+      .collect().map(_.toSeq).toSeq
+    assert(all == anchored,
+      "full-probe corpus-wide mining must equal the broadcast-anchor form")
+    // every corpus vector with a same-label peer mines exactly k pairs
+    val n = t.embeddings.count()
+    assert(all.map(_.head).distinct.size == n.toInt)
+    assert(all.size == n * k)
+    // the sized wrapper is the same contract at the kCellsFor grid
+    val sized = Similarity.contrastivePairsAllSized(t.embeddings, k,
+      nprobe = 8, iters = 3, targetOccupancy = 64L)
+    val manual = Similarity.contrastivePairsAll(t.embeddings, k,
+      Similarity.kCellsFor(n, 64L), nprobe = 8, iters = 3)
+    assert(sized.collect().map(_.toSeq).toSeq ==
+      manual.collect().map(_.toSeq).toSeq)
+  }
+
   test("kCellsFor: occupancy bounds and the 10x linear candidate volume of the SIZED knn join (E14)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
