@@ -1468,6 +1468,34 @@ private[graft] object OracleSql {
     FROM lagged GROUP BY event_id
     ORDER BY event_id"""
 
+  /** mm_audio_gain (G16): the mm_audio_features replay over GAINED
+    * samples — every sample scaled by gain/1000 with TRUNCATING integer
+    * division (DuckDB's `//` rounds toward zero on negatives —
+    * measured, NOT floor — matching the kernel's JVM `/`) and clamped
+    * to int16; at
+    * ×1.25 the voiced population clips at the rails while the planted
+    * silent frames scale exactly, so both branches land in the hash.
+    * frame_bytes stays 172 (the canonical re-emitted container). */
+  def mmAudioGain(gainMilli: Long): String =
+    s"""WITH ${pcmSamplesCte},
+    g AS (SELECT event_id, i,
+        greatest(-32768, least(32767, (s * $gainMilli) // 1000)) AS s
+      FROM smp),
+    lagged AS (SELECT event_id, i, s,
+        lag(s) OVER (PARTITION BY event_id ORDER BY i) AS ps,
+        lead(s) OVER (PARTITION BY event_id ORDER BY i) AS ns
+      FROM g)
+    SELECT event_id, cast(172 as bigint) AS frame_bytes,
+      cast(8000 as bigint) AS sample_rate, cast(64 as bigint) AS n_samples,
+      max(abs(s)) AS peak, cast(sum(abs(s)) as bigint) AS sum_abs,
+      cast(sum(CASE WHEN i > 0 AND ((s >= 0) != (ps >= 0)) THEN 1 ELSE 0 END)
+        as bigint) AS zero_crossings,
+      ${signed(s"""sum(CASE WHEN i < 63 AND abs(ns) > abs(s)
+        THEN (1::HUGEINT << i::INT) ELSE 0::HUGEINT END)::UBIGINT""")}
+        AS env_sig
+    FROM lagged GROUP BY event_id
+    ORDER BY event_id"""
+
   /** mm_audio_vad: the voice-activity gate + per-user voiced census
     * replayed — voiced iff sum|s| >= 64 * 4096 (exact integers), rolled
     * up per user with the permille as floor division. */

@@ -252,6 +252,9 @@ object SparkEntry {
     "mm_features_bmp" -> ((s, d) => Multimodal.mmFeaturesBmp(tables(s, d))),
     "mm_frame_dedup" -> ((s, d) => Multimodal.mmFrameDedup(tables(s, d))),
     "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(tables(s, d))),
+    // G16: exact-integer gain with int16 clipping, decoded by the same
+    // generic chunk walker
+    "mm_audio_gain" -> ((s, d) => Multimodal.mmAudioGain(tables(s, d))),
     "mm_audio_vad" -> ((s, d) => Multimodal.mmAudioVad(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
@@ -2142,6 +2145,7 @@ object SparkEntry {
     "mm_patches" -> OracleSql.mmPatches,
     "mm_flip" -> OracleSql.mmFlip,
     "mm_audio_features" -> OracleSql.mmAudioFeatures,
+    "mm_audio_gain" -> OracleSql.mmAudioGain(1250L),
     "mm_audio_vad" -> OracleSql.mmAudioVad,
     "mm_scene_cuts" -> OracleSql.mmSceneCuts(2000L),
     "mm_cross_align" -> OracleSql.mmCrossAlign,

@@ -496,6 +496,28 @@ object Multimodal {
   def mmAudioFeatures(t: Tables): DataFrame =
     featuresCore(withWavBlobSorted(t), WavFrameDecoder)
 
+  /** G16 — audio GAIN augmentation (round 16 — the audio twin of the
+    * G15 flip, completing augmentation across both toy-codec
+    * modalities): each fragment's WAV payload rescaled IN PLAN by
+    * `graft_wav_gain` — exact integer floorDiv(s·gain, 1000) per sample
+    * (floorDiv so negative samples round like SQL's `//`) with int16
+    * CLIPPING, the saturation a real gain stage applies — then decoded
+    * by the same generic chunk walker, so the hash gate pins encoder ∘
+    * EBML transport ∘ gain ∘ decoder end to end. At ×1.25 the voiced
+    * population clips at the rails (peak pins to 32767/32768 and
+    * |32768·1.25| drops to the clamp) while the planted silent frames
+    * (|s| ≤ 128) scale exactly — both branches land in the hash. Two
+    * chained per-row kernels, no shuffle: augmentation at scan speed. */
+  def mmAudioGain(t: Tables, gainMilli: Int = 1250): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withWavBlobSorted(t)
+      .withColumn("frame",
+        call_function("graft_wav_gain", frame, lit(gainMilli)))
+      .select(col("event_id") +:
+        length(col("frame")).cast("long").as("frame_bytes") +:
+        WavFrameDecoder.features(col("frame")): _*)
+  }
+
   /** G8b — voice-activity gating + per-user voiced census: decode each
     * audio frame, gate on mean |amplitude| (sum_abs >= n_samples *
     * minMeanAbs, exact integers so the cut cannot waver), and roll up

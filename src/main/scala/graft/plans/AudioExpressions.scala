@@ -138,6 +138,79 @@ object AudioKernels {
     }
     InternalRow(sampleRate.toLong, n.toLong, peak, sumAbs, zc, sig)
   }
+
+  /** G16 — GAIN augmentation: every sample scaled by gainMilli/1000 in
+    * exact integer arithmetic — TRUNCATING division (JVM `/`, round
+    * toward zero), which is both the native semantics a real DSP gain
+    * compiles to and what DuckDB's `//` does on NEGATIVE operands
+    * (measured: -1250//1000 = -1, not floor's -2 — floorDiv here would
+    * drift one LSB off the oracle on every inexact negative sample) —
+    * and clamped to int16 (the clipping a real gain stage applies).
+    * Walks the chunk list like
+    * [[wavFeatures]] (any chunk order) and re-emits the CANONICAL
+    * 44-byte-header mono file at the source's sample rate; null for
+    * anything that is not a well-formed PCM16 mono WAVE or a
+    * non-positive gain — the family's decode-null contract. */
+  def wavGain(bytes: Array[Byte], gainMilli: Int): Array[Byte] = {
+    if (gainMilli <= 0 || bytes == null || bytes.length < 12) return null
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tagIs(off: Int, s: String): Boolean =
+      bytes(off) == s.charAt(0).toByte && bytes(off + 1) == s.charAt(1).toByte &&
+        bytes(off + 2) == s.charAt(2).toByte && bytes(off + 3) == s.charAt(3).toByte
+    if (!tagIs(0, "RIFF") || !tagIs(8, "WAVE")) return null
+    var off = 12
+    var fmtOk = false
+    var sampleRate = 0
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz.toLong > bytes.length) return null
+      if (tagIs(off, "fmt ") && sz >= 16) {
+        val audioFormat = le16(off + 8)
+        val channels = le16(off + 10)
+        sampleRate = le32(off + 12)
+        val bps = le16(off + 22)
+        fmtOk = audioFormat == 1 && channels == 1 && bps == 16 && sampleRate > 0
+      } else if (tagIs(off, "data")) {
+        dataOff = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2 || (dataLen & 1) != 0) return null
+    val n = dataLen / 2
+    val out = new Array[Byte](HeaderBytes + dataLen)
+    def ple32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >>> 8) & 0xff).toByte
+      out(o + 2) = ((v >>> 16) & 0xff).toByte
+      out(o + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def ple16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    def ptag(o: Int, s: String): Unit =
+      for (j <- 0 until 4) out(o + j) = s.charAt(j).toByte
+    ptag(0, "RIFF"); ple32(4, 36 + dataLen); ptag(8, "WAVE")
+    ptag(12, "fmt "); ple32(16, 16)
+    ple16(20, 1); ple16(22, 1)
+    ple32(24, sampleRate); ple32(28, sampleRate * 2)
+    ple16(32, 2); ple16(34, 16)
+    ptag(36, "data"); ple32(40, dataLen)
+    var i = 0
+    while (i < n) {
+      val s = le16(dataOff + 2 * i).toShort.toLong
+      val g = s * gainMilli / 1000L
+      val c = if (g > 32767L) 32767L else if (g < -32768L) -32768L else g
+      ple16(HeaderBytes + 2 * i, c.toInt & 0xffff)
+      i += 1
+    }
+    out
+  }
 }
 
 /** `graft_wav_encode(seed, silent)` — one deterministic 64-sample PCM16
@@ -158,6 +231,28 @@ case class WavEncode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WavEncode =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_wav_gain(blob, gain_milli)` — exact-integer gain with int16
+  * clipping over a PCM16 mono WAV; the gain rides as a compile-time
+  * literal so the generated loop is constant. Null for unparseable
+  * input (the family's contract). */
+case class WavGain(child: Expression, gainMilli: Int) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_wav_gain"
+
+  override def nullSafeEval(a: Any): Any =
+    AudioKernels.wavGain(a.asInstanceOf[Array[Byte]], gainMilli)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.AudioKernels.wavGain($a, $gainMilli);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): WavGain =
+    copy(child = newChild)
 }
 
 /** `graft_wav_features(frame)` — decode a PCM16 mono WAV into

@@ -621,6 +621,10 @@ object VectorFunctions {
         IntLitArg.of("graft_bmp_patches(blob, p)", "p", exprs(1)))),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
+    ("graft_wav_gain", classOf[WavGain],
+      (exprs: Seq[Expression]) => WavGain(exprs.head,
+        IntLitArg.of("graft_wav_gain(blob, gain_milli)", "gain_milli",
+          exprs(1)))),
     ("graft_wav_features", classOf[WavFeatures],
       (exprs: Seq[Expression]) => WavFeatures(exprs.head)),
     // bare AggregateFunction like graft_vec_sum: the analyzer wraps it

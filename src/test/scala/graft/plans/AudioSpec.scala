@@ -52,6 +52,53 @@ class AudioSpec extends AnyFunSuite {
     assert(voicedPeaks.max > 16384L)
   }
 
+  test("wav gain: exact truncating scale, int16 clipping, negative rounding, null contract (G16)") {
+    // driver recompute over both populations at the query's x1.25
+    for (seed <- Seq(0L, 3L, 42L); silent <- Seq(false, true)) {
+      val src = AudioKernels.wavEncode(seed, silent)
+      val gained = AudioKernels.wavGain(src, 1250)
+      assert(gained != null)
+      val row = AudioKernels.wavFeatures(gained)
+      assert(row != null && row.getLong(0) == 8000L && row.getLong(1) == 64L)
+      val expect = samplesOf(seed, silent).map { s =>
+        val g = s.toLong * 1250L / 1000L // truncation, the DSP native
+        math.max(-32768L, math.min(32767L, g)).toInt
+      }
+      val (peak, sumAbs, zc, sig) = bruteFeatures(expect)
+      assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+        == (peak, sumAbs, zc, sig), s"seed=$seed silent=$silent")
+      // voiced frames MUST exercise the clamp at x1.25 (|s| can reach
+      // 32768 pre-gain); silent frames must not (|s| <= 128)
+      if (!silent && seed == 0L)
+        assert(expect.exists(s => s == 32767 || s == -32768))
+      if (silent) assert(expect.forall(s => math.abs(s) <= 160))
+    }
+    // truncation semantics: -3 * 1250 / 1000 rounds toward zero to -3
+    // (floor would give -4) — the convention DuckDB's `//` shares, so
+    // the oracle's negative samples agree to the LSB
+    val hand = {
+      val buf = AudioKernels.wavEncode(7L, silent = true)
+      // overwrite sample 0 with -3
+      buf(AudioKernels.HeaderBytes) = (-3 & 0xff).toByte
+      buf(AudioKernels.HeaderBytes + 1) = ((-3 >> 8) & 0xff).toByte
+      buf
+    }
+    val g0 = {
+      val out = AudioKernels.wavGain(hand, 1250)
+      val lo = out(AudioKernels.HeaderBytes) & 0xff
+      val hi = out(AudioKernels.HeaderBytes + 1) & 0xff
+      ((lo | (hi << 8)).toShort).toInt
+    }
+    assert(g0 == -3, s"negative rounding must truncate toward zero, got $g0")
+    // identity gain is byte-stable through the canonical re-emit
+    assert(AudioKernels.wavGain(AudioKernels.wavEncode(5L, silent = false),
+      1000).toSeq == AudioKernels.wavEncode(5L, silent = false).toSeq)
+    // null contract
+    assert(AudioKernels.wavGain(null, 1250) == null)
+    assert(AudioKernels.wavGain("junk".getBytes, 1250) == null)
+    assert(AudioKernels.wavGain(AudioKernels.wavEncode(1L, false), 0) == null)
+  }
+
   test("decoder is a generic RIFF walker: extra chunk before fmt/data, odd-size padding") {
     // hand-build: RIFF [ "JUNK" (5 bytes, padded) ] [ fmt ] [ data (2 samples) ]
     val samples = Seq(1000, -2000)

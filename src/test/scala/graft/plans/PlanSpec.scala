@@ -359,7 +359,10 @@ class PlanSpec extends SparkSpec {
         "mm_elements" -> graft.operators.Multimodal.mmElements(t),
         "mm_split_stream" -> graft.operators.Multimodal.mmSplitStream(t),
         "mm_features_bmp" -> graft.operators.Multimodal.mmFeaturesBmp(t),
-        "mm_frame_dedup" -> graft.operators.Multimodal.mmFrameDedup(t))) {
+        "mm_frame_dedup" -> graft.operators.Multimodal.mmFrameDedup(t),
+        "mm_patches" -> graft.operators.Multimodal.mmPatches(t),
+        "mm_flip" -> graft.operators.Multimodal.mmFlip(t),
+        "mm_audio_gain" -> graft.operators.Multimodal.mmAudioGain(t))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")
