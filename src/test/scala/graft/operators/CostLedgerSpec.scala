@@ -64,6 +64,26 @@ class CostLedgerSpec extends SparkSpec {
     }
   }
 
+  test("a plan with a REAL scalar subquery still reconciles: the walk follows subquery plans (H18)") {
+    // an uncorrelated scalar subquery plans a separate SubqueryExec
+    // whose scan the task-level listener sees — the ledger must walk
+    // into it or scan_rows undercounts
+    t.orders.createOrReplaceTempView("cl_orders")
+    val df = spark.sql(
+      """SELECT o_orderkey FROM cl_orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM cl_orders)""")
+    val (cost, recs, shufB, shufR, _) =
+      withTaskMetrics(CostLedger.measure("scalar_subquery", df))
+    assert(cost.scan_rows == recs,
+      s"subquery scan rows missed: ledger ${cost.scan_rows} vs listener $recs")
+    assert(cost.shuffle_bytes == shufB && cost.shuffle_rows == shufR)
+    assert(cost.result_rows == df.count())
+    // both the outer scan and the subquery scan read orders: the rows
+    // must be counted twice (2 x 1500 at sf0.001)
+    assert(cost.scan_rows == 2 * t.orders.count(),
+      s"expected both scans counted, got ${cost.scan_rows}")
+  }
+
   test("scan_bytes is the listed on-disk input: q1 reads exactly the lineitem file (H18)") {
     val cost = CostLedger.measure("q1", Analytics.q1PricingSummary(t))
     val onDisk = new java.io.File(s"$sfDir/lineitem.parquet").length

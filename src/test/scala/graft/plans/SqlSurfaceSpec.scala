@@ -163,6 +163,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == exact)
   }
 
+  test("round-16 augmentation kernels (bmp_patches, bmp_flip, wav_gain) work from SQL") {
+    graft.plans.VectorFunctions.register(spark)
+    // patches of the flipped image, end to end in SQL
+    val tiles = spark.sql(
+      """SELECT pt.py, pt.px, pt.sum_luma FROM (
+           SELECT explode(graft_bmp_patches(
+             graft_bmp_flip(graft_bmp_encode(0)), 4)) AS pt)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = {
+      val arr = ImageKernels.bmpPatches(
+        ImageKernels.bmpFlipH(ImageKernels.bmpEncode(0L)), 4)
+      (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 5); (s.getLong(0), s.getLong(1), s.getLong(3))
+      }
+    }
+    assert(tiles == direct)
+    // gain through the SQL surface matches the kernel
+    val g = spark.sql(
+      """SELECT f.peak, f.sum_abs FROM (
+           SELECT graft_wav_features(graft_wav_gain(
+             graft_wav_encode(7, false), 1250)) AS f)""").collect()(0)
+    val gd = AudioKernels.wavFeatures(
+      AudioKernels.wavGain(AudioKernels.wavEncode(7L, silent = false), 1250))
+    assert(g.getLong(0) == gd.getLong(2) && g.getLong(1) == gd.getLong(3))
+    // the literal contract rejects a non-literal patch size loudly
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_bmp_patches(graft_bmp_encode(0), cast(rand()*4 as int))")
+      .collect())
+    assert(err.getMessage.toLowerCase.contains("literal"),
+      s"non-literal p must fail with the literal contract: ${err.getMessage}")
+  }
+
   test("round-13 audio kernels (wav_encode, wav_features) work from SQL") {
     graft.plans.VectorFunctions.register(spark)
     val r = spark.sql(
