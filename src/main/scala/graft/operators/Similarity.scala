@@ -80,18 +80,28 @@ object Similarity {
       .withColumn("cos",
         call_function("graft_dot", col("v_q"), col("v_n")) /
           (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
-      // vectors end here: both rank exchanges carry ids + cos only
-      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
-        col("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val pos = scored.filter(col("n_label") === col("q_label"))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") === 1)
+      // vectors end here: the rank exchange carries ids + cos only
+      .select(col("q_id"),
+        (col("n_label") === col("q_label")).cast("int").as("agree"),
+        col("n_id"), col("cos"))
+    minedFromScored(scored, k)
+  }
+
+  /** The shared rank-and-pair stage of both E16 forms: ONE window pass
+    * partitioned by (q_id, label-agreement) ranks positives and
+    * negatives together, so the pos and neg branches read the SAME
+    * exchange (ReusedExchange — the scored pass, the expensive cell
+    * join in the corpus-wide form, computes once, not twice; filtering
+    * by label BEFORE the window would split the exchanges and double
+    * it). */
+  private def minedFromScored(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id", "agree")
+      .orderBy(col("cos").desc, col("n_id"))
+    val ranked = scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val pos = ranked.filter(col("agree") === 1 && col("rnk") === 1L)
       .select(col("q_id"), col("n_id").as("pos_id"),
         round(col("cos"), 4).as("pos_cos4"))
-    val neg = scored.filter(col("n_label") =!= col("q_label"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val neg = ranked.filter(col("agree") === 0 && col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id").as("neg_id"),
         round(col("cos"), 4).as("neg_cos4"))
     pos.join(neg, Seq("q_id"))
@@ -141,25 +151,14 @@ object Similarity {
       .withColumn("cos",
         call_function("graft_dot", col("v_q"), col("v_n")) /
           (sqrt(col("norm_q")) * sqrt(col("norm_n"))))
-      // vectors end here (the E14 rule): the rank exchanges carry
-      // (q_id, labels, n_id, cos) only
-      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
-        col("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    val pos = scored.filter(col("n_label") === col("q_label"))
-      .withColumn("pr", row_number().over(w))
-      .filter(col("pr") === 1)
-      .select(col("q_id"), col("n_id").as("pos_id"),
-        round(col("cos"), 4).as("pos_cos4"))
-    val neg = scored.filter(col("n_label") =!= col("q_label"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id").as("neg_id"),
-        round(col("cos"), 4).as("neg_cos4"))
-    val out = pos.join(neg, Seq("q_id"))
-      .select(col("q_id"), col("pos_id"), col("pos_cos4"),
-        col("rnk"), col("neg_id"), col("neg_cos4"))
-      .orderBy("q_id", "rnk")
+      // vectors end here (the E14 rule): the rank exchange carries
+      // (q_id, agree, n_id, cos) only — and it is ONE exchange, shared
+      // by the pos and neg branches (minedFromScored), so the
+      // corpus-sized cell join above computes once
+      .select(col("q_id"),
+        (col("n_label") === col("q_label")).cast("int").as("agree"),
+        col("n_id"), col("cos"))
+    val out = minedFromScored(scored, k)
     vecs.unpersist(blocking = false)
     out
   }

@@ -583,12 +583,19 @@ class SimilaritySpec extends SparkSpec {
   test("corpus-wide contrastive mining at full probe equals the per-anchor form for every vector (E16)") {
     import org.apache.spark.sql.functions.{col, lit}
     val k = 3
-    val all = Similarity.contrastivePairsAll(t.embeddings, k,
-      kCells = 8, nprobe = 8, iters = 3).collect().map(_.toSeq).toSeq
+    val allDf = Similarity.contrastivePairsAll(t.embeddings, k,
+      kCells = 8, nprobe = 8, iters = 3)
+    val all = allDf.collect().map(_.toSeq).toSeq
     val anchored = Similarity.contrastivePairsOf(t.embeddings, lit(true), k)
       .collect().map(_.toSeq).toSeq
     assert(all == anchored,
       "full-probe corpus-wide mining must equal the broadcast-anchor form")
+    // structural pin: the pos and neg branches share ONE rank exchange
+    // (ReusedExchange) — the corpus-sized cell join computes once, not
+    // twice (filtering by label before the window would split it)
+    val plan = allDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"pos/neg branches must reuse the scored exchange:\n$plan")
     // every corpus vector with a same-label peer mines exactly k pairs
     val n = t.embeddings.count()
     assert(all.map(_.head).distinct.size == n.toInt)
