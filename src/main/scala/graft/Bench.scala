@@ -115,7 +115,24 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,$env,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    println(line)
+    // stdout gets a COMPACT line: the driver's BENCH_r*.json wrapper
+    // keeps only the last 2000 chars of output, so the full 171-query
+    // line (~10 KB) truncates mid-object and records parsed:null
+    // (round-16 verdict #7). The compact line carries the total, every
+    // FAILED query, and the top slowest medians — enough to parse
+    // standalone and spot a regression — while the complete per-query
+    // evidence stays in bench_out.json (committed as the closing
+    // artifacts flagcheck.py reads).
+    val top = timings.filter(_._2 >= 0).sortBy(-_._2).take(40)
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qsTop = top.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsTop,""" +
+      s""""queries_total":${timings.length},"queries_shown":${top.length},""" +
+      s""""full":"bench_out.json","sf":"$sfDir","runs":$runs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -256,6 +256,10 @@ object SparkEntry {
     // generic chunk walker
     "mm_audio_gain" -> ((s, d) => Multimodal.mmAudioGain(tables(s, d))),
     "mm_audio_vad" -> ((s, d) => Multimodal.mmAudioVad(tables(s, d))),
+    // G17/G18: H.264 structural NAL parse — Annex-B/AVCC census with
+    // emulation-prevention strip, and the SPS Exp-Golomb dimension parse
+    "mm_nal_census" -> ((s, d) => Multimodal.mmNalCensus(tables(s, d))),
+    "mm_sps_dims" -> ((s, d) => Multimodal.mmSpsDims(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2140,6 +2144,27 @@ object SparkEntry {
         FROM events ORDER BY event_id""",
     // G2 real-decoder / G6 perceptual-dedup oracles: generated mix64
     // replays of the frame pattern (OracleSql.framePatternCte)
+    // G17/G18 ramp-arithmetic oracles: every census/SPS field is an
+    // arithmetic function of (event_id, user_id) — the SQL recomputes
+    // them from the raw columns, so the hash pins encoder ∘ EBML
+    // transport ∘ NAL walk ∘ EP strip ∘ Exp-Golomb decode end to end
+    // (slice rbsp_len is the constant 15 = 1 header + 8 payload + 6
+    // pre-EP trailer bytes; NalKernels.SliceRbspLen)
+    "mm_nal_census" ->
+      """SELECT event_id,
+          CASE WHEN event_id % 2 = 0 THEN 'annexb' ELSE 'avcc' END AS format,
+          cast(3 + event_id % 3 as bigint) AS n_nals,
+          cast(CASE WHEN event_id % 4 = 0 THEN 1 + event_id % 3 ELSE 0 END
+            as bigint) AS n_idr,
+          cast(15 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes
+        FROM events ORDER BY event_id""",
+    "mm_sps_dims" ->
+      """SELECT event_id,
+          cast(66 + 11 * (user_id % 2) as bigint) AS profile_idc,
+          cast(10 * (1 + event_id % 4) as bigint) AS level_idc,
+          cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_resize" -> OracleSql.mmResize,
     "mm_patches" -> OracleSql.mmPatches,

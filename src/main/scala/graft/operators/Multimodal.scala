@@ -438,6 +438,70 @@ object Multimodal {
       .orderBy("event_id", "py", "px")
   }
 
+  private def nalBlobCol: Column = EbmlFunctions.encodeFragmentFrame(
+    col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+    call_function("graft_h264_encode", col("event_id"), col("user_id")))
+
+  /** Sorted-before-encode variant (the [[withBlobSorted]] rule). */
+  private def withNalBlobSorted(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", nalBlobCol)
+  }
+
+  /** G17 — H.264 NAL-unit CENSUS (round 17, the library-free close of
+    * the G2 frame-typing gap): each fragment's SimpleBlock payload is a
+    * synthetic H.264 elementary stream ([[graft.plans.NalKernels]]) —
+    * even events Annex-B, odd events AVCC — and `graft_nal_units` walks
+    * it structurally (start-code scan / length-prefix walk, NAL header
+    * split, emulation-prevention strip per ITU-T H.264 §7.4.1.1) into
+    * per-NAL (type, ref_idc, rbsp_len) rows. This is the frame typing
+    * the reference reads back from libav (parser.py:437-442 — keyframe
+    * detection drives its sampling) re-expressed as a per-row codegen
+    * kernel. Every slice payload carries a pre-EP 00 00 01 / 00 00 03
+    * trailer, so a missed escape fakes a start code (n_nals breaks) and
+    * a missed strip inflates rbsp_len — both directions land in the
+    * hash. The oracle replays the census arithmetically from (event_id,
+    * user_id). Scan-speed at 100 TB: no shuffle below the final sort. */
+  def mmNalCensus(t: Tables): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    val isSlice = (n: Column) =>
+      n.getField("nal_type") === 1L || n.getField("nal_type") === 5L
+    withNalBlobSorted(t)
+      .withColumn("nals", call_function("graft_nal_units", frame))
+      .select(col("event_id"),
+        call_function("graft_nal_format", frame).as("format"),
+        size(col("nals")).cast("long").as("n_nals"),
+        size(filter(col("nals"), n => n.getField("nal_type") === 5L))
+          .cast("long").as("n_idr"),
+        aggregate(filter(col("nals"), isSlice), lit(0L),
+          (acc, n) => acc + n.getField("rbsp_len")).as("slice_rbsp_bytes"))
+      .orderBy("event_id")
+  }
+
+  /** G18 — SPS dimension parse via Exp-Golomb (round 17, the G17
+    * census's semantic half): `graft_sps_dims` finds the first SPS NAL
+    * and decodes profile_idc / level_idc / cropped width / height per
+    * ITU-T H.264 §7.4.2.1.1 (ue(v) fields, frame-cropping offsets with
+    * 4:2:0 crop units) — the stream metadata the reference gets from
+    * libav's codec context. Every SPS here carries a cropping block
+    * (right = event_id%2, bottom = user_id%2), so the crop-unit
+    * arithmetic is exercised on every row, and the oracle recomputes
+    * all four columns from the raw event fields. */
+  def mmSpsDims(t: Tables): DataFrame = {
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    withNalBlobSorted(t)
+      .withColumn("sps", call_function("graft_sps_dims", frame))
+      .select(col("event_id"),
+        col("sps.profile_idc").as("profile_idc"),
+        col("sps.level_idc").as("level_idc"),
+        col("sps.width").as("width"),
+        col("sps.height").as("height"))
+      .orderBy("event_id")
+  }
+
   /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
     * video-curation keyframe rule — emit a CUT wherever consecutive
     * frames of a stream jump in mean luma by >= `tauMilli` (exact
@@ -499,8 +563,9 @@ object Multimodal {
   /** G16 — audio GAIN augmentation (round 16 — the audio twin of the
     * G15 flip, completing augmentation across both toy-codec
     * modalities): each fragment's WAV payload rescaled IN PLAN by
-    * `graft_wav_gain` — exact integer floorDiv(s·gain, 1000) per sample
-    * (floorDiv so negative samples round like SQL's `//`) with int16
+    * `graft_wav_gain` — exact integer s·gain/1000 per sample with JVM
+    * `/` (truncation toward zero, matching DuckDB's `//`: -1250/1000 =
+    * -1 — floorDiv would drift one LSB on negative samples) and int16
     * CLIPPING, the saturation a real gain stage applies — then decoded
     * by the same generic chunk walker, so the hash gate pins encoder ∘
     * EBML transport ∘ gain ∘ decoder end to end. At ×1.25 the voiced

@@ -377,8 +377,6 @@ object BmpPatches {
     StructField("mean_milli", LongType))), containsNull = false)
 }
 
-/** `graft_bmp_resize2x(blob)` — exact-integer 2× box downsample of a
-  * 24-bit BMP; null for unparseable input (the family's contract). */
 /** `graft_bmp_flip(blob)` — horizontal mirror of a 24-bit BMP; null for
   * unparseable input (the family's contract). */
 case class BmpFlipH(child: Expression) extends UnaryExpression {
@@ -399,6 +397,8 @@ case class BmpFlipH(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_bmp_resize2x(blob)` — exact-integer 2× box downsample of a
+  * 24-bit BMP; null for unparseable input (the family's contract). */
 case class BmpResize2x(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType

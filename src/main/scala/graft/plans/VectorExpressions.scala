@@ -619,6 +619,14 @@ object VectorFunctions {
     ("graft_bmp_patches", classOf[BmpPatches],
       (exprs: Seq[Expression]) => BmpPatches(exprs.head,
         IntLitArg.of("graft_bmp_patches(blob, p)", "p", exprs(1)))),
+    ("graft_h264_encode", classOf[H264Encode],
+      (exprs: Seq[Expression]) => H264Encode(exprs.head, exprs(1))),
+    ("graft_nal_units", classOf[NalUnits],
+      (exprs: Seq[Expression]) => NalUnits(exprs.head)),
+    ("graft_nal_format", classOf[NalFormat],
+      (exprs: Seq[Expression]) => NalFormat(exprs.head)),
+    ("graft_sps_dims", classOf[SpsDims],
+      (exprs: Seq[Expression]) => SpsDims(exprs.head)),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
     ("graft_wav_gain", classOf[WavGain],

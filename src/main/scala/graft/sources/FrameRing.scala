@@ -53,17 +53,27 @@ object FrameRing {
 
   /** The reference's catch_frame acceptance fold, event-time form:
     * arrivals in (ts_ms, frame_id) order against the persisted ring.
-    * An arrival identical to a buffered frame (same ts_ms AND frame_id)
-    * is skipped — frame_id is an identity, so a crash-window replay of
-    * an already-folded batch re-presents frames the ring still holds
-    * and they must not duplicate (the residual window the batch-id
-    * stamp can't close: data written, marker not yet renamed). */
+    * Admission is strictly MONOTONE in (ts_ms, frame_id) past the
+    * newest accepted frame — frame_id is an identity assigned in
+    * arrival order, so a crash-window replay of an already-folded
+    * batch (the residual window the batch-id stamp can't close: data
+    * written, marker not yet renamed) re-presents frames at or behind
+    * the ring's newest and every one is rejected, INCLUDING frames the
+    * ring has already evicted: a membership check alone would re-accept
+    * an evicted same-timestamp frame when minGapMs = 0 and a batch
+    * overflows maxLen. The tuple rule subsumes the old per-arrival ring
+    * scan (any buffered duplicate is ≤ the newest), making admission
+    * O(1) per arrival. */
   private[sources] def foldRing(old: Seq[Frame], arrivals: Seq[Frame],
       maxLen: Int, minGapMs: Long): Seq[Frame] = {
     var ring = old.toVector
     arrivals.sortBy(f => (f.ts_ms, f.frame_id)).foreach { f =>
-      val dup = ring.exists(g => g.ts_ms == f.ts_ms && g.frame_id == f.frame_id)
-      if (!dup && (ring.isEmpty || f.ts_ms >= ring.last.ts_ms + minGapMs)) {
+      val admit = ring.isEmpty || {
+        val l = ring.last
+        f.ts_ms >= l.ts_ms + minGapMs &&
+          (f.ts_ms > l.ts_ms || f.frame_id > l.frame_id)
+      }
+      if (admit) {
         ring = ring :+ f
         if (ring.length > maxLen) ring = ring.drop(ring.length - maxLen)
       }

@@ -362,7 +362,9 @@ class PlanSpec extends SparkSpec {
         "mm_frame_dedup" -> graft.operators.Multimodal.mmFrameDedup(t),
         "mm_patches" -> graft.operators.Multimodal.mmPatches(t),
         "mm_flip" -> graft.operators.Multimodal.mmFlip(t),
-        "mm_audio_gain" -> graft.operators.Multimodal.mmAudioGain(t))) {
+        "mm_audio_gain" -> graft.operators.Multimodal.mmAudioGain(t),
+        "mm_nal_census" -> graft.operators.Multimodal.mmNalCensus(t),
+        "mm_sps_dims" -> graft.operators.Multimodal.mmSpsDims(t))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")

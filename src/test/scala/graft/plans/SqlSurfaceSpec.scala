@@ -195,6 +195,21 @@ class SqlSurfaceSpec extends SparkSpec {
       s"non-literal p must fail with the literal contract: ${err.getMessage}")
   }
 
+  test("round-17 NAL kernels (h264_encode, nal_units, nal_format, sps_dims) work from SQL") {
+    graft.plans.VectorFunctions.register(spark)
+    // event 4 / user 3: Annex-B, 2 slices, Main profile, 112x62 cropped
+    val r = spark.sql(
+      """SELECT graft_nal_format(es) AS fmt,
+           size(graft_nal_units(es)) AS n,
+           graft_sps_dims(es).profile_idc AS p,
+           graft_sps_dims(es).width AS w,
+           graft_sps_dims(es).height AS h
+         FROM (SELECT graft_h264_encode(4, 3) AS es)""").collect()(0)
+    assert(r.getString(0) == "annexb")
+    assert(r.getInt(1) == 4)
+    assert(r.getLong(2) == 77L && r.getLong(3) == 112L && r.getLong(4) == 62L)
+  }
+
   test("round-13 audio kernels (wav_encode, wav_features) work from SQL") {
     graft.plans.VectorFunctions.register(spark)
     val r = spark.sql(

@@ -287,6 +287,15 @@ class FrameRingSpec extends SparkSpec {
       Seq(Frame(10L, 1L, "a", mkPayload(1L))), 5, 0L)
     assert(FrameRing.foldRing(ring,
       Seq(Frame(10L, 1L, "a", mkPayload(1L))), 5, 0L) == ring)
+    // EVICTED-frame replay (round-17 ADVICE): a single batch of
+    // same-timestamp frames overflowing maxLen evicts the oldest; a
+    // crash-before-stamp replay re-presents the evicted frame, which a
+    // ring-membership check alone would re-accept (ts == last, gap 0).
+    // Monotone (ts_ms, frame_id) admission rejects it — replay no-op.
+    val burst = (1L to 4L).map(i => Frame(10L, i, s"f$i", mkPayload(i)))
+    val over = FrameRing.foldRing(Nil, burst, 3, 0L)
+    assert(over.map(_.frame_id) == Seq(2L, 3L, 4L)) // frame 1 evicted
+    assert(FrameRing.foldRing(over, burst, 3, 0L) == over)
   }
 
   test("StartCatchFrames/StopCatchFrames: frames arriving while paused are dropped, resume picks up cleanly") {
