@@ -777,8 +777,18 @@ private[graft] object OracleSql {
     * its one data cell AND exploded into its nprobe=2 probe cells (the
     * (d, cid) tie rules verbatim), candidates joined on the cell id, and
     * the exact cosine top-3 per vector with the bit-proven fold. */
-  lazy val knnJoin: String = materialized {
-    val h = lloydReplayCtes(k = 8, iters = 3, eps = "1e-9", dim = 64,
+  lazy val knnJoin: String = knnJoinReplay(kCells = 8)
+
+  /** knn_join_sized (E14b executable sizing): the SAME replay with the
+    * coarse grid sized by the occupancy rule the Spark side computes at
+    * run time — kCellsFor(n, 256) = ⌈n/256⌉. The correctness gate runs
+    * at sf0.01 where embeddings has 500 rows, so the replay pins
+    * kCells = 2; the Spark query derives the same 2 from its own
+    * count() (ScaleSpec pins the sizing function itself across n). */
+  lazy val knnJoinSized: String = knnJoinReplay(kCells = 2)
+
+  private def knnJoinReplay(kCells: Int): String = materialized {
+    val h = lloydReplayCtes(k = kCells, iters = 3, eps = "1e-9", dim = 64,
       buckets = 4096)
     s"""${h.ctes},
     asgf AS (SELECT vec_id AS n_id, cid AS cell, v AS v_n, norm AS norm_n FROM (

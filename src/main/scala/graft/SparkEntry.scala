@@ -220,6 +220,13 @@ object SparkEntry {
     // E14: every vector's top-k neighbors via the cell-keyed shuffle
     // join (the all-rows form of IVF search)
     "knn_join" -> ((s, d) => Similarity.knnJoin(tables(s, d))),
+    // E14b: the deploy-shape sized form — kCells from the occupancy
+    // rule (⌈n/256⌉, one count job), so candidate volume stays linear
+    // as the corpus grows; the fixed-kCells fixture above stays as the
+    // documented quadratic-by-construction recall tier
+    "knn_join_sized" -> ((s, d) =>
+      Similarity.knnJoinSized(tables(s, d).embeddings, k = 3, nprobe = 2,
+        iters = 3)),
     // E15: metadata-filtered top-k — the predicate applies BEFORE the
     // ranking (pre-filter semantics), pushed into the corpus scan
     "ann_filtered_topk" ->
@@ -739,6 +746,7 @@ object SparkEntry {
     "ivf_topk" -> OracleSql.ivfTopK,
     // E14: the fit + both-side cell assignment + cell join + top-3
     "knn_join" -> OracleSql.knnJoin,
+    "knn_join_sized" -> OracleSql.knnJoinSized,
     // E15: ivf_topk's replay with the label predicate on the data side
     "ann_filtered_topk" -> OracleSql.annFilteredTopK,
     "pq_topk" -> OracleSql.pqTopK,

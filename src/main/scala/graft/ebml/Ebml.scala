@@ -392,4 +392,172 @@ object Ebml {
       ((relTimecodeMs >> 8) & 0xff).toByte, (relTimecodeMs & 0xff).toByte, 0x80.toByte)
     element(0xa3L, concat(header, frame))
   }
+
+  // ---- block lacing (Matroska "Block structure" / "Lacing") -----------
+
+  /** Lacing mode constants: the block flags byte's bits 0x06. */
+  val LaceNone = 0x00
+  val LaceXiph = 0x02
+  val LaceFixed = 0x04
+  val LaceEbml = 0x06
+
+  /** Raw vint at `pos` WITHOUT the unknown-size sentinel: lace sizes
+    * and lace deltas never carry the all-ones "unknown" meaning, so an
+    * all-ones lace size must parse as its literal value, not -1. */
+  private def readVintRaw(buf: Array[Byte], pos: Int): (Long, Int) = {
+    val b1 = buf(pos) & 0xff
+    var len = 0
+    var mask = 0x80
+    while (len < 8 && (b1 & mask) == 0) { len += 1; mask >>= 1 }
+    if (len == 8 && (b1 & 1) == 0) throw new EbmlException("invalid lace vint")
+    len += 1
+    var s = (b1 & (mask - 1)).toLong
+    var i = 1
+    while (i < len) { s = (s << 8) | (buf(pos + i) & 0xffL); i += 1 }
+    (s, len)
+  }
+
+  /** Minimal unsigned vint (marker bit set; avoids the all-ones
+    * pattern, which element-size readers treat as "unknown"). */
+  def vint(v: Long): Array[Byte] = {
+    require(v >= 0, s"vint value must be non-negative, got $v")
+    var len = 1
+    while (len < 8 && v > (1L << (7 * len)) - 2) len += 1
+    val b = new Array[Byte](len)
+    var i = 0
+    while (i < len) { b(len - 1 - i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    b(0) = (b(0) | (0x80 >> (len - 1))).toByte
+    b
+  }
+
+  /** Minimal SIGNED vint for EBML-lace deltas: raw = v + 2^(7·len−1)−1
+    * (the spec's range-shift), len minimal for |v|. */
+  def svint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && math.abs(v) > (1L << (7 * len - 1)) - 1) len += 1
+    val raw = v + (1L << (7 * len - 1)) - 1
+    val b = new Array[Byte](len)
+    var i = 0
+    while (i < len) { b(len - 1 - i) = ((raw >> (8 * i)) & 0xff).toByte; i += 1 }
+    b(0) = (b(0) | (0x80 >> (len - 1))).toByte
+    b
+  }
+
+  /** The frames inside one SimpleBlock/Block PAYLOAD, lacing-aware:
+    * track vint (any width), int16 relative timecode, flags byte, then
+    * the lace table and frame data per the flags' 0x06 bits — none /
+    * Xiph (255-run size bytes) / fixed (equal split) / EBML (vint first
+    * size, signed-vint deltas); the last frame's size is implied by the
+    * remainder in Xiph/EBML. The reference only ever meets lacing-free
+    * video blocks (parser.py demuxes via libav, which hides lacing),
+    * but real Kinesis producers can lace audio tracks — public Matroska
+    * spec, "Lacing". Throws [[EbmlException]] on a malformed lace
+    * (negative/overrunning sizes, non-divisible fixed split). */
+  def blockFrames(block: Array[Byte]): Seq[Array[Byte]] = {
+    val (_, trackLen) = readVintRaw(block, 0)
+    var pos = trackLen + 2 // relative timecode int16
+    if (pos >= block.length) throw new EbmlException("truncated block header")
+    val flags = block(pos) & 0xff
+    pos += 1
+    val lacing = flags & 0x06
+    if (lacing == LaceNone) {
+      if (pos > block.length) throw new EbmlException("truncated block header")
+      return Seq(java.util.Arrays.copyOfRange(block, pos, block.length))
+    }
+    if (pos >= block.length) throw new EbmlException("truncated lace count")
+    val n = (block(pos) & 0xff) + 1
+    pos += 1
+    val sizes = new Array[Long](n)
+    lacing match {
+      case LaceXiph =>
+        var i = 0
+        while (i < n - 1) {
+          var s = 0L
+          var b = 0
+          do {
+            if (pos >= block.length) throw new EbmlException("truncated Xiph lace")
+            b = block(pos) & 0xff; s += b; pos += 1
+          } while (b == 255)
+          sizes(i) = s
+          i += 1
+        }
+      case LaceEbml =>
+        // n == 1: the only frame is the last (implied) — no size table
+        val (first, fl) =
+          if (n >= 2) readVintRaw(block, pos) else (0L, 0)
+        pos += fl
+        sizes(0) = first
+        var i = 1
+        while (i < n - 1) {
+          val (raw, dl) = readVintRaw(block, pos)
+          pos += dl
+          sizes(i) = sizes(i - 1) + (raw - ((1L << (7 * dl - 1)) - 1))
+          i += 1
+        }
+      case _ => // LaceFixed
+        val rem = block.length - pos
+        if (n == 0 || rem % n != 0)
+          throw new EbmlException(s"fixed lacing: $rem bytes not divisible by $n")
+        java.util.Arrays.fill(sizes, rem.toLong / n)
+    }
+    if (lacing != LaceFixed) {
+      var known = 0L
+      var i = 0
+      while (i < n - 1) { known += sizes(i); i += 1 }
+      sizes(n - 1) = (block.length - pos) - known
+    }
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val s = sizes(i)
+      if (s < 0 || pos + s > block.length)
+        throw new EbmlException(s"lace size $s overruns block at frame $i")
+      out(i) = java.util.Arrays.copyOfRange(block, pos, pos + s.toInt)
+      pos += s.toInt
+      i += 1
+    }
+    if (pos != block.length)
+      throw new EbmlException("lace sizes do not consume the block payload")
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** A laced SimpleBlock: multiple frames in one block element.
+    * `lacing` is one of [[LaceXiph]]/[[LaceFixed]]/[[LaceEbml]] (a
+    * single frame with [[LaceNone]] degrades to [[simpleBlock]]'s
+    * layout). Fixed lacing requires equal frame lengths, per spec. */
+  def simpleBlockLaced(frames: Seq[Array[Byte]], lacing: Int,
+      relTimecodeMs: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty && frames.length <= 256,
+      s"lacing holds 1..256 frames, got ${frames.length}")
+    if (lacing == LaceNone) {
+      require(frames.length == 1, "lacing-free blocks hold exactly one frame")
+      return simpleBlock(frames.head, relTimecodeMs)
+    }
+    val head = new ByteArrayOutputStream(64)
+    head.write(0x81) // track 1
+    head.write((relTimecodeMs >> 8) & 0xff); head.write(relTimecodeMs & 0xff)
+    head.write(0x80 | lacing)
+    head.write(frames.length - 1)
+    lacing match {
+      case LaceXiph =>
+        frames.dropRight(1).foreach { f =>
+          var s = f.length
+          while (s >= 255) { head.write(255); s -= 255 }
+          head.write(s)
+        }
+      case LaceEbml =>
+        // the last frame's size is implied; n == 1 writes no table
+        if (frames.length >= 2) {
+          head.write(vint(frames.head.length.toLong))
+          frames.sliding(2).toSeq.dropRight(1).foreach { case Seq(a, b) =>
+            head.write(svint(b.length.toLong - a.length.toLong))
+          }
+        }
+      case LaceFixed =>
+        require(frames.forall(_.length == frames.head.length),
+          "fixed lacing requires equal frame sizes")
+      case other => throw new IllegalArgumentException(s"unknown lacing $other")
+    }
+    element(0xa3L, concat(head.toByteArray +: frames: _*))
+  }
 }

@@ -87,12 +87,17 @@ object EbmlKernels {
       case (p, b) => InternalRow(p, b): Any
     }.toArray)
 
-  /** First media block's frame payload, or null when the fragment has
-    * no blocks. */
+  /** First media block's FIRST frame payload, or null when the
+    * fragment has no blocks. Lace-aware (round 17): a laced audio
+    * block's first lace is a frame like any other; the graft writer's
+    * lacing-free blocks take the single-frame fast path unchanged. */
   def firstBlock(blob: Array[Byte]): Array[Byte] =
-    Ebml.blocks(blob).headOption
-      .map(b => java.util.Arrays.copyOfRange(b, 4, b.length))
-      .orNull
+    Ebml.blocks(blob).headOption.flatMap { b =>
+      try Ebml.blockFrames(b).headOption
+      catch {
+        case _: Ebml.EbmlException | _: ArrayIndexOutOfBoundsException => None
+      }
+    }.orNull
 
   /** Concatenate an array-of-binary column into one stream payload. */
   def concatAll(arr: ArrayData): Array[Byte] = {

@@ -106,6 +106,61 @@ class EbmlSpec extends AnyFunSuite {
     assert(new String(bs.head.drop(4), "UTF-8") == "payload-bytes")
   }
 
+  test("block lacing round-trips: Xiph, EBML, fixed (Matroska spec)") {
+    def payloadOf(block: Array[Byte]): Array[Byte] = {
+      // strip the element head (id + fixed 8-byte size varint)
+      val (_, idLen) = readId(block, 0)
+      val (_, szLen) = readSize(block, idLen)
+      java.util.Arrays.copyOfRange(block, idLen + szLen, block.length)
+    }
+    def frame(len: Int, seed: Int): Array[Byte] =
+      Array.tabulate(len)(i => ((i * 31 + seed) & 0xff).toByte)
+    // Xiph: a 255-multiple size needs a 0 terminator byte; shrinking,
+    // growing, and equal neighbors all round-trip
+    val xiphFrames = Seq(frame(300, 1), frame(255, 2), frame(7, 3), frame(7, 4))
+    val xb = payloadOf(simpleBlockLaced(xiphFrames, LaceXiph))
+    assert(blockFrames(xb).map(_.toSeq) == xiphFrames.map(_.toSeq))
+    // EBML: signed deltas cover negative (-293), zero, and positive
+    val ebmlFrames = Seq(frame(300, 5), frame(7, 6), frame(7, 7), frame(500, 8))
+    val eb = payloadOf(simpleBlockLaced(ebmlFrames, LaceEbml))
+    assert(blockFrames(eb).map(_.toSeq) == ebmlFrames.map(_.toSeq))
+    // fixed: equal sizes, no size table on the wire
+    val fixedFrames = (0 until 5).map(i => frame(64, 10 + i))
+    val fb = payloadOf(simpleBlockLaced(fixedFrames, LaceFixed))
+    assert(blockFrames(fb).map(_.toSeq) == fixedFrames.map(_.toSeq))
+    assert(fb.length == 5 + 5 * 64) // header + payloads only
+    // unequal sizes must be rejected for fixed lacing
+    intercept[IllegalArgumentException](
+      simpleBlockLaced(Seq(frame(3, 1), frame(4, 2)), LaceFixed))
+    // lacing-free writer output parses as one frame through the same path
+    val lf = payloadOf(simpleBlock(frame(9, 9)))
+    assert(blockFrames(lf).map(_.toSeq) == Seq(frame(9, 9).toSeq))
+    // single-frame laces carry no size table (the implied-last rule)
+    for (mode <- Seq(LaceXiph, LaceEbml, LaceFixed)) {
+      val one = payloadOf(simpleBlockLaced(Seq(frame(11, 1)), mode))
+      assert(blockFrames(one).map(_.toSeq) == Seq(frame(11, 1).toSeq), s"mode $mode")
+    }
+    // malformed laces throw, never mis-slice: overrunning Xiph size
+    val bad = payloadOf(simpleBlockLaced(Seq(frame(10, 1), frame(10, 2)), LaceXiph))
+    bad(4 + 1) = 0x7f // inflate the first lace size past the payload
+    intercept[EbmlException](blockFrames(bad))
+    // firstBlock surfaces the FIRST lace of a laced fragment
+    val laced = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "tags-only")
+    val kern = EbmlKernels.firstBlock(laced)
+    assert(kern != null) // existing lacing-free path unchanged
+  }
+
+  test("laced audio fragment: firstBlock returns the first lace") {
+    // hand-build a fragment: EBML header + segment carrying one laced block
+    val block = simpleBlockLaced(
+      Seq("frame-A".getBytes("UTF-8"), "frame-BB".getBytes("UTF-8"),
+        "frame-CCC".getBytes("UTF-8")), LaceEbml)
+    val seg = element(0x18538067L, block) // Segment
+    val head = element(0x1a45dfa3L, element(0x4285L, uintBytes(2L, 1))) // EBML/DocTypeReadVersion
+    val first = EbmlKernels.firstBlock(head ++ seg)
+    assert(first != null && new String(first, "UTF-8") == "frame-A")
+  }
+
   test("unknown-size master runs to container end") {
     // Segment with unknown size (0xFF) containing one Timecode element
     val inner = element(0xe7L, uintBytes(5L, 8))

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """End-of-round closing check: bench_out.json vs BASELINE.md's actual rows.
 
-Usage: python3 tools/flagcheck.py [--partial] [bench_out.json ...] [BASELINE.md]
+Usage: python3 tools/flagcheck.py [--partial] [--cost NEW.json OLD.json]
+       [bench_out.json ...] [BASELINE.md]
+
+With --cost, the H18 per-query scan/shuffle ledgers (CostReport output,
+one JSON line per query) are diffed round-over-round and structural
+growth is flagged alongside the timing clauses; --cost alone (no bench
+artifacts) runs just the ledger diff.
 
 Several bench artifacts combine per-query as min-of-mins (the protocol
 compares min-vs-min over >= 2 full runs); a trailing .md argument
@@ -36,6 +42,55 @@ import json, re, sys
 args = sys.argv[1:]
 partial = "--partial" in args
 args = [a for a in args if a != "--partial"]
+
+# --cost NEW.json OLD.json — the H18 structural clause (round-17 verdict
+# #3): wall-time noise on a loaded host can hide a plan regression that
+# doubles scan volume, but the ledger's scan/shuffle counters are
+# DETERMINISTIC for a fixed plan + sf, so a round-over-round diff of the
+# committed cost_closing_r*.json artifacts catches what min-of-pair
+# timing can't. Flags growth in scan_bytes / shuffle_bytes / scan_rows /
+# shuffle_rows past ratio 1.5 with an absolute floor (1 MiB / 100k rows)
+# so toy-sized jitter never trips it. result_rows changes are reported
+# as info only — the hash gate owns semantics.
+def cost_diff(new_path, old_path):
+    def load(p):
+        out = {}
+        for line in open(p):
+            line = line.strip()
+            if line.startswith("{"):
+                c = json.loads(line)
+                out[c["query"]] = c
+        return out
+    new, old = load(new_path), load(old_path)
+    flags = []
+    for q in sorted(new):
+        if q not in old:
+            print(f"{q:32s} COST NEW (no prior ledger row)")
+            continue
+        for key, floor in (("scan_bytes", 1 << 20), ("shuffle_bytes", 1 << 20),
+                           ("scan_rows", 100_000), ("shuffle_rows", 100_000)):
+            a, b = old[q].get(key, 0), new[q].get(key, 0)
+            if b > a * 1.5 and b - a > floor:
+                flags.append(q)
+                print(f"{q:32s} COST FLAG {key} {a} -> {b} "
+                      f"({b / max(a, 1):.2f}x) -> plan regressed")
+        if new[q].get("result_rows") != old[q].get("result_rows"):
+            print(f"{q:32s} COST INFO result_rows "
+                  f"{old[q].get('result_rows')} -> {new[q].get('result_rows')}")
+    for q in sorted(set(old) - set(new)):
+        print(f"{q:32s} COST MISSING (in prior ledger, not in new)")
+    return flags
+
+cost_flags = []
+if "--cost" in args:
+    i = args.index("--cost")
+    cost_new, cost_old = args[i + 1], args[i + 2]
+    args = args[:i] + args[i + 3:]
+    cost_flags = cost_diff(cost_new, cost_old)
+    if not args:  # cost-only invocation
+        print(f"\ncost diff: {len(cost_flags)} flagged")
+        sys.exit(1 if cost_flags else 0)
+
 base_path = "BASELINE.md"
 if args and args[-1].endswith(".md"):
     base_path = args.pop()
@@ -102,10 +157,13 @@ for q in sorted(set(mins) | set(baseline)):
         print(f"{q:32s} {b:6.2f} {m:6.2f}  OK ({why})")
 
 print(f"\n{len(mins)} benched, {len(flags)} flagged, {len(new)} new, "
-      f"{len(missing)} missing")
+      f"{len(missing)} missing"
+      + (f", {len(cost_flags)} cost-flagged" if cost_flags else ""))
 if flags:
     print("FLAGGED: " + ", ".join(flags))
+if cost_flags:
+    print("COST-FLAGGED: " + ", ".join(cost_flags))
 if missing and not partial:
     print("MISSING coverage — a subset run cannot close a round "
           "(pass --partial for isolation runs)")
-sys.exit(1 if flags or (missing and not partial) else 0)
+sys.exit(1 if flags or cost_flags or (missing and not partial) else 0)
