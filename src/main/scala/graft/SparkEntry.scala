@@ -267,6 +267,8 @@ object SparkEntry {
     // emulation-prevention strip, and the SPS Exp-Golomb dimension parse
     "mm_nal_census" -> ((s, d) => Multimodal.mmNalCensus(tables(s, d))),
     "mm_sps_dims" -> ((s, d) => Multimodal.mmSpsDims(tables(s, d))),
+    // G17b: the census applied — IDR fragments numbered per stream
+    "mm_keyframe_index" -> ((s, d) => Multimodal.mmKeyframeIndex(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2166,6 +2168,12 @@ object SparkEntry {
             as bigint) AS n_idr,
           cast(15 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes
         FROM events ORDER BY event_id""",
+    "mm_keyframe_index" ->
+      """SELECT user_id, event_id,
+          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+            as bigint) AS kf_seq
+        FROM events WHERE event_id % 4 = 0
+        ORDER BY user_id, event_id""",
     "mm_sps_dims" ->
       """SELECT event_id,
           cast(66 + 11 * (user_id % 2) as bigint) AS profile_idc,

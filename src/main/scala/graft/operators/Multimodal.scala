@@ -481,6 +481,37 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** Unsorted variant for window-consuming G17 queries (the window
+    * orders per partition; only the FINAL presentation sort pays). */
+  private def withNalBlob(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .withColumn("blob", nalBlobCol)
+  }
+
+  /** G17b — IDR-KEYFRAME INDEX (the G17 census applied: the reference
+    * types frames exactly to find keyframes for its sampler —
+    * parser.py's catch_frame consumes libav's decode order; here the
+    * keyframe flag comes from the parsed NAL stream itself): keep the
+    * fragments whose stream carries an IDR NAL (type 5) and number them
+    * per user stream — the seekable index a clip-serving or sampling
+    * stage reads. ONE user_id exchange (the rank window); per-row parse
+    * kernels; the filter drops ~3/4 of fragments BEFORE the exchange,
+    * so the shuffle carries keyframes only — at 100 TB the index build
+    * moves keyframe ids, never media. */
+  def mmKeyframeIndex(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    withNalBlob(t)
+      .withColumn("nals", call_function("graft_nal_units", frame))
+      .filter(exists(col("nals"), n => n.getField("nal_type") === 5L))
+      .select(col("user_id"), col("event_id"))
+      .withColumn("kf_seq", row_number().over(w).cast("long"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** G18 — SPS dimension parse via Exp-Golomb (round 17, the G17
     * census's semantic half): `graft_sps_dims` finds the first SPS NAL
     * and decodes profile_idc / level_idc / cropped width / height per
