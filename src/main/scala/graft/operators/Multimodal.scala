@@ -467,17 +467,16 @@ object Multimodal {
     * user_id). Scan-speed at 100 TB: no shuffle below the final sort. */
   def mmNalCensus(t: Tables): DataFrame = {
     val frame = EbmlFunctions.firstBlock(col("blob"))
-    val isSlice = (n: Column) =>
-      n.getField("nal_type") === 1L || n.getField("nal_type") === 5L
+    // graft_nal_stats fuses the three aggregates into the kernel walk —
+    // the HOF form (size/filter/aggregate over graft_nal_units) ran its
+    // lambdas interpreted per array element, +0.8 s at sf0.1
     withNalBlobSorted(t)
-      .withColumn("nals", call_function("graft_nal_units", frame))
+      .withColumn("st", call_function("graft_nal_stats", frame))
       .select(col("event_id"),
         call_function("graft_nal_format", frame).as("format"),
-        size(col("nals")).cast("long").as("n_nals"),
-        size(filter(col("nals"), n => n.getField("nal_type") === 5L))
-          .cast("long").as("n_idr"),
-        aggregate(filter(col("nals"), isSlice), lit(0L),
-          (acc, n) => acc + n.getField("rbsp_len")).as("slice_rbsp_bytes"))
+        col("st.n_nals").as("n_nals"),
+        col("st.n_idr").as("n_idr"),
+        col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"))
       .orderBy("event_id")
   }
 
@@ -505,8 +504,8 @@ object Multimodal {
     val frame = EbmlFunctions.firstBlock(col("blob"))
     val w = Window.partitionBy("user_id").orderBy("event_id")
     withNalBlob(t)
-      .withColumn("nals", call_function("graft_nal_units", frame))
-      .filter(exists(col("nals"), n => n.getField("nal_type") === 5L))
+      .filter(call_function("graft_nal_stats", frame)
+        .getField("n_idr") > 0L)
       .select(col("user_id"), col("event_id"))
       .withColumn("kf_seq", row_number().over(w).cast("long"))
       .orderBy("user_id", "event_id")

@@ -342,6 +342,31 @@ object NalKernels {
     new GenericArrayData(rows)
   }
 
+  /** `graft_nal_stats`: the census aggregate fused into one walk —
+    * (n_nals, n_idr, slice_rbsp_bytes) without materializing the
+    * per-NAL array. The HOF form (size/filter/aggregate over
+    * [[nalUnits]]) evaluates its lambdas interpreted per element
+    * (measured +0.8 s over the suite at sf0.1); this computes the same
+    * three numbers inside the kernel loop. */
+  def nalStats(bytes: Array[Byte]): InternalRow = {
+    val ranges = nalRanges(bytes)
+    if (ranges == null) return null
+    var idr = 0L
+    var sliceBytes = 0L
+    var i = 0
+    while (i < ranges.length) {
+      val (s, e) = ranges(i)
+      val h = bytes(s) & 0xff
+      if ((h & 0x80) != 0) return null // forbidden_zero_bit
+      val tpe = h & 0x1f
+      if (tpe == 5) idr += 1
+      if (tpe == 1 || tpe == 5)
+        sliceBytes += 1 + epStripLen(bytes, s + 1, e)
+      i += 1
+    }
+    InternalRow(ranges.length.toLong, idr, sliceBytes)
+  }
+
   /** `graft_sps_dims`: parse the FIRST SPS (type 7) into
     * struct(profile_idc, level_idc, width, height) per §7.4.2.1.1 —
     * Exp-Golomb fields, optional high-profile chroma block, POC type
@@ -478,6 +503,32 @@ case class NalFormat(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NalFormat =
     copy(child = newChild)
+}
+
+/** `graft_nal_stats(blob)` — one-walk census fusion:
+  * struct(n_nals, n_idr, slice_rbsp_bytes); null on unparseable bytes. */
+case class NalStats(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = NalStats.statsType
+  override def prettyName: String = "graft_nal_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    NalKernels.nalStats(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"""
+        ${ev.value} = graft.plans.NalKernels.nalStats($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): NalStats =
+    copy(child = newChild)
+}
+
+object NalStats {
+  val statsType: StructType = StructType(Seq(
+    StructField("n_nals", LongType), StructField("n_idr", LongType),
+    StructField("slice_rbsp_bytes", LongType)))
 }
 
 /** `graft_sps_dims(blob)` — first-SPS Exp-Golomb parse into

@@ -625,6 +625,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => NalUnits(exprs.head)),
     ("graft_nal_format", classOf[NalFormat],
       (exprs: Seq[Expression]) => NalFormat(exprs.head)),
+    ("graft_nal_stats", classOf[NalStats],
+      (exprs: Seq[Expression]) => NalStats(exprs.head)),
     ("graft_sps_dims", classOf[SpsDims],
       (exprs: Seq[Expression]) => SpsDims(exprs.head)),
     ("graft_wav_encode", classOf[WavEncode],

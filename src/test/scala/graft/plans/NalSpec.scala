@@ -91,6 +91,23 @@ class NalSpec extends AnyFunSuite {
     }
   }
 
+  test("fused nal_stats equals the per-NAL array census on every cell and nulls together") {
+    for (eventId <- 0L to 24L; userId <- Seq(0L, 1L, 2L, 3L, 7L)) {
+      val es = NalKernels.h264Encode(eventId, userId)
+      val st = NalKernels.nalStats(es)
+      val units = NalKernels.nalUnits(es)
+      val rows = (0 until units.numElements).map(i => units.getStruct(i, 3))
+      assert(st.getLong(0) == rows.length.toLong)
+      assert(st.getLong(1) == rows.count(_.getLong(0) == 5L).toLong)
+      assert(st.getLong(2) ==
+        rows.filter(r => r.getLong(0) == 1L || r.getLong(0) == 5L)
+          .map(_.getLong(2)).sum)
+    }
+    assert(NalKernels.nalStats(Array[Byte](1, 2, 3)) == null)
+    assert(NalKernels.nalStats(
+      Array[Byte](0, 0, 0, 1, 0x80.toByte, 1)) == null)
+  }
+
   test("SPS dims recover profile/level/cropped geometry for every generator cell") {
     for (eventId <- 0L to 15L; userId <- 0L to 7L) {
       val dims = NalKernels.spsDims(NalKernels.h264Encode(eventId, userId))
