@@ -482,6 +482,50 @@ object EventStreams {
       }
   }
 
+  final case class KeyframeIndexed(user_id: Long, event_id: Long,
+      ts_ms: Long, kf_seq: Long)
+
+  /** G17b streaming twin — LIVE keyframe index: the reference types
+    * frames to catch keyframes AS THEY ARRIVE (parser.py:437-487 —
+    * decode, keyframe-gate, append to the serving queue); here each
+    * live fragment's SimpleBlock payload is NAL-parsed in plan
+    * (`graft_nal_stats`, the G17 kernel) and only IDR-carrying
+    * fragments reach the keyed state, which is ONE long per stream —
+    * the running keyframe count. Emission order inside a micro-batch
+    * follows the batch form's (ts_ms, event_id) total order (the
+    * taggedAssociation in-order-arrival contract), so stream ≡ batch
+    * numbering on any batch split of an in-order stream. The non-IDR
+    * majority is dropped BEFORE the shuffle — the same
+    * keyframes-only-cross-the-exchange shape as the batch query. */
+  def keyframeIndexStream(fragments: DataFrame): Dataset[KeyframeIndexed] = {
+    import fragments.sparkSession.implicits._
+    import graft.ebml.EbmlFunctions
+    graft.plans.VectorFunctions.register(fragments.sparkSession)
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    val tg = EbmlFunctions.parseTags(col("blob"))
+    fragments
+      .filter(call_function("graft_nal_stats", frame)
+        .getField("n_idr") > lit(0L))
+      .select(
+        tg.getField("user_id").cast("long").as("user_id"),
+        tg.getField("fragment_number").cast("long").as("event_id"),
+        tg.getField("producer_ts").cast("long").as("ts_ms"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeyframeIndexed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+            n += 1
+            KeyframeIndexed(uid, r._2, r._3, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   final case class Scd2Closed(user_id: Long, event_id: Long,
       valid_from_ms: Long, valid_to_ms: Long)
 

@@ -901,6 +901,51 @@ class StreamingSpec extends SparkSpec {
     assert(VectorIndex.streamRunId(ckpt2) != VectorIndex.streamRunId(ckpt))
   }
 
+  test("live keyframe index: IDR fragments numbered per stream across batches, non-IDR dropped (G17b twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ebml.EbmlFunctions
+    import org.apache.spark.sql.functions.{col, lit}
+    val input = MemoryStream[Array[Byte]]
+    val query = EventStreams.keyframeIndexStream(
+        input.toDF().withColumnRenamed("value", "blob"))
+      .writeStream.format("memory").queryName("kf_idx")
+      .outputMode("append").start()
+    def frag(id: Long, uid: Long, ts: Long): Array[Byte] =
+      EbmlFunctions.buildFragmentFrame(id, ts, uid, 0L,
+        graft.plans.NalKernels.h264Encode(id, uid))
+    try {
+      // event_id % 4 == 0 plants the IDR (the G17 generator rule)
+      input.addData(frag(0L, 10L, 1000L), frag(1L, 10L, 2000L),
+        frag(4L, 10L, 3000L))
+      query.processAllAvailable()
+      // cross-batch: the count survives in state; a non-IDR fragment
+      // for a fresh stream must not open state for it
+      input.addData(frag(8L, 10L, 4000L), frag(2L, 11L, 5000L),
+        frag(12L, 11L, 6000L))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, event_id, kf_seq from kf_idx order by user_id, kf_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq ==
+        Seq((10L, 0L, 1L), (10L, 4L, 2L), (10L, 8L, 3L), (11L, 12L, 1L)))
+      // batch agreement: the batch operator over the union numbers
+      // identically (stream ≡ batch on an in-order split); ts rides the
+      // events epoch-long-NANOS contract
+      val eventsDf = Seq((0L, 1000L, 10L), (1L, 2000L, 10L),
+          (4L, 3000L, 10L), (8L, 4000L, 10L), (2L, 5000L, 11L),
+          (12L, 6000L, 11L))
+        .toDF("event_id", "ms", "user_id")
+        .select(col("event_id"), (col("ms") * 1000000L).as("ts"),
+          col("user_id"), lit("e").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val t = graft.sources.Tables.fromLoader(_ => eventsDf)
+      val batch = graft.operators.Multimodal.mmKeyframeIndex(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(batch.toSeq == rows.toSeq)
+    } finally query.stop()
+  }
+
   test("fragment pipeline: raw MKV blobs stream through tag extraction to windowed rates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
