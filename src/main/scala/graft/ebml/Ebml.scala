@@ -405,12 +405,17 @@ object Ebml {
     * and lace deltas never carry the all-ones "unknown" meaning, so an
     * all-ones lace size must parse as its literal value, not -1. */
   private def readVintRaw(buf: Array[Byte], pos: Int): (Long, Int) = {
+    if (pos >= buf.length) throw new EbmlException("truncated lace vint")
     val b1 = buf(pos) & 0xff
     var len = 0
     var mask = 0x80
     while (len < 8 && (b1 & mask) == 0) { len += 1; mask >>= 1 }
     if (len == 8 && (b1 & 1) == 0) throw new EbmlException("invalid lace vint")
     len += 1
+    if (pos + len > buf.length)
+      throw new EbmlException("truncated lace vint") // honor the
+    // documented EbmlException-on-malformed contract — without the
+    // bounds check a cut size table escaped as AIOOBE
     var s = (b1 & (mask - 1)).toLong
     var i = 1
     while (i < len) { s = (s << 8) | (buf(pos + i) & 0xffL); i += 1 }

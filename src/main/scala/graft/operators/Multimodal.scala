@@ -467,13 +467,14 @@ object Multimodal {
     * user_id). Scan-speed at 100 TB: no shuffle below the final sort. */
   def mmNalCensus(t: Tables): DataFrame = {
     val frame = EbmlFunctions.firstBlock(col("blob"))
-    // graft_nal_stats fuses the three aggregates into the kernel walk —
-    // the HOF form (size/filter/aggregate over graft_nal_units) ran its
-    // lambdas interpreted per array element, +0.8 s at sf0.1
+    // graft_nal_stats fuses the whole census into ONE kernel walk — the
+    // HOF form (size/filter/aggregate over graft_nal_units) ran its
+    // lambdas interpreted per array element (+0.8 s at sf0.1), and a
+    // separate graft_nal_format call re-walked the stream per row
     withNalBlobSorted(t)
       .withColumn("st", call_function("graft_nal_stats", frame))
       .select(col("event_id"),
-        call_function("graft_nal_format", frame).as("format"),
+        col("st.format").as("format"),
         col("st.n_nals").as("n_nals"),
         col("st.n_idr").as("n_idr"),
         col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"))

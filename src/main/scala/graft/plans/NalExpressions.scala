@@ -59,9 +59,10 @@ object NalKernels {
     out.toByteArray
   }
 
-  /** Strip emulation-prevention bytes: a 0x03 directly after 00 00 is
-    * removed (the standard conservative decode — any 00 00 03 loses
-    * the 03). Returns the RBSP length only when `countOnly`. */
+  /** RBSP length of an EBSP range after emulation-prevention removal —
+    * the count-only twin of [[epStrip]]: a 0x03 directly after 00 00 is
+    * dropped (the standard conservative decode — any 00 00 03 loses
+    * the 03), nothing is materialized. */
   def epStripLen(ebsp: Array[Byte], from: Int, until: Int): Int = {
     var zeros = 0
     var n = 0
@@ -144,7 +145,10 @@ object NalKernels {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        if (zeros > 31) throw new IndexOutOfBoundsException
+        // cap at 30: 31 leading zeros makes (1 << 31) - 1 wrap the Int
+        // and an adversarial SPS would parse to garbage instead of the
+        // family's null; every real ue(v) field here is far smaller
+        if (zeros > 30) throw new IndexOutOfBoundsException
       }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }
@@ -342,12 +346,13 @@ object NalKernels {
     new GenericArrayData(rows)
   }
 
-  /** `graft_nal_stats`: the census aggregate fused into one walk —
-    * (n_nals, n_idr, slice_rbsp_bytes) without materializing the
-    * per-NAL array. The HOF form (size/filter/aggregate over
-    * [[nalUnits]]) evaluates its lambdas interpreted per element
-    * (measured +0.8 s over the suite at sf0.1); this computes the same
-    * three numbers inside the kernel loop. */
+  /** `graft_nal_stats`: the census fused into one walk — (format,
+    * n_nals, n_idr, slice_rbsp_bytes) without materializing the per-NAL
+    * array. The HOF form (size/filter/aggregate over [[nalUnits]])
+    * evaluates its lambdas interpreted per element (measured +0.8 s
+    * over the suite at sf0.1), and a separate `graft_nal_format` call
+    * re-ran the whole range walk just to answer annexb/avcc — both
+    * collapse into this single kernel pass. */
   def nalStats(bytes: Array[Byte]): InternalRow = {
     val ranges = nalRanges(bytes)
     if (ranges == null) return null
@@ -364,7 +369,9 @@ object NalKernels {
         sliceBytes += 1 + epStripLen(bytes, s + 1, e)
       i += 1
     }
-    InternalRow(ranges.length.toLong, idr, sliceBytes)
+    InternalRow(
+      UTF8String.fromString(if (isAnnexB(bytes)) "annexb" else "avcc"),
+      ranges.length.toLong, idr, sliceBytes)
   }
 
   /** `graft_sps_dims`: parse the FIRST SPS (type 7) into
@@ -431,9 +438,15 @@ object NalKernels {
         val shc = if (chromaFormatIdc == 1) 2 else 1
         (swc, shc * (2 - frameMbsOnly))
       }
-    val width = (pw + 1) * 16 - cux * (cl + cr)
-    val height = (2 - frameMbsOnly) * (ph + 1) * 16 - cuy * (ct + cb)
-    InternalRow(profile.toLong, level.toLong, width.toLong, height.toLong)
+    // adversarial-value guard: a syntactically-valid SPS can still carry
+    // absurd sizes whose *16 arithmetic would wrap Int — return the
+    // family's null, never garbage dimensions (H.264 level limits cap
+    // real streams orders of magnitude below 2^20 map units)
+    if (pw < 0 || ph < 0 || pw > (1 << 20) || ph > (1 << 20)) return null
+    val width = (pw + 1L) * 16L - cux * (cl.toLong + cr)
+    val height = (2L - frameMbsOnly) * (ph + 1L) * 16L - cuy * (ct.toLong + cb)
+    if (width <= 0L || height <= 0L) return null
+    InternalRow(profile.toLong, level.toLong, width, height)
   }
 }
 
@@ -506,7 +519,8 @@ case class NalFormat(child: Expression) extends UnaryExpression {
 }
 
 /** `graft_nal_stats(blob)` — one-walk census fusion:
-  * struct(n_nals, n_idr, slice_rbsp_bytes); null on unparseable bytes. */
+  * struct(format, n_nals, n_idr, slice_rbsp_bytes); null on
+  * unparseable bytes. */
 case class NalStats(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = NalStats.statsType
@@ -527,6 +541,7 @@ case class NalStats(child: Expression) extends UnaryExpression {
 
 object NalStats {
   val statsType: StructType = StructType(Seq(
+    StructField("format", StringType),
     StructField("n_nals", LongType), StructField("n_idr", LongType),
     StructField("slice_rbsp_bytes", LongType)))
 }

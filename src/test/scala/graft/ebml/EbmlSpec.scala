@@ -144,6 +144,12 @@ class EbmlSpec extends AnyFunSuite {
     val bad = payloadOf(simpleBlockLaced(Seq(frame(10, 1), frame(10, 2)), LaceXiph))
     bad(4 + 1) = 0x7f // inflate the first lace size past the payload
     intercept[EbmlException](blockFrames(bad))
+    // a TRUNCATED EBML size table must also surface as EbmlException
+    // (the documented malformed-lace contract), not an array overrun
+    val ebmlBad = payloadOf(simpleBlockLaced(
+      Seq(frame(300, 1), frame(7, 2), frame(7, 3)), LaceEbml))
+    intercept[EbmlException](blockFrames(ebmlBad.take(6))) // cut mid-vint
+    intercept[EbmlException](blockFrames(Array[Byte]()))   // empty block
     // firstBlock surfaces the FIRST lace of a laced fragment
     val laced = EbmlFunctions.buildFragment(1L, 10L, 2L, 3L, "tags-only")
     val kern = EbmlKernels.firstBlock(laced)

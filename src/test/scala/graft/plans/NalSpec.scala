@@ -97,9 +97,11 @@ class NalSpec extends AnyFunSuite {
       val st = NalKernels.nalStats(es)
       val units = NalKernels.nalUnits(es)
       val rows = (0 until units.numElements).map(i => units.getStruct(i, 3))
-      assert(st.getLong(0) == rows.length.toLong)
-      assert(st.getLong(1) == rows.count(_.getLong(0) == 5L).toLong)
-      assert(st.getLong(2) ==
+      assert(st.getUTF8String(0).toString ==
+        NalKernels.nalFormat(es).toString)
+      assert(st.getLong(1) == rows.length.toLong)
+      assert(st.getLong(2) == rows.count(_.getLong(0) == 5L).toLong)
+      assert(st.getLong(3) ==
         rows.filter(r => r.getLong(0) == 1L || r.getLong(0) == 5L)
           .map(_.getLong(2)).sum)
     }
@@ -197,6 +199,19 @@ class NalSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 1, 0x80.toByte, 1, 2, 3)) == null)
     // truncated SPS: bit reader runs dry -> null
     assert(NalKernels.spsDims(Array[Byte](0, 0, 0, 1, 0x67, 0x42)) == null)
+    // adversarial SPS with an absurd ue-coded width must null, not wrap
+    // to garbage dimensions: 24 leading zeros put pic_width around 2^24
+    // map units, past the plausibility guard
+    val huge = {
+      val w = new NalKernels.BitWriter
+      w.u(66, 8); w.u(0, 8); w.u(30, 8)
+      w.ue(0); w.ue(0); w.ue(2); w.ue(1); w.u(0, 1)
+      w.ue((1 << 24) + 5)                // pic_width_in_mbs_minus1
+      w.ue(1); w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+      w.stop()
+      Array[Byte](0, 0, 0, 1, 0x67) ++ NalKernels.epEscape(w.toBytes, 0)
+    }
+    assert(NalKernels.spsDims(huge) == null)
     // a stream with no SPS has no dims
     assert(NalKernels.spsDims(Array[Byte](0, 0, 0, 1, 0x41, 1, 2, 3)) == null)
   }

@@ -67,13 +67,16 @@ def cost_diff(new_path, old_path):
         if q not in old:
             print(f"{q:32s} COST NEW (no prior ledger row)")
             continue
+        flagged = False
         for key, floor in (("scan_bytes", 1 << 20), ("shuffle_bytes", 1 << 20),
                            ("scan_rows", 100_000), ("shuffle_rows", 100_000)):
             a, b = old[q].get(key, 0), new[q].get(key, 0)
             if b > a * 1.5 and b - a > floor:
-                flags.append(q)
+                flagged = True
                 print(f"{q:32s} COST FLAG {key} {a} -> {b} "
                       f"({b / max(a, 1):.2f}x) -> plan regressed")
+        if flagged:
+            flags.append(q)  # once per query, however many counters moved
         if new[q].get("result_rows") != old[q].get("result_rows"):
             print(f"{q:32s} COST INFO result_rows "
                   f"{old[q].get('result_rows')} -> {new[q].get('result_rows')}")
@@ -84,10 +87,15 @@ def cost_diff(new_path, old_path):
 cost_flags = []
 if "--cost" in args:
     i = args.index("--cost")
+    if len(args) < i + 3:
+        sys.exit("--cost needs two operands: NEW.json OLD.json")
     cost_new, cost_old = args[i + 1], args[i + 2]
     args = args[:i] + args[i + 3:]
     cost_flags = cost_diff(cost_new, cost_old)
-    if not args:  # cost-only invocation
+    # cost-only invocation: no bench artifacts left (a trailing
+    # BASELINE.md alone is not a bench artifact — without this check it
+    # silently fell through to a stale ./bench_out.json)
+    if not [a for a in args if not a.endswith(".md")]:
         print(f"\ncost diff: {len(cost_flags)} flagged")
         sys.exit(1 if cost_flags else 0)
 
@@ -113,11 +121,17 @@ for line in open(base_path):
 mins, sfs = {}, set()
 for bp in bench_paths:
     bench = json.load(open(bp))
-    per_q = bench.get("queries_min") or bench.get("queries")
+    # REQUIRE queries_min: the full bench_out.json always carries it,
+    # while the compact stdout line (round 17) and the driver's
+    # BENCH_r*.json wrappers don't — a fallback to "queries" would
+    # silently accept a compact line whose map holds rounded MEDIANS of
+    # only the top-40 queries and omits failures entirely
+    per_q = bench.get("queries_min")
     if per_q is None:
-        sys.exit(f"{bp}: no 'queries'/'queries_min' key — not a Bench "
-                 "bench_out.json artifact (the driver's BENCH_r*.json "
-                 "wrappers truncate the line; keep copies of bench_out.json)")
+        sys.exit(f"{bp}: no 'queries_min' key — not a full Bench "
+                 "bench_out.json artifact (compact stdout lines and the "
+                 "driver's BENCH_r*.json wrappers are not closeable "
+                 "evidence; keep copies of bench_out.json)")
     sfs.add(bench.get("sf", "?"))
     for q, v in per_q.items():
         # a failed query (-1) must stay flagged even if another run passed
