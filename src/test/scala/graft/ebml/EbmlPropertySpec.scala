@@ -85,4 +85,67 @@ class EbmlPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("laced blocks roundtrip arbitrary frame multisets in every lacing mode") {
+    // frames of 0..600 bytes (crossing the Xiph 255-run boundary and the
+    // 1-vs-2-byte EBML vint/svint widths), 1..8 frames per block; fixed
+    // lacing constrains all frames to the first frame's length
+    val frameGen = for {
+      len <- Gen.frequency(
+        3 -> Gen.chooseNum(0, 40),
+        2 -> Gen.chooseNum(200, 310),   // straddles 255/256/510
+        1 -> Gen.chooseNum(500, 600))
+      seed <- Gen.chooseNum(0, 255)
+    } yield Array.tabulate(len)(i => ((i * 131 + seed) & 0xff).toByte)
+    val blockGen = for {
+      n <- Gen.chooseNum(1, 8)
+      frames <- Gen.listOfN(n, frameGen)
+      mode <- Gen.oneOf(Ebml.LaceXiph, Ebml.LaceEbml, Ebml.LaceFixed)
+    } yield (mode, frames)
+    def payloadOf(block: Array[Byte]): Array[Byte] = {
+      val (_, idLen) = Ebml.readId(block, 0)
+      val (_, szLen) = Ebml.readSize(block, idLen)
+      java.util.Arrays.copyOfRange(block, idLen + szLen, block.length)
+    }
+    samples(blockGen, 300).foreach { case (mode, raw) =>
+      // fixed lacing requires equal frame sizes — conform the multiset
+      val frames =
+        if (mode == Ebml.LaceFixed)
+          raw.map(f => java.util.Arrays.copyOf(raw.head, raw.head.length))
+        else raw
+      val back = Ebml.blockFrames(payloadOf(Ebml.simpleBlockLaced(frames, mode)))
+      assert(back.length == frames.length, s"mode $mode count")
+      frames.zip(back).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b), s"mode $mode frame $i differs")
+      }
+    }
+  }
+
+  test("truncating a laced block at any byte throws EbmlException, never mis-slices or overruns") {
+    val frames = Seq(
+      Array.tabulate(300)(i => (i & 0xff).toByte),
+      Array.tabulate(7)(i => (i * 3 & 0xff).toByte),
+      Array.tabulate(260)(i => (i * 7 & 0xff).toByte))
+    for (mode <- Seq(Ebml.LaceXiph, Ebml.LaceEbml)) {
+      val block = Ebml.simpleBlockLaced(frames, mode)
+      val (_, idLen) = Ebml.readId(block, 0)
+      val (_, szLen) = Ebml.readSize(block, idLen)
+      val payload = java.util.Arrays.copyOfRange(block, idLen + szLen, block.length)
+      val whole = Ebml.blockFrames(payload)
+      assert(whole.length == 3)
+      // cuts INSIDE the last frame parse as a shorter implied-last frame
+      // (format-inherent: the last size is the remainder), so the sweep
+      // covers every cut up to the last frame's data start — header,
+      // size table, declared frames — where the contract demands
+      // EbmlException: no AIOOBE, no silent mis-slice
+      (0 until payload.length - frames.last.length).foreach { cut =>
+        try {
+          Ebml.blockFrames(java.util.Arrays.copyOf(payload, cut))
+          fail(s"mode $mode: truncation at $cut parsed successfully")
+        } catch {
+          case _: Ebml.EbmlException => () // the documented contract
+        }
+      }
+    }
+  }
 }
