@@ -781,16 +781,34 @@ private[graft] object OracleSql {
 
   /** knn_join_sized (E14b executable sizing): the SAME replay with the
     * coarse grid sized by the occupancy rule the Spark side computes at
-    * run time — kCellsFor(n, 256) = ⌈n/256⌉. The correctness gate runs
+    * run time — kCellsFor(n, 64) = ⌈n/64⌉. The correctness gate runs
     * at sf0.01 where embeddings has 500 rows, so the replay pins
-    * kCells = 2; the Spark query derives the same 2 from its own
-    * count() (ScaleSpec pins the sizing function itself across n). */
-  lazy val knnJoinSized: String = knnJoinReplay(kCells = 2)
+    * kCells = 8; the Spark query derives the same 8 from its own
+    * count() (SimilaritySpec pins the sizing function itself across n).
+    * The pin is GUARDED, not assumed: a sfguard CTE fails the oracle
+    * loudly (DuckDB error()) when the corpus is outside 449..512 rows —
+    * a gate run at any other scale factor errs instead of silently
+    * comparing against the wrong replay. Occupancy 64 (not the library
+    * default 256) keeps the sized fixture's grid DIVERGENT from
+    * knn_join's fixed 8 cells at the bench SF: sf0.1's 2,000 vectors
+    * give 32 cells (≈4× fewer candidates), sf1's 20,000 give 313. */
+  lazy val knnJoinSized: String =
+    knnJoinReplay(kCells = 8, corpusGuard = Some((449L, 512L)))
 
-  private def knnJoinReplay(kCells: Int): String = materialized {
+  private def knnJoinReplay(kCells: Int,
+      corpusGuard: Option[(Long, Long)] = None): String = materialized {
     val h = lloydReplayCtes(k = kCells, iters = 3, eps = "1e-9", dim = 64,
       buckets = 4096)
-    s"""${h.ctes},
+    val guardCte = corpusGuard.map { case (lo, hi) =>
+      s"""
+    sfguard AS (SELECT CASE WHEN (SELECT count(*) FROM embeddings)
+        BETWEEN $lo AND $hi THEN 1 ELSE cast(error(
+          'knn_join_sized oracle is pinned at kCells=$kCells ($lo-$hi corpus rows, occupancy 64); gate ran at another scale factor') as int)
+        END AS ok),"""
+    }.getOrElse("")
+    val guardPred = corpusGuard
+      .map(_ => " AND (SELECT ok FROM sfguard) = 1").getOrElse("")
+    s"""${h.ctes},$guardCte
     asgf AS (SELECT vec_id AS n_id, cid AS cell, v AS v_n, norm AS norm_n FROM (
         SELECT n.vec_id, f.cid, n.v, n.norm, ${h.dist("f.c")} AS d,
           row_number() OVER (PARTITION BY n.vec_id ORDER BY d, cid) AS rn
@@ -808,7 +826,7 @@ private[graft] object OracleSql {
       SELECT q_id, n_id, cos,
         cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) as bigint) AS rnk
       FROM cand)
-    WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    WHERE rnk <= 3$guardPred ORDER BY q_id, rnk"""
   }
 
   /** ivf_sq8_topk: the E8b composite replayed — the coarse Lloyd fit

@@ -221,12 +221,15 @@ object SparkEntry {
     // join (the all-rows form of IVF search)
     "knn_join" -> ((s, d) => Similarity.knnJoin(tables(s, d))),
     // E14b: the deploy-shape sized form — kCells from the occupancy
-    // rule (⌈n/256⌉, one count job), so candidate volume stays linear
+    // rule (⌈n/64⌉, one count job), so candidate volume stays linear
     // as the corpus grows; the fixed-kCells fixture above stays as the
-    // documented quadratic-by-construction recall tier
+    // documented quadratic-by-construction recall tier. Occupancy 64
+    // keeps the sized grid divergent from knn_join's fixed 8 cells at
+    // the bench SF (sf0.1 → 32 cells) while landing exactly 8 at the
+    // sf0.01 gate, where the oracle's sfguard pins (and verifies) it
     "knn_join_sized" -> ((s, d) =>
       Similarity.knnJoinSized(tables(s, d).embeddings, k = 3, nprobe = 2,
-        iters = 3)),
+        iters = 3, targetOccupancy = 64L)),
     // E15: metadata-filtered top-k — the predicate applies BEFORE the
     // ranking (pre-filter semantics), pushed into the corpus scan
     "ann_filtered_topk" ->
@@ -269,6 +272,17 @@ object SparkEntry {
     "mm_sps_dims" -> ((s, d) => Multimodal.mmSpsDims(tables(s, d))),
     // G17b: the census applied — IDR fragments numbered per stream
     "mm_keyframe_index" -> ((s, d) => Multimodal.mmKeyframeIndex(tables(s, d))),
+    // G19/G20: the HEVC twins — 2-byte NAL header census (IRAP 16-23)
+    // and the profile_tier_level + conformance-window SPS parse
+    "mm_hevc_census" -> ((s, d) => Multimodal.mmHevcCensus(tables(s, d))),
+    "mm_hevc_sps" -> ((s, d) => Multimodal.mmHevcSps(tables(s, d))),
+    // G21/G23: OUT-OF-BAND codec config from the Tracks element's
+    // CodecPrivate — avcC SPS/PPS (slices-only in-band stream) and the
+    // AAC AudioSpecificConfig
+    "mm_avcc_sps" -> ((s, d) => Multimodal.mmAvccSps(tables(s, d))),
+    "mm_aac_asc" -> ((s, d) => Multimodal.mmAacAsc(tables(s, d))),
+    // G22: P/B/I GOP census from PPS + slice-header parse
+    "mm_gop_census" -> ((s, d) => Multimodal.mmGopCensus(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2180,6 +2194,70 @@ object SparkEntry {
           cast(10 * (1 + event_id % 4) as bigint) AS level_idc,
           cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
           cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G19/G20 HEVC ramp-arithmetic oracles (the G17/G18 pattern): the
+    // VPS adds one NAL over H.264 (4 + slices), slice rbsp_len is the
+    // constant 16 = 2-byte header + 8 payload + 6 pre-EP trailer bytes
+    // (HevcKernels.SliceRbspLen), and the SPS geometry subtracts the
+    // conformance window in 4:2:0 chroma units (×2)
+    "mm_hevc_census" ->
+      """SELECT event_id,
+          CASE WHEN event_id % 2 = 0 THEN 'annexb' ELSE 'hvcc' END AS format,
+          cast(4 + event_id % 3 as bigint) AS n_nals,
+          cast(CASE WHEN event_id % 4 = 0 THEN 1 + event_id % 3 ELSE 0 END
+            as bigint) AS n_irap,
+          cast(16 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes
+        FROM events ORDER BY event_id""",
+    "mm_hevc_sps" ->
+      """SELECT event_id,
+          cast(1 + user_id % 2 as bigint) AS profile_idc,
+          cast(60 + 30 * (event_id % 4) as bigint) AS level_idc,
+          cast(8 * (8 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(8 * (8 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G21: the SAME SPS arithmetic as mm_sps_dims, but the fixture's
+    // in-band stream is slices-only — only the Tracks/CodecPrivate avcC
+    // path can produce these dims, so the hash proves the out-of-band
+    // parse (container walk ∘ avcC ∘ EP strip ∘ Exp-Golomb)
+    "mm_avcc_sps" ->
+      """SELECT event_id,
+          'V_MPEG4/ISO/AVC' AS codec_id,
+          cast(66 + 11 * (user_id % 2) as bigint) AS profile_idc,
+          cast(10 * (1 + event_id % 4) as bigint) AS level_idc,
+          cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G22: closed-form replay of the GOP ladder — m = 1 + e%4 frames
+    // beyond the I anchor; P where (i + u) % 3 == 0 for i in 1..m, so
+    // with r = the smallest such i (in 1..3), n_p = ⌊(m-r)/3⌋ + 1 when
+    // m >= r; frame_num = i mod 16 peaks at m (m <= 4 < 16)
+    "mm_gop_census" ->
+      """SELECT event_id,
+          cast(2 + event_id % 4 as bigint) AS n_slices,
+          cast(1 as bigint) AS n_i,
+          cast(CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_p,
+          cast(m - CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_b,
+          cast(m as bigint) AS max_frame_num
+        FROM (SELECT event_id, 1 + event_id % 4 AS m,
+                CASE WHEN user_id % 3 = 0 THEN 3
+                     ELSE 3 - user_id % 3 END AS r
+              FROM events)
+        ORDER BY event_id""",
+    // G23: ISO 14496-3 Table 1.16 rate lookup replayed as a CASE over
+    // the generator's samplingFrequencyIndex = event_id % 13
+    "mm_aac_asc" ->
+      """SELECT event_id,
+          'A_AAC' AS codec_id,
+          cast(2 + user_id % 3 as bigint) AS object_type,
+          cast(CASE event_id % 13
+            WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+            WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+            WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+            WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+            WHEN 12 THEN 7350 END as bigint) AS sample_rate,
+          cast(1 + event_id % 2 as bigint) AS channels
         FROM events ORDER BY event_id""",
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_resize" -> OracleSql.mmResize,

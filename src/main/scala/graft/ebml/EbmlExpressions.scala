@@ -117,6 +117,30 @@ object EbmlKernels {
       frame: Array[Byte]): Array[Byte] =
     EbmlFunctions.buildFragmentFrame(eventId, tsMs, userId, valueC,
       if (frame == null) Array.emptyByteArray else frame)
+
+  def encodeTrack(eventId: Long, tsMs: Long, userId: Long, valueC: Long,
+      codecId: UTF8String, codecPrivate: Array[Byte],
+      frame: Array[Byte]): Array[Byte] =
+    EbmlFunctions.buildFragmentTrack(eventId, tsMs, userId, valueC,
+      if (codecId == null) "" else codecId.toString,
+      if (codecPrivate == null) Array.emptyByteArray else codecPrivate,
+      if (frame == null) Array.emptyByteArray else frame)
+
+  private val TrackLeaves = Set("CodecID", "CodecPrivate")
+
+  /** First TrackEntry's (codec_id, codec_private); null when the
+    * fragment has neither leaf (no Tracks element). The filtered walk
+    * skips every other leaf by size — media payloads are never read. */
+  def trackInfo(blob: Array[Byte]): InternalRow = {
+    var cid: UTF8String = null
+    var cp: Array[Byte] = null
+    Ebml.elements(blob, TrackLeaves).foreach { e =>
+      if (e.name == "CodecID" && cid == null && e.stringValue != null)
+        cid = u8(e.stringValue)
+      else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
+    }
+    if (cid == null && cp == null) null else InternalRow(cid, cp)
+  }
 }
 
 object EbmlExpressions {
@@ -135,6 +159,69 @@ object EbmlExpressions {
   val sliceType: StructType = StructType(Seq(
     StructField("position", LongType),
     StructField("fragment", BinaryType)))
+
+  val trackInfoType: StructType = StructType(Seq(
+    StructField("codec_id", StringType),
+    StructField("codec_private", BinaryType)))
+}
+
+/** blob → struct(codec_id, codec_private) of the first TrackEntry;
+  * null when the fragment has no Tracks element. */
+case class EbmlTrackExpr(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = EbmlExpressions.trackInfoType
+  override def prettyName: String = "ebml_track_info"
+  override def nullSafeEval(b: Any): Any =
+    EbmlKernels.trackInfo(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ebml.EbmlKernels.trackInfo($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(
+      newChild: Expression): EbmlTrackExpr =
+    copy(child = newChild)
+}
+
+/** [[EbmlEncodeFrameExpr]] with a Tracks element: children are
+  * (event_id, ts_ms, user_id, value_cents, codec_id, codec_private,
+  * frame) — the out-of-band codec-configuration fragment shape. */
+case class EbmlEncodeTrackExpr(children: Seq[Expression]) extends Expression {
+  override def nullable: Boolean = children.take(4).exists(_.nullable)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ebml_encode_fragment_track"
+  override def eval(input: InternalRow): Any = {
+    val e = children(0).eval(input)
+    val t = children(1).eval(input)
+    val u = children(2).eval(input)
+    val v = children(3).eval(input)
+    if (e == null || t == null || u == null || v == null) null
+    else EbmlKernels.encodeTrack(
+      e.asInstanceOf[Long], t.asInstanceOf[Long], u.asInstanceOf[Long],
+      v.asInstanceOf[Long], children(4).eval(input).asInstanceOf[UTF8String],
+      children(5).eval(input).asInstanceOf[Array[Byte]],
+      children(6).eval(input).asInstanceOf[Array[Byte]])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val anyNull = gens.take(4).map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      ${gens.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      byte[] ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.ebml.EbmlKernels.encodeTrack(
+          ${gens(0).value}, ${gens(1).value}, ${gens(2).value}, ${gens(3).value},
+          ${gens(4).isNull} ? null : ${gens(4).value},
+          ${gens(5).isNull} ? null : ${gens(5).value},
+          ${gens(6).isNull} ? null : ${gens(6).value});
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): EbmlEncodeTrackExpr =
+    copy(children = newChildren)
 }
 
 /** blob → the 9-string AWS tag struct. */

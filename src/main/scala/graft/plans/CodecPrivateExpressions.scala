@@ -1,0 +1,229 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Out-of-band codec configuration parsing (SURVEY §2 G21/G23) — the
+  * container half the round-17 NAL layer left open: real AVCC/MKV
+  * streams do NOT carry SPS/PPS in-band; they ride the Tracks element's
+  * CodecPrivate (the reference's EBML table lists CodecID/CodecPrivate
+  * at ebml.py:47-48 and libav reads parameter sets from there
+  * implicitly). Two public-spec blobs:
+  *
+  *   - avcC (ISO 14496-15 §5.2.4.1.1, CodecID `V_MPEG4/ISO/AVC`):
+  *     configurationVersion / profile / level bytes, lengthSizeMinusOne,
+  *     then length-prefixed SPS and PPS NALs — the SPS parses through
+  *     the SAME Exp-Golomb reader as the in-band G18 path
+  *     ([[NalKernels.parseSps]]), emulation prevention included;
+  *   - AAC AudioSpecificConfig (ISO 14496-3 §1.6.2.1, CodecID `A_AAC`):
+  *     5-bit audioObjectType (31-escape per the spec), 4-bit
+  *     samplingFrequencyIndex (15 → explicit 24-bit rate), 4-bit
+  *     channelConfiguration.
+  *
+  * Same oracle pattern as the G17/G18 family: the builders derive every
+  * field arithmetically from (event_id, user_id), so the DuckDB oracle
+  * recomputes profile/level/width/height (avcC ∘ EP strip ∘ Exp-Golomb)
+  * and object/rate/channels (ASC bit unpack) from the raw columns. All
+  * kernels are per-row codegen statics (H4). */
+object CodecPrivateKernels {
+  import NalKernels.{BitReader, epStrip}
+
+  // ---- avcC (ISO 14496-15 §5.2.4.1.1) ----------------------------------
+
+  /** Build the avcC CodecPrivate blob for the generator's cell: the
+    * SAME SPS/PPS NALs the in-band encoder writes ([[NalKernels
+    * .spsNal]]/[[NalKernels.ppsNal]]), length-prefixed per the spec;
+    * profile/compat/level bytes mirror the SPS head, lengthSize 4. */
+  def avccEncode(eventId: Long, userId: Long): Array[Byte] = {
+    val sps = NalKernels.spsNal(eventId, userId)
+    val pps = NalKernels.ppsNal()
+    val out = new java.io.ByteArrayOutputStream(sps.length + pps.length + 11)
+    out.write(1)                          // configurationVersion
+    out.write((66 + 11 * (userId % 2)).toInt) // AVCProfileIndication
+    out.write(0)                          // profile_compatibility
+    out.write((10 * (1 + eventId % 4)).toInt) // AVCLevelIndication
+    out.write(0xfc | 3)                   // reserved + lengthSizeMinusOne
+    out.write(0xe0 | 1)                   // reserved + numOfSPS
+    out.write((sps.length >>> 8) & 0xff); out.write(sps.length & 0xff)
+    out.write(sps, 0, sps.length)
+    out.write(1)                          // numOfPPS
+    out.write((pps.length >>> 8) & 0xff); out.write(pps.length & 0xff)
+    out.write(pps, 0, pps.length)
+    out.toByteArray
+  }
+
+  /** `graft_avcc_sps`: parse an avcC blob's FIRST SPS into
+    * struct(profile_idc, level_idc, width, height) — the G18 struct,
+    * decoded by the G18 reader after the length-prefix walk and EP
+    * strip. Null on anything malformed: wrong configurationVersion, a
+    * length overrunning the blob, zero SPS entries, a non-SPS NAL in
+    * the SPS slot, or an SPS that does not parse. */
+  def avccSpsDims(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 8) return null
+    if ((bytes(0) & 0xff) != 1) return null // configurationVersion
+    val numSps = bytes(5) & 0x1f
+    if (numSps < 1) return null
+    val len = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
+    val s = 8
+    val e = s + len
+    if (len < 2 || e > bytes.length) return null
+    val h = bytes(s) & 0xff
+    if ((h & 0x80) != 0 || (h & 0x1f) != 7) return null
+    try NalKernels.parseSps(epStrip(bytes, s + 1, e))
+    catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  // ---- AAC AudioSpecificConfig (ISO 14496-3 §1.6.2.1) -------------------
+
+  /** Table 1.16 sampling rates by samplingFrequencyIndex. */
+  private[plans] val AacRates: Array[Int] = Array(
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Build the 2-byte ASC for the generator's cell:
+    *   object_type = 2 + user_id % 3   (AAC LC / SSR / LTP)
+    *   freq index  = event_id % 13     (the 13 defined table rows)
+    *   channels    = 1 + event_id % 2  (mono / stereo)
+    * plus the three GASpecificConfig flag bits (all 0). */
+  def aacAscEncode(eventId: Long, userId: Long): Array[Byte] = {
+    val w = new NalKernels.BitWriter
+    w.u((2 + userId % 3).toInt, 5)  // audioObjectType
+    w.u((eventId % 13).toInt, 4)    // samplingFrequencyIndex
+    w.u((1 + eventId % 2).toInt, 4) // channelConfiguration
+    w.u(0, 3) // GASpecificConfig: frameLength/dependsOnCore/extension
+    w.toBytes // 16 bits exactly — byte-aligned by construction
+  }
+
+  /** `graft_aac_asc`: decode an AudioSpecificConfig into
+    * struct(object_type, sample_rate, channels) — the 31-escape and the
+    * explicit-rate (index 15) branches handled per the spec; null on a
+    * truncated blob or a reserved frequency index (13/14). */
+  def aacAsc(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 2) return null
+    try {
+      val r = new BitReader(bytes)
+      var objectType = r.u(5)
+      if (objectType == 31) objectType = 32 + r.u(6)
+      val freqIndex = r.u(4)
+      val rate =
+        if (freqIndex == 15) r.u(24)
+        else if (freqIndex < AacRates.length) AacRates(freqIndex)
+        else return null // 13/14 reserved
+      val channels = r.u(4)
+      InternalRow(objectType.toLong, rate.toLong, channels.toLong)
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+}
+
+/** `graft_avcc_encode(event_id, user_id)` — the deterministic avcC
+  * CodecPrivate blob (out-of-band SPS/PPS for the G21 fixture). */
+case class AvccEncode(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avcc_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.avccEncode(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CodecPrivateKernels.avccEncode($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AvccEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_avcc_sps(blob)` — avcC → first out-of-band SPS →
+  * struct(profile_idc, level_idc, width, height); null on malformed
+  * blobs (the family's contract). */
+case class AvccSps(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = SpsDims.dimsType
+  override def prettyName: String = "graft_avcc_sps"
+
+  override def nullSafeEval(a: Any): Any =
+    CodecPrivateKernels.avccSpsDims(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.avccSpsDims($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): AvccSps =
+    copy(child = newChild)
+}
+
+/** `graft_aac_asc_encode(event_id, user_id)` — the deterministic
+  * AudioSpecificConfig blob (the G23 fixture's CodecPrivate). */
+case class AacAscEncode(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_aac_asc_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.aacAscEncode(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CodecPrivateKernels.aacAscEncode($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AacAscEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_aac_asc(blob)` — AudioSpecificConfig →
+  * struct(object_type, sample_rate, channels); null on malformed
+  * blobs. */
+case class AacAsc(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = AacAsc.ascType
+  override def prettyName: String = "graft_aac_asc"
+
+  override def nullSafeEval(a: Any): Any =
+    CodecPrivateKernels.aacAsc(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.aacAsc($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): AacAsc =
+    copy(child = newChild)
+}
+
+object AacAsc {
+  val ascType: StructType = StructType(Seq(
+    StructField("object_type", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType)))
+}
+
+/** `graft_h264_encode_slices(event_id, user_id)` — the slices-only
+  * elementary stream (no in-band SPS/PPS; parameter sets travel in the
+  * avcC CodecPrivate — the real AVCC track shape). */
+case class H264EncodeSlices(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_h264_encode_slices"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NalKernels.h264EncodeSlices(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NalKernels.h264EncodeSlices($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): H264EncodeSlices =
+    copy(left = newLeft, right = newRight)
+}

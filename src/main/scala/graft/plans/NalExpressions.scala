@@ -162,8 +162,9 @@ object NalKernels {
 
   /** Fixed pre-EP slice trailer: contains both 00 00 01 (a fake start
     * code) and 00 00 03 (an EP-ambiguous tail), so every slice forces
-    * emulation prevention on encode and strip on decode. */
-  private val SliceTrailer =
+    * emulation prevention on encode and strip on decode. Shared with
+    * the HEVC twin ([[HevcKernels]]) — same adversarial bytes. */
+  private[plans] val SliceTrailer =
     Array[Byte](0x00, 0x00, 0x01, 0x00, 0x00, 0x03)
 
   /** RBSP length (header byte + EP-stripped payload) of every slice
@@ -181,60 +182,77 @@ object NalKernels {
     *   slices        = 1 + event_id % 3, all IDR iff event_id % 4 == 0
     * NALs: SPS, PPS, then the slices; slice payloads are 8
     * mix64-derived bytes plus the EP-forcing trailer. */
-  def h264Encode(eventId: Long, userId: Long): Array[Byte] = {
+  def h264Encode(eventId: Long, userId: Long): Array[Byte] =
+    assemble(eventId,
+      spsNal(eventId, userId) +: ppsNal() +: sliceNals(eventId))
+
+  /** Slices-only elementary stream — the shape a real AVCC track ships
+    * when SPS/PPS travel out-of-band in the container's CodecPrivate
+    * (ISO 14496-15; MKV Tracks → CodecPrivate carries the avcC blob,
+    * ebml.py:47-48): NO type-7/8 NAL in-band. Same container rule and
+    * slice bytes as [[h264Encode]]. */
+  def h264EncodeSlices(eventId: Long, userId: Long): Array[Byte] =
+    assemble(eventId, sliceNals(eventId))
+
+  /** The on-wire SPS NAL (header 0x67 + EP-escaped RBSP) for the
+    * generator's (event_id, user_id) cell — §7.3.2.1.1, profiles 66/77
+    * carry no chroma/bit-depth block. Shared by the in-band encoder and
+    * the avcC CodecPrivate builder ([[CodecPrivateKernels]]). */
+  private[plans] def spsNal(eventId: Long, userId: Long): Array[Byte] = {
     val profile = (66 + 11 * (userId % 2)).toInt
     val level = (10 * (1 + eventId % 4)).toInt
     val wMbs = (4 + userId % 4).toInt
     val hMbs = (4 + eventId % 4).toInt
     val cropR = (eventId % 2).toInt
     val cropB = (userId % 2).toInt
+    val w = new BitWriter
+    w.u(profile, 8)
+    w.u(0, 8)      // constraint_set flags + reserved_zero_2bits
+    w.u(level, 8)
+    w.ue(0)        // seq_parameter_set_id
+    w.ue(0)        // log2_max_frame_num_minus4
+    w.ue(2)        // pic_order_cnt_type (2: no further POC fields)
+    w.ue(1)        // max_num_ref_frames
+    w.u(0, 1)      // gaps_in_frame_num_value_allowed_flag
+    w.ue(wMbs - 1) // pic_width_in_mbs_minus1
+    w.ue(hMbs - 1) // pic_height_in_map_units_minus1
+    w.u(1, 1)      // frame_mbs_only_flag
+    w.u(1, 1)      // direct_8x8_inference_flag
+    w.u(1, 1)      // frame_cropping_flag
+    w.ue(0)        // frame_crop_left_offset
+    w.ue(cropR)    // frame_crop_right_offset
+    w.ue(0)        // frame_crop_top_offset
+    w.ue(cropB)    // frame_crop_bottom_offset
+    w.u(0, 1)      // vui_parameters_present_flag
+    w.stop()
+    nal(0x67, w.toBytes) // ref_idc 3, type 7
+  }
+
+  /** The on-wire PPS NAL — §7.3.2.2, minimal CAVLC single-slice-group
+    * form; constant across the generator's cells. */
+  private[plans] def ppsNal(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)        // pic_parameter_set_id
+    w.ue(0)        // seq_parameter_set_id
+    w.u(0, 1)      // entropy_coding_mode_flag (CAVLC)
+    w.u(0, 1)      // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)        // num_slice_groups_minus1
+    w.ue(0)        // num_ref_idx_l0_default_active_minus1
+    w.ue(0)        // num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)      // weighted_pred_flag
+    w.u(0, 2)      // weighted_bipred_idc
+    w.ue(0)        // pic_init_qp_minus26 (se(0) == ue(0) bits)
+    w.ue(0)        // pic_init_qs_minus26
+    w.ue(0)        // chroma_qp_index_offset
+    w.u(0, 3)      // deblocking/constrained-intra/redundant-pic flags
+    w.stop()
+    nal(0x68, w.toBytes) // ref_idc 3, type 8
+  }
+
+  private def sliceNals(eventId: Long): Seq[Array[Byte]] = {
     val nSlices = (1 + eventId % 3).toInt
     val idr = eventId % 4 == 0
-
-    // SPS (§7.3.2.1.1), profiles 66/77: no chroma/bit-depth block
-    val sps = {
-      val w = new BitWriter
-      w.u(profile, 8)
-      w.u(0, 8)      // constraint_set flags + reserved_zero_2bits
-      w.u(level, 8)
-      w.ue(0)        // seq_parameter_set_id
-      w.ue(0)        // log2_max_frame_num_minus4
-      w.ue(2)        // pic_order_cnt_type (2: no further POC fields)
-      w.ue(1)        // max_num_ref_frames
-      w.u(0, 1)      // gaps_in_frame_num_value_allowed_flag
-      w.ue(wMbs - 1) // pic_width_in_mbs_minus1
-      w.ue(hMbs - 1) // pic_height_in_map_units_minus1
-      w.u(1, 1)      // frame_mbs_only_flag
-      w.u(1, 1)      // direct_8x8_inference_flag
-      w.u(1, 1)      // frame_cropping_flag
-      w.ue(0)        // frame_crop_left_offset
-      w.ue(cropR)    // frame_crop_right_offset
-      w.ue(0)        // frame_crop_top_offset
-      w.ue(cropB)    // frame_crop_bottom_offset
-      w.u(0, 1)      // vui_parameters_present_flag
-      w.stop()
-      nal(0x67, w.toBytes) // ref_idc 3, type 7
-    }
-    // PPS (§7.3.2.2), minimal CAVLC single-slice-group form
-    val pps = {
-      val w = new BitWriter
-      w.ue(0)        // pic_parameter_set_id
-      w.ue(0)        // seq_parameter_set_id
-      w.u(0, 1)      // entropy_coding_mode_flag (CAVLC)
-      w.u(0, 1)      // bottom_field_pic_order_in_frame_present_flag
-      w.ue(0)        // num_slice_groups_minus1
-      w.ue(0)        // num_ref_idx_l0_default_active_minus1
-      w.ue(0)        // num_ref_idx_l1_default_active_minus1
-      w.u(0, 1)      // weighted_pred_flag
-      w.u(0, 2)      // weighted_bipred_idc
-      w.ue(0)        // pic_init_qp_minus26 (se(0) == ue(0) bits)
-      w.ue(0)        // pic_init_qs_minus26
-      w.ue(0)        // chroma_qp_index_offset
-      w.u(0, 3)      // deblocking/constrained-intra/redundant-pic flags
-      w.stop()
-      nal(0x68, w.toBytes) // ref_idc 3, type 8
-    }
-    val slices = (0 until nSlices).map { i =>
+    (0 until nSlices).map { i =>
       val payload = new Array[Byte](8 + SliceTrailer.length)
       val r = graft.functions.Hashing.mix64(eventId * 131L + i)
       var j = 0
@@ -242,10 +260,13 @@ object NalKernels {
       System.arraycopy(SliceTrailer, 0, payload, 8, SliceTrailer.length)
       nal(if (idr) 0x65 else 0x41, payload) // type 5 ref 3 / type 1 ref 2
     }
-    val nals = sps +: pps +: slices
+  }
+
+  private[plans] def assemble(eventId: Long,
+      nals: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(256)
     if (eventId % 2 == 0) {
-      // Annex-B: 4-byte start code before the SPS (the common
+      // Annex-B: 4-byte start code before the first NAL (the common
       // stream-head form), 3-byte before every following NAL
       nals.zipWithIndex.foreach { case (n, i) =>
         if (i == 0) out.write(0)
@@ -263,8 +284,9 @@ object NalKernels {
     out.toByteArray
   }
 
-  /** One on-wire NAL: header byte + EP-escaped payload. */
-  private def nal(header: Int, rbspPayload: Array[Byte]): Array[Byte] = {
+  /** One on-wire NAL: header byte + EP-escaped payload. Shared with
+    * the GOP-census generator ([[GopKernels]]). */
+  private[plans] def nal(header: Int, rbspPayload: Array[Byte]): Array[Byte] = {
     val esc = epEscape(rbspPayload, 0)
     val out = new Array[Byte](1 + esc.length)
     out(0) = header.toByte
@@ -275,8 +297,10 @@ object NalKernels {
   // ---- decoders ---------------------------------------------------------
 
   /** (start, end) byte ranges of each NAL in the buffer, or null when
-    * the buffer is not a parseable Annex-B / AVCC stream. */
-  private def nalRanges(bytes: Array[Byte]): Array[(Int, Int)] = {
+    * the buffer is not a parseable Annex-B / length-prefixed stream.
+    * Codec-agnostic (the scan layer is identical for H.264 AVCC and
+    * H.265 hvcC) — shared with [[HevcKernels]]. */
+  private[plans] def nalRanges(bytes: Array[Byte]): Array[(Int, Int)] = {
     if (bytes == null || bytes.length < 5) return null
     val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)](8)
     if (isAnnexB(bytes)) {
@@ -287,13 +311,24 @@ object NalKernels {
       var nalStart = -1
       while (i + 2 < bytes.length) {
         if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
-          if (nalStart >= 0) out += ((nalStart, trimZeros(bytes, nalStart, i)))
+          if (nalStart >= 0) {
+            val e = trimZeros(bytes, nalStart, i)
+            // two adjacent start codes bound an EMPTY NAL — malformed,
+            // the family's null, never a header read on a garbage byte
+            if (e <= nalStart) return null
+            out += ((nalStart, e))
+          }
           nalStart = i + 3
           i += 3
         } else i += 1
       }
       if (nalStart < 0) return null
-      out += ((nalStart, trimZeros(bytes, nalStart, bytes.length)))
+      val e = trimZeros(bytes, nalStart, bytes.length)
+      // a buffer ENDING with a start code leaves an empty trailing range
+      // (nalStart == bytes.length) — null, not an out-of-bounds read in
+      // nalUnits/nalStats/spsDims
+      if (e <= nalStart) return null
+      out += ((nalStart, e))
     } else {
       var i = 0
       while (i < bytes.length) {
@@ -397,7 +432,9 @@ object NalKernels {
   private val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
-  private def parseSps(rbsp: Array[Byte]): InternalRow = {
+  /** Shared with the avcC CodecPrivate path ([[CodecPrivateKernels]]):
+    * out-of-band parameter sets parse through the SAME reader. */
+  private[plans] def parseSps(rbsp: Array[Byte]): InternalRow = {
     val r = new BitReader(rbsp)
     val profile = r.u(8)
     r.u(8) // constraint flags + reserved

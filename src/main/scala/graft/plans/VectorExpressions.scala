@@ -629,6 +629,26 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => NalStats(exprs.head)),
     ("graft_sps_dims", classOf[SpsDims],
       (exprs: Seq[Expression]) => SpsDims(exprs.head)),
+    ("graft_hevc_encode", classOf[HevcEncode],
+      (exprs: Seq[Expression]) => HevcEncode(exprs.head, exprs(1))),
+    ("graft_hevc_stats", classOf[HevcStats],
+      (exprs: Seq[Expression]) => HevcStats(exprs.head)),
+    ("graft_hevc_sps", classOf[HevcSpsDims],
+      (exprs: Seq[Expression]) => HevcSpsDims(exprs.head)),
+    ("graft_h264_encode_slices", classOf[H264EncodeSlices],
+      (exprs: Seq[Expression]) => H264EncodeSlices(exprs.head, exprs(1))),
+    ("graft_avcc_encode", classOf[AvccEncode],
+      (exprs: Seq[Expression]) => AvccEncode(exprs.head, exprs(1))),
+    ("graft_avcc_sps", classOf[AvccSps],
+      (exprs: Seq[Expression]) => AvccSps(exprs.head)),
+    ("graft_aac_asc_encode", classOf[AacAscEncode],
+      (exprs: Seq[Expression]) => AacAscEncode(exprs.head, exprs(1))),
+    ("graft_aac_asc", classOf[AacAsc],
+      (exprs: Seq[Expression]) => AacAsc(exprs.head)),
+    ("graft_h264_gop_encode", classOf[H264GopEncode],
+      (exprs: Seq[Expression]) => H264GopEncode(exprs.head, exprs(1))),
+    ("graft_gop_census", classOf[GopCensus],
+      (exprs: Seq[Expression]) => GopCensus(exprs.head)),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
     ("graft_wav_gain", classOf[WavGain],

@@ -492,9 +492,10 @@ object EventStreams {
     * (`graft_nal_stats`, the G17 kernel) and only IDR-carrying
     * fragments reach the keyed state, which is ONE long per stream —
     * the running keyframe count. Emission order inside a micro-batch
-    * follows the batch form's (ts_ms, event_id) total order (the
-    * taggedAssociation in-order-arrival contract), so stream ≡ batch
-    * numbering on any batch split of an in-order stream. The non-IDR
+    * follows the batch form's event_id order (mmKeyframeIndex windows
+    * by event_id ALONE — fragment numbers are the stream's total
+    * order), so stream ≡ batch numbering on any batch split of an
+    * in-order stream even where ts_ms is not monotone with event_id. The non-IDR
     * majority is dropped BEFORE the shuffle — the same
     * keyframes-only-cross-the-exchange shape as the batch query. */
   def keyframeIndexStream(fragments: DataFrame): Dataset[KeyframeIndexed] = {
@@ -517,7 +518,7 @@ object EventStreams {
         (uid: Long, rows: Iterator[(Long, Long, Long)],
             state: GroupState[Long]) =>
           var n = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+          val out = rows.toSeq.sortBy(_._2).map { r =>
             n += 1
             KeyframeIndexed(uid, r._2, r._3, n)
           }

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Out-of-band codec configuration (G21/G23): avcC and AAC-ASC kernel
+  * properties plus the Tracks/CodecPrivate container plumbing. The
+  * Spark pipelines (mm_avcc_sps / mm_aac_asc) are pinned by the DuckDB
+  * ramp oracles; these pin the kernels and the fixture's defining
+  * property — parameter sets travel ONLY in the container. */
+class CodecPrivateSpec extends AnyFunSuite {
+  import graft.ebml.EbmlFunctions
+
+  test("avcC round-trips the G18 SPS arithmetic for every generator cell") {
+    for (eventId <- 0L to 15L; userId <- 0L to 7L) {
+      val d = CodecPrivateKernels.avccSpsDims(
+        CodecPrivateKernels.avccEncode(eventId, userId))
+      assert(d != null)
+      assert(d.getLong(0) == 66 + 11 * (userId % 2))
+      assert(d.getLong(1) == 10 * (1 + eventId % 4))
+      assert(d.getLong(2) == 16 * (4 + userId % 4) - 2 * (eventId % 2))
+      assert(d.getLong(3) == 16 * (4 + eventId % 4) - 2 * (userId % 2))
+    }
+  }
+
+  test("the G21 fixture's in-band stream carries NO parameter sets (the judge's done condition)") {
+    for (eventId <- 0L to 11L; userId <- Seq(0L, 3L)) {
+      val es = NalKernels.h264EncodeSlices(eventId, userId)
+      // in-band SPS parse must find nothing …
+      assert(NalKernels.spsDims(es) == null)
+      // … while the stream itself stays a valid slices-only census
+      val st = NalKernels.nalStats(es)
+      assert(st != null && st.getLong(1) == 1 + eventId % 3)
+      val units = NalKernels.nalUnits(es)
+      for (i <- 0 until units.numElements) {
+        val tpe = units.getStruct(i, 3).getLong(0)
+        assert(tpe == 1L || tpe == 5L, s"non-slice NAL $tpe in-band")
+      }
+    }
+  }
+
+  test("malformed avcC blobs return null, never throw") {
+    val good = CodecPrivateKernels.avccEncode(2L, 3L)
+    assert(CodecPrivateKernels.avccSpsDims(null) == null)
+    assert(CodecPrivateKernels.avccSpsDims(Array[Byte](1, 2)) == null)
+    // wrong configurationVersion
+    val badVer = good.clone(); badVer(0) = 2
+    assert(CodecPrivateKernels.avccSpsDims(badVer) == null)
+    // zero SPS entries
+    val noSps = good.clone(); noSps(5) = 0xe0.toByte
+    assert(CodecPrivateKernels.avccSpsDims(noSps) == null)
+    // SPS length overruns the blob
+    val overrun = good.clone(); overrun(6) = 0x7f
+    assert(CodecPrivateKernels.avccSpsDims(overrun) == null)
+    // a non-SPS NAL in the SPS slot
+    val notSps = good.clone(); notSps(8) = 0x68
+    assert(CodecPrivateKernels.avccSpsDims(notSps) == null)
+    // truncated to mid-header
+    assert(CodecPrivateKernels.avccSpsDims(
+      java.util.Arrays.copyOf(good, 7)) == null)
+  }
+
+  test("AAC ASC decodes every generator cell and the spec's escape branches") {
+    for (eventId <- 0L to 25L; userId <- 0L to 5L) {
+      val asc = CodecPrivateKernels.aacAscEncode(eventId, userId)
+      assert(asc.length == 2)
+      val r = CodecPrivateKernels.aacAsc(asc)
+      assert(r != null)
+      assert(r.getLong(0) == 2 + userId % 3)
+      assert(r.getLong(1) ==
+        CodecPrivateKernels.AacRates((eventId % 13).toInt))
+      assert(r.getLong(2) == 1 + eventId % 2)
+    }
+    // objectType 31-escape: value = 32 + u(6)
+    val esc = {
+      val w = new NalKernels.BitWriter
+      w.u(31, 5); w.u(10, 6) // -> objectType 42 (USAC)
+      w.u(3, 4); w.u(2, 4); w.u(0, 5) // pad to a byte boundary
+      w.toBytes
+    }
+    val rEsc = CodecPrivateKernels.aacAsc(esc)
+    assert(rEsc != null && rEsc.getLong(0) == 42 && rEsc.getLong(1) == 48000
+      && rEsc.getLong(2) == 2)
+    // freqIndex 15: explicit 24-bit rate follows
+    val explicit = {
+      val w = new NalKernels.BitWriter
+      w.u(2, 5); w.u(15, 4); w.u(37800, 24); w.u(1, 4); w.u(0, 3)
+      w.toBytes
+    }
+    val rExp = CodecPrivateKernels.aacAsc(explicit)
+    assert(rExp != null && rExp.getLong(1) == 37800 && rExp.getLong(2) == 1)
+    // reserved indices 13/14 -> null
+    for (idx <- Seq(13, 14)) {
+      val w = new NalKernels.BitWriter
+      w.u(2, 5); w.u(idx, 4); w.u(1, 4); w.u(0, 3)
+      assert(CodecPrivateKernels.aacAsc(w.toBytes) == null, s"idx $idx")
+    }
+    // truncated: the explicit-rate read runs past the end
+    val short = {
+      val w = new NalKernels.BitWriter
+      w.u(2, 5); w.u(15, 4); w.u(0, 7)
+      w.toBytes
+    }
+    assert(CodecPrivateKernels.aacAsc(short) == null)
+    assert(CodecPrivateKernels.aacAsc(Array[Byte](1)) == null)
+  }
+
+  test("Tracks/CodecPrivate container plumbing: write, walk back, coexist with tags and block") {
+    val cp = CodecPrivateKernels.avccEncode(5L, 2L)
+    val frame = NalKernels.h264EncodeSlices(5L, 2L)
+    val blob = EbmlFunctions.buildFragmentTrack(
+      5L, 12345L, 2L, 700L, "V_MPEG4/ISO/AVC", cp, frame)
+    val trk = graft.ebml.EbmlKernels.trackInfo(blob)
+    assert(trk != null)
+    assert(trk.getUTF8String(0).toString == "V_MPEG4/ISO/AVC")
+    assert(trk.getBinary(1).toSeq == cp.toSeq)
+    // the out-of-band dims parse straight off the walked bytes
+    val d = CodecPrivateKernels.avccSpsDims(trk.getBinary(1))
+    assert(d != null && d.getLong(0) == 66)
+    // tags and the media block survive the Tracks insertion untouched
+    val tags = graft.ebml.Ebml.tags(blob)
+    assert(tags(EbmlFunctions.FragmentNumber) == "5")
+    assert(tags(EbmlFunctions.UserIdTag) == "2")
+    assert(graft.ebml.EbmlKernels.firstBlock(blob).toSeq == frame.toSeq)
+    // the A_ namespace flips TrackType to audio (2); verify via walk
+    val audio = EbmlFunctions.buildFragmentTrack(
+      1L, 1L, 1L, 1L, "A_AAC", CodecPrivateKernels.aacAscEncode(1L, 1L),
+      Array[Byte](9))
+    val tt = graft.ebml.Ebml.elements(audio, Set("TrackType"))
+    assert(tt.nonEmpty && tt.head.longValue == 2L)
+    val video = graft.ebml.Ebml.elements(blob, Set("TrackType"))
+    assert(video.nonEmpty && video.head.longValue == 1L)
+    // a track-less fragment (the plain frame form) walks to null
+    val plain = EbmlFunctions.buildFragmentFrame(1L, 1L, 1L, 1L, frame)
+    assert(graft.ebml.EbmlKernels.trackInfo(plain) == null)
+  }
+}

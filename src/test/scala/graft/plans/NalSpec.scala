@@ -215,4 +215,26 @@ class NalSpec extends AnyFunSuite {
     // a stream with no SPS has no dims
     assert(NalKernels.spsDims(Array[Byte](0, 0, 0, 1, 0x41, 1, 2, 3)) == null)
   }
+
+  test("empty Annex-B ranges are malformed: null, never an OOB read (r18 fix)") {
+    // buffer ENDING with a start code: the trailing range would be empty
+    // (nalStart == length) and nalUnits/nalStats/spsDims would read past
+    // the end — the round-17 crash repro, now the family's null
+    val trailing = Array[Byte](0, 0, 1, 0x67, 0x42, 0, 0, 1)
+    assert(NalKernels.nalUnits(trailing) == null)
+    assert(NalKernels.nalStats(trailing) == null)
+    assert(NalKernels.spsDims(trailing) == null)
+    assert(NalKernels.nalFormat(trailing) == null)
+    // ... and with the 4-byte form of the trailing start code
+    assert(NalKernels.nalUnits(
+      Array[Byte](0, 0, 1, 0x67, 0x42, 0, 0, 0, 1)) == null)
+    // an empty NAL between two ADJACENT start codes previously yielded a
+    // garbage (nal_type 0) row by reading the next start code's byte
+    assert(NalKernels.nalUnits(
+      Array[Byte](0, 0, 1, 0, 0, 1, 0x41, 1, 2)) == null)
+    assert(NalKernels.nalStats(
+      Array[Byte](0, 0, 1, 0, 0, 1, 0x41, 1, 2)) == null)
+    // a lone start code followed only by trailing zeros
+    assert(NalKernels.nalUnits(Array[Byte](0, 0, 0, 1, 0)) == null)
+  }
 }

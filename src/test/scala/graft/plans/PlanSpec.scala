@@ -364,7 +364,11 @@ class PlanSpec extends SparkSpec {
         "mm_flip" -> graft.operators.Multimodal.mmFlip(t),
         "mm_audio_gain" -> graft.operators.Multimodal.mmAudioGain(t),
         "mm_nal_census" -> graft.operators.Multimodal.mmNalCensus(t),
-        "mm_sps_dims" -> graft.operators.Multimodal.mmSpsDims(t))) {
+        "mm_sps_dims" -> graft.operators.Multimodal.mmSpsDims(t),
+        "mm_hevc_census" -> graft.operators.Multimodal.mmHevcCensus(t),
+        "mm_hevc_sps" -> graft.operators.Multimodal.mmHevcSps(t),
+        "mm_avcc_sps" -> graft.operators.Multimodal.mmAvccSps(t),
+        "mm_aac_asc" -> graft.operators.Multimodal.mmAacAsc(t))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")

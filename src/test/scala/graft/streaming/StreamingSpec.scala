@@ -920,21 +920,25 @@ class StreamingSpec extends SparkSpec {
         frag(4L, 10L, 3000L))
       query.processAllAvailable()
       // cross-batch: the count survives in state; a non-IDR fragment
-      // for a fresh stream must not open state for it
+      // for a fresh stream must not open state for it. Fragment 16
+      // carries a ts_ms BELOW fragment 12's — the batch twin windows by
+      // event_id ALONE, so the stream must too (r18 ADVICE fix): under
+      // a (ts_ms, event_id) sort 16 would steal kf_seq 1
       input.addData(frag(8L, 10L, 4000L), frag(2L, 11L, 5000L),
-        frag(12L, 11L, 6000L))
+        frag(12L, 11L, 6000L), frag(16L, 11L, 5500L))
       query.processAllAvailable()
       val rows = spark.sql(
         "select user_id, event_id, kf_seq from kf_idx order by user_id, kf_seq")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(rows.toSeq ==
-        Seq((10L, 0L, 1L), (10L, 4L, 2L), (10L, 8L, 3L), (11L, 12L, 1L)))
+        Seq((10L, 0L, 1L), (10L, 4L, 2L), (10L, 8L, 3L),
+          (11L, 12L, 1L), (11L, 16L, 2L)))
       // batch agreement: the batch operator over the union numbers
       // identically (stream ≡ batch on an in-order split); ts rides the
       // events epoch-long-NANOS contract
       val eventsDf = Seq((0L, 1000L, 10L), (1L, 2000L, 10L),
           (4L, 3000L, 10L), (8L, 4000L, 10L), (2L, 5000L, 11L),
-          (12L, 6000L, 11L))
+          (12L, 6000L, 11L), (16L, 5500L, 11L))
         .toDF("event_id", "ms", "user_id")
         .select(col("event_id"), (col("ms") * 1000000L).as("ts"),
           col("user_id"), lit("e").as("event_type"),
