@@ -281,8 +281,15 @@ object SparkEntry {
     // AAC AudioSpecificConfig
     "mm_avcc_sps" -> ((s, d) => Multimodal.mmAvccSps(tables(s, d))),
     "mm_aac_asc" -> ((s, d) => Multimodal.mmAacAsc(tables(s, d))),
+    // G21b: the hvcC HEVCDecoderConfigurationRecord walk (out-of-band
+    // VPS/SPS/PPS arrays) feeding the G20 SPS reader
+    "mm_hvcc_sps" -> ((s, d) => Multimodal.mmHvccSps(tables(s, d))),
     // G22: P/B/I GOP census from PPS + slice-header parse
     "mm_gop_census" -> ((s, d) => Multimodal.mmGopCensus(tables(s, d))),
+    // G24: mixed-codec fleet — CASE-dispatch on the walked CodecID
+    // routes each row through the right census kernel exactly once
+    "mm_codec_dispatch" ->
+      ((s, d) => Multimodal.mmCodecDispatch(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2226,6 +2233,31 @@ object SparkEntry {
           cast(10 * (1 + event_id % 4) as bigint) AS level_idc,
           cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
           cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G21b: the G20 SPS arithmetic with the hvcC CodecID constant —
+    // the in-band stream is slices-only, so only the CodecPrivate
+    // array walk can produce these dims
+    "mm_hvcc_sps" ->
+      """SELECT event_id,
+          'V_MPEGH/ISO/HEVC' AS codec_id,
+          cast(1 + user_id % 2 as bigint) AS profile_idc,
+          cast(60 + 30 * (event_id % 4) as bigint) AS level_idc,
+          cast(8 * (8 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(8 * (8 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G24: per-codec census arithmetic keyed on the user_id % 2 fleet
+    // split — AVC rows replay the G17 constants (SPS+PPS+slices,
+    // rbsp 15/slice), HEVC rows the G19 ones (VPS adds a NAL, rbsp 16)
+    "mm_codec_dispatch" ->
+      """SELECT event_id,
+          CASE WHEN user_id % 2 = 0 THEN 'V_MPEG4/ISO/AVC'
+               ELSE 'V_MPEGH/ISO/HEVC' END AS codec_id,
+          cast(CASE WHEN user_id % 2 = 0 THEN 3 ELSE 4 END + event_id % 3
+            as bigint) AS n_nals,
+          cast(CASE WHEN event_id % 4 = 0 THEN 1 + event_id % 3 ELSE 0 END
+            as bigint) AS n_keyframes,
+          cast(CASE WHEN user_id % 2 = 0 THEN 15 ELSE 16 END
+            * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes
         FROM events ORDER BY event_id""",
     // G22: closed-form replay of the GOP ladder — m = 1 + e%4 frames
     // beyond the I anchor; P where (i + u) % 3 == 0 for i in 1..m, so

@@ -661,6 +661,94 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G21b — hvcC out-of-band parameter sets (round 18, the HEVC
+    * sibling of G21): `V_MPEGH/ISO/HEVC` tracks carry the
+    * HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1) in
+    * CodecPrivate — a 22-byte fixed head mirroring the SPS's
+    * profile_tier_level, then typed NAL arrays. The in-band stream is
+    * slices-only (`graft_hevc_encode_slices`); the dims can only come
+    * from the array walk → 2-byte header skip → EP strip → the G20
+    * SPS reader. */
+  def mmHvccSps(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      lit("V_MPEGH/ISO/HEVC"),
+      call_function("graft_hvcc_encode", col("event_id"), col("user_id")),
+      call_function("graft_hevc_encode_slices", col("event_id"),
+        col("user_id")))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("trk", EbmlFunctions.trackInfo(col("blob")))
+      .withColumn("sps",
+        call_function("graft_hvcc_sps", col("trk.codec_private")))
+      .select(col("event_id"),
+        col("trk.codec_id").as("codec_id"),
+        col("sps.profile_idc").as("profile_idc"),
+        col("sps.level_idc").as("level_idc"),
+        col("sps.width").as("width"),
+        col("sps.height").as("height"))
+      .orderBy("event_id")
+  }
+
+  /** G24 — MIXED-CODEC DISPATCH (round 18): a real Kinesis Video fleet
+    * is heterogeneous — some producers ship H.264, some H.265 — and
+    * the reference handles that implicitly because libav dispatches on
+    * the container's CodecID; this is that dispatch made explicit and
+    * declarative. Even user_id streams carry `V_MPEG4/ISO/AVC` tracks
+    * (in-band H.264), odd ones `V_MPEGH/ISO/HEVC` (in-band H.265); the
+    * plan routes each row through the RIGHT census kernel with a
+    * CASE WHEN on the walked codec_id — only the taken branch
+    * evaluates under codegen, so every payload is parsed exactly once
+    * — and emits the unified (codec_id, n_nals, n_keyframes,
+    * slice_rbsp_bytes) stream-health view. Per-row kernels, no shuffle
+    * below the final sort. */
+  def mmCodecDispatch(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val avc = col("user_id") % 2 === 0
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      when(avc, lit("V_MPEG4/ISO/AVC")).otherwise(lit("V_MPEGH/ISO/HEVC")),
+      when(avc, call_function("graft_avcc_encode", col("event_id"),
+          col("user_id")))
+        .otherwise(call_function("graft_hvcc_encode", col("event_id"),
+          col("user_id"))),
+      when(avc, call_function("graft_h264_encode", col("event_id"),
+          col("user_id")))
+        .otherwise(call_function("graft_hevc_encode", col("event_id"),
+          col("user_id"))))
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    val isAvc = col("codec_id") === "V_MPEG4/ISO/AVC"
+    // the unified census shape: n_idr (AVC) and n_irap (HEVC) are the
+    // same positional slot — "keyframe-bearing NAL count" — so both
+    // branches cast to one struct and CASE stays type-stable
+    val unified = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("format",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_nals",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_keyframes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("slice_rbsp_bytes",
+        org.apache.spark.sql.types.LongType)))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("codec_id",
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      .withColumn("st", when(isAvc,
+          call_function("graft_nal_stats", frame).cast(unified))
+        .otherwise(call_function("graft_hevc_stats", frame).cast(unified)))
+      .select(col("event_id"), col("codec_id"),
+        col("st.n_nals").as("n_nals"),
+        col("st.n_keyframes").as("n_keyframes"),
+        col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"))
+      .orderBy("event_id")
+  }
+
   /** G23 — AAC AudioSpecificConfig from CodecPrivate (round 18, the
     * audio analog of G21): MKV `A_AAC` tracks carry the ISO 14496-3
     * §1.6.2.1 ASC out-of-band; `graft_aac_asc` bit-unpacks

@@ -75,6 +75,91 @@ object CodecPrivateKernels {
     catch { case _: IndexOutOfBoundsException => null }
   }
 
+  // ---- hvcC (ISO 14496-15 §8.3.3.1) ------------------------------------
+
+  /** Build the HEVCDecoderConfigurationRecord for the generator's
+    * cell: the 22-byte fixed head mirroring the SPS's
+    * profile_tier_level values, then three arrays (VPS/SPS/PPS) of
+    * one length-prefixed NAL each — the SAME NALs the in-band encoder
+    * writes. */
+  def hvccEncode(eventId: Long, userId: Long): Array[Byte] = {
+    val profile = (1 + userId % 2).toInt
+    val level = (60 + 30 * (eventId % 4)).toInt
+    val vps = HevcKernels.vpsNal(eventId, userId)
+    val sps = HevcKernels.spsNal(eventId, userId)
+    val pps = HevcKernels.ppsNal()
+    val out = new java.io.ByteArrayOutputStream(
+      vps.length + sps.length + pps.length + 40)
+    out.write(1)                    // configurationVersion
+    out.write(profile)              // space(0)/tier(0)/profile_idc
+    // general_profile_compatibility_flags (own bit, the PTL rule)
+    val compat = 1 << (31 - profile)
+    out.write((compat >>> 24) & 0xff); out.write((compat >>> 16) & 0xff)
+    out.write((compat >>> 8) & 0xff); out.write(compat & 0xff)
+    // general_constraint_indicator_flags: progressive + frame_only
+    // (bits 47 and 44 of the 48 — mirrors the PTL's 4 source flags)
+    out.write(0x90); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0)
+    out.write(level)                // general_level_idc
+    out.write(0xf0); out.write(0)   // reserved + min_spatial_segmentation
+    out.write(0xfc)                 // reserved + parallelismType 0
+    out.write(0xfc | 1)             // reserved + chromaFormat 4:2:0
+    val bd = if (profile == 2) 2 else 0
+    out.write(0xf8 | bd)            // reserved + bitDepthLumaMinus8
+    out.write(0xf8 | bd)            // reserved + bitDepthChromaMinus8
+    out.write(0); out.write(0)      // avgFrameRate (unspecified)
+    out.write((0 << 6) | (1 << 3) | (1 << 2) | 3) // cfr/layers/nested/len-1
+    out.write(3)                    // numOfArrays
+    def array(nalType: Int, n: Array[Byte]): Unit = {
+      out.write(0x80 | nalType)     // array_completeness=1 + type
+      out.write(0); out.write(1)    // numNalus
+      out.write((n.length >>> 8) & 0xff); out.write(n.length & 0xff)
+      out.write(n, 0, n.length)
+    }
+    array(HevcKernels.VPS_NUT, vps)
+    array(HevcKernels.SPS_NUT, sps)
+    array(HevcKernels.PPS_NUT, pps)
+    out.toByteArray
+  }
+
+  /** `graft_hvcc_sps`: parse an hvcC blob's FIRST SPS into the G20
+    * struct — walk the arrays to NAL type 33, skip the 2-byte HEVC
+    * header, EP-strip, and decode through [[HevcKernels.parseSps]].
+    * Null on malformed blobs (wrong version, truncated arrays, no SPS
+    * array, a non-SPS NAL in the SPS array, or an unparseable SPS). */
+  def hvccSpsDims(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 24) return null
+    if ((bytes(0) & 0xff) != 1) return null
+    var p = 22
+    val numArrays = bytes(p) & 0xff
+    p += 1
+    var a = 0
+    while (a < numArrays) {
+      if (p + 3 > bytes.length) return null
+      val arrType = bytes(p) & 0x3f
+      val numNalus = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+      p += 3
+      var n = 0
+      while (n < numNalus) {
+        if (p + 2 > bytes.length) return null
+        val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        p += 2
+        if (len < 2 || p + len > bytes.length) return null
+        if (arrType == HevcKernels.SPS_NUT) {
+          val h0 = bytes(p) & 0xff
+          if ((h0 & 0x80) != 0 || ((h0 >>> 1) & 0x3f) != HevcKernels.SPS_NUT)
+            return null
+          return try HevcKernels.parseSps(epStrip(bytes, p + 2, p + len))
+          catch { case _: IndexOutOfBoundsException => null }
+        }
+        p += len
+        n += 1
+      }
+      a += 1
+    }
+    null // no SPS array
+  }
+
   // ---- AAC AudioSpecificConfig (ISO 14496-3 §1.6.2.1) -------------------
 
   /** Table 1.16 sampling rates by samplingFrequencyIndex. */
@@ -204,6 +289,69 @@ object AacAsc {
     StructField("object_type", LongType),
     StructField("sample_rate", LongType),
     StructField("channels", LongType)))
+}
+
+/** `graft_hvcc_encode(event_id, user_id)` — the deterministic hvcC
+  * HEVCDecoderConfigurationRecord (out-of-band VPS/SPS/PPS for the
+  * G21b fixture). */
+case class HvccEncode(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hvcc_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.hvccEncode(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CodecPrivateKernels.hvccEncode($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HvccEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_hvcc_sps(blob)` — hvcC → first out-of-band SPS →
+  * struct(profile_idc, level_idc, width, height); null on malformed
+  * blobs. */
+case class HvccSps(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = SpsDims.dimsType
+  override def prettyName: String = "graft_hvcc_sps"
+
+  override def nullSafeEval(a: Any): Any =
+    CodecPrivateKernels.hvccSpsDims(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.hvccSpsDims($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): HvccSps =
+    copy(child = newChild)
+}
+
+/** `graft_hevc_encode_slices(event_id, user_id)` — the slices-only
+  * HEVC stream (parameter sets out-of-band in hvcC). */
+case class HevcEncodeSlices(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hevc_encode_slices"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HevcKernels.hevcEncodeSlices(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HevcKernels.hevcEncodeSlices($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HevcEncodeSlices =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_h264_encode_slices(event_id, user_id)` — the slices-only

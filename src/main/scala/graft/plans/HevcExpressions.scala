@@ -62,124 +62,138 @@ object HevcKernels {
     *                     event_id % 4 == 0, TRAIL_R otherwise
     * NALs: VPS, SPS, PPS, then the slices; slice payloads are 8
     * mix64-derived bytes plus the shared EP-forcing trailer. */
-  def hevcEncode(eventId: Long, userId: Long): Array[Byte] = {
+  def hevcEncode(eventId: Long, userId: Long): Array[Byte] =
+    assembleHevc(eventId,
+      vpsNal(eventId, userId) +: spsNal(eventId, userId) +:
+        ppsNal() +: sliceNals(eventId))
+
+  /** Slices-only HEVC stream — the hvcC-track shape: parameter sets
+    * travel out-of-band in CodecPrivate, nothing but VCL NALs in-band
+    * (the G21 fixture rule applied to H.265). */
+  def hevcEncodeSlices(eventId: Long, userId: Long): Array[Byte] =
+    assembleHevc(eventId, sliceNals(eventId))
+
+  /** profile_tier_level, fixed 12 bytes for max_sub_layers_minus1=0
+    * (§7.3.3): space/tier/profile_idc, the 32 compatibility flags
+    * (own bit set), 4 source/constraint flags, 44 reserved bits,
+    * general_level_idc. */
+  private def ptl(w: BitWriter, profile: Int, level: Int): Unit = {
+    w.u(0, 2)                     // general_profile_space
+    w.u(0, 1)                     // general_tier_flag
+    w.u(profile, 5)               // general_profile_idc
+    w.u(1 << (31 - profile), 32)  // compatibility flags: own bit
+    w.u(1, 1); w.u(0, 1)          // progressive / interlaced source
+    w.u(0, 1); w.u(1, 1)          // non_packed / frame_only constraint
+    w.u(0, 32); w.u(0, 12)        // reserved_zero_43bits + zero bit
+    w.u(level, 8)                 // general_level_idc
+  }
+
+  /** VPS (§7.3.2.1) — the census never opens it, but keep it
+    * syntactically real: ids/layer bounds, the same PTL, no timing. */
+  private[plans] def vpsNal(eventId: Long, userId: Long): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0, 4)        // vps_video_parameter_set_id
+    w.u(3, 2)        // vps_base_layer_internal/available (reserved 11)
+    w.u(0, 6)        // vps_max_layers_minus1
+    w.u(0, 3)        // vps_max_sub_layers_minus1
+    w.u(1, 1)        // vps_temporal_id_nesting_flag
+    w.u(0xffff, 16)  // vps_reserved_0xffff_16bits
+    ptl(w, (1 + userId % 2).toInt, (60 + 30 * (eventId % 4)).toInt)
+    w.u(0, 1)        // vps_sub_layer_ordering_info_present_flag
+    w.ue(1)          // vps_max_dec_pic_buffering_minus1[0]
+    w.ue(0)          // vps_max_num_reorder_pics[0]
+    w.ue(0)          // vps_max_latency_increase_plus1[0]
+    w.u(0, 6)        // vps_max_layer_id
+    w.ue(0)          // vps_num_layer_sets_minus1
+    w.u(0, 1)        // vps_timing_info_present_flag
+    w.u(0, 1)        // vps_extension_flag
+    w.stop()
+    nal(VPS_NUT, w.toBytes)
+  }
+
+  /** SPS (§7.3.2.2.1), complete through the extension flag. Shared by
+    * the in-band encoder and the hvcC CodecPrivate builder. */
+  private[plans] def spsNal(eventId: Long, userId: Long): Array[Byte] = {
     val profile = (1 + userId % 2).toInt
     val level = (60 + 30 * (eventId % 4)).toInt
     val picW = (8 * (8 + userId % 4)).toInt
     val picH = (8 * (8 + eventId % 4)).toInt
     val confR = (eventId % 2).toInt
     val confB = (userId % 2).toInt
+    val bitDepthM8 = if (profile == 2) 2 else 0 // Main 10 carries 10-bit
+    val w = new BitWriter
+    w.u(0, 4)      // sps_video_parameter_set_id
+    w.u(0, 3)      // sps_max_sub_layers_minus1
+    w.u(1, 1)      // sps_temporal_id_nesting_flag
+    ptl(w, profile, level)
+    w.ue(0)        // sps_seq_parameter_set_id
+    w.ue(1)        // chroma_format_idc (4:2:0)
+    w.ue(picW)     // pic_width_in_luma_samples
+    w.ue(picH)     // pic_height_in_luma_samples
+    w.u(1, 1)      // conformance_window_flag
+    w.ue(0)        // conf_win_left_offset
+    w.ue(confR)    // conf_win_right_offset
+    w.ue(0)        // conf_win_top_offset
+    w.ue(confB)    // conf_win_bottom_offset
+    w.ue(bitDepthM8) // bit_depth_luma_minus8
+    w.ue(bitDepthM8) // bit_depth_chroma_minus8
+    w.ue(4)        // log2_max_pic_order_cnt_lsb_minus4
+    w.u(0, 1)      // sps_sub_layer_ordering_info_present_flag
+    w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering/reorder/latency[0]
+    w.ue(0)        // log2_min_luma_coding_block_size_minus3
+    w.ue(3)        // log2_diff_max_min_luma_coding_block_size
+    w.ue(0)        // log2_min_luma_transform_block_size_minus2
+    w.ue(3)        // log2_diff_max_min_luma_transform_block_size
+    w.ue(0); w.ue(0) // max_transform_hierarchy_depth inter/intra
+    w.u(0, 1)      // scaling_list_enabled_flag
+    w.u(1, 1)      // amp_enabled_flag
+    w.u(1, 1)      // sample_adaptive_offset_enabled_flag
+    w.u(0, 1)      // pcm_enabled_flag
+    w.ue(0)        // num_short_term_ref_pic_sets
+    w.u(0, 1)      // long_term_ref_pics_present_flag
+    w.u(1, 1)      // sps_temporal_mvp_enabled_flag
+    w.u(1, 1)      // strong_intra_smoothing_enabled_flag
+    w.u(0, 1)      // vui_parameters_present_flag
+    w.u(0, 1)      // sps_extension_present_flag
+    w.stop()
+    nal(SPS_NUT, w.toBytes)
+  }
+
+  /** PPS (§7.3.2.3.1), minimal single-tile CAVLC-free form. */
+  private[plans] def ppsNal(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps_pic_parameter_set_id / sps id
+    w.u(0, 1)      // dependent_slice_segments_enabled_flag
+    w.u(0, 1)      // output_flag_present_flag
+    w.u(0, 3)      // num_extra_slice_header_bits
+    w.u(0, 1)      // sign_data_hiding_enabled_flag
+    w.u(0, 1)      // cabac_init_present_flag
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.ue(0)        // init_qp_minus26 (se(0) == ue(0) bits)
+    w.u(0, 1)      // constrained_intra_pred_flag
+    w.u(0, 1)      // transform_skip_enabled_flag
+    w.u(0, 1)      // cu_qp_delta_enabled_flag
+    w.ue(0); w.ue(0) // pps_cb/cr_qp_offset
+    w.u(0, 1)      // pps_slice_chroma_qp_offsets_present_flag
+    w.u(0, 1); w.u(0, 1) // weighted_pred / weighted_bipred
+    w.u(0, 1)      // transquant_bypass_enabled_flag
+    w.u(0, 1); w.u(0, 1) // tiles_enabled / entropy_coding_sync
+    w.u(1, 1)      // pps_loop_filter_across_slices_enabled_flag
+    w.u(0, 1)      // deblocking_filter_control_present_flag
+    w.u(0, 1)      // pps_scaling_list_data_present_flag
+    w.u(0, 1)      // lists_modification_present_flag
+    w.ue(0)        // log2_parallel_merge_level_minus2
+    w.u(0, 1)      // slice_segment_header_extension_present_flag
+    w.u(0, 1)      // pps_extension_present_flag
+    w.stop()
+    nal(PPS_NUT, w.toBytes)
+  }
+
+  private def sliceNals(eventId: Long): Seq[Array[Byte]] = {
     val nSlices = (1 + eventId % 3).toInt
     val irap = eventId % 4 == 0
-    val bitDepthM8 = if (profile == 2) 2 else 0 // Main 10 carries 10-bit
-
-    /** profile_tier_level, fixed 12 bytes for max_sub_layers_minus1=0
-      * (§7.3.3): space/tier/profile_idc, the 32 compatibility flags
-      * (own bit set), 4 source/constraint flags, 44 reserved bits,
-      * general_level_idc. */
-    def ptl(w: BitWriter): Unit = {
-      w.u(0, 2)                     // general_profile_space
-      w.u(0, 1)                     // general_tier_flag
-      w.u(profile, 5)               // general_profile_idc
-      w.u(1 << (31 - profile), 32)  // compatibility flags: own bit
-      w.u(1, 1); w.u(0, 1)          // progressive / interlaced source
-      w.u(0, 1); w.u(1, 1)          // non_packed / frame_only constraint
-      w.u(0, 32); w.u(0, 12)        // reserved_zero_43bits + zero bit
-      w.u(level, 8)                 // general_level_idc
-    }
-
-    // VPS (§7.3.2.1) — the census never opens it, but keep it
-    // syntactically real: ids/layer bounds, the same PTL, no timing
-    val vps = {
-      val w = new BitWriter
-      w.u(0, 4)        // vps_video_parameter_set_id
-      w.u(3, 2)        // vps_base_layer_internal/available (reserved 11)
-      w.u(0, 6)        // vps_max_layers_minus1
-      w.u(0, 3)        // vps_max_sub_layers_minus1
-      w.u(1, 1)        // vps_temporal_id_nesting_flag
-      w.u(0xffff, 16)  // vps_reserved_0xffff_16bits
-      ptl(w)
-      w.u(0, 1)        // vps_sub_layer_ordering_info_present_flag
-      w.ue(1)          // vps_max_dec_pic_buffering_minus1[0]
-      w.ue(0)          // vps_max_num_reorder_pics[0]
-      w.ue(0)          // vps_max_latency_increase_plus1[0]
-      w.u(0, 6)        // vps_max_layer_id
-      w.ue(0)          // vps_num_layer_sets_minus1
-      w.u(0, 1)        // vps_timing_info_present_flag
-      w.u(0, 1)        // vps_extension_flag
-      w.stop()
-      nal(VPS_NUT, w.toBytes)
-    }
-    // SPS (§7.3.2.2.1), complete through the extension flag
-    val sps = {
-      val w = new BitWriter
-      w.u(0, 4)      // sps_video_parameter_set_id
-      w.u(0, 3)      // sps_max_sub_layers_minus1
-      w.u(1, 1)      // sps_temporal_id_nesting_flag
-      ptl(w)
-      w.ue(0)        // sps_seq_parameter_set_id
-      w.ue(1)        // chroma_format_idc (4:2:0)
-      w.ue(picW)     // pic_width_in_luma_samples
-      w.ue(picH)     // pic_height_in_luma_samples
-      w.u(1, 1)      // conformance_window_flag
-      w.ue(0)        // conf_win_left_offset
-      w.ue(confR)    // conf_win_right_offset
-      w.ue(0)        // conf_win_top_offset
-      w.ue(confB)    // conf_win_bottom_offset
-      w.ue(bitDepthM8) // bit_depth_luma_minus8
-      w.ue(bitDepthM8) // bit_depth_chroma_minus8
-      w.ue(4)        // log2_max_pic_order_cnt_lsb_minus4
-      w.u(0, 1)      // sps_sub_layer_ordering_info_present_flag
-      w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering/reorder/latency[0]
-      w.ue(0)        // log2_min_luma_coding_block_size_minus3
-      w.ue(3)        // log2_diff_max_min_luma_coding_block_size
-      w.ue(0)        // log2_min_luma_transform_block_size_minus2
-      w.ue(3)        // log2_diff_max_min_luma_transform_block_size
-      w.ue(0); w.ue(0) // max_transform_hierarchy_depth inter/intra
-      w.u(0, 1)      // scaling_list_enabled_flag
-      w.u(1, 1)      // amp_enabled_flag
-      w.u(1, 1)      // sample_adaptive_offset_enabled_flag
-      w.u(0, 1)      // pcm_enabled_flag
-      w.ue(0)        // num_short_term_ref_pic_sets
-      w.u(0, 1)      // long_term_ref_pics_present_flag
-      w.u(1, 1)      // sps_temporal_mvp_enabled_flag
-      w.u(1, 1)      // strong_intra_smoothing_enabled_flag
-      w.u(0, 1)      // vui_parameters_present_flag
-      w.u(0, 1)      // sps_extension_present_flag
-      w.stop()
-      nal(SPS_NUT, w.toBytes)
-    }
-    // PPS (§7.3.2.3.1), minimal single-tile CAVLC-free form
-    val pps = {
-      val w = new BitWriter
-      w.ue(0); w.ue(0) // pps_pic_parameter_set_id / sps id
-      w.u(0, 1)      // dependent_slice_segments_enabled_flag
-      w.u(0, 1)      // output_flag_present_flag
-      w.u(0, 3)      // num_extra_slice_header_bits
-      w.u(0, 1)      // sign_data_hiding_enabled_flag
-      w.u(0, 1)      // cabac_init_present_flag
-      w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
-      w.ue(0)        // init_qp_minus26 (se(0) == ue(0) bits)
-      w.u(0, 1)      // constrained_intra_pred_flag
-      w.u(0, 1)      // transform_skip_enabled_flag
-      w.u(0, 1)      // cu_qp_delta_enabled_flag
-      w.ue(0); w.ue(0) // pps_cb/cr_qp_offset
-      w.u(0, 1)      // pps_slice_chroma_qp_offsets_present_flag
-      w.u(0, 1); w.u(0, 1) // weighted_pred / weighted_bipred
-      w.u(0, 1)      // transquant_bypass_enabled_flag
-      w.u(0, 1); w.u(0, 1) // tiles_enabled / entropy_coding_sync
-      w.u(1, 1)      // pps_loop_filter_across_slices_enabled_flag
-      w.u(0, 1)      // deblocking_filter_control_present_flag
-      w.u(0, 1)      // pps_scaling_list_data_present_flag
-      w.u(0, 1)      // lists_modification_present_flag
-      w.ue(0)        // log2_parallel_merge_level_minus2
-      w.u(0, 1)      // slice_segment_header_extension_present_flag
-      w.u(0, 1)      // pps_extension_present_flag
-      w.stop()
-      nal(PPS_NUT, w.toBytes)
-    }
     val sliceType = if (irap) IDR_W_RADL else TRAIL_R
-    val slices = (0 until nSlices).map { i =>
+    (0 until nSlices).map { i =>
       val payload = new Array[Byte](8 + SliceTrailer.length)
       val r = graft.functions.Hashing.mix64(eventId * 137L + i)
       var j = 0
@@ -187,7 +201,10 @@ object HevcKernels {
       System.arraycopy(SliceTrailer, 0, payload, 8, SliceTrailer.length)
       nal(sliceType, payload)
     }
-    val nals = vps +: sps +: pps +: slices
+  }
+
+  private def assembleHevc(eventId: Long,
+      nals: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(320)
     if (eventId % 2 == 0) {
       // Annex-B: 4-byte start code at the stream head, 3-byte after
@@ -268,7 +285,8 @@ object HevcKernels {
     null
   }
 
-  private def parseSps(rbsp: Array[Byte]): InternalRow = {
+  /** Shared with the hvcC CodecPrivate path ([[CodecPrivateKernels]]). */
+  private[plans] def parseSps(rbsp: Array[Byte]): InternalRow = {
     val r = new BitReader(rbsp)
     r.u(4)                          // sps_video_parameter_set_id
     val maxSubLayersM1 = r.u(3)

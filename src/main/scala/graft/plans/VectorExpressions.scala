@@ -645,6 +645,12 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AacAscEncode(exprs.head, exprs(1))),
     ("graft_aac_asc", classOf[AacAsc],
       (exprs: Seq[Expression]) => AacAsc(exprs.head)),
+    ("graft_hvcc_encode", classOf[HvccEncode],
+      (exprs: Seq[Expression]) => HvccEncode(exprs.head, exprs(1))),
+    ("graft_hvcc_sps", classOf[HvccSps],
+      (exprs: Seq[Expression]) => HvccSps(exprs.head)),
+    ("graft_hevc_encode_slices", classOf[HevcEncodeSlices],
+      (exprs: Seq[Expression]) => HevcEncodeSlices(exprs.head, exprs(1))),
     ("graft_h264_gop_encode", classOf[H264GopEncode],
       (exprs: Seq[Expression]) => H264GopEncode(exprs.head, exprs(1))),
     ("graft_gop_census", classOf[GopCensus],

@@ -104,6 +104,55 @@ class CodecPrivateSpec extends AnyFunSuite {
     assert(CodecPrivateKernels.aacAsc(Array[Byte](1)) == null)
   }
 
+  test("hvcC round-trips the G20 SPS arithmetic; array walk skips VPS to the SPS array") {
+    for (eventId <- 0L to 15L; userId <- 0L to 7L) {
+      val d = CodecPrivateKernels.hvccSpsDims(
+        CodecPrivateKernels.hvccEncode(eventId, userId))
+      assert(d != null)
+      assert(d.getLong(0) == 1 + userId % 2)
+      assert(d.getLong(1) == 60 + 30 * (eventId % 4))
+      assert(d.getLong(2) == 8 * (8 + userId % 4) - 2 * (eventId % 2))
+      assert(d.getLong(3) == 8 * (8 + eventId % 4) - 2 * (userId % 2))
+    }
+    // the hvcC fixed head mirrors the SPS's PTL (an ISO 14496-15
+    // consistency requirement): byte 1 = profile, byte 12 = level
+    val blob = CodecPrivateKernels.hvccEncode(3L, 1L)
+    assert((blob(1) & 0xff) == 2 && (blob(12) & 0xff) == 150)
+  }
+
+  test("the hvcC fixture's in-band HEVC stream carries NO parameter sets") {
+    for (eventId <- 0L to 11L; userId <- Seq(0L, 5L)) {
+      val es = HevcKernels.hevcEncodeSlices(eventId, userId)
+      assert(HevcKernels.hevcSpsDims(es) == null)
+      val st = HevcKernels.hevcStats(es)
+      assert(st != null && st.getLong(1) == 1 + eventId % 3)
+    }
+  }
+
+  test("malformed hvcC blobs return null, never throw") {
+    val good = CodecPrivateKernels.hvccEncode(2L, 3L)
+    assert(CodecPrivateKernels.hvccSpsDims(null) == null)
+    assert(CodecPrivateKernels.hvccSpsDims(
+      java.util.Arrays.copyOf(good, 23)) == null)
+    // wrong configurationVersion
+    val badVer = good.clone(); badVer(0) = 0
+    assert(CodecPrivateKernels.hvccSpsDims(badVer) == null)
+    // zero arrays -> no SPS
+    val noArrays = java.util.Arrays.copyOf(good, 24)
+    noArrays(22) = 0
+    assert(CodecPrivateKernels.hvccSpsDims(noArrays) == null)
+    // a NAL length overrunning the blob
+    val overrun = good.clone(); overrun(26) = 0x7f
+    assert(CodecPrivateKernels.hvccSpsDims(overrun) == null)
+    // a non-SPS NAL planted in the SPS array slot: find the SPS array
+    // (type byte 0x80|33 after the VPS array) and corrupt its NAL header
+    val vpsLen = ((good(26) & 0xff) << 8) | (good(27) & 0xff)
+    val spsArray = 28 + vpsLen
+    assert((good(spsArray) & 0x3f) == 33)
+    val wrongNal = good.clone(); wrongNal(spsArray + 5) = 0x40 // VPS header
+    assert(CodecPrivateKernels.hvccSpsDims(wrongNal) == null)
+  }
+
   test("Tracks/CodecPrivate container plumbing: write, walk back, coexist with tags and block") {
     val cp = CodecPrivateKernels.avccEncode(5L, 2L)
     val frame = NalKernels.h264EncodeSlices(5L, 2L)

@@ -368,7 +368,11 @@ class PlanSpec extends SparkSpec {
         "mm_hevc_census" -> graft.operators.Multimodal.mmHevcCensus(t),
         "mm_hevc_sps" -> graft.operators.Multimodal.mmHevcSps(t),
         "mm_avcc_sps" -> graft.operators.Multimodal.mmAvccSps(t),
-        "mm_aac_asc" -> graft.operators.Multimodal.mmAacAsc(t))) {
+        "mm_aac_asc" -> graft.operators.Multimodal.mmAacAsc(t),
+        "mm_hvcc_sps" -> graft.operators.Multimodal.mmHvccSps(t),
+        "mm_gop_census" -> graft.operators.Multimodal.mmGopCensus(t),
+        "mm_codec_dispatch" ->
+          graft.operators.Multimodal.mmCodecDispatch(t))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), s"$name still plans a ScalaUDF:\n$plan")
