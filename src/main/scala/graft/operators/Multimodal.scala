@@ -719,34 +719,40 @@ object Multimodal {
           col("user_id")))
         .otherwise(call_function("graft_hevc_encode", col("event_id"),
           col("user_id"))))
-    val frame = EbmlFunctions.firstBlock(col("blob"))
-    val isAvc = col("codec_id") === "V_MPEG4/ISO/AVC"
-    // the unified census shape: n_idr (AVC) and n_irap (HEVC) are the
-    // same positional slot — "keyframe-bearing NAL count" — so both
-    // branches cast to one struct and CASE stays type-stable
-    val unified = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("format",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_nals",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_keyframes",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("slice_rbsp_bytes",
-        org.apache.spark.sql.types.LongType)))
     t.events
       .withColumn("ts_ms", nanosToMs(col("ts")))
       .orderBy("event_id")
       .withColumn("blob", blob)
       .withColumn("codec_id",
         EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
-      .withColumn("st", when(isAvc,
-          call_function("graft_nal_stats", frame).cast(unified))
-        .otherwise(call_function("graft_hevc_stats", frame).cast(unified)))
+      .withColumn("st", codecCensus(col("codec_id"), col("blob")))
       .select(col("event_id"), col("codec_id"),
         col("st.n_nals").as("n_nals"),
         col("st.n_keyframes").as("n_keyframes"),
         col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"))
       .orderBy("event_id")
+  }
+
+  /** The unified census shape: n_idr (AVC) and n_irap (HEVC) are the
+    * same positional slot — "keyframe-bearing NAL count" — so both
+    * census kernels cast to one struct and CASE stays type-stable. */
+  val UnifiedCensus: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_nals", LongType),
+      StructField("n_keyframes", LongType),
+      StructField("slice_rbsp_bytes", LongType)))
+  }
+
+  /** CASE-dispatch a Tracks-bearing fragment through the census kernel
+    * its CodecID names — only the taken branch evaluates under codegen
+    * (shared by the G24 batch query and its live twin). */
+  def codecCensus(codecId: Column, blob: Column): Column = {
+    val frame = EbmlFunctions.firstBlock(blob)
+    when(codecId === "V_MPEG4/ISO/AVC",
+        call_function("graft_nal_stats", frame).cast(UnifiedCensus))
+      .otherwise(call_function("graft_hevc_stats", frame).cast(UnifiedCensus))
   }
 
   /** G23 — AAC AudioSpecificConfig from CodecPrivate (round 18, the

@@ -527,6 +527,42 @@ object EventStreams {
       }
   }
 
+  /** G24 streaming twin — LIVE codec-mix monitor over a heterogeneous
+    * fragment stream: each arriving MKV fragment is CASE-dispatched
+    * through the census kernel its walked CodecID names (the shared
+    * [[graft.operators.Multimodal.codecCensus]] — AVC and HEVC parse
+    * through their own kernels, each payload exactly once), then rolled
+    * into watermarked tumbling windows per codec: fragment counts,
+    * keyframe-bearing NAL totals, slice RBSP volume — the fleet-health
+    * dashboard a transcode/ingest operator watches live. Event time is
+    * the producer timestamp from the fragment's own tag set (the
+    * reference's AWS_KINESISVIDEO_PRODUCER_TIMESTAMP); non-media bytes
+    * never cross the window exchange — only (codec_id, 3 longs). */
+  def codecMixStream(fragments: DataFrame,
+      windowLen: String = "10 minutes",
+      lateness: String = "1 minute"): DataFrame = {
+    import graft.ebml.EbmlFunctions
+    graft.plans.VectorFunctions.register(fragments.sparkSession)
+    val tg = EbmlFunctions.parseTags(col("blob"))
+    fragments
+      .withColumn("codec_id",
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      .withColumn("st",
+        graft.operators.Multimodal.codecCensus(col("codec_id"), col("blob")))
+      .withColumn("ts",
+        (tg.getField("producer_ts").cast("long") / 1000.0).cast("timestamp"))
+      .select(col("ts"), col("codec_id"),
+        col("st.n_keyframes").as("kf"),
+        col("st.slice_rbsp_bytes").as("sb"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("codec_id"))
+      .agg(count(lit(1)).as("n_fragments"),
+        sum(col("kf")).as("n_keyframes"),
+        sum(col("sb")).as("slice_rbsp_bytes"))
+      .select(col("window.start").as("window_start"), col("codec_id"),
+        col("n_fragments"), col("n_keyframes"), col("slice_rbsp_bytes"))
+  }
+
   final case class Scd2Closed(user_id: Long, event_id: Long,
       valid_from_ms: Long, valid_to_ms: Long)
 

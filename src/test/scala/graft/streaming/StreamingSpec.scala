@@ -29,6 +29,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("live codec-mix monitor dispatches per CodecID and windows the census (G24 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ebml.EbmlFunctions
+    import graft.plans.{CodecPrivateKernels, HevcKernels, NalKernels}
+    val input = MemoryStream[Array[Byte]]
+    val query = EventStreams.codecMixStream(
+        input.toDF().withColumnRenamed("value", "blob"))
+      .writeStream.format("memory").queryName("codec_mix")
+      .outputMode("update").start()
+    def frag(id: Long, uid: Long, minute: Int): Array[Byte] = {
+      val avc = uid % 2 == 0
+      EbmlFunctions.buildFragmentTrack(id, ts(minute).getTime, uid, 0L,
+        if (avc) "V_MPEG4/ISO/AVC" else "V_MPEGH/ISO/HEVC",
+        if (avc) CodecPrivateKernels.avccEncode(id, uid)
+        else CodecPrivateKernels.hvccEncode(id, uid),
+        if (avc) NalKernels.h264Encode(id, uid)
+        else HevcKernels.hevcEncode(id, uid))
+    }
+    try {
+      // window [0,10): AVC ids 0 (IDR event: 1 slice kf) and 2
+      // (3 slices, no IDR); HEVC id 4 (IRAP, 2 slices) — mixed batch
+      input.addData(frag(0L, 2L, 1), frag(2L, 4L, 3), frag(4L, 1L, 5))
+      query.processAllAvailable()
+      // second batch opens window [10,20): HEVC id 1 (no IRAP, 2
+      // slices) — a fresh window so the update-mode sink holds exactly
+      // one version of every (window, codec) row
+      input.addData(frag(1L, 3L, 17))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """select codec_id, sum(n_fragments), sum(n_keyframes),
+           sum(slice_rbsp_bytes) from codec_mix group by 1 order by 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // AVC: ids 0+2 -> 1+3 slices, kf only from id 0 (1 slice IDR),
+      // rbsp 15/slice; HEVC: ids 4+1 -> 2+2 slices, kf from id 4 (IRAP
+      // pair), rbsp 16/slice
+      assert(rows.toSeq == Seq(
+        ("V_MPEGH/ISO/HEVC", 2L, 2L, 16L * 4),
+        ("V_MPEG4/ISO/AVC", 2L, 1L, 15L * 4)).sortBy(_._1))
+    } finally query.stop()
+  }
+
   test("late-data accounting: the watermark drops stragglers, visibly in progress metrics (B8/B29)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
