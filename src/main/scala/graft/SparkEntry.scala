@@ -284,6 +284,10 @@ object SparkEntry {
     // G21b: the hvcC HEVCDecoderConfigurationRecord walk (out-of-band
     // VPS/SPS/PPS arrays) feeding the G20 SPS reader
     "mm_hvcc_sps" -> ((s, d) => Multimodal.mmHvccSps(tables(s, d))),
+    // G21c: the h264_mp4toannexb bitstream conversion, verified by the
+    // unchanged census/SPS readers over the converted stream
+    "mm_avcc_to_annexb" ->
+      ((s, d) => Multimodal.mmAvccToAnnexb(tables(s, d))),
     // G22: P/B/I GOP census from PPS + slice-header parse
     "mm_gop_census" -> ((s, d) => Multimodal.mmGopCensus(tables(s, d))),
     // G24: mixed-codec fleet — CASE-dispatch on the walked CodecID
@@ -2244,6 +2248,20 @@ object SparkEntry {
           cast(60 + 30 * (event_id % 4) as bigint) AS level_idc,
           cast(8 * (8 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
           cast(8 * (8 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G21c: the conversion's ramp oracle — the census gains exactly the
+    // two in-band parameter sets (n_nals = slices + 2), every row flips
+    // to annexb, slice bytes are untouched, and the dims now parse
+    // in-band (the mm_sps_dims geometry)
+    "mm_avcc_to_annexb" ->
+      """SELECT event_id,
+          'annexb' AS format,
+          cast(3 + event_id % 3 as bigint) AS n_nals,
+          cast(CASE WHEN event_id % 4 = 0 THEN 1 + event_id % 3 ELSE 0 END
+            as bigint) AS n_idr,
+          cast(15 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes,
+          cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
         FROM events ORDER BY event_id""",
     // G24: per-codec census arithmetic keyed on the user_id % 2 fleet
     // split — AVC rows replay the G17 constants (SPS+PPS+slices,

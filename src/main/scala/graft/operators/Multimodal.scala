@@ -755,6 +755,47 @@ object Multimodal {
       .otherwise(call_function("graft_hevc_stats", frame).cast(UnifiedCensus))
   }
 
+  /** G21c — avcC → Annex-B BITSTREAM CONVERSION (round 18): the
+    * h264_mp4toannexb filter every transcode pipeline runs before
+    * handing a container track to a raw byte-stream decoder — the
+    * reference never needs it because libav converts internally; here
+    * it is an explicit, oracle-pinned operator. The fixture is the
+    * real input shape (slices-only AVCC stream + avcC CodecPrivate
+    * from the Tracks walk); `graft_avcc_to_annexb` re-muxes the
+    * parameter sets IN-BAND ahead of the stream, and the output is
+    * verified by running the UNCHANGED G17/G18 readers on it: the
+    * census must gain exactly the SPS and PPS (n_nals + 2), flip to
+    * 'annexb' on every row, keep every slice byte, and the dims must
+    * now parse IN-band — a conversion that drops, reorders, or
+    * corrupts a single byte breaks one of those columns. Three chained
+    * per-row kernels, no shuffle below the final sort. */
+  def mmAvccToAnnexb(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      lit("V_MPEG4/ISO/AVC"),
+      call_function("graft_avcc_encode", col("event_id"), col("user_id")),
+      call_function("graft_h264_encode_slices", col("event_id"),
+        col("user_id")))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("trk", EbmlFunctions.trackInfo(col("blob")))
+      .withColumn("es", call_function("graft_avcc_to_annexb",
+        EbmlFunctions.firstBlock(col("blob")), col("trk.codec_private")))
+      .withColumn("st", call_function("graft_nal_stats", col("es")))
+      .withColumn("sps", call_function("graft_sps_dims", col("es")))
+      .select(col("event_id"),
+        col("st.format").as("format"),
+        col("st.n_nals").as("n_nals"),
+        col("st.n_idr").as("n_idr"),
+        col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"),
+        col("sps.width").as("width"),
+        col("sps.height").as("height"))
+      .orderBy("event_id")
+  }
+
   /** G23 — AAC AudioSpecificConfig from CodecPrivate (round 18, the
     * audio analog of G21): MKV `A_AAC` tracks carry the ISO 14496-3
     * §1.6.2.1 ASC out-of-band; `graft_aac_asc` bit-unpacks

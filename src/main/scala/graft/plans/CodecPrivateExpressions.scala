@@ -61,18 +61,86 @@ object CodecPrivateKernels {
     * length overrunning the blob, zero SPS entries, a non-SPS NAL in
     * the SPS slot, or an SPS that does not parse. */
   def avccSpsDims(bytes: Array[Byte]): InternalRow = {
+    val ps = avccParamSets(bytes)
+    if (ps == null) return null
+    val sps = ps._1
+    val h = sps(0) & 0xff
+    if ((h & 0x80) != 0 || (h & 0x1f) != 7) return null
+    try NalKernels.parseSps(epStrip(sps, 1, sps.length))
+    catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  /** First SPS and first PPS NAL byte-ranges out of an avcC blob, or
+    * null when malformed — the shared walk under [[avccSpsDims]] and
+    * [[avccToAnnexb]]. */
+  private def avccParamSets(bytes: Array[Byte])
+      : (Array[Byte], Array[Byte]) = {
     if (bytes == null || bytes.length < 8) return null
     if ((bytes(0) & 0xff) != 1) return null // configurationVersion
     val numSps = bytes(5) & 0x1f
     if (numSps < 1) return null
-    val len = ((bytes(6) & 0xff) << 8) | (bytes(7) & 0xff)
-    val s = 8
-    val e = s + len
-    if (len < 2 || e > bytes.length) return null
-    val h = bytes(s) & 0xff
-    if ((h & 0x80) != 0 || (h & 0x1f) != 7) return null
-    try NalKernels.parseSps(epStrip(bytes, s + 1, e))
-    catch { case _: IndexOutOfBoundsException => null }
+    var p = 6
+    var sps: Array[Byte] = null
+    var i = 0
+    while (i < numSps) {
+      if (p + 2 > bytes.length) return null
+      val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      p += 2
+      if (len < 2 || p + len > bytes.length) return null
+      if (sps == null) sps = java.util.Arrays.copyOfRange(bytes, p, p + len)
+      p += len
+      i += 1
+    }
+    if (p >= bytes.length) return null
+    val numPps = bytes(p) & 0xff
+    p += 1
+    if (numPps < 1) return null
+    if (p + 2 > bytes.length) return null
+    val plen = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    p += 2
+    if (plen < 1 || p + plen > bytes.length) return null
+    val pps = java.util.Arrays.copyOfRange(bytes, p, p + plen)
+    (sps, pps)
+  }
+
+  /** `graft_avcc_to_annexb`: the h264_mp4toannexb bitstream conversion
+    * every transcode pipeline runs (a length-prefixed AVCC track with
+    * out-of-band parameter sets → the Annex-B byte stream a raw
+    * decoder consumes): the avcC's SPS and PPS are emitted in-band at
+    * the stream head (4-byte start code, the G17 stream-head form),
+    * then every input NAL follows behind 3-byte start codes — NAL
+    * payloads are copied verbatim (emulation prevention is already on
+    * the wire in both layouts, so no re-escape pass). Accepts either
+    * input framing (the range walk auto-detects); null when the stream
+    * or the avcC is malformed. */
+  def avccToAnnexb(stream: Array[Byte], avcc: Array[Byte]): Array[Byte] = {
+    val ps = avccParamSets(avcc)
+    if (ps == null) return null
+    val ranges = NalKernels.nalRanges(stream)
+    if (ranges == null) return null
+    val (sps, pps) = ps
+    var total = 4 + sps.length + 3 + pps.length
+    var i = 0
+    while (i < ranges.length) {
+      total += 3 + (ranges(i)._2 - ranges(i)._1)
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var p = 0
+    def start4(): Unit = { out(p + 3) = 1; p += 4 }
+    def start3(): Unit = { out(p + 2) = 1; p += 3 }
+    def nalBytes(b: Array[Byte], s: Int, e: Int): Unit = {
+      System.arraycopy(b, s, out, p, e - s); p += e - s
+    }
+    start4(); nalBytes(sps, 0, sps.length)
+    start3(); nalBytes(pps, 0, pps.length)
+    i = 0
+    while (i < ranges.length) {
+      val (s, e) = ranges(i)
+      start3(); nalBytes(stream, s, e)
+      i += 1
+    }
+    out
   }
 
   // ---- hvcC (ISO 14496-15 §8.3.3.1) ------------------------------------
@@ -289,6 +357,30 @@ object AacAsc {
     StructField("object_type", LongType),
     StructField("sample_rate", LongType),
     StructField("channels", LongType)))
+}
+
+/** `graft_avcc_to_annexb(stream, avcc)` — the h264_mp4toannexb
+  * bitstream conversion: out-of-band parameter sets re-muxed in-band
+  * ahead of the stream's NALs behind Annex-B start codes; null when
+  * either input is malformed. */
+case class AvccToAnnexb(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_avcc_to_annexb"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.avccToAnnexb(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.avccToAnnexb($a, $b);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AvccToAnnexb =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_hvcc_encode(event_id, user_id)` — the deterministic hvcC

@@ -645,6 +645,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AacAscEncode(exprs.head, exprs(1))),
     ("graft_aac_asc", classOf[AacAsc],
       (exprs: Seq[Expression]) => AacAsc(exprs.head)),
+    ("graft_avcc_to_annexb", classOf[AvccToAnnexb],
+      (exprs: Seq[Expression]) => AvccToAnnexb(exprs.head, exprs(1))),
     ("graft_hvcc_encode", classOf[HvccEncode],
       (exprs: Seq[Expression]) => HvccEncode(exprs.head, exprs(1))),
     ("graft_hvcc_sps", classOf[HvccSps],

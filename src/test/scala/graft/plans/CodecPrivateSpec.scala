@@ -104,6 +104,37 @@ class CodecPrivateSpec extends AnyFunSuite {
     assert(CodecPrivateKernels.aacAsc(Array[Byte](1)) == null)
   }
 
+  test("avcC->Annex-B conversion: params land in-band, census and dims survive byte-exact") {
+    for (eventId <- 0L to 11L; userId <- Seq(0L, 3L, 6L)) {
+      val stream = NalKernels.h264EncodeSlices(eventId, userId)
+      val avcc = CodecPrivateKernels.avccEncode(eventId, userId)
+      val es = CodecPrivateKernels.avccToAnnexb(stream, avcc)
+      assert(es != null)
+      // the converted stream must equal the FULL in-band encoder's
+      // Annex-B output byte-for-byte on even events (same NAL order,
+      // same start-code pattern) — the strongest possible pin
+      if (eventId % 2 == 0)
+        assert(es.toSeq == NalKernels.h264Encode(eventId, userId).toSeq,
+          s"conversion diverged from the in-band encoder at event $eventId")
+      // …and on odd (AVCC-framed) inputs the readers verify it
+      val st = NalKernels.nalStats(es)
+      assert(st.getUTF8String(0).toString == "annexb")
+      assert(st.getLong(1) == 3 + eventId % 3)
+      val d = NalKernels.spsDims(es)
+      assert(d != null && d.getLong(0) == 66 + 11 * (userId % 2))
+    }
+    // malformed inputs: null, never throw
+    val goodStream = NalKernels.h264EncodeSlices(1L, 1L)
+    val goodAvcc = CodecPrivateKernels.avccEncode(1L, 1L)
+    assert(CodecPrivateKernels.avccToAnnexb(goodStream, Array[Byte](1)) == null)
+    assert(CodecPrivateKernels.avccToAnnexb(Array[Byte](1, 2), goodAvcc) == null)
+    // an avcC truncated after its SPS (no PPS) is malformed now that
+    // the shared walk requires both parameter sets
+    val spsLen = ((goodAvcc(6) & 0xff) << 8) | (goodAvcc(7) & 0xff)
+    assert(CodecPrivateKernels.avccToAnnexb(goodStream,
+      java.util.Arrays.copyOf(goodAvcc, 8 + spsLen)) == null)
+  }
+
   test("hvcC round-trips the G20 SPS arithmetic; array walk skips VPS to the SPS array") {
     for (eventId <- 0L to 15L; userId <- 0L to 7L) {
       val d = CodecPrivateKernels.hvccSpsDims(

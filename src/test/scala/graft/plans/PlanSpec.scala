@@ -370,6 +370,7 @@ class PlanSpec extends SparkSpec {
         "mm_avcc_sps" -> graft.operators.Multimodal.mmAvccSps(t),
         "mm_aac_asc" -> graft.operators.Multimodal.mmAacAsc(t),
         "mm_hvcc_sps" -> graft.operators.Multimodal.mmHvccSps(t),
+        "mm_avcc_to_annexb" -> graft.operators.Multimodal.mmAvccToAnnexb(t),
         "mm_gop_census" -> graft.operators.Multimodal.mmGopCensus(t),
         "mm_codec_dispatch" ->
           graft.operators.Multimodal.mmCodecDispatch(t))) {

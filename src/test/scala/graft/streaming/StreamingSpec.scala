@@ -72,6 +72,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("live GOP-health monitor windows the slice-header census (G22 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ebml.EbmlFunctions
+    import graft.plans.GopKernels
+    val input = MemoryStream[Array[Byte]]
+    val query = EventStreams.gopHealthStream(
+        input.toDF().withColumnRenamed("value", "blob"))
+      .writeStream.format("memory").queryName("gop_health")
+      .outputMode("update").start()
+    def frag(id: Long, uid: Long, minute: Int): Array[Byte] =
+      EbmlFunctions.buildFragmentFrame(id, ts(minute).getTime, uid, 0L,
+        GopKernels.h264GopEncode(id, uid))
+    try {
+      // window [0,10): events 0 (2 frames: I+B for uid 5) and 1
+      // (3 frames); batch 2 opens window [10,20) with event 2 (4 frames)
+      input.addData(frag(0L, 5L, 1), frag(1L, 5L, 4))
+      query.processAllAvailable()
+      input.addData(frag(2L, 5L, 12))
+      query.processAllAvailable()
+      val got = spark.sql(
+        """select sum(n_fragments), sum(n_slices), sum(n_i), sum(n_p),
+           sum(n_b) from gop_health""").collect()(0)
+      // replay the ladder: event e has m = 1 + e%4 post-anchor frames,
+      // P where (i + 5) % 3 == 0 for i in 1..m
+      val perEvent = Seq(0L, 1L, 2L).map { e =>
+        val m = (1 + e % 4).toInt
+        val nP = (1 to m).count(i => (i + 5L) % 3 == 0)
+        (1 + m, 1, nP, m - nP)
+      }
+      assert(got.getLong(0) == 3L)
+      assert(got.getLong(1) == perEvent.map(_._1).sum.toLong)
+      assert(got.getLong(2) == perEvent.map(_._2).sum.toLong)
+      assert(got.getLong(3) == perEvent.map(_._3).sum.toLong)
+      assert(got.getLong(4) == perEvent.map(_._4).sum.toLong)
+    } finally query.stop()
+  }
+
   test("late-data accounting: the watermark drops stragglers, visibly in progress metrics (B8/B29)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
