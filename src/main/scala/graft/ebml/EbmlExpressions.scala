@@ -126,18 +126,32 @@ object EbmlKernels {
       if (codecPrivate == null) Array.emptyByteArray else codecPrivate,
       if (frame == null) Array.emptyByteArray else frame)
 
-  private val TrackLeaves = Set("CodecID", "CodecPrivate")
+  private val TrackLeaves = Set("TrackEntry", "CodecID", "CodecPrivate")
 
   /** First TrackEntry's (codec_id, codec_private); null when the
-    * fragment has neither leaf (no Tracks element). The filtered walk
-    * skips every other leaf by size — media payloads are never read. */
+    * fragment has no TrackEntry. The filtered walk skips every other
+    * leaf by size — media payloads are never read. Collection is
+    * SCOPED to the first TrackEntry (the walk emits the 0xae master
+    * before descending, document-ordered): leaves are only taken
+    * between the first TrackEntry head and the next one, so a
+    * multi-track fragment whose first track lacks CodecPrivate never
+    * pairs fields from two different tracks. */
   def trackInfo(blob: Array[Byte]): InternalRow = {
     var cid: UTF8String = null
     var cp: Array[Byte] = null
-    Ebml.elements(blob, TrackLeaves).foreach { e =>
-      if (e.name == "CodecID" && cid == null && e.stringValue != null)
-        cid = u8(e.stringValue)
-      else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
+    var inFirst = false
+    var done = false
+    val it = Ebml.elements(blob, TrackLeaves).iterator
+    while (it.hasNext && !done) {
+      val e = it.next()
+      if (e.name == "TrackEntry") {
+        if (inFirst) done = true // second TrackEntry: first is consumed
+        else inFirst = true
+      } else if (inFirst) {
+        if (e.name == "CodecID" && cid == null && e.stringValue != null)
+          cid = u8(e.stringValue)
+        else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
+      }
     }
     if (cid == null && cp == null) null else InternalRow(cid, cp)
   }

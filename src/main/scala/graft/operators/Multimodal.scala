@@ -752,7 +752,9 @@ object Multimodal {
     val frame = EbmlFunctions.firstBlock(blob)
     when(codecId === "V_MPEG4/ISO/AVC",
         call_function("graft_nal_stats", frame).cast(UnifiedCensus))
-      .otherwise(call_function("graft_hevc_stats", frame).cast(UnifiedCensus))
+      .when(codecId === "V_MPEGH/ISO/HEVC",
+        call_function("graft_hevc_stats", frame).cast(UnifiedCensus))
+      .otherwise(lit(null).cast(UnifiedCensus)) // unknown codec: unparsed, not misparsed
   }
 
   /** G21c — avcC → Annex-B BITSTREAM CONVERSION (round 18): the

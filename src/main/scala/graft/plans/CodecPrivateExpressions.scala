@@ -116,7 +116,14 @@ object CodecPrivateKernels {
   def avccToAnnexb(stream: Array[Byte], avcc: Array[Byte]): Array[Byte] = {
     val ps = avccParamSets(avcc)
     if (ps == null) return null
-    val ranges = NalKernels.nalRanges(stream)
+    // the avcC declares the track's NAL length-prefix width (byte 4's
+    // low 2 bits, ISO 14496-15 §5.2.4.1.1) — honor it instead of
+    // assuming 4-byte prefixes on non-Annex-B input
+    val lenSize = (avcc(4) & 3) + 1
+    val ranges =
+      if (stream != null && NalKernels.isAnnexB(stream))
+        NalKernels.nalRanges(stream)
+      else NalKernels.lengthPrefixedRanges(stream, lenSize)
     if (ranges == null) return null
     val (sps, pps) = ps
     var total = 4 + sps.length + 3 + pps.length

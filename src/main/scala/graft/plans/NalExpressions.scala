@@ -344,6 +344,29 @@ object NalKernels {
     out.toArray
   }
 
+  /** Length-prefixed range walk with an EXPLICIT prefix width — the
+    * ISO 14496-15 lengthSizeMinusOne generalization of [[nalRanges]]'s
+    * 4-byte branch (avcC/hvcC tracks may legally use 1/2/4-byte
+    * prefixes; the auto-detecting walk assumes 4). Null on malformed
+    * streams or an out-of-spec width. */
+  private[plans] def lengthPrefixedRanges(
+      bytes: Array[Byte], lenSize: Int): Array[(Int, Int)] = {
+    if (bytes == null || lenSize < 1 || lenSize > 4 ||
+        bytes.length < lenSize + 1) return null
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)](8)
+    var i = 0
+    while (i < bytes.length) {
+      if (i + lenSize > bytes.length) return null
+      var len = 0
+      var j = 0
+      while (j < lenSize) { len = (len << 8) | (bytes(i + j) & 0xff); j += 1 }
+      if (len <= 0 || i + lenSize + len > bytes.length) return null
+      out += ((i + lenSize, i + lenSize + len))
+      i += lenSize + len
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
   private def trimZeros(bytes: Array[Byte], start: Int, end: Int): Int = {
     var e = end
     while (e > start && bytes(e - 1) == 0) e -= 1

@@ -234,4 +234,42 @@ class EbmlSpec extends AnyFunSuite {
     assert(heads(unknown) == fullHeads(unknown))
     assert(heads(unknown).head._1 == "0x6ee9")
   }
+
+  test("trackInfo scopes to the FIRST TrackEntry — multi-track fragments never pair fields across tracks") {
+    // Tracks with two entries: video track WITHOUT CodecPrivate first,
+    // audio track WITH CodecPrivate second — the advisory's case
+    val cid1 = utf8("V_MPEG4/ISO/AVC")
+    val cid2 = utf8("A_AAC")
+    val cp2 = Array[Byte](0x12, 0x10)
+    val e1 = 9L + cid1.length
+    val e2 = (9L + cid2.length) + (10L + cp2.length)
+    val tracksPayload = (9L + e1) + (9L + e2)
+    val w = new Writer(new Array[Byte]((12L + tracksPayload).toInt))
+    w.head(0x1654ae6bL, tracksPayload)
+    w.head(0xaeL, e1)
+    w.head(0x86L, cid1.length.toLong); w.bytes(cid1)
+    w.head(0xaeL, e2)
+    w.head(0x86L, cid2.length.toLong); w.bytes(cid2)
+    w.head(0x63a2L, cp2.length.toLong); w.bytes(cp2)
+    val row = EbmlKernels.trackInfo(w.buf)
+    assert(row != null)
+    assert(row.getUTF8String(0).toString == "V_MPEG4/ISO/AVC")
+    assert(row.isNullAt(1),
+      "CodecPrivate must NOT be taken from the second TrackEntry")
+    // order flipped: the full (cid, cp) pair comes from the first entry
+    val w2 = new Writer(new Array[Byte]((12L + tracksPayload).toInt))
+    w2.head(0x1654ae6bL, tracksPayload)
+    w2.head(0xaeL, e2)
+    w2.head(0x86L, cid2.length.toLong); w2.bytes(cid2)
+    w2.head(0x63a2L, cp2.length.toLong); w2.bytes(cp2)
+    w2.head(0xaeL, e1)
+    w2.head(0x86L, cid1.length.toLong); w2.bytes(cid1)
+    val row2 = EbmlKernels.trackInfo(w2.buf)
+    assert(row2 != null)
+    assert(row2.getUTF8String(0).toString == "A_AAC")
+    assert(java.util.Arrays.equals(row2.getBinary(1), cp2))
+    // leaves OUTSIDE any TrackEntry are never collected
+    val loose = element(0x86L, cid1)
+    assert(EbmlKernels.trackInfo(loose) == null)
+  }
 }

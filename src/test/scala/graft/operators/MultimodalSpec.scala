@@ -146,4 +146,30 @@ class MultimodalSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n == 1, s"expected 1 hash exchange, saw $n:\n${plan.take(1500)}")
   }
+
+  test("codecCensus: unknown codec ids come back UNPARSED (null), never routed to a census kernel (G24)") {
+    graft.plans.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.{cents, nanosToMs}
+    import graft.ebml.EbmlFunctions
+    // an HEVC-parseable payload under an AUDIO codec id: the old
+    // otherwise-branch would happily census it as HEVC
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), nanosToMs(col("ts")), col("user_id"),
+      cents(col("value")), lit("A_AAC"),
+      call_function("graft_aac_asc_encode", col("event_id"), col("user_id")),
+      call_function("graft_hevc_encode", col("event_id"), col("user_id")))
+    val base = t.events.limit(8).withColumn("blob", blob)
+    val unknown = base
+      .select(Multimodal.codecCensus(lit("A_AAC"), col("blob")).as("st"))
+      .collect()
+    assert(unknown.nonEmpty && unknown.forall(_.isNullAt(0)),
+      "A_AAC must not fall through to the HEVC census")
+    // sanity: the SAME payload parses when the id names HEVC
+    val hevc = base
+      .select(Multimodal.codecCensus(lit("V_MPEGH/ISO/HEVC"), col("blob"))
+        .as("st"))
+      .collect()
+    assert(hevc.forall(!_.isNullAt(0)))
+  }
 }

@@ -734,4 +734,26 @@ class SimilaritySpec extends SparkSpec {
       rec >= 0 && rec <= 1000 && nd >= 0 && nd <= 1000
     })
   }
+
+  test("knnJoinSized threads targetOccupancy into the grid (E14b, not the fixed-kCells path)") {
+    // the sizing rule itself, at points where occupancy-derived counts
+    // DIFFER from knn_join's fixed 8 — kCellsFor(500, 64) == 8 is a
+    // coincidence of the sf0.01 gate, so the correctness gate alone
+    // cannot catch a degeneration into the fixed path
+    assert(Similarity.kCellsFor(500L, 64L) == 8)   // the sf0.01 gate value
+    assert(Similarity.kCellsFor(200L, 64L) == 4)   // diverges from 8
+    assert(Similarity.kCellsFor(5000L, 64L) == 79) // the sf0.1 bench shape
+    assert(Similarity.kCellsFor(500L, 128L) == 4)
+    assert(Similarity.kCellsFor(1L, 256L) == 1)    // floor at one cell
+    // threading: over a 200-row corpus, the sized entry must be
+    // row-identical to the explicit kCells=4 grid (same Lloyd seed),
+    // and NOT to the fixed-8 grid the advisory warned about
+    val corpus = t.embeddings.orderBy("vec_id").limit(200)
+    val sized = Similarity.knnJoinSized(corpus, k = 3, nprobe = 2,
+      iters = 3, targetOccupancy = 64L).collect().toSeq
+    val explicit4 = Similarity.knnJoinOf(corpus, k = 3, kCells = 4,
+      nprobe = 2, iters = 3, blocks = 16).collect().toSeq
+    assert(sized == explicit4,
+      "knnJoinSized(occ=64) over 200 rows must equal knnJoinOf(kCells=4)")
+  }
 }

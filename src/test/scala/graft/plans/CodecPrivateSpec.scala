@@ -135,6 +135,32 @@ class CodecPrivateSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(goodAvcc, 8 + spsLen)) == null)
   }
 
+  test("avcC lengthSizeMinusOne drives the non-Annex-B range walk (spec-legal 2-byte prefixes)") {
+    val avcc4 = CodecPrivateKernels.avccEncode(1L, 1L)
+    val es4 = NalKernels.h264EncodeSlices(1L, 1L) // odd event: 4-byte AVCC framing
+    val ref = CodecPrivateKernels.avccToAnnexb(es4, avcc4)
+    assert(ref != null)
+    // re-frame the same NALs behind 2-byte length prefixes and declare
+    // lengthSizeMinusOne = 1 in the avcC — the conversion must read the
+    // declared width and produce the IDENTICAL Annex-B stream
+    val out = new java.io.ByteArrayOutputStream()
+    NalKernels.nalRanges(es4).foreach { case (s, e) =>
+      val len = e - s
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      out.write(es4, s, len)
+    }
+    val es2 = out.toByteArray
+    val avcc2 = avcc4.clone(); avcc2(4) = (0xfc | 1).toByte
+    val conv2 = CodecPrivateKernels.avccToAnnexb(es2, avcc2)
+    assert(conv2 != null && java.util.Arrays.equals(conv2, ref),
+      "2-byte-prefixed input must convert byte-identically to the 4-byte form")
+    // width mismatches misparse to NULL, never to garbage ranges:
+    // a 4-byte stream declared 2-byte reads a zero length; a 2-byte
+    // stream declared 4-byte reads an overrunning one
+    assert(CodecPrivateKernels.avccToAnnexb(es4, avcc2) == null)
+    assert(CodecPrivateKernels.avccToAnnexb(es2, avcc4) == null)
+  }
+
   test("hvcC round-trips the G20 SPS arithmetic; array walk skips VPS to the SPS array") {
     for (eventId <- 0L to 15L; userId <- 0L to 7L) {
       val d = CodecPrivateKernels.hvccSpsDims(
