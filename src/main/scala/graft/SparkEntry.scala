@@ -290,6 +290,11 @@ object SparkEntry {
       ((s, d) => Multimodal.mmAvccToAnnexb(tables(s, d))),
     // G22: P/B/I GOP census from PPS + slice-header parse
     "mm_gop_census" -> ((s, d) => Multimodal.mmGopCensus(tables(s, d))),
+    // G25: the HEVC sibling — PPS + slice-segment-header parse
+    "mm_hevc_gop_census" ->
+      ((s, d) => Multimodal.mmHevcGopCensus(tables(s, d))),
+    // G25b: mixed-fleet GOP dispatch (per-codec slice-header routing)
+    "mm_gop_dispatch" -> ((s, d) => Multimodal.mmGopDispatch(tables(s, d))),
     // G24: mixed-codec fleet — CASE-dispatch on the walked CodecID
     // routes each row through the right census kernel exactly once
     "mm_codec_dispatch" ->
@@ -2291,6 +2296,43 @@ object SparkEntry {
             as bigint) AS n_b,
           cast(m as bigint) AS max_frame_num
         FROM (SELECT event_id, 1 + event_id % 4 AS m,
+                CASE WHEN user_id % 3 = 0 THEN 3
+                     ELSE 3 - user_id % 3 END AS r
+              FROM events)
+        ORDER BY event_id""",
+    // G25: the SAME closed-form ladder as mm_gop_census — the HEVC
+    // fixture replays the H.264 cadence with slice_pic_order_cnt_lsb
+    // as the frame counter (poc = i for frames 0..m, max = m)
+    "mm_hevc_gop_census" ->
+      """SELECT event_id,
+          cast(2 + event_id % 4 as bigint) AS n_slices,
+          cast(1 as bigint) AS n_i,
+          cast(CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_p,
+          cast(m - CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_b,
+          cast(m as bigint) AS max_poc_lsb
+        FROM (SELECT event_id, 1 + event_id % 4 AS m,
+                CASE WHEN user_id % 3 = 0 THEN 3
+                     ELSE 3 - user_id % 3 END AS r
+              FROM events)
+        ORDER BY event_id""",
+    // G25b: per-codec GOP routing on the user_id % 2 fleet split —
+    // both codecs replay the SAME ladder (frame_num and poc_lsb both
+    // peak at m), so only the codec_id differs; a wrong route nulls
+    // the census and breaks the hash
+    "mm_gop_dispatch" ->
+      """SELECT event_id,
+          CASE WHEN user_id % 2 = 0 THEN 'V_MPEG4/ISO/AVC'
+               ELSE 'V_MPEGH/ISO/HEVC' END AS codec_id,
+          cast(2 + event_id % 4 as bigint) AS n_slices,
+          cast(1 as bigint) AS n_i,
+          cast(CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_p,
+          cast(m - CASE WHEN m >= r THEN (m - r) // 3 + 1 ELSE 0 END
+            as bigint) AS n_b,
+          cast(m as bigint) AS max_pic_counter
+        FROM (SELECT event_id, user_id, 1 + event_id % 4 AS m,
                 CASE WHEN user_id % 3 = 0 THEN 3
                      ELSE 3 - user_id % 3 END AS r
               FROM events)

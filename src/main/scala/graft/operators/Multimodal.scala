@@ -622,6 +622,98 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G25 — HEVC GOP census via PPS + slice-segment-header parse
+    * (round 19): the G22 stream-health layer for the OTHER codec of a
+    * mixed fleet — slice_type Table 7-7 (0 = B, 1 = P, 2 = I) and
+    * slice_pic_order_cnt_lsb parsed through the same Exp-Golomb reader
+    * behind the G19/G20 machinery, so the P/B/I dashboard is no longer
+    * blind on its HEVC half. The fixture replays the SAME GOP ladder
+    * as the H.264 fixture (I anchor — IDR when event_id % 4 == 0, else
+    * CRA — then the (i + user_id) % 3 P/B cadence), so the DuckDB
+    * oracle is the mm_gop_census closed form with POC lsb as the
+    * frame counter. Per-row codegen kernels, no shuffle below the
+    * final sort. */
+  def mmHevcGopCensus(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentFrame(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      call_function("graft_hevc_gop_encode", col("event_id"), col("user_id")))
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("g", call_function("graft_hevc_gop_census", frame))
+      .select(col("event_id"),
+        col("g.n_slices").as("n_slices"),
+        col("g.n_i").as("n_i"),
+        col("g.n_p").as("n_p"),
+        col("g.n_b").as("n_b"),
+        col("g.max_poc_lsb").as("max_poc_lsb"))
+      .orderBy("event_id")
+  }
+
+  /** The unified GOP shape: H.264's max_frame_num and HEVC's
+    * max_poc_lsb are the same positional slot — "the stream's frame
+    * counter" — so both census kernels cast to one struct and the
+    * CASE dispatch stays type-stable (the [[UnifiedCensus]] rule). */
+  val UnifiedGop: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("n_slices", LongType), StructField("n_i", LongType),
+      StructField("n_p", LongType), StructField("n_b", LongType),
+      StructField("max_pic_counter", LongType)))
+  }
+
+  /** CASE-dispatch a Tracks-bearing fragment through the GOP census
+    * its CodecID names — only the taken branch evaluates under
+    * codegen; unknown codecs come back null (unparsed, never
+    * misparsed). Shared by the G25b batch query and the mixed-fleet
+    * [[graft.streaming.EventStreams.gopHealthStream]]. */
+  def gopCensusDispatch(codecId: Column, blob: Column): Column = {
+    val frame = EbmlFunctions.firstBlock(blob)
+    when(codecId === "V_MPEG4/ISO/AVC",
+        call_function("graft_gop_census", frame).cast(UnifiedGop))
+      .when(codecId === "V_MPEGH/ISO/HEVC",
+        call_function("graft_hevc_gop_census", frame).cast(UnifiedGop))
+      .otherwise(lit(null).cast(UnifiedGop))
+  }
+
+  /** G25b — mixed-fleet GOP dispatch (the G24 pattern one layer
+    * deeper): even user_id producers ship H.264 GOP ladders, odd ones
+    * HEVC, and ONE declarative plan routes each fragment through the
+    * right slice-header parser and emits the unified per-event P/B/I
+    * view a heterogeneous fleet's health dashboard reads. */
+  def mmGopDispatch(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val avc = col("user_id") % 2 === 0
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      when(avc, lit("V_MPEG4/ISO/AVC")).otherwise(lit("V_MPEGH/ISO/HEVC")),
+      when(avc, call_function("graft_avcc_encode", col("event_id"),
+          col("user_id")))
+        .otherwise(call_function("graft_hvcc_encode", col("event_id"),
+          col("user_id"))),
+      when(avc, call_function("graft_h264_gop_encode", col("event_id"),
+          col("user_id")))
+        .otherwise(call_function("graft_hevc_gop_encode", col("event_id"),
+          col("user_id"))))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("codec_id",
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      .withColumn("g", gopCensusDispatch(col("codec_id"), col("blob")))
+      .select(col("event_id"), col("codec_id"),
+        col("g.n_slices").as("n_slices"),
+        col("g.n_i").as("n_i"),
+        col("g.n_p").as("n_p"),
+        col("g.n_b").as("n_b"),
+        col("g.max_pic_counter").as("max_pic_counter"))
+      .orderBy("event_id")
+  }
+
   /** G21 — OUT-OF-BAND parameter sets via the Tracks element's
     * CodecPrivate (round 18, the judge-named gap): real AVCC tracks do
     * NOT repeat SPS/PPS in-band — they ride the container (MKV Tracks →

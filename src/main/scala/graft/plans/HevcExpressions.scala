@@ -203,7 +203,7 @@ object HevcKernels {
     }
   }
 
-  private def assembleHevc(eventId: Long,
+  private[plans] def assembleHevc(eventId: Long,
       nals: Seq[Array[Byte]]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(320)
     if (eventId % 2 == 0) {
@@ -227,7 +227,7 @@ object HevcKernels {
   /** One on-wire NAL: the 2-byte header (§7.3.1.2 — type<<1 in byte 0,
     * nuh_layer_id 0, nuh_temporal_id_plus1 1 in byte 1) + EP-escaped
     * payload. */
-  private def nal(nalType: Int, rbspPayload: Array[Byte]): Array[Byte] = {
+  private[plans] def nal(nalType: Int, rbspPayload: Array[Byte]): Array[Byte] = {
     val esc = epEscape(rbspPayload, 0)
     val out = new Array[Byte](2 + esc.length)
     out(0) = ((nalType & 0x3f) << 1).toByte

@@ -657,6 +657,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => H264GopEncode(exprs.head, exprs(1))),
     ("graft_gop_census", classOf[GopCensus],
       (exprs: Seq[Expression]) => GopCensus(exprs.head)),
+    ("graft_hevc_gop_encode", classOf[HevcGopEncode],
+      (exprs: Seq[Expression]) => HevcGopEncode(exprs.head, exprs(1))),
+    ("graft_hevc_gop_census", classOf[HevcGopCensus],
+      (exprs: Seq[Expression]) => HevcGopCensus(exprs.head)),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
     ("graft_wav_gain", classOf[WavGain],

@@ -563,34 +563,41 @@ object EventStreams {
         col("n_fragments"), col("n_keyframes"), col("slice_rbsp_bytes"))
   }
 
-  /** G22 streaming twin — LIVE GOP-health monitor: each arriving
-    * fragment's elementary stream is slice-header-parsed in plan
-    * (`graft_gop_census`, the G22 kernel) and the P/B/I mix rolls into
-    * watermarked tumbling windows — the live dashboard a transcode
+  /** G22/G25 streaming twin — LIVE GOP-health monitor over a MIXED
+    * fleet: each arriving Tracks-bearing fragment is CASE-dispatched
+    * through the slice-header parser its walked CodecID names
+    * (`graft_gop_census` for AVC, `graft_hevc_gop_census` for HEVC —
+    * the shared [[graft.operators.Multimodal.gopCensusDispatch]];
+    * unknown codecs count as fragments but contribute null censuses,
+    * never a misparse) and the P/B/I mix rolls into watermarked
+    * tumbling windows PER CODEC — the live dashboard a transcode
     * operator reads to catch a producer that stopped emitting I frames
-    * or drifted B-heavy. Only five longs per fragment cross the window
-    * exchange; media bytes never do. */
+    * or drifted B-heavy, on either half of a heterogeneous fleet. Only
+    * (codec_id, four longs) per fragment cross the window exchange;
+    * media bytes never do. */
   def gopHealthStream(fragments: DataFrame,
       windowLen: String = "10 minutes",
       lateness: String = "1 minute"): DataFrame = {
     import graft.ebml.EbmlFunctions
     graft.plans.VectorFunctions.register(fragments.sparkSession)
     val tg = EbmlFunctions.parseTags(col("blob"))
-    val g = call_function("graft_gop_census",
-      EbmlFunctions.firstBlock(col("blob")))
     fragments
-      .withColumn("g", g)
+      .withColumn("codec_id",
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      .withColumn("g", graft.operators.Multimodal.gopCensusDispatch(
+        col("codec_id"), col("blob")))
       .withColumn("ts",
         (tg.getField("producer_ts").cast("long") / 1000.0).cast("timestamp"))
-      .select(col("ts"),
+      .select(col("ts"), col("codec_id"),
         col("g.n_slices").as("ns"), col("g.n_i").as("ni"),
         col("g.n_p").as("np"), col("g.n_b").as("nb"))
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), windowLen))
+      .groupBy(window(col("ts"), windowLen), col("codec_id"))
       .agg(count(lit(1)).as("n_fragments"),
         sum(col("ns")).as("n_slices"), sum(col("ni")).as("n_i"),
         sum(col("np")).as("n_p"), sum(col("nb")).as("n_b"))
-      .select(col("window.start").as("window_start"), col("n_fragments"),
+      .select(col("window.start").as("window_start"), col("codec_id"),
+        col("n_fragments"),
         col("n_slices"), col("n_i"), col("n_p"), col("n_b"))
   }
 

@@ -72,41 +72,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("live GOP-health monitor windows the slice-header census (G22 twin)") {
+  test("live GOP-health monitor routes a MIXED fleet through per-codec slice-header censuses (G22/G25 twin)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.ebml.EbmlFunctions
-    import graft.plans.GopKernels
+    import graft.plans.{CodecPrivateKernels, GopKernels, HevcGopKernels}
     val input = MemoryStream[Array[Byte]]
     val query = EventStreams.gopHealthStream(
         input.toDF().withColumnRenamed("value", "blob"))
       .writeStream.format("memory").queryName("gop_health")
       .outputMode("update").start()
+    // even uid → AVC ladder, odd uid → HEVC ladder (the G24 fleet rule)
     def frag(id: Long, uid: Long, minute: Int): Array[Byte] =
-      EbmlFunctions.buildFragmentFrame(id, ts(minute).getTime, uid, 0L,
-        GopKernels.h264GopEncode(id, uid))
+      if (uid % 2 == 0)
+        EbmlFunctions.buildFragmentTrack(id, ts(minute).getTime, uid, 0L,
+          "V_MPEG4/ISO/AVC", CodecPrivateKernels.avccEncode(id, uid),
+          GopKernels.h264GopEncode(id, uid))
+      else
+        EbmlFunctions.buildFragmentTrack(id, ts(minute).getTime, uid, 0L,
+          "V_MPEGH/ISO/HEVC", CodecPrivateKernels.hvccEncode(id, uid),
+          HevcGopKernels.hevcGopEncode(id, uid))
     try {
-      // window [0,10): events 0 (2 frames: I+B for uid 5) and 1
-      // (3 frames); batch 2 opens window [10,20) with event 2 (4 frames)
-      input.addData(frag(0L, 5L, 1), frag(1L, 5L, 4))
+      // window [0,10): AVC event (0, uid 4) + HEVC event (1, uid 5);
+      // batch 2 opens window [10,20) with HEVC event (2, uid 5)
+      input.addData(frag(0L, 4L, 1), frag(1L, 5L, 4))
       query.processAllAvailable()
       input.addData(frag(2L, 5L, 12))
       query.processAllAvailable()
       val got = spark.sql(
-        """select sum(n_fragments), sum(n_slices), sum(n_i), sum(n_p),
-           sum(n_b) from gop_health""").collect()(0)
-      // replay the ladder: event e has m = 1 + e%4 post-anchor frames,
-      // P where (i + 5) % 3 == 0 for i in 1..m
-      val perEvent = Seq(0L, 1L, 2L).map { e =>
+        """select codec_id, sum(n_fragments), sum(n_slices), sum(n_i),
+           sum(n_p), sum(n_b) from gop_health group by 1 order by 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // replay the shared ladder: event e has m = 1 + e%4 post-anchor
+      // frames, P where (i + uid) % 3 == 0 for i in 1..m
+      def ladder(e: Long, uid: Long) = {
         val m = (1 + e % 4).toInt
-        val nP = (1 to m).count(i => (i + 5L) % 3 == 0)
-        (1 + m, 1, nP, m - nP)
+        val nP = (1 to m).count(i => (i + uid) % 3 == 0)
+        (1L + m, 1L, nP.toLong, (m - nP).toLong)
       }
-      assert(got.getLong(0) == 3L)
-      assert(got.getLong(1) == perEvent.map(_._1).sum.toLong)
-      assert(got.getLong(2) == perEvent.map(_._2).sum.toLong)
-      assert(got.getLong(3) == perEvent.map(_._3).sum.toLong)
-      assert(got.getLong(4) == perEvent.map(_._4).sum.toLong)
+      val avc = ladder(0L, 4L)
+      val hevc = Seq(ladder(1L, 5L), ladder(2L, 5L))
+      assert(got.toSeq == Seq(
+        ("V_MPEG4/ISO/AVC", 1L, avc._1, avc._2, avc._3, avc._4),
+        ("V_MPEGH/ISO/HEVC", 2L, hevc.map(_._1).sum, hevc.map(_._2).sum,
+          hevc.map(_._3).sum, hevc.map(_._4).sum)).sortBy(_._1))
     } finally query.stop()
   }
 
