@@ -288,6 +288,10 @@ object SparkEntry {
     // unchanged census/SPS readers over the converted stream
     "mm_avcc_to_annexb" ->
       ((s, d) => Multimodal.mmAvccToAnnexb(tables(s, d))),
+    // G21d: the HEVC sibling — hvcC VPS/SPS/PPS re-muxed in-band,
+    // verified by the unchanged G19/G20 readers
+    "mm_hvcc_to_annexb" ->
+      ((s, d) => Multimodal.mmHvccToAnnexb(tables(s, d))),
     // G22: P/B/I GOP census from PPS + slice-header parse
     "mm_gop_census" -> ((s, d) => Multimodal.mmGopCensus(tables(s, d))),
     // G25: the HEVC sibling — PPS + slice-segment-header parse
@@ -2267,6 +2271,20 @@ object SparkEntry {
           cast(15 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes,
           cast(16 * (4 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
           cast(16 * (4 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
+        FROM events ORDER BY event_id""",
+    // G21d: the HEVC conversion ramp — the census gains exactly the
+    // THREE in-band parameter sets (n_nals = slices + 3), every row
+    // flips to annexb, slice bytes untouched, dims parse in-band
+    // (the mm_hevc_sps geometry)
+    "mm_hvcc_to_annexb" ->
+      """SELECT event_id,
+          'annexb' AS format,
+          cast(4 + event_id % 3 as bigint) AS n_nals,
+          cast(CASE WHEN event_id % 4 = 0 THEN 1 + event_id % 3 ELSE 0 END
+            as bigint) AS n_irap,
+          cast(16 * (1 + event_id % 3) as bigint) AS slice_rbsp_bytes,
+          cast(8 * (8 + user_id % 4) - 2 * (event_id % 2) as bigint) AS width,
+          cast(8 * (8 + event_id % 4) - 2 * (user_id % 2) as bigint) AS height
         FROM events ORDER BY event_id""",
     // G24: per-codec census arithmetic keyed on the user_id % 2 fleet
     // split — AVC rows replay the G17 constants (SPS+PPS+slices,

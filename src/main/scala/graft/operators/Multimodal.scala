@@ -890,6 +890,43 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G21d — hvcC → Annex-B BITSTREAM CONVERSION (round 19, the HEVC
+    * sibling of G21c, completing the mp4toannexb filter pair): the
+    * hvcC's VPS/SPS/PPS are re-muxed IN-BAND ahead of the slices-only
+    * track stream and the output is verified by the UNCHANGED G19/G20
+    * readers: the census must gain exactly the three parameter sets
+    * (n_nals + 3), flip to 'annexb' on every row, keep every slice
+    * byte, and the dims must now parse IN-band — a conversion that
+    * drops, reorders, or corrupts a single byte breaks one of those
+    * columns. Three chained per-row kernels, no shuffle below the
+    * final sort. */
+  def mmHvccToAnnexb(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      lit("V_MPEGH/ISO/HEVC"),
+      call_function("graft_hvcc_encode", col("event_id"), col("user_id")),
+      call_function("graft_hevc_encode_slices", col("event_id"),
+        col("user_id")))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("trk", EbmlFunctions.trackInfo(col("blob")))
+      .withColumn("es", call_function("graft_hvcc_to_annexb",
+        EbmlFunctions.firstBlock(col("blob")), col("trk.codec_private")))
+      .withColumn("st", call_function("graft_hevc_stats", col("es")))
+      .withColumn("sps", call_function("graft_hevc_sps", col("es")))
+      .select(col("event_id"),
+        col("st.format").as("format"),
+        col("st.n_nals").as("n_nals"),
+        col("st.n_irap").as("n_irap"),
+        col("st.slice_rbsp_bytes").as("slice_rbsp_bytes"),
+        col("sps.width").as("width"),
+        col("sps.height").as("height"))
+      .orderBy("event_id")
+  }
+
   /** G23 — AAC AudioSpecificConfig from CodecPrivate (round 18, the
     * audio analog of G21): MKV `A_AAC` tracks carry the ISO 14496-3
     * §1.6.2.1 ASC out-of-band; `graft_aac_asc` bit-unpacks

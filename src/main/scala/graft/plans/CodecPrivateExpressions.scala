@@ -235,6 +235,97 @@ object CodecPrivateKernels {
     null // no SPS array
   }
 
+  /** First VPS/SPS/PPS NALs + declared NAL length-prefix width out of
+    * an hvcC blob, or null when malformed — the shared walk under
+    * [[hvccSpsDims]]' SPS read generalized to all three parameter-set
+    * arrays for [[hvccToAnnexb]]. VPS may legally be absent (vpsOpt
+    * null); SPS and PPS are required. */
+  private def hvccParamSets(bytes: Array[Byte])
+      : (Array[Byte], Array[Byte], Array[Byte], Int) = {
+    if (bytes == null || bytes.length < 24) return null
+    if ((bytes(0) & 0xff) != 1) return null
+    val lenSize = (bytes(21) & 3) + 1
+    var vps: Array[Byte] = null
+    var sps: Array[Byte] = null
+    var pps: Array[Byte] = null
+    var p = 22
+    val numArrays = bytes(p) & 0xff
+    p += 1
+    var a = 0
+    while (a < numArrays) {
+      if (p + 3 > bytes.length) return null
+      val arrType = bytes(p) & 0x3f
+      val numNalus = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+      p += 3
+      var n = 0
+      while (n < numNalus) {
+        if (p + 2 > bytes.length) return null
+        val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        p += 2
+        if (len < 2 || p + len > bytes.length) return null
+        val h0 = bytes(p) & 0xff
+        if ((h0 & 0x80) != 0 || ((h0 >>> 1) & 0x3f) != arrType) return null
+        val nal = java.util.Arrays.copyOfRange(bytes, p, p + len)
+        arrType match {
+          case HevcKernels.VPS_NUT => if (vps == null) vps = nal
+          case HevcKernels.SPS_NUT => if (sps == null) sps = nal
+          case HevcKernels.PPS_NUT => if (pps == null) pps = nal
+          case _ => ()
+        }
+        p += len
+        n += 1
+      }
+      a += 1
+    }
+    if (sps == null || pps == null) return null
+    (vps, sps, pps, lenSize)
+  }
+
+  /** `graft_hvcc_to_annexb`: the hevc_mp4toannexb bitstream conversion
+    * — the HEVC sibling of [[avccToAnnexb]]: the hvcC's parameter sets
+    * are re-muxed IN-BAND at the stream head (4-byte start code on the
+    * first, 3-byte after — the G19 stream-head form), then every input
+    * NAL follows behind 3-byte start codes, payloads copied verbatim
+    * (emulation prevention is already on the wire in both layouts).
+    * Accepts either input framing; non-Annex-B input is walked at the
+    * hvcC's declared lengthSizeMinusOne width. Null when the stream or
+    * the hvcC is malformed. */
+  def hvccToAnnexb(stream: Array[Byte], hvcc: Array[Byte]): Array[Byte] = {
+    val ps = hvccParamSets(hvcc)
+    if (ps == null) return null
+    val (vps, sps, pps, lenSize) = ps
+    val ranges =
+      if (stream != null && NalKernels.isAnnexB(stream))
+        NalKernels.nalRanges(stream)
+      else NalKernels.lengthPrefixedRanges(stream, lenSize)
+    if (ranges == null) return null
+    val heads = Seq(vps, sps, pps).filter(_ != null)
+    var total = heads.map(_.length).sum + 3 * heads.length + 1
+    var i = 0
+    while (i < ranges.length) {
+      total += 3 + (ranges(i)._2 - ranges(i)._1)
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var p = 0
+    def start(four: Boolean): Unit = {
+      if (four) p += 1 // leading zero of the 4-byte stream-head code
+      out(p + 2) = 1; p += 3
+    }
+    heads.zipWithIndex.foreach { case (n, ix) =>
+      start(ix == 0)
+      System.arraycopy(n, 0, out, p, n.length); p += n.length
+    }
+    i = 0
+    while (i < ranges.length) {
+      val (s, e) = ranges(i)
+      start(false)
+      System.arraycopy(stream, s, out, p, e - s); p += e - s
+      i += 1
+    }
+    out
+  }
+
   // ---- AAC AudioSpecificConfig (ISO 14496-3 §1.6.2.1) -------------------
 
   /** Table 1.16 sampling rates by samplingFrequencyIndex. */
@@ -387,6 +478,30 @@ case class AvccToAnnexb(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AvccToAnnexb =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_hvcc_to_annexb(stream, hvcc)` — the hevc_mp4toannexb
+  * bitstream conversion: out-of-band VPS/SPS/PPS re-muxed in-band
+  * ahead of the stream's NALs behind Annex-B start codes; null when
+  * either input is malformed. */
+case class HvccToAnnexb(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hvcc_to_annexb"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.hvccToAnnexb(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.hvccToAnnexb($a, $b);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HvccToAnnexb =
     copy(left = newLeft, right = newRight)
 }
 

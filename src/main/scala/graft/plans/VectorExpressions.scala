@@ -647,6 +647,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AacAsc(exprs.head)),
     ("graft_avcc_to_annexb", classOf[AvccToAnnexb],
       (exprs: Seq[Expression]) => AvccToAnnexb(exprs.head, exprs(1))),
+    ("graft_hvcc_to_annexb", classOf[HvccToAnnexb],
+      (exprs: Seq[Expression]) => HvccToAnnexb(exprs.head, exprs(1))),
     ("graft_hvcc_encode", classOf[HvccEncode],
       (exprs: Seq[Expression]) => HvccEncode(exprs.head, exprs(1))),
     ("graft_hvcc_sps", classOf[HvccSps],

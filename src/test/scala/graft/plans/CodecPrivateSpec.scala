@@ -161,6 +161,69 @@ class CodecPrivateSpec extends AnyFunSuite {
     assert(CodecPrivateKernels.avccToAnnexb(es2, avcc4) == null)
   }
 
+  test("hvcC->Annex-B conversion: VPS/SPS/PPS land in-band, census and dims survive byte-exact") {
+    for (eventId <- 0L to 11L; userId <- Seq(0L, 3L, 6L)) {
+      val stream = HevcKernels.hevcEncodeSlices(eventId, userId)
+      val hvcc = CodecPrivateKernels.hvccEncode(eventId, userId)
+      val es = CodecPrivateKernels.hvccToAnnexb(stream, hvcc)
+      assert(es != null)
+      // the converted stream must equal the FULL in-band encoder's
+      // Annex-B output byte-for-byte on even events (same NAL order,
+      // same start-code pattern) — the G21c strongest-pin rule
+      if (eventId % 2 == 0)
+        assert(es.toSeq == HevcKernels.hevcEncode(eventId, userId).toSeq,
+          s"conversion diverged from the in-band encoder at event $eventId")
+      // …and on odd (hvcC-framed) inputs the readers verify it
+      val st = HevcKernels.hevcStats(es)
+      assert(st.getUTF8String(0).toString == "annexb")
+      assert(st.getLong(1) == 4 + eventId % 3)
+      assert(st.getLong(3) == 16 * (1 + eventId % 3))
+      val d = HevcKernels.hevcSpsDims(es)
+      assert(d != null && d.getLong(0) == 1 + userId % 2)
+    }
+    // declared length-prefix width is honored: re-frame the same NALs
+    // behind 2-byte lengths and flip lengthSizeMinusOne to 1
+    val stream4 = HevcKernels.hevcEncodeSlices(1L, 1L)
+    val hvcc4 = CodecPrivateKernels.hvccEncode(1L, 1L)
+    val ref = CodecPrivateKernels.hvccToAnnexb(stream4, hvcc4)
+    val out = new java.io.ByteArrayOutputStream()
+    NalKernels.nalRanges(stream4).foreach { case (s, e) =>
+      val len = e - s
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      out.write(stream4, s, len)
+    }
+    val stream2 = out.toByteArray
+    val hvcc2 = hvcc4.clone()
+    hvcc2(21) = ((hvcc2(21) & 0xfc) | 1).toByte
+    val conv2 = CodecPrivateKernels.hvccToAnnexb(stream2, hvcc2)
+    assert(conv2 != null && java.util.Arrays.equals(conv2, ref))
+    assert(CodecPrivateKernels.hvccToAnnexb(stream4, hvcc2) == null)
+    // malformed inputs: null, never throw
+    assert(CodecPrivateKernels.hvccToAnnexb(stream4, Array[Byte](1)) == null)
+    assert(CodecPrivateKernels.hvccToAnnexb(Array[Byte](1, 2), hvcc4) == null)
+    // an hvcC whose PPS array is truncated away is malformed (the walk
+    // requires SPS and PPS): cut right before the last array
+    val ppsArrStart = {
+      // arrays: 3-byte head + 2-byte len + nal, ×3 — find the third
+      var p = 23
+      var a = 0
+      while (a < 2) {
+        val num = ((hvcc4(p + 1) & 0xff) << 8) | (hvcc4(p + 2) & 0xff)
+        p += 3
+        var n = 0
+        while (n < num) {
+          val len = ((hvcc4(p) & 0xff) << 8) | (hvcc4(p + 1) & 0xff)
+          p += 2 + len
+          n += 1
+        }
+        a += 1
+      }
+      p
+    }
+    assert(CodecPrivateKernels.hvccToAnnexb(stream4,
+      java.util.Arrays.copyOf(hvcc4, ppsArrStart)) == null)
+  }
+
   test("hvcC round-trips the G20 SPS arithmetic; array walk skips VPS to the SPS array") {
     for (eventId <- 0L to 15L; userId <- 0L to 7L) {
       val d = CodecPrivateKernels.hvccSpsDims(
