@@ -303,6 +303,8 @@ object SparkEntry {
     // routes each row through the right census kernel exactly once
     "mm_codec_dispatch" ->
       ((s, d) => Multimodal.mmCodecDispatch(tables(s, d))),
+    // G23b: ASC → ADTS mux + header re-parse round-trip
+    "mm_asc_to_adts" -> ((s, d) => Multimodal.mmAscToAdts(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2368,6 +2370,22 @@ object SparkEntry {
             WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
             WHEN 12 THEN 7350 END as bigint) AS sample_rate,
           cast(1 + event_id % 2 as bigint) AS channels
+        FROM events ORDER BY event_id""",
+    // G23b: the G23 field arithmetic re-read through the ADTS header
+    // (profile+1 = object type, rate via the Table 1.16 CASE, 13-bit
+    // frame length = 7-byte header + the 172-byte WAV SimpleBlock)
+    "mm_asc_to_adts" ->
+      """SELECT event_id,
+          cast(2 + user_id % 3 as bigint) AS object_type,
+          cast(CASE event_id % 13
+            WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+            WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+            WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+            WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+            WHEN 12 THEN 7350 END as bigint) AS sample_rate,
+          cast(1 + event_id % 2 as bigint) AS channels,
+          cast(179 as bigint) AS frame_length,
+          cast(172 as bigint) AS payload_bytes
         FROM events ORDER BY event_id""",
     "mm_features_bmp" -> OracleSql.mmFeaturesBmp,
     "mm_resize" -> OracleSql.mmResize,

@@ -956,6 +956,40 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G23b — ASC → ADTS MUX (round 19, the audio analog of G21c: the
+    * aac_adtstoasc INVERSE every pipeline runs when a container track
+    * is re-served as a self-describing stream): `graft_asc_to_adts`
+    * renders the 7-byte ISO 14496-3 §1.A.2.2 header from the
+    * out-of-band ASC and frames the SimpleBlock payload behind it;
+    * `graft_adts_parse` re-reads the header fields back — profile+1
+    * must round-trip to the ASC's object type, the rate index through
+    * the Table 1.16 lookup, channels verbatim, and the 13-bit frame
+    * length must equal 7 + payload. Three chained per-row kernels, no
+    * shuffle below the final sort. */
+  def mmAscToAdts(t: Tables): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentTrack(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      lit("A_AAC"),
+      call_function("graft_aac_asc_encode", col("event_id"), col("user_id")),
+      call_function("graft_wav_encode", col("event_id"), lit(false)))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("trk", EbmlFunctions.trackInfo(col("blob")))
+      .withColumn("adts", call_function("graft_asc_to_adts",
+        col("trk.codec_private"), EbmlFunctions.firstBlock(col("blob"))))
+      .withColumn("p", call_function("graft_adts_parse", col("adts")))
+      .select(col("event_id"),
+        col("p.object_type").as("object_type"),
+        col("p.sample_rate").as("sample_rate"),
+        col("p.channels").as("channels"),
+        col("p.frame_length").as("frame_length"),
+        col("p.payload_bytes").as("payload_bytes"))
+      .orderBy("event_id")
+  }
+
   /** G9 — SCENE-CHANGE detection over decoded frames (round 13): the
     * video-curation keyframe rule — emit a CUT wherever consecutive
     * frames of a stream jump in mean luma by >= `tauMilli` (exact

@@ -347,6 +347,77 @@ object CodecPrivateKernels {
     w.toBytes // 16 bits exactly — byte-aligned by construction
   }
 
+  /** `graft_asc_to_adts(asc, frame)`: the aac_adtstoasc INVERSE filter
+    * every audio pipeline runs when a container track is re-served as
+    * a self-describing stream — render the 7-byte ADTS header
+    * (ISO 14496-3 §1.A.2.2, protection_absent form, no CRC) from the
+    * ASC's fields and frame the raw AAC payload behind it. Null when
+    * the ASC is truncated, the object type is outside ADTS's 2-bit
+    * profile range (1..4 — escaped types ≥ 32 included), the rate is
+    * reserved (13/14) or explicit (15 — ADTS carries only the table
+    * index), the channel configuration is 0 (PCE-borne) or > 7, or
+    * the framed length overflows the 13-bit field. */
+  def ascToAdts(asc: Array[Byte], frame: Array[Byte]): Array[Byte] = {
+    if (asc == null || asc.length < 2 || frame == null) return null
+    try {
+      val r = new BitReader(asc)
+      val objectType = r.u(5) // 31-escape lands ≥ 32: never ADTS-framable
+      if (objectType < 1 || objectType > 4) return null
+      val freqIndex = r.u(4)
+      if (freqIndex >= 13) return null
+      val channels = r.u(4)
+      if (channels < 1 || channels > 7) return null
+      val frameLen = 7 + frame.length
+      if (frameLen >= (1 << 13)) return null
+      val w = new NalKernels.BitWriter
+      w.u(0xfff, 12)         // syncword
+      w.u(0, 1)              // ID: MPEG-4
+      w.u(0, 2)              // layer (always 00)
+      w.u(1, 1)              // protection_absent
+      w.u(objectType - 1, 2) // profile = audioObjectType - 1
+      w.u(freqIndex, 4)      // sampling_frequency_index
+      w.u(0, 1)              // private_bit
+      w.u(channels, 3)       // channel_configuration
+      w.u(0, 1); w.u(0, 1)   // original/copy, home
+      w.u(0, 1); w.u(0, 1)   // copyright id bit / start
+      w.u(frameLen, 13)      // aac_frame_length (header + payload)
+      w.u(0x7ff, 11)         // buffer fullness: VBR
+      w.u(0, 2)              // number_of_raw_data_blocks - 1
+      val header = w.toBytes // 56 bits = 7 bytes exactly
+      val out = new Array[Byte](7 + frame.length)
+      System.arraycopy(header, 0, out, 0, 7)
+      System.arraycopy(frame, 0, out, 7, frame.length)
+      out
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
+  /** `graft_adts_parse(bytes)`: re-parse an ADTS frame's header back
+    * into struct(object_type, sample_rate, channels, frame_length,
+    * payload_bytes) — the verification half of [[ascToAdts]]. Null on
+    * a bad syncword, a non-00 layer, a reserved rate index, or a
+    * frame length inconsistent with the buffer. */
+  def adtsParse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 7) return null
+    try {
+      val r = new BitReader(bytes)
+      if (r.u(12) != 0xfff) return null
+      r.u(1)                          // ID
+      if (r.u(2) != 0) return null    // layer is always 00
+      val protAbsent = r.u(1)
+      val profile = r.u(2)
+      val freqIndex = r.u(4)
+      if (freqIndex >= 13) return null
+      r.u(1)                          // private_bit
+      val channels = r.u(3)
+      r.u(4)                          // original/home/copyright bits
+      val frameLen = r.u(13)
+      val hdr = if (protAbsent == 1) 7 else 9
+      if (frameLen < hdr || frameLen > bytes.length) return null
+      InternalRow((profile + 1).toLong, AacRates(freqIndex).toLong,
+        channels.toLong, frameLen.toLong, (frameLen - hdr).toLong)
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
+
   /** `graft_aac_asc`: decode an AudioSpecificConfig into
     * struct(object_type, sample_rate, channels) — the 31-escape and the
     * explicit-rate (index 15) branches handled per the spec; null on a
@@ -455,6 +526,57 @@ object AacAsc {
     StructField("object_type", LongType),
     StructField("sample_rate", LongType),
     StructField("channels", LongType)))
+}
+
+/** `graft_asc_to_adts(asc, frame)` — 7-byte ADTS header rendered from
+  * the ASC + the framed payload; null on out-of-range configs. */
+case class AscToAdts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_asc_to_adts"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodecPrivateKernels.ascToAdts(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.ascToAdts($a, $b);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AscToAdts =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_adts_parse(bytes)` — ADTS header →
+  * struct(object_type, sample_rate, channels, frame_length,
+  * payload_bytes); null on malformed frames. */
+case class AdtsParse(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = AdtsParse.adtsType
+  override def prettyName: String = "graft_adts_parse"
+
+  override def nullSafeEval(a: Any): Any =
+    CodecPrivateKernels.adtsParse(a.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+        ${ev.value} = graft.plans.CodecPrivateKernels.adtsParse($a);
+        ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(newChild: Expression): AdtsParse =
+    copy(child = newChild)
+}
+
+object AdtsParse {
+  val adtsType: StructType = StructType(Seq(
+    StructField("object_type", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("frame_length", LongType),
+    StructField("payload_bytes", LongType)))
 }
 
 /** `graft_avcc_to_annexb(stream, avcc)` — the h264_mp4toannexb

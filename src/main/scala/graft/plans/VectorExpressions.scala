@@ -645,6 +645,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => AacAscEncode(exprs.head, exprs(1))),
     ("graft_aac_asc", classOf[AacAsc],
       (exprs: Seq[Expression]) => AacAsc(exprs.head)),
+    ("graft_asc_to_adts", classOf[AscToAdts],
+      (exprs: Seq[Expression]) => AscToAdts(exprs.head, exprs(1))),
+    ("graft_adts_parse", classOf[AdtsParse],
+      (exprs: Seq[Expression]) => AdtsParse(exprs.head)),
     ("graft_avcc_to_annexb", classOf[AvccToAnnexb],
       (exprs: Seq[Expression]) => AvccToAnnexb(exprs.head, exprs(1))),
     ("graft_hvcc_to_annexb", classOf[HvccToAnnexb],

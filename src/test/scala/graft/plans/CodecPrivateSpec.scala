@@ -224,6 +224,54 @@ class CodecPrivateSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(hvcc4, ppsArrStart)) == null)
   }
 
+  test("ASC->ADTS mux: header round-trips every generator cell; out-of-range configs null") {
+    val frame = AudioKernels.wavEncode(3L, silent = false)
+    for (eventId <- 0L to 25L; userId <- 0L to 5L) {
+      val asc = CodecPrivateKernels.aacAscEncode(eventId, userId)
+      val adts = CodecPrivateKernels.ascToAdts(asc, frame)
+      assert(adts != null && adts.length == 7 + frame.length)
+      // payload is byte-preserved behind the 7-byte header
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(adts, 7, adts.length), frame))
+      val p = CodecPrivateKernels.adtsParse(adts)
+      assert(p != null)
+      assert(p.getLong(0) == 2 + userId % 3, "object_type")
+      assert(p.getLong(1) ==
+        CodecPrivateKernels.AacRates((eventId % 13).toInt), "sample_rate")
+      assert(p.getLong(2) == 1 + eventId % 2, "channels")
+      assert(p.getLong(3) == 7 + frame.length, "frame_length")
+      assert(p.getLong(4) == frame.length, "payload_bytes")
+    }
+    // out-of-range configs: escaped object type (ADTS profile is 2
+    // bits), explicit 24-bit rate (index 15), reserved indexes, big
+    // payloads past the 13-bit length, truncation
+    def asc(ot: Int, fi: Int, ch: Int): Array[Byte] = {
+      val w = new NalKernels.BitWriter
+      w.u(ot, 5); w.u(fi, 4); w.u(ch, 4); w.u(0, 3)
+      w.toBytes
+    }
+    assert(CodecPrivateKernels.ascToAdts(asc(5, 3, 2), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(31, 3, 2), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(2, 13, 2), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(2, 15, 2), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(2, 3, 0), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(2, 3, 2),
+      new Array[Byte](8185)) == null)
+    assert(CodecPrivateKernels.ascToAdts(Array[Byte](1), frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(null, frame) == null)
+    assert(CodecPrivateKernels.ascToAdts(asc(2, 3, 2), null) == null)
+    // parse guards: bad sync, bad layer, length overrunning the buffer
+    val good = CodecPrivateKernels.ascToAdts(asc(2, 3, 2), frame)
+    val badSync = good.clone(); badSync(0) = 0x12
+    assert(CodecPrivateKernels.adtsParse(badSync) == null)
+    val badLayer = good.clone()
+    badLayer(1) = (badLayer(1) | 0x06).toByte
+    assert(CodecPrivateKernels.adtsParse(badLayer) == null)
+    assert(CodecPrivateKernels.adtsParse(
+      java.util.Arrays.copyOf(good, 20)) == null)
+    assert(CodecPrivateKernels.adtsParse(null) == null)
+  }
+
   test("hvcC round-trips the G20 SPS arithmetic; array walk skips VPS to the SPS array") {
     for (eventId <- 0L to 15L; userId <- 0L to 7L) {
       val d = CodecPrivateKernels.hvccSpsDims(
