@@ -305,6 +305,13 @@ object SparkEntry {
       ((s, d) => Multimodal.mmCodecDispatch(tables(s, d))),
     // G23b: ASC → ADTS mux + header re-parse round-trip
     "mm_asc_to_adts" -> ((s, d) => Multimodal.mmAscToAdts(tables(s, d))),
+    // G26: SEI TLV census (recovery points + unregistered user data)
+    "mm_sei_census" -> ((s, d) => Multimodal.mmSeiCensus(tables(s, d))),
+    "mm_hevc_sei_census" ->
+      ((s, d) => Multimodal.mmHevcSeiCensus(tables(s, d))),
+    // G17c: the keyframe index honoring recovery points alongside IDRs
+    "mm_random_access_index" ->
+      ((s, d) => Multimodal.mmRandomAccessIndex(tables(s, d))),
     // G9: scene-change detection (keyframe rule) over decoded frames
     "mm_scene_cuts" -> ((s, d) => Multimodal.mmSceneCuts(tables(s, d))),
     // G10: cross-modal backward as-of (audio fragment → latest image
@@ -2209,6 +2216,38 @@ object SparkEntry {
           cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
             as bigint) AS kf_seq
         FROM events WHERE event_id % 4 = 0
+        ORDER BY user_id, event_id""",
+    // G26: closed-form SEI ladder — recovery point on % 4 == 2 events,
+    // one user-data message everywhere with event_id % 5 net bytes
+    "mm_sei_census" ->
+      """SELECT event_id,
+          cast(1 as bigint) AS n_sei_nals,
+          cast(CASE WHEN event_id % 4 = 2 THEN 2 ELSE 1 END
+            as bigint) AS n_messages,
+          cast(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END
+            as bigint) AS n_recovery,
+          cast(1 as bigint) AS n_user_data,
+          cast(event_id % 5 as bigint) AS user_data_bytes
+        FROM events ORDER BY event_id""",
+    "mm_hevc_sei_census" ->
+      """SELECT event_id,
+          cast(1 as bigint) AS n_sei_nals,
+          cast(CASE WHEN event_id % 4 = 2 THEN 2 ELSE 1 END
+            as bigint) AS n_messages,
+          cast(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END
+            as bigint) AS n_recovery,
+          cast(1 as bigint) AS n_user_data,
+          cast(event_id % 5 as bigint) AS user_data_bytes
+        FROM events ORDER BY event_id""",
+    // G17c: random-access rows are the IDR cadence (% 4 == 0) UNION
+    // the recovery-point cadence (% 4 == 2), numbered per user
+    "mm_random_access_index" ->
+      """SELECT user_id, event_id,
+          CASE WHEN event_id % 4 = 0 THEN 'idr' ELSE 'recovery' END
+            AS ra_kind,
+          cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+            as bigint) AS ra_seq
+        FROM events WHERE event_id % 4 = 0 OR event_id % 4 = 2
         ORDER BY user_id, event_id""",
     "mm_sps_dims" ->
       """SELECT event_id,

@@ -956,6 +956,73 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** G26 — SEI CENSUS (round 19, the remaining structural NAL layer):
+    * H.264 type-6 SEI NALs TLV-walked for recovery_point (the non-IDR
+    * random-access signal) and user_data_unregistered (the per-frame
+    * metadata channel real producers use) — ff-escaped type/size
+    * bytes, UUID-mandatory user data, trailing-byte closure. The
+    * fixture plants a recovery point on every event_id % 4 == 2 event
+    * (interleaved with the % 4 == 0 IDR cadence) and a user-data
+    * message with event_id % 5 net bytes on every event. Per-row
+    * codegen kernels, no shuffle below the final sort. */
+  def mmSeiCensus(t: Tables): DataFrame =
+    seiCensusOf(t, "graft_h264_sei_encode", "graft_sei_census")
+
+  /** G26 HEVC arm — the same TLV walk behind the 2-byte prefix-SEI
+    * (type 39) header. */
+  def mmHevcSeiCensus(t: Tables): DataFrame =
+    seiCensusOf(t, "graft_hevc_sei_encode", "graft_hevc_sei_census")
+
+  private def seiCensusOf(t: Tables, enc: String, census: String): DataFrame = {
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentFrame(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      call_function(enc, col("event_id"), col("user_id")))
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("blob", blob)
+      .withColumn("g",
+        call_function(census, EbmlFunctions.firstBlock(col("blob"))))
+      .select(col("event_id"),
+        col("g.n_sei_nals").as("n_sei_nals"),
+        col("g.n_messages").as("n_messages"),
+        col("g.n_recovery").as("n_recovery"),
+        col("g.n_user_data").as("n_user_data"),
+        col("g.user_data_bytes").as("user_data_bytes"))
+      .orderBy("event_id")
+  }
+
+  /** G17c — RANDOM-ACCESS INDEX (round 19, G17b extended by the G26
+    * layer): a seekable index must honor recovery points alongside
+    * IDRs — a decoder can start at either — so the keyframe rule
+    * becomes `n_idr > 0 OR n_recovery > 0` over the SEI-bearing
+    * stream, numbered per user like the G17b index, with the kind
+    * surfaced for the clip-serving policy. ONE user_id exchange (the
+    * row_number window); media bytes never cross it. */
+  def mmRandomAccessIndex(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(t.events.sparkSession)
+    val blob = EbmlFunctions.encodeFragmentFrame(
+      col("event_id"), col("ts_ms"), col("user_id"), cents(col("value")),
+      call_function("graft_h264_sei_encode", col("event_id"), col("user_id")))
+    val frame = EbmlFunctions.firstBlock(col("blob"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .withColumn("blob", blob)
+      .withColumn("n_idr",
+        call_function("graft_nal_stats", frame).getField("n_idr"))
+      .withColumn("n_recovery",
+        call_function("graft_sei_census", frame).getField("n_recovery"))
+      .filter(col("n_idr") > 0L || col("n_recovery") > 0L)
+      .select(col("user_id"), col("event_id"),
+        when(col("n_idr") > 0L, lit("idr")).otherwise(lit("recovery"))
+          .as("ra_kind"))
+      .withColumn("ra_seq", row_number().over(w).cast("long"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** G23b — ASC → ADTS MUX (round 19, the audio analog of G21c: the
     * aac_adtstoasc INVERSE every pipeline runs when a container track
     * is re-served as a self-describing stream): `graft_asc_to_adts`

@@ -189,7 +189,7 @@ object HevcKernels {
     nal(PPS_NUT, w.toBytes)
   }
 
-  private def sliceNals(eventId: Long): Seq[Array[Byte]] = {
+  private[plans] def sliceNals(eventId: Long): Seq[Array[Byte]] = {
     val nSlices = (1 + eventId % 3).toInt
     val irap = eventId % 4 == 0
     val sliceType = if (irap) IDR_W_RADL else TRAIL_R

@@ -249,7 +249,7 @@ object NalKernels {
     nal(0x68, w.toBytes) // ref_idc 3, type 8
   }
 
-  private def sliceNals(eventId: Long): Seq[Array[Byte]] = {
+  private[plans] def sliceNals(eventId: Long): Seq[Array[Byte]] = {
     val nSlices = (1 + eventId % 3).toInt
     val idr = eventId % 4 == 0
     (0 until nSlices).map { i =>

@@ -663,6 +663,14 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => H264GopEncode(exprs.head, exprs(1))),
     ("graft_gop_census", classOf[GopCensus],
       (exprs: Seq[Expression]) => GopCensus(exprs.head)),
+    ("graft_h264_sei_encode", classOf[H264SeiEncode],
+      (exprs: Seq[Expression]) => H264SeiEncode(exprs.head, exprs(1))),
+    ("graft_hevc_sei_encode", classOf[HevcSeiEncode],
+      (exprs: Seq[Expression]) => HevcSeiEncode(exprs.head, exprs(1))),
+    ("graft_sei_census", classOf[SeiCensus],
+      (exprs: Seq[Expression]) => SeiCensus(exprs.head)),
+    ("graft_hevc_sei_census", classOf[HevcSeiCensus],
+      (exprs: Seq[Expression]) => HevcSeiCensus(exprs.head)),
     ("graft_hevc_gop_encode", classOf[HevcGopEncode],
       (exprs: Seq[Expression]) => HevcGopEncode(exprs.head, exprs(1))),
     ("graft_hevc_gop_census", classOf[HevcGopCensus],
