@@ -252,6 +252,9 @@ object SparkEntry {
     // — four codec passes, two formats, one row
     "mkv_to_mp4_transmux" ->
       ((s, d) => Multimodal.mkvToMp4Transmux(tables(s, d))),
+    // A10b: the reverse — archived MP4 clips re-served as MKV
+    "mp4_to_mkv_transmux" ->
+      ((s, d) => Multimodal.mp4ToMkvTransmux(tables(s, d))),
     // G13: in-plan 2x box downsample of each frame's BMP payload,
     // re-parsed by the generic decoder
     "mm_resize" -> ((s, d) => Multimodal.mmResize(tables(s, d))),
@@ -2138,6 +2141,15 @@ object SparkEntry {
       """SELECT event_id, epoch_ms(ts) AS producer_ms, user_id,
           cast(round(value*100) as bigint) AS value_c,
           28 + length(cast(event_id as varchar)) AS mdat_len
+        FROM events ORDER BY event_id""",
+    // A10b: six codec passes collapse to the source rows; the MKV's
+    // token is regenerated from the round-tripped event id and the
+    // SimpleBlock payload is the clip's mdat props, verbatim
+    "mp4_to_mkv_transmux" ->
+      """SELECT event_id, epoch_ms(ts) AS producer_ms, user_id,
+          cast(round(value*100) as bigint) AS value_c,
+          'tok-' || cast(event_id as varchar) AS token,
+          props AS payload
         FROM events ORDER BY event_id""",
     // H17: the day-partitioned join replayed from raw events (the
     // partition layout is an execution artifact, not semantics)

@@ -143,7 +143,7 @@ object Bmff {
   }
 
   final case class Clip(seq32: Long, baseMs: Long, eventId: Long,
-      userId: Long, valueC: Long, mdatLen: Long)
+      userId: Long, valueC: Long, mdatLen: Long, payload: Array[Byte])
 
   /** Typed clip parse: locate mfhd / tfdt / mdat via the walk and
     * decode the graft payload. tfdt version 0 (32-bit time) is read
@@ -164,6 +164,8 @@ object Bmff {
     if (mdat.size < mdat.headLen + 24) throw new BmffException(
       s"mdat too short for the graft payload (${mdat.size})")
     Clip(seq, baseMs, readU64(buf, mp), readU64(buf, mp + 8),
-      readU64(buf, mp + 16), mdat.size - mdat.headLen)
+      readU64(buf, mp + 16), mdat.size - mdat.headLen,
+      java.util.Arrays.copyOfRange(buf, mp + 24,
+        mp + (mdat.size - mdat.headLen).toInt))
   }
 }

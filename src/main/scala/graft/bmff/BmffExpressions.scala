@@ -35,7 +35,8 @@ object BmffKernels {
 
   def clipRow(buf: Array[Byte]): InternalRow = {
     val c = Bmff.clip(buf)
-    InternalRow(c.seq32, c.baseMs, c.eventId, c.userId, c.valueC, c.mdatLen)
+    InternalRow(c.seq32, c.baseMs, c.eventId, c.userId, c.valueC, c.mdatLen,
+      c.payload)
   }
 
   def splitArray(buf: Array[Byte]): ArrayData = {
@@ -59,7 +60,7 @@ object BmffExpressions {
 
   val clipType: StructType = StructType(Seq(
     "seq32", "base_ms", "event_id", "user_id", "value_c", "mdat_len")
-    .map(StructField(_, LongType)))
+    .map(StructField(_, LongType)) :+ StructField("payload", BinaryType))
 
   val sliceType: StructType = StructType(Seq(
     StructField("position", LongType),

@@ -150,6 +150,42 @@ object Multimodal {
       .orderBy("event_id")
   }
 
+  /** A10b — fMP4 → MKV REVERSE TRANSMUX (round 19, the missing
+    * composition): archived GetClip MP4 segments re-served through the
+    * MKV/GetMedia-shaped pipeline (e.g. to feed the B13 fragment
+    * source from an MP4 archive). Each event rides the WHOLE chain in
+    * the opposite direction from A10: encode as an fMP4 clip, parse
+    * the moof/mdat fields AND the mdat payload back, REBUILD those
+    * parsed values as an MKV fragment, and read the tag set + the
+    * SimpleBlock payload out of it — six codec passes, two formats,
+    * one row. The oracle reads the source rows directly
+    * (source-rows-are-expected-output, the A10 rule), so a defect in
+    * either writer, either parser, or a field dropped at either
+    * container boundary breaks the hash. Per-row codegen kernels, no
+    * shuffle. */
+  def mp4ToMkvTransmux(t: Tables): DataFrame = {
+    val clipped = t.events
+      .withColumn("ts_ms", nanosToMs(col("ts")))
+      .orderBy("event_id")
+      .withColumn("clip", graft.bmff.BmffFunctions.encodeClip(
+        col("event_id"), col("ts_ms"), col("user_id"),
+        cents(col("value")), col("props")))
+    clipped
+      .withColumn("c", graft.bmff.BmffFunctions.parseClip(col("clip")))
+      .withColumn("blob", EbmlFunctions.encodeFragmentFrame(
+        col("c.event_id"), col("c.base_ms"), col("c.user_id"),
+        col("c.value_c"), col("c.payload")))
+      .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
+      .select(
+        col("tg.fragment_number").cast("long").as("event_id"),
+        col("tg.producer_ts").cast("long").as("producer_ms"),
+        col("tg.user_id").cast("long").as("user_id"),
+        col("tg.value_cents").cast("long").as("value_c"),
+        col("tg.continuation_token").as("token"),
+        EbmlFunctions.firstBlock(col("blob")).cast("string").as("payload"))
+      .orderBy("event_id")
+  }
+
   private def withClipSorted(t: Tables): DataFrame =
     t.events
       .withColumn("ts_ms", nanosToMs(col("ts")))
