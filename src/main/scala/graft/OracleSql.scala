@@ -1812,6 +1812,107 @@ private[graft] object OracleSql {
         FROM tk JOIN v USING (word)
         GROUP BY doc_id ORDER BY doc_id"""
 
+  /** F20d replay — the unigram-LM tokenizer's full Viterbi-EM chain as
+    * generated chained CTEs. Each E-step's per-word DP is unrolled to
+    * `maxLen` position CTEs (guarded loudly — corpus words are [a-z]+
+    * tokens of length ≤ 8 at every driver SF): dp{r}_{p} elects the
+    * best (score DESC, s ASC) arrival at position p from the s-ago
+    * tables joined against the model — IEEE double products of the
+    * same cnt/total divisions the kernel computes, so scores match
+    * bit-for-bit; bt{r}_{j} then walks the recorded choices backwards
+    * emitting one piece per step. Recount/re-election replay the
+    * Spark side's totally-ordered vocabulary rule (singles never
+    * pruned, top-`vocabMulti` multi-char pieces). */
+  def unigramTokenizer(vocabMulti: Int, rounds: Int,
+      maxLen: Int = 16): String = {
+    val sb = new StringBuilder(
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        wf AS MATERIALIZED (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        lenguard AS MATERIALIZED (SELECT CASE WHEN max(length(word)) <= $maxLen
+          THEN 1 ELSE cast(error('unigram oracle DP is unrolled to $maxLen positions; a corpus word exceeds it') as int) END AS ok FROM wf),
+        cand AS MATERIALIZED (
+          SELECT piece, cast(sum(n) as bigint) AS cnt FROM (
+            SELECT w.n, substr(w.word, w.i, s.s) AS piece
+            FROM (SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM wf) w
+            CROSS JOIN (VALUES (1), (2), (3)) s(s)
+            WHERE w.i + s.s - 1 <= length(w.word))
+          GROUP BY piece),
+        vocab0 AS MATERIALIZED (
+          SELECT piece, cnt FROM cand WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM cand WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT $vocabMulti))""")
+    // rounds 1..rounds are EM rounds; round rounds+1 is the final
+    // apply-only E-step under the trained vocabulary
+    for (r <- 1 to rounds + 1) {
+      val prev = s"vocab${r - 1}"
+      sb.append(s""",
+        model$r AS MATERIALIZED (SELECT piece, cnt,
+          (SELECT cast(sum(cnt) as bigint) FROM $prev) AS total FROM $prev),
+        dp${r}_0 AS MATERIALIZED (SELECT word, n, 1.0::DOUBLE AS score, 0 AS s FROM wf)""")
+      for (p <- 1 to maxLen) {
+        val branches = (1 to math.min(3, p)).map { s =>
+          s"""SELECT d.word, d.n,
+              d.score * (m.cnt::DOUBLE / m.total::DOUBLE) AS score, $s AS s
+            FROM dp${r}_${p - s} d JOIN model$r m
+              ON m.piece = substr(d.word, ${p - s + 1}, $s)
+            WHERE length(d.word) >= $p"""
+        }.mkString("\n            UNION ALL ")
+        sb.append(s""",
+        dp${r}_$p AS MATERIALIZED (
+          SELECT word, n, score, s FROM (
+            SELECT word, n, score, s,
+              row_number() OVER (PARTITION BY word ORDER BY score DESC, s) AS rn
+            FROM ($branches))
+          WHERE rn = 1)""")
+      }
+      val dpall = (1 to maxLen).map(p =>
+        s"SELECT word, $p AS pos, s FROM dp${r}_$p").mkString("\n          UNION ALL ")
+      sb.append(s""",
+        dpall$r AS MATERIALIZED ($dpall),
+        bt${r}_0 AS MATERIALIZED (SELECT word, n,
+          cast(length(word) as bigint) AS pos, cast(NULL as varchar) AS piece FROM wf)""")
+      for (j <- 1 to maxLen) {
+        sb.append(s""",
+        bt${r}_$j AS MATERIALIZED (
+          SELECT b.word, b.n, b.pos - d.s AS pos,
+            substr(b.word, cast(b.pos - d.s + 1 as int), d.s) AS piece
+          FROM bt${r}_${j - 1} b JOIN dpall$r d
+            ON d.word = b.word AND d.pos = b.pos
+          WHERE b.pos > 0)""")
+      }
+      val pieces = (1 to maxLen).map(j =>
+        s"SELECT word, n, piece FROM bt${r}_$j").mkString("\n          UNION ALL ")
+      sb.append(s""",
+        pieces$r AS MATERIALIZED (
+          SELECT word, n, piece FROM ($pieces) WHERE piece IS NOT NULL)""")
+      if (r <= rounds) {
+        sb.append(s""",
+        recount$r AS MATERIALIZED (
+          SELECT piece, cast(sum(n) as bigint) AS cnt FROM pieces$r GROUP BY piece),
+        vocab$r AS MATERIALIZED (
+          SELECT v.piece, cast(coalesce(rc.cnt, 0) as bigint) AS cnt
+          FROM (SELECT piece FROM $prev WHERE length(piece) = 1) v
+          LEFT JOIN recount$r rc USING (piece)
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM recount$r WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT $vocabMulti))""")
+      }
+    }
+    sb.append(s""",
+        v AS MATERIALIZED (SELECT word, cast(count(*) as bigint) AS n_sym
+          FROM pieces${rounds + 1} GROUP BY word),
+        tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+        SELECT doc_id, count(*) AS n_words, cast(sum(n_sym) as bigint) AS n_tokens,
+          cast(sum(n_sym) * 1000 // count(*) as bigint) AS tok_permille
+        FROM tk JOIN v USING (word)
+        WHERE (SELECT ok FROM lenguard) = 1
+        GROUP BY doc_id ORDER BY doc_id""")
+    sb.toString
+  }
+
   /** F27 replay — per-source vocabulary coverage of a tokenizer trained
     * on the doc_id % 10 <> 0 split: OOV words price at their character
     * count (the base-alphabet fallback), in-vocab words at their

@@ -379,6 +379,10 @@ object SparkEntry {
     // E11: per-label embedding-space cohesion monitor
     "embed_label_stats" -> ((s, d) => Similarity.embedStats(tables(s, d))),
     "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(tables(s, d))),
+    // F20d: the unigram-LM (SentencePiece-style) tokenizer — Viterbi-EM
+    // over a substring candidate vocabulary, then per-doc encode
+    "unigram_tokenizer" ->
+      ((s, d) => TextOps.unigramTokenizer(tables(s, d))),
     "bpe_pair_counts" -> ((s, d) => TextOps.bpePairCounts(tables(s, d))),
     "bpe_merges" -> ((s, d) => TextOps.bpeMerges(tables(s, d))),
     "bpe_tokenize" -> ((s, d) => TextOps.bpeTokenize(tables(s, d))),
@@ -1637,6 +1641,7 @@ object SparkEntry {
         ORDER BY n_occ DESC, pair LIMIT 20""",
     // F20b: generated k-round merge-loop replay (elect / re-segment /
     // recount over the vocab CTEs — OracleSql.bpeMerges)
+    "unigram_tokenizer" -> OracleSql.unigramTokenizer(24, 2),
     "bpe_merges" -> OracleSql.bpeMerges(8),
     // F20c: the same generated training chain, applied as the encoder
     "bpe_tokenize" -> OracleSql.bpeTokenize(8),

@@ -2131,6 +2131,104 @@ object TextOps {
     out
   }
 
+  /** F20d — UNIGRAM-LM (SentencePiece-style) TOKENIZER (round 19 —
+    * the other mainstream subword tokenizer next to BPE, Kudo 2018):
+    * hard-EM (Viterbi) over a substring candidate vocabulary. Seed:
+    * all pieces of length 1..3 of the corpus words, frequency-
+    * weighted; singles are never pruned (they are the segmentability
+    * floor — an unused single carries count 0 and prices as a
+    * last-resort path), multi-char pieces keep the top `vocabMulti`
+    * by (count DESC, piece ASC). Each EM round Viterbi-segments every
+    * DISTINCT word under the current model
+    * ([[graft.plans.UnigramKernels.segment]], the model riding
+    * in-plan as a broadcast 1-row (pieces, counts, total) triple —
+    * the decontaminate_bloom pattern), recounts piece usage weighted
+    * by word frequency, and re-elects the vocabulary. A final E-step
+    * under the trained model encodes the corpus per document (the
+    * F20c shape: one vocab-broadcast join + per-doc agg).
+    *
+    * Scale shape — the F20b discipline: the ONLY corpus-sized stages
+    * are the word-frequency agg and the final per-doc encode join
+    * (exchanges carry words and longs, never text bodies); the
+    * candidate explode, every E-step, and every recount run over the
+    * DISTINCT-word table — vocab-sized at any corpus scale, so
+    * per-round cost is independent of corpus size.
+    *
+    * Determinism: piece probabilities are cnt/total in IEEE doubles
+    * (division and the DP multiplies are exactly specified, so the
+    * DuckDB replay computes bit-identical scores), ties break to the
+    * shortest piece, and every election is totally ordered — the
+    * oracle replays the full EM chain as generated chained CTEs with
+    * a 16-position DP unroll per round (words are [a-z]+ tokens,
+    * corpus max length 8; the replay guards the unroll bound
+    * loudly). */
+  def unigramTokenizer(t: Tables, vocabMulti: Int = 24,
+      rounds: Int = 2): DataFrame =
+    unigramTokenizerOf(t.documents, vocabMulti, rounds)
+
+  /** Library form over any frame with (doc_id, text). */
+  def unigramTokenizerOf(docs: DataFrame, vocabMulti: Int,
+      rounds: Int): DataFrame = {
+    graft.plans.VectorFunctions.register(docs.sparkSession)
+    val wf = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the one corpus-sized stage, materialized once
+    val cand = wf
+      .select(col("n"), explode(expr(
+        "flatten(transform(sequence(1, length(word)), i -> " +
+          "transform(sequence(i, least(i + 2, length(word))), j -> " +
+          "substring(word, i, j - i + 1))))")).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    var vocab = cand.filter(length(col("piece")) === 1)
+      .unionAll(cand.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(vocabMulti))
+      .localCheckpoint()
+    var r = 1
+    while (r <= rounds) {
+      val recount = unigramEStep(wf, vocab)
+        .select(col("n"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      val singles = vocab.filter(length(col("piece")) === 1)
+        .select("piece")
+        .join(recount, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val next = singles
+        .unionAll(recount.filter(length(col("piece")) >= 2)
+          .orderBy(col("cnt").desc, col("piece")).limit(vocabMulti))
+        .localCheckpoint()
+      vocab.unpersist()
+      vocab = next
+      r += 1
+    }
+    val finalSeg = unigramEStep(wf, vocab)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(finalSeg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        call_function("div", col("n_tokens") * 1000L, col("n_words"))
+          .as("tok_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** One E-step: Viterbi-segment every distinct word under the model.
+    * The vocabulary rides in-plan as ONE broadcast row of parallel
+    * (pieces, counts) arrays in piece order plus the count total. */
+  private def unigramEStep(wf: DataFrame, vocab: DataFrame): DataFrame = {
+    val model = vocab
+      .agg(sort_array(collect_list(struct(col("piece"), col("cnt"))))
+        .as("m"), sum(col("cnt")).as("total"))
+      .select(expr("transform(m, x -> x.piece)").as("pieces"),
+        expr("transform(m, x -> x.cnt)").as("cnts"),
+        col("total"))
+    wf.crossJoin(broadcast(model))
+      .select(col("word"), col("n"),
+        call_function("graft_unigram_segment",
+          col("word"), col("pieces"), col("cnts"), col("total"))
+          .as("pieces"))
+  }
+
   /** F28 — per-source DISTRIBUTION DRIFT: the Jensen-Shannon divergence
     * between each source's token distribution and the rest of the
     * corpus — the ingest monitor that catches a drifting or polluted

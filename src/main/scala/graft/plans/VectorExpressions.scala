@@ -675,6 +675,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => HevcGopEncode(exprs.head, exprs(1))),
     ("graft_hevc_gop_census", classOf[HevcGopCensus],
       (exprs: Seq[Expression]) => HevcGopCensus(exprs.head)),
+    ("graft_unigram_segment", classOf[UnigramSegment],
+      (exprs: Seq[Expression]) => UnigramSegment(exprs)),
     ("graft_wav_encode", classOf[WavEncode],
       (exprs: Seq[Expression]) => WavEncode(exprs.head, exprs(1))),
     ("graft_wav_gain", classOf[WavGain],

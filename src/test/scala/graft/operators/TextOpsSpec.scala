@@ -1749,4 +1749,57 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
     assert(g == Map(1L -> 0L, 3L -> 0L), g.toString)
   }
+
+  test("unigram tokenizer: Viterbi kernel determinism + planted compression (F20d)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ss: String*): GenericArrayData =
+      new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+    def longs(ls: Long*): GenericArrayData =
+      new GenericArrayData(ls.toArray[Any])
+    // model: pieces sorted ASC; 'ab' dominates -> "abab" segments [ab, ab]
+    val pieces = arr("a", "ab", "b")
+    val cnts = longs(2L, 10L, 2L)
+    val seg = graft.plans.UnigramKernels.segment(
+      UTF8String.fromString("abab"), pieces, cnts, 14L)
+    assert(seg != null && (0 until seg.numElements())
+      .map(seg.getUTF8String(_).toString) == Seq("ab", "ab"))
+    // tie-break: equal-probability 'a','b','ab' (p product of two
+    // singles < one pair iff p('ab') > p(a)*p(b); with all counts 1
+    // and total 3, 1/3 > 1/9 -> the PAIR wins; but equal SCORES break
+    // to the shortest piece: word "aa" under pieces {a, aa} with
+    // p(aa) = p(a)^2 exactly -> counts 4,16 of total... use doubles:
+    // p(a)=0.5, p(aa)=0.25 => [a,a] score 0.25 == [aa] 0.25 -> tie ->
+    // smallest s at position 2 => the single-char path wins
+    val tieP = arr("a", "aa")
+    val tieC = longs(2L, 1L)
+    val tie = graft.plans.UnigramKernels.segment(
+      UTF8String.fromString("aa"), tieP, tieC, 4L)
+    assert(tie != null && (0 until tie.numElements())
+      .map(tie.getUTF8String(_).toString) == Seq("a", "a"))
+    // unsegmentable (character outside the vocabulary) -> null
+    assert(graft.plans.UnigramKernels.segment(
+      UTF8String.fromString("az"), tieP, tieC, 4L) == null)
+    // zero-count singles stay legal last-resort paths (score 0.0)
+    val zeroP = arr("a", "b")
+    val zeroC = longs(0L, 4L)
+    val zero = graft.plans.UnigramKernels.segment(
+      UTF8String.fromString("ab"), zeroP, zeroC, 4L)
+    assert(zero != null && zero.numElements() == 2)
+    // end-to-end: a corpus dominated by one bigram compresses below
+    // the character baseline and the output shape matches F20c's
+    val docs = Seq((1L, "banana banana"), (2L, "ban na"))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramTokenizerOf(docs, vocabMulti = 8, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    val (d1, d2) = (out(0), out(1))
+    assert(d1._2 == 2 && d2._2 == 2, "word counts")
+    // 'banana' has 6 chars; multi-char pieces must beat the
+    // all-singles segmentation (token count < char count)
+    assert(d1._3 < 12, s"banana must compress, got ${d1._3} tokens")
+    assert(d1._4 == d1._3 * 1000 / 2)
+  }
 }
