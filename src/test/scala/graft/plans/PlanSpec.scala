@@ -372,6 +372,19 @@ class PlanSpec extends SparkSpec {
         "mm_hvcc_sps" -> graft.operators.Multimodal.mmHvccSps(t),
         "mm_avcc_to_annexb" -> graft.operators.Multimodal.mmAvccToAnnexb(t),
         "mm_gop_census" -> graft.operators.Multimodal.mmGopCensus(t),
+        "mm_hevc_gop_census" ->
+          graft.operators.Multimodal.mmHevcGopCensus(t),
+        "mm_gop_dispatch" -> graft.operators.Multimodal.mmGopDispatch(t),
+        "mm_hvcc_to_annexb" ->
+          graft.operators.Multimodal.mmHvccToAnnexb(t),
+        "mm_asc_to_adts" -> graft.operators.Multimodal.mmAscToAdts(t),
+        "mm_sei_census" -> graft.operators.Multimodal.mmSeiCensus(t),
+        "mm_random_access_index" ->
+          graft.operators.Multimodal.mmRandomAccessIndex(t),
+        "mp4_to_mkv_transmux" ->
+          graft.operators.Multimodal.mp4ToMkvTransmux(t),
+        "unigram_tokenizer" ->
+          graft.operators.TextOps.unigramTokenizerOf(t.documents, 24, 1),
         "mm_codec_dispatch" ->
           graft.operators.Multimodal.mmCodecDispatch(t))) {
       df.collect()
