@@ -1639,9 +1639,11 @@ object SparkEntry {
           (SELECT word, n, unnest(range(1, length(word))) AS i FROM wf WHERE length(word) >= 2))
         SELECT pair, cast(sum(n) as bigint) AS n_occ FROM p GROUP BY pair
         ORDER BY n_occ DESC, pair LIMIT 20""",
+    // F20d: the unigram-LM Viterbi-EM replay (generated per-round DP
+    // unroll + backtrack + re-election CTEs — OracleSql.unigramTokenizer)
+    "unigram_tokenizer" -> OracleSql.unigramTokenizer(24, 2),
     // F20b: generated k-round merge-loop replay (elect / re-segment /
     // recount over the vocab CTEs — OracleSql.bpeMerges)
-    "unigram_tokenizer" -> OracleSql.unigramTokenizer(24, 2),
     "bpe_merges" -> OracleSql.bpeMerges(8),
     // F20c: the same generated training chain, applied as the encoder
     "bpe_tokenize" -> OracleSql.bpeTokenize(8),

@@ -143,7 +143,7 @@ object Bmff {
   }
 
   final case class Clip(seq32: Long, baseMs: Long, eventId: Long,
-      userId: Long, valueC: Long, mdatLen: Long, payload: Array[Byte])
+      userId: Long, valueC: Long, mdatLen: Long)
 
   /** Typed clip parse: locate mfhd / tfdt / mdat via the walk and
     * decode the graft payload. tfdt version 0 (32-bit time) is read
@@ -164,8 +164,20 @@ object Bmff {
     if (mdat.size < mdat.headLen + 24) throw new BmffException(
       s"mdat too short for the graft payload (${mdat.size})")
     Clip(seq, baseMs, readU64(buf, mp), readU64(buf, mp + 8),
-      readU64(buf, mp + 16), mdat.size - mdat.headLen,
-      java.util.Arrays.copyOfRange(buf, mp + 24,
-        mp + (mdat.size - mdat.headLen).toInt))
+      readU64(buf, mp + 16), mdat.size - mdat.headLen)
+  }
+
+  /** The mdat props payload behind the 24-byte graft id/value head —
+    * a SEPARATE walk from [[clip]] so the four hot per-row parse paths
+    * (roundtrip, split, transmux, the fragment source) never pay the
+    * payload copy; only the fMP4→MKV direction materializes it. */
+  def clipPayload(buf: Array[Byte]): Array[Byte] = {
+    val mdat = boxes(buf).find(_.typ == "mdat").getOrElse(
+      throw new BmffException("no 'mdat' box in clip"))
+    val mp = mdat.pos.toInt + mdat.headLen
+    if (mdat.size < mdat.headLen + 24) throw new BmffException(
+      s"mdat too short for the graft payload (${mdat.size})")
+    java.util.Arrays.copyOfRange(buf, mp + 24,
+      mp + (mdat.size - mdat.headLen).toInt)
   }
 }

@@ -35,8 +35,7 @@ object BmffKernels {
 
   def clipRow(buf: Array[Byte]): InternalRow = {
     val c = Bmff.clip(buf)
-    InternalRow(c.seq32, c.baseMs, c.eventId, c.userId, c.valueC, c.mdatLen,
-      c.payload)
+    InternalRow(c.seq32, c.baseMs, c.eventId, c.userId, c.valueC, c.mdatLen)
   }
 
   def splitArray(buf: Array[Byte]): ArrayData = {
@@ -60,7 +59,7 @@ object BmffExpressions {
 
   val clipType: StructType = StructType(Seq(
     "seq32", "base_ms", "event_id", "user_id", "value_c", "mdat_len")
-    .map(StructField(_, LongType)) :+ StructField("payload", BinaryType))
+    .map(StructField(_, LongType)))
 
   val sliceType: StructType = StructType(Seq(
     StructField("position", LongType),
@@ -143,6 +142,21 @@ case class BmffClipExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** clip blob → the mdat props payload bytes (the A10b reverse-transmux
+  * input); a separate walk so the hot clip-parse paths stay copy-free. */
+case class BmffClipPayloadExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmff_clip_payload"
+  override def nullSafeEval(b: Any): Any =
+    Bmff.clipPayload(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.bmff.Bmff.clipPayload($c);")
+  override protected def withNewChildInternal(
+      newChild: Expression): BmffClipPayloadExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API, mirroring [[graft.ebml.EbmlFunctions]]. */
 object BmffFunctions {
   def encodeClip(eventId: Column, tsMs: Column, userId: Column,
@@ -155,6 +169,9 @@ object BmffFunctions {
 
   def parseClip(blob: Column): Column =
     column(BmffClipExpr(expression(blob)))
+
+  def clipPayload(blob: Column): Column =
+    column(BmffClipPayloadExpr(expression(blob)))
 
   def splitClips(stream: Column): Column =
     column(BmffSplitExpr(expression(stream)))

@@ -126,32 +126,40 @@ object EbmlKernels {
       if (codecPrivate == null) Array.emptyByteArray else codecPrivate,
       if (frame == null) Array.emptyByteArray else frame)
 
-  private val TrackLeaves = Set("TrackEntry", "CodecID", "CodecPrivate")
+  private val TrackLeaves = Set("CodecID", "CodecPrivate")
 
   /** First TrackEntry's (codec_id, codec_private); null when the
-    * fragment has no TrackEntry. The filtered walk skips every other
-    * leaf by size — media payloads are never read. Collection is
-    * SCOPED to the first TrackEntry (the walk emits the 0xae master
-    * before descending, document-ordered): leaves are only taken
-    * between the first TrackEntry head and the next one, so a
-    * multi-track fragment whose first track lacks CodecPrivate never
-    * pairs fields from two different tracks. */
+    * fragment has no TrackEntry. Collection is scoped to EXACTLY the
+    * first TrackEntry's payload byte range (head re-read for the id
+    * and size varint widths), so leaves from a later track — or loose
+    * leaves between entries — can never pair with the first track's
+    * fields. The filtered walks skip every other leaf by size; media
+    * payloads are never read. */
   def trackInfo(blob: Array[Byte]): InternalRow = {
+    val entry = Ebml.elements(blob, Set("TrackEntry"))
+      .find(_.name == "TrackEntry").orNull
+    if (entry == null) return null
+    val pos = entry.position.toInt
+    val bounds =
+      try {
+        val (_, idLen) = Ebml.readId(blob, pos)
+        val (size, szLen) = Ebml.readSize(blob, pos + idLen)
+        val start = pos + idLen + szLen
+        val end =
+          if (size < 0) blob.length
+          else math.min(blob.length.toLong, start + size).toInt
+        (start, end)
+      } catch {
+        case _: Ebml.EbmlException | _: ArrayIndexOutOfBoundsException =>
+          return null // truncated head: no readable first entry
+      }
     var cid: UTF8String = null
     var cp: Array[Byte] = null
-    var inFirst = false
-    var done = false
-    val it = Ebml.elements(blob, TrackLeaves).iterator
-    while (it.hasNext && !done) {
-      val e = it.next()
-      if (e.name == "TrackEntry") {
-        if (inFirst) done = true // second TrackEntry: first is consumed
-        else inFirst = true
-      } else if (inFirst) {
-        if (e.name == "CodecID" && cid == null && e.stringValue != null)
-          cid = u8(e.stringValue)
-        else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
-      }
+    Ebml.elements(java.util.Arrays.copyOfRange(blob, bounds._1, bounds._2),
+        TrackLeaves).foreach { e =>
+      if (e.name == "CodecID" && cid == null && e.stringValue != null)
+        cid = u8(e.stringValue)
+      else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
     }
     if (cid == null && cp == null) null else InternalRow(cid, cp)
   }

@@ -174,7 +174,8 @@ object Multimodal {
       .withColumn("c", graft.bmff.BmffFunctions.parseClip(col("clip")))
       .withColumn("blob", EbmlFunctions.encodeFragmentFrame(
         col("c.event_id"), col("c.base_ms"), col("c.user_id"),
-        col("c.value_c"), col("c.payload")))
+        col("c.value_c"),
+        graft.bmff.BmffFunctions.clipPayload(col("clip"))))
       .withColumn("tg", EbmlFunctions.parseTags(col("blob")))
       .select(
         col("tg.fragment_number").cast("long").as("event_id"),

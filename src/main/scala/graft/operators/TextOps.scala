@@ -2192,12 +2192,10 @@ object TextOps {
         .select("piece")
         .join(recount, Seq("piece"), "left")
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      val next = singles
+      vocab = singles
         .unionAll(recount.filter(length(col("piece")) >= 2)
           .orderBy(col("cnt").desc, col("piece")).limit(vocabMulti))
         .localCheckpoint()
-      vocab.unpersist()
-      vocab = next
       r += 1
     }
     val finalSeg = unigramEStep(wf, vocab)

@@ -117,13 +117,12 @@ object CodecPrivateKernels {
     val ps = avccParamSets(avcc)
     if (ps == null) return null
     // the avcC declares the track's NAL length-prefix width (byte 4's
-    // low 2 bits, ISO 14496-15 §5.2.4.1.1) — honor it instead of
-    // assuming 4-byte prefixes on non-Annex-B input
-    val lenSize = (avcc(4) & 3) + 1
-    val ranges =
-      if (stream != null && NalKernels.isAnnexB(stream))
-        NalKernels.nalRanges(stream)
-      else NalKernels.lengthPrefixedRanges(stream, lenSize)
+    // low 2 bits, ISO 14496-15 §5.2.4.1.1); the declared width is
+    // AUTHORITATIVE over content sniffing — a length-prefixed stream
+    // whose first NAL length happens to read 00 00 01 xx must not be
+    // misrouted to the start-code scan. Raw Annex-B input (no length
+    // framing) fails the declared walk and takes the sniff fallback.
+    val ranges = framedRanges(stream, (avcc(4) & 3) + 1)
     if (ranges == null) return null
     val (sps, pps) = ps
     var total = 4 + sps.length + 3 + pps.length
@@ -148,6 +147,22 @@ object CodecPrivateKernels {
       i += 1
     }
     out
+  }
+
+  /** NAL ranges of a track stream under the container's DECLARED
+    * length-prefix width, with an Annex-B fallback only when the
+    * declared walk rejects the buffer — shared by both mp4toannexb
+    * conversions. Declared framing wins over content sniffing: inside
+    * an avcC/hvcC-configured track samples are always length-prefixed,
+    * and a first NAL of length 256-511 is byte-ambiguous with a start
+    * code (00 00 01 xx). */
+  private def framedRanges(stream: Array[Byte],
+      lenSize: Int): Array[(Int, Int)] = {
+    val declared = NalKernels.lengthPrefixedRanges(stream, lenSize)
+    if (declared != null) declared
+    else if (stream != null && NalKernels.isAnnexB(stream))
+      NalKernels.nalRanges(stream)
+    else null
   }
 
   // ---- hvcC (ISO 14496-15 §8.3.3.1) ------------------------------------
@@ -294,10 +309,7 @@ object CodecPrivateKernels {
     val ps = hvccParamSets(hvcc)
     if (ps == null) return null
     val (vps, sps, pps, lenSize) = ps
-    val ranges =
-      if (stream != null && NalKernels.isAnnexB(stream))
-        NalKernels.nalRanges(stream)
-      else NalKernels.lengthPrefixedRanges(stream, lenSize)
+    val ranges = framedRanges(stream, lenSize)
     if (ranges == null) return null
     val heads = Seq(vps, sps, pps).filter(_ != null)
     var total = heads.map(_.length).sum + 3 * heads.length + 1

@@ -329,18 +329,7 @@ object NalKernels {
       // nalUnits/nalStats/spsDims
       if (e <= nalStart) return null
       out += ((nalStart, e))
-    } else {
-      var i = 0
-      while (i < bytes.length) {
-        if (i + 4 > bytes.length) return null
-        val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
-          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-        if (len <= 0 || i + 4 + len > bytes.length) return null
-        out += ((i + 4, i + 4 + len))
-        i += 4 + len
-      }
-      if (out.isEmpty) return null
-    }
+    } else return lengthPrefixedRanges(bytes, 4)
     out.toArray
   }
 

@@ -545,8 +545,12 @@ object EventStreams {
     graft.plans.VectorFunctions.register(fragments.sparkSession)
     val tg = EbmlFunctions.parseTags(col("blob"))
     fragments
-      .withColumn("codec_id",
-        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      // Tracks-less / unknown-codec fragments land in a visible
+      // 'unknown' bucket (counted, null census) — the gopHealthStream
+      // rule; the census CASE falls through to null for the label
+      .withColumn("codec_id", coalesce(
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"),
+        lit("unknown")))
       .withColumn("st",
         graft.operators.Multimodal.codecCensus(col("codec_id"), col("blob")))
       .withColumn("ts",
@@ -582,8 +586,13 @@ object EventStreams {
     graft.plans.VectorFunctions.register(fragments.sparkSession)
     val tg = EbmlFunctions.parseTags(col("blob"))
     fragments
-      .withColumn("codec_id",
-        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"))
+      // a fragment without a Tracks element (or with an unknown codec)
+      // is NOT silently dropped: it lands in a visible 'unknown' bucket
+      // with a fragment count and null censuses — unparsed fleet
+      // traffic is itself a health signal the dashboard must show
+      .withColumn("codec_id", coalesce(
+        EbmlFunctions.trackInfo(col("blob")).getField("codec_id"),
+        lit("unknown")))
       .withColumn("g", graft.operators.Multimodal.gopCensusDispatch(
         col("codec_id"), col("blob")))
       .withColumn("ts",

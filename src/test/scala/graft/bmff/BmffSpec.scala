@@ -16,10 +16,9 @@ class BmffSpec extends AnyFunSuite {
     assert(bs.map(b => (b.typ, b.pos, b.size, b.depth)) == expect)
     assert(buf.length == 124 + props.length)
     val c = clip(buf)
-    assert(c.copy(payload = null) ==
-      Clip(7L, 123456789L, 7L, 11L, 250L, 24L + props.length, null))
-    assert(java.util.Arrays.equals(c.payload, props),
-      "mdat props bytes must surface verbatim from the clip parse")
+    assert(c == Clip(7L, 123456789L, 7L, 11L, 250L, 24L + props.length))
+    assert(java.util.Arrays.equals(clipPayload(buf), props),
+      "mdat props bytes must surface verbatim from the payload walk")
     // the low-32 sequence mask on a >2^32 event id
     val big = clip(buildClip(1L << 33 | 5L, 1L, 2L, 3L, Array.emptyByteArray))
     assert(big.seq32 == 5L && big.eventId == (1L << 33 | 5L))

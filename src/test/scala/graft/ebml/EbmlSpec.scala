@@ -271,5 +271,19 @@ class EbmlSpec extends AnyFunSuite {
     // leaves OUTSIDE any TrackEntry are never collected
     val loose = element(0x86L, cid1)
     assert(EbmlKernels.trackInfo(loose) == null)
+    // a loose CodecPrivate INSIDE Tracks but AFTER the first entry's
+    // payload (belonging to no track) must not pair with the first
+    // track's CodecID — the scope is the entry's exact byte range
+    val loosePayload = (9L + e1) + (10L + cp2.length)
+    val w3 = new Writer(new Array[Byte]((12L + loosePayload).toInt))
+    w3.head(0x1654ae6bL, loosePayload)
+    w3.head(0xaeL, e1)
+    w3.head(0x86L, cid1.length.toLong); w3.bytes(cid1)
+    w3.head(0x63a2L, cp2.length.toLong); w3.bytes(cp2)
+    val row3 = EbmlKernels.trackInfo(w3.buf)
+    assert(row3 != null)
+    assert(row3.getUTF8String(0).toString == "V_MPEG4/ISO/AVC")
+    assert(row3.isNullAt(1),
+      "a loose CodecPrivate after the first entry must NOT be collected")
   }
 }

@@ -159,6 +159,28 @@ class CodecPrivateSpec extends AnyFunSuite {
     // stream declared 4-byte reads an overrunning one
     assert(CodecPrivateKernels.avccToAnnexb(es4, avcc2) == null)
     assert(CodecPrivateKernels.avccToAnnexb(es2, avcc4) == null)
+    // DECLARED width beats content sniffing: a spec-legal 4-byte
+    // length-prefixed stream whose FIRST NAL is 256-511 bytes long
+    // starts 00 00 01 xx — byte-ambiguous with an Annex-B start code.
+    // The conversion must walk it at the declared width, not hand the
+    // bytes to the start-code scan (which would absorb later prefixes
+    // into payloads)
+    val nal1 = new Array[Byte](300); nal1(0) = 0x41; nal1(1) = 0x55
+    val nal2 = new Array[Byte](20); nal2(0) = 0x41; nal2(1) = 0x66
+    val amb = new java.io.ByteArrayOutputStream()
+    for (n <- Seq(nal1, nal2)) {
+      amb.write(0); amb.write(0)
+      amb.write((n.length >>> 8) & 0xff); amb.write(n.length & 0xff)
+      amb.write(n, 0, n.length)
+    }
+    val ambBytes = amb.toByteArray
+    assert(NalKernels.isAnnexB(ambBytes), "fixture must be byte-ambiguous")
+    val conv = CodecPrivateKernels.avccToAnnexb(ambBytes, avcc4)
+    assert(conv != null)
+    val units = NalKernels.nalUnits(conv)
+    // SPS + PPS re-muxed in-band + the TWO payload NALs, boundaries
+    // exactly as declared — a sniff-first walk would not see 4 NALs
+    assert(units.numElements == 4, s"saw ${units.numElements} NALs")
   }
 
   test("hvcC->Annex-B conversion: VPS/SPS/PPS land in-band, census and dims survive byte-exact") {

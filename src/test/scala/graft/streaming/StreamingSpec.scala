@@ -94,14 +94,24 @@ class StreamingSpec extends SparkSpec {
           HevcGopKernels.hevcGopEncode(id, uid))
     try {
       // window [0,10): AVC event (0, uid 4) + HEVC event (1, uid 5);
-      // batch 2 opens window [10,20) with HEVC event (2, uid 5)
+      // batch 2 opens window [10,20) with HEVC event (2, uid 5) and a
+      // Tracks-less fragment — it must surface as a VISIBLE 'unknown'
+      // bucket (counted, null census), never silently vanish
       input.addData(frag(0L, 4L, 1), frag(1L, 5L, 4))
       query.processAllAvailable()
-      input.addData(frag(2L, 5L, 12))
+      input.addData(frag(2L, 5L, 12),
+        EbmlFunctions.buildFragmentFrame(9L, ts(13).getTime, 6L, 0L,
+          Array[Byte](1, 2, 3)))
       query.processAllAvailable()
+      val unknown = spark.sql(
+        """select sum(n_fragments), count(n_slices) from gop_health
+           where codec_id = 'unknown'""").collect()(0)
+      assert(unknown.getLong(0) == 1L && unknown.getLong(1) == 0L,
+        "Tracks-less fragments must land in a counted 'unknown' bucket")
       val got = spark.sql(
         """select codec_id, sum(n_fragments), sum(n_slices), sum(n_i),
-           sum(n_p), sum(n_b) from gop_health group by 1 order by 1""")
+           sum(n_p), sum(n_b) from gop_health
+           where codec_id <> 'unknown' group by 1 order by 1""")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5)))
       // replay the shared ladder: event e has m = 1 + e%4 post-anchor
