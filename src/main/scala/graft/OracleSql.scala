@@ -265,6 +265,50 @@ private[graft] object OracleSql {
     SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
     FROM reach GROUP BY src ORDER BY doc_id"""
 
+  /** split_by_cluster (F24, deploy tier): the D6b LSH closure labels —
+    * minhash candidates verified at exact Jaccard ≥ 0.95, closed
+    * transitively — fed through F18's exact bucket arithmetic
+    * (mix64 → 2^20 buckets, integer thresholds 98/1%). Replays the
+    * Spark query's ACTUAL edge source; the O(n²) exact tier stays
+    * pinned label-identical by TextOpsSpec at the spec SF. */
+  lazy val splitByClusterLsh: String =
+    s"""WITH RECURSIVE ${minhashCandCtes("documents")},
+    ${jaccardEdgeCtes("documents", "0.95")},
+    ${closureCtes("documents", "doc_id")},
+    c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+      FROM reach GROUP BY src),
+    h AS (SELECT doc_id, cluster_id,
+      ${mix64Bucket("cluster_id")} AS bucket FROM c)
+    SELECT doc_id, cluster_id,
+      CASE WHEN bucket < 1027604 THEN 'train'
+           WHEN bucket < 1038090 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM h ORDER BY doc_id"""
+
+  /** dedup_keep_best (D6c, deploy tier): the same D6b LSH closure, the
+    * canonical member elected by (stop_ratio DESC, doc_id) within each
+    * cluster — the F1/F16 stop-word-ratio score replayed exactly. */
+  lazy val dedupKeepBestLsh: String =
+    s"""WITH RECURSIVE ${minhashCandCtes("documents")},
+    ${jaccardEdgeCtes("documents", "0.95")},
+    ${closureCtes("documents", "doc_id")},
+    c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
+      FROM reach GROUP BY src),
+    w AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS wt
+      FROM documents),
+    q AS (SELECT doc_id,
+      CASE WHEN len(wt)=0 THEN cast(0.0 as double)
+        ELSE cast(len(list_filter(wt, tk -> tk IN
+          ('the','a','an','of','in','on','and','to','is','it'))) as bigint)
+          / cast(len(wt) as bigint) END AS stop_ratio
+      FROM w),
+    r AS (SELECT cluster_id, c.doc_id, stop_ratio,
+      row_number() OVER (PARTITION BY cluster_id
+        ORDER BY stop_ratio DESC, c.doc_id) AS rn
+      FROM c JOIN q ON q.doc_id = c.doc_id)
+    SELECT cluster_id, doc_id AS keep_id, stop_ratio
+    FROM r WHERE rn = 1 ORDER BY cluster_id"""
+
   /** curation_full: the END-TO-END curation composite — quality filter
     * (n_words >= 40, 80% alpha), exact dedup keeping the smallest
     * doc_id per text, near-dup clustering of the survivors over the
@@ -781,19 +825,20 @@ private[graft] object OracleSql {
 
   /** knn_join_sized (E14b executable sizing): the SAME replay with the
     * coarse grid sized by the occupancy rule the Spark side computes at
-    * run time — kCellsFor(n, 64) = ⌈n/64⌉. The correctness gate runs
+    * run time — kCellsFor(n, 128) = ⌈n/128⌉. The correctness gate runs
     * at sf0.01 where embeddings has 500 rows, so the replay pins
-    * kCells = 8; the Spark query derives the same 8 from its own
-    * count() (SimilaritySpec pins the sizing function itself across n).
+    * kCells = 4 — DIFFERENT from knn_join's fixed 8 at the gate SF
+    * itself (round 20: the r19 verdict's degeneracy fix — occupancy 64
+    * made both resolve to 8 cells at sf0.01, so only the spec, not the
+    * gate, could catch the sized path collapsing into the fixed one).
     * The pin is GUARDED, not assumed: a sfguard CTE fails the oracle
-    * loudly (DuckDB error()) when the corpus is outside 449..512 rows —
+    * loudly (DuckDB error()) when the corpus is outside 385..512 rows —
     * a gate run at any other scale factor errs instead of silently
-    * comparing against the wrong replay. Occupancy 64 (not the library
-    * default 256) keeps the sized fixture's grid DIVERGENT from
-    * knn_join's fixed 8 cells at the bench SF: sf0.1's 2,000 vectors
-    * give 32 cells (≈4× fewer candidates), sf1's 20,000 give 313. */
+    * comparing against the wrong replay. At the bench SFs the grids
+    * stay divergent too: sf0.1's 2,000 vectors give 16 cells, sf1's
+    * 20,000 give 157. */
   lazy val knnJoinSized: String =
-    knnJoinReplay(kCells = 8, corpusGuard = Some((449L, 512L)))
+    knnJoinReplay(kCells = 4, corpusGuard = Some((385L, 512L)))
 
   private def knnJoinReplay(kCells: Int,
       corpusGuard: Option[(Long, Long)] = None): String = materialized {
@@ -803,7 +848,7 @@ private[graft] object OracleSql {
       s"""
     sfguard AS (SELECT CASE WHEN (SELECT count(*) FROM embeddings)
         BETWEEN $lo AND $hi THEN 1 ELSE cast(error(
-          'knn_join_sized oracle is pinned at kCells=$kCells ($lo-$hi corpus rows, occupancy 64); gate ran at another scale factor') as int)
+          'knn_join_sized oracle is pinned at kCells=$kCells ($lo-$hi corpus rows, occupancy 128); gate ran at another scale factor') as int)
         END AS ok),"""
     }.getOrElse("")
     val guardPred = corpusGuard

@@ -221,15 +221,17 @@ object SparkEntry {
     // join (the all-rows form of IVF search)
     "knn_join" -> ((s, d) => Similarity.knnJoin(tables(s, d))),
     // E14b: the deploy-shape sized form — kCells from the occupancy
-    // rule (⌈n/64⌉, one count job), so candidate volume stays linear
+    // rule (⌈n/128⌉, one count job), so candidate volume stays linear
     // as the corpus grows; the fixed-kCells fixture above stays as the
-    // documented quadratic-by-construction recall tier. Occupancy 64
-    // keeps the sized grid divergent from knn_join's fixed 8 cells at
-    // the bench SF (sf0.1 → 32 cells) while landing exactly 8 at the
-    // sf0.01 gate, where the oracle's sfguard pins (and verifies) it
+    // documented quadratic-by-construction recall tier. Occupancy 128
+    // (round 20, the r19 verdict's gate-degeneracy fix) makes the
+    // sized grid divergent from knn_join's fixed 8 cells AT THE GATE
+    // SF itself — sf0.01's 500 vectors give 4 cells (the oracle's
+    // sfguard pins and verifies it), sf0.1's 2,000 give 16 — so the
+    // correctness gate, not just the spec, distinguishes the paths
     "knn_join_sized" -> ((s, d) =>
       Similarity.knnJoinSized(tables(s, d).embeddings, k = 3, nprobe = 2,
-        iters = 3, targetOccupancy = 64L)),
+        iters = 3, targetOccupancy = 128L)),
     // E15: metadata-filtered top-k — the predicate applies BEFORE the
     // ranking (pre-filter semantics), pushed into the corpus scan
     "ann_filtered_topk" ->
@@ -345,7 +347,7 @@ object SparkEntry {
       val dir = graft.sources.FragmentArchive.materialize(tables(s, d), d)
       s.read.format("ebml").load(dir)
         .select(col("fragment_number").as("event_id"),
-          col("n_elements"), col("frag_len").as("blob_len"))
+          col("n_elements"), col("frag_len").as("blob_len"), col("crc_ok"))
         .orderBy("event_id")
     }),
     // §2F text analysis
@@ -1566,19 +1568,11 @@ object SparkEntry {
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""",
     "dedup_clusters" -> clustersClosureOracle,
-    // F24: the closure labels fed through F18's exact bucket arithmetic
-    "split_by_cluster" ->
-      s"""WITH RECURSIVE
-        $closureCtes,
-        c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
-          FROM reach GROUP BY src),
-        h AS (SELECT doc_id, cluster_id,
-          ${OracleSql.mix64Bucket("cluster_id")} AS bucket FROM c)
-        SELECT doc_id, cluster_id,
-          CASE WHEN bucket < 1027604 THEN 'train'
-               WHEN bucket < 1038090 THEN 'valid'
-               ELSE 'test' END AS split
-        FROM h ORDER BY doc_id""",
+    // F24: since round 20 the benched query rides the D6b LSH cluster
+    // tier (the deploy shape — the D10 precedent), so the oracle
+    // replays the LSH closure fed through F18's exact bucket
+    // arithmetic; the exact tier stays pinned by TextOpsSpec
+    "split_by_cluster" -> OracleSql.splitByClusterLsh,
     // D10: the incremental path must land on the FULL recompute's
     // clusters exactly — since round 14 the deploy-shape harness probes
     // the D7 band index, so the full recompute it must equal is the LSH
@@ -1785,36 +1779,11 @@ object SparkEntry {
             ELSE round(cast(coalesce(d.dup_tokens, 0) as double) / cast(len(t.w) as double), 4) END AS dup_ratio4
         FROM toks t LEFT JOIN d USING (doc_id)
         WHERE t.doc_id % 8 = 7 ORDER BY t.doc_id""",
-    // D6c: the same closure as dedup_clusters, canonical member
-    // elected by (stop_ratio DESC, doc_id) within each cluster
-    "dedup_keep_best" ->
-      """WITH RECURSIVE
-        t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),'[a-z]+')) AS toks,
-          cast(len(list_distinct(regexp_extract_all(lower(text),'[a-z]+'))) as bigint) AS n FROM documents),
-        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE cast(len(list_intersect(a.toks,b.toks)) as bigint)
-            / (a.n + b.n - cast(len(list_intersect(a.toks,b.toks)) as bigint)) >= 0.95),
-        e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
-        ),
-        c AS (SELECT src AS doc_id, cast(min(dst) as bigint) AS cluster_id
-          FROM reach GROUP BY src),
-        w AS (SELECT doc_id, regexp_extract_all(lower(text),'[a-z]+') AS wt FROM documents),
-        q AS (SELECT doc_id,
-          CASE WHEN len(wt)=0 THEN cast(0.0 as double)
-            ELSE cast(len(list_filter(wt, tk -> tk IN
-              ('the','a','an','of','in','on','and','to','is','it'))) as bigint)
-              / cast(len(wt) as bigint) END AS stop_ratio
-          FROM w),
-        r AS (SELECT cluster_id, c.doc_id, stop_ratio,
-          row_number() OVER (PARTITION BY cluster_id
-            ORDER BY stop_ratio DESC, c.doc_id) AS rn
-          FROM c JOIN q ON q.doc_id = c.doc_id)
-        SELECT cluster_id, doc_id AS keep_id, stop_ratio
-        FROM r WHERE rn = 1 ORDER BY cluster_id""",
+    // D6c: since round 20 the benched query elects over the D6b LSH
+    // cluster tier (the deploy shape), so the oracle replays the LSH
+    // closure with the (stop_ratio DESC, doc_id) election; the exact
+    // tier's election is replayed driver-side in DedupSpec
+    "dedup_keep_best" -> OracleSql.dedupKeepBestLsh,
     "ann_brute_topk" -> AnnBruteSql,
     "contrastive_pairs" -> ContrastivePairsSql,
     "ann_mmr_topk" -> OracleSql.mmrTopK(20, 5),
@@ -2073,7 +2042,8 @@ object SparkEntry {
           541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
             + length(cast(user_id as varchar))
             + length(cast(cast(round(value*100) as bigint) as varchar))
-            + length(props) AS blob_len
+            + length(props) AS blob_len,
+          true AS crc_ok
         FROM events ORDER BY event_id""",
     // identical to mm_elements by design: the DataSourceV2 path must
     // reproduce the in-query parse bit for bit
@@ -2082,7 +2052,8 @@ object SparkEntry {
           541 + 2*length(cast(event_id as varchar)) + 2*length(cast(epoch_ms(ts) as varchar))
             + length(cast(user_id as varchar))
             + length(cast(cast(round(value*100) as bigint) as varchar))
-            + length(props) AS blob_len
+            + length(props) AS blob_len,
+          true AS crc_ok
         FROM events ORDER BY event_id""",
     "mm_split_stream" ->
       """WITH b AS (SELECT event_id, event_id // 5 AS grp,
@@ -2094,7 +2065,8 @@ object SparkEntry {
         SELECT event_id, grp,
           coalesce(cast(sum(blob_len) OVER (PARTITION BY grp ORDER BY event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS position,
-          cast(blob_len as bigint) AS frag_len
+          cast(blob_len as bigint) AS frag_len,
+          true AS crc_ok
         FROM b ORDER BY event_id""",
     "mm_frame_sample" ->
       """WITH b AS (SELECT event_id, event_id // 5 AS grp FROM events),

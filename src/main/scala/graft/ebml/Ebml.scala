@@ -41,6 +41,7 @@ object Ebml {
     0x4282L -> ("DocType", UTF8),
     0x4287L -> ("DocTypeVersion", UINT),
     0x4285L -> ("DocTypeReadVersion", UINT),
+    0xbfL -> ("CRC-32", BINARY), // RFC 8794 §11.3.1, first child of a master
     0x18538067L -> ("Segment", MASTER),
     0x1549a966L -> ("Info", MASTER),
     0x2ad7b1L -> ("TimecodeScale", UINT),
@@ -200,7 +201,15 @@ object Ebml {
     * always descended; non-matching leaves are SKIPPED without decoding
     * their payload — the reference's way of fast-forwarding a fragment
     * stream to just the tag/boundary elements it cares about. */
-  def elements(buf: Array[Byte], interesting: Set[String]): Seq[Element] = {
+  def elements(buf: Array[Byte], interesting: Set[String]): Seq[Element] =
+    elements(buf, interesting, 0, buf.length)
+
+  /** Range-bounded filtered walk over `[from, until)` of the ORIGINAL
+    * buffer — positions stay absolute and no payload copy is made, so
+    * a caller scoping to one master's payload (e.g. the first
+    * TrackEntry) pays zero allocation for the scoping itself. */
+  def elements(buf: Array[Byte], interesting: Set[String],
+      rangeFrom: Int, rangeUntil: Int): Seq[Element] = {
     val out = new ArrayBuffer[Element]()
     def walk(from: Int, to: Int): Unit = {
       var pos = from
@@ -240,7 +249,7 @@ object Ebml {
         case _: EbmlException | _: ArrayIndexOutOfBoundsException => open = false
       }
     }
-    walk(0, buf.length)
+    walk(rangeFrom, rangeUntil)
     out.toSeq
   }
 
@@ -311,6 +320,76 @@ object Ebml {
     elements(buf, BlockLeaves).collect {
       case e if e.bytesValue != null => e.bytesValue
     }
+
+  // ---- CRC-32 (RFC 8794 §11.3.1 / Matroska "CRC-32") -------------------
+
+  /** The CRC-32 element id. Real muxers emit it as the FIRST child of
+    * master elements; its 4-byte little-endian payload is the IEEE
+    * CRC-32 of all the master's payload bytes AFTER the element
+    * itself. */
+  val Crc32Id = 0xbfL
+
+  /** IEEE CRC-32 (the zlib polynomial RFC 8794 prescribes) over
+    * `buf[from, until)`. */
+  def crc32(buf: Array[Byte], from: Int, until: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(buf, from, until - from)
+    c.getValue
+  }
+
+  /** The CRC-32 element checksumming `payload` — prepend it to a
+    * master's payload to arm the master (the write side of
+    * [[crcValid]]; the reference stream carries none, so this exists
+    * for hermetic round-trip tests and for re-muxed output). */
+  def crc32Element(payload: Array[Byte]): Array[Byte] = {
+    val v = crc32(payload, 0, payload.length)
+    element(Crc32Id, Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+  }
+
+  /** Verify every CRC-32 element in the buffer against its enclosing
+    * scope. The element walkers above skip CRC-32 by size like any
+    * other leaf, so integrity is surfaced SEPARATELY through this
+    * predicate (the A7/A8 queries' and the B13 source's `crc_ok`
+    * column) instead of being silently ignored. Returns false iff some
+    * scope's CRC-32 element is malformed — not the scope's first
+    * element, or payload not exactly 4 bytes — or its stored value
+    * mismatches the computed IEEE CRC-32 of the scope bytes following
+    * it. A buffer carrying no CRC-32 elements (e.g. the AWS producer's
+    * fragments) is vacuously valid, and a truncated head ends a
+    * scope's walk without failing it — the walkers' leniency rule, so
+    * crc_ok stays an integrity signal, not a well-formedness one. */
+  def crcValid(buf: Array[Byte]): Boolean = {
+    def walk(from: Int, to: Int): Boolean = {
+      var pos = from
+      while (pos < to) {
+        var id = 0L; var body = 0; var size = 0L
+        try {
+          val (i, idLen) = readId(buf, pos)
+          val (s, szLen) = readSize(buf, pos + idLen)
+          id = i; size = s; body = pos + idLen + szLen
+        } catch {
+          case _: EbmlException | _: ArrayIndexOutOfBoundsException =>
+            return true // truncated head: scope ends, not an integrity fail
+        }
+        val end =
+          if (size < 0) to else math.min(to.toLong, body.toLong + size).toInt
+        if (id == Crc32Id) {
+          // spec placement: first element of its scope, 4-byte payload
+          if (pos != from || size != 4L || body + 4 > to) return false
+          val stored = (buf(body) & 0xffL) | ((buf(body + 1) & 0xffL) << 8) |
+            ((buf(body + 2) & 0xffL) << 16) | ((buf(body + 3) & 0xffL) << 24)
+          if (stored != crc32(buf, body + 4, to)) return false
+        } else if (IdTable.get(id).exists(_._2 == MASTER)) {
+          if (!walk(body, end)) return false
+        }
+        pos = end
+      }
+      true
+    }
+    buf == null || walk(0, buf.length)
+  }
 
   // ---- writer ----------------------------------------------------------
 

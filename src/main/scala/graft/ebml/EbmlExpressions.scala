@@ -145,9 +145,11 @@ object EbmlKernels {
         val (_, idLen) = Ebml.readId(blob, pos)
         val (size, szLen) = Ebml.readSize(blob, pos + idLen)
         val start = pos + idLen + szLen
-        val end =
-          if (size < 0) blob.length
-          else math.min(blob.length.toLong, start + size).toInt
+        // An unknown-size (size < 0) TrackEntry has no delimited payload:
+        // scoping "to end of blob" would let a LATER track's CodecPrivate
+        // pair with this track's CodecID — treat it as malformed instead.
+        if (size < 0) return null
+        val end = math.min(blob.length.toLong, start + size).toInt
         (start, end)
       } catch {
         case _: Ebml.EbmlException | _: ArrayIndexOutOfBoundsException =>
@@ -155,8 +157,7 @@ object EbmlKernels {
       }
     var cid: UTF8String = null
     var cp: Array[Byte] = null
-    Ebml.elements(java.util.Arrays.copyOfRange(blob, bounds._1, bounds._2),
-        TrackLeaves).foreach { e =>
+    Ebml.elements(blob, TrackLeaves, bounds._1, bounds._2).foreach { e =>
       if (e.name == "CodecID" && cid == null && e.stringValue != null)
         cid = u8(e.stringValue)
       else if (e.name == "CodecPrivate" && cp == null) cp = e.bytesValue
@@ -256,6 +257,21 @@ case class EbmlTagsExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ebml.EbmlKernels.tagsRow($c);")
   override protected def withNewChildInternal(newChild: Expression): EbmlTagsExpr =
+    copy(child = newChild)
+}
+
+/** blob → CRC-32 integrity verdict (Ebml.crcValid): false iff some
+  * master's leading CRC-32 element mismatches its payload; vacuously
+  * true when the fragment carries no CRC-32 elements. */
+case class EbmlCrcValidExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ebml_crc_valid"
+  override def nullSafeEval(b: Any): Any =
+    Ebml.crcValid(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ebml.Ebml.crcValid($c);")
+  override protected def withNewChildInternal(newChild: Expression): EbmlCrcValidExpr =
     copy(child = newChild)
 }
 

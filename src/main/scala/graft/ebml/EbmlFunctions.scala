@@ -233,6 +233,13 @@ object EbmlFunctions {
   def parseElements(blob: Column): Column =
     column(EbmlElementsExpr(expression(blob)))
 
+  /** CRC-32 integrity verdict (Matroska §CRC-32 / RFC 8794 §11.3.1):
+    * false iff some master's leading CRC-32 element mismatches the
+    * master payload behind it; true when all check out or none are
+    * present. */
+  def crcValid(blob: Column): Column =
+    column(EbmlCrcValidExpr(expression(blob)))
+
   /** First media block's frame payload (after the 4-byte SimpleBlock
     * header) — the "decode" input for the multimodal stub. */
   def firstBlock(blob: Column): Column =

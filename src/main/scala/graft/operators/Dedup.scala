@@ -504,20 +504,27 @@ object Dedup {
     * keeps each near-dup cluster's BEST document, not its first —
     * near-dup clusters typically mix a clean original with mangled
     * re-crawls, and electing by doc_id keeps whichever leaked in
-    * first. The election key is (stop_ratio DESC, doc_id) over the D6
-    * clusters, stop_ratio being the shared F1/F16 score builder, so
-    * cluster membership, score, and election all replay bit-identically
-    * in the oracle.
+    * first. The election key is (stop_ratio DESC, doc_id) over the
+    * cluster labels, stop_ratio being the shared F1/F16 score builder,
+    * so cluster membership, score, and election all replay
+    * bit-identically in the oracle.
     *
-    * Scale shape: clusters come from the components engine (checkpointed
-    * label propagation — at deploy scale the D6b LSH edge source);
-    * the score is one documents-scan projection; the join keys on
-    * doc_id and the election is ONE window pass over rows already
-    * shuffled by cluster — no O(n²) stage, no driver state. */
-  def dedupKeepBest(t: Tables, maxIters: Int = 50): DataFrame = {
+    * Scale shape: clusters come from the D6b LSH tier
+    * ([[dedupClustersLsh]] — banded candidates verified at exact
+    * Jaccard, the edge source that runs at 100 TB; the O(n²) D6 tier
+    * stays reachable through [[dedupKeepBestOf]], and DedupSpec
+    * replays its election driver-side as the equality twin); the
+    * score is one documents-scan projection; the join keys on doc_id
+    * and the election is ONE window pass over rows already shuffled
+    * by cluster — no O(n²) stage, no driver state. */
+  def dedupKeepBest(t: Tables, maxIters: Int = 50): DataFrame =
+    dedupKeepBestOf(dedupClustersLsh(t, maxIters = maxIters), t.documents)
+
+  /** Library form of the D6c election over any (doc_id, cluster_id)
+    * labeling and any (doc_id, text) corpus. */
+  def dedupKeepBestOf(clusters: DataFrame, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(t, maxIters)
-    val q = t.documents.select(col("doc_id"),
+    val q = docs.select(col("doc_id"),
       graft.operators.TextOps.stopRatioCol.as("stop_ratio"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("stop_ratio").desc, col("doc_id"))

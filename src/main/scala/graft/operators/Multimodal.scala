@@ -196,15 +196,20 @@ object Multimodal {
         cents(col("value")), col("props")))
 
   /** G3/A7 — element walk with positions (ebml.py Position semantics):
-    * per-fragment element count and byte length. The oracle recomputes the
-    * byte length arithmetically from the fixed fragment layout. */
+    * per-fragment element count and byte length, plus the Matroska
+    * CRC-32 integrity verdict (round 20 — real muxers arm masters with
+    * a leading CRC-32 element; the generator's fragments carry none,
+    * so crc_ok is vacuously true here and the planted good/corrupt
+    * cases are pinned by EbmlSpec). The oracle recomputes the byte
+    * length arithmetically from the fixed fragment layout. */
   def mmElements(t: Tables): DataFrame =
     withBlobSorted(t)
       .withColumn("els", EbmlFunctions.parseElements(col("blob")))
       .select(
         col("event_id"),
         size(col("els")).cast("long").as("n_elements"),
-        length(col("blob")).cast("long").as("blob_len"))
+        length(col("blob")).cast("long").as("blob_len"),
+        EbmlFunctions.crcValid(col("blob")).as("crc_ok"))
 
   /** G4/A8 — continuous-stream fragment splitting (parser.py:362-375):
     * GetMedia delivers fragments back to back on one connection; the
@@ -245,14 +250,15 @@ object Multimodal {
         explode(EbmlFunctions.splitFragments(col("stream"))).as("fr"))
       .select(col("grp"), col("fr.position").as("position"),
         length(col("fr.fragment")).cast("long").as("frag_len"),
-        EbmlFunctions.parseTags(col("fr.fragment")).as("tg"))
+        EbmlFunctions.parseTags(col("fr.fragment")).as("tg"),
+        EbmlFunctions.crcValid(col("fr.fragment")).as("crc_ok"))
       .select(col("tg.fragment_number").cast("long").as("event_id"),
         col("tg.producer_ts").cast("long").as("producer_ms"),
-        col("grp"), col("position"), col("frag_len"))
+        col("grp"), col("position"), col("frag_len"), col("crc_ok"))
 
   def mmSplitStream(t: Tables, groupSize: Long = 5L): DataFrame =
     splitCore(t, groupSize)
-      .select("event_id", "grp", "position", "frag_len")
+      .select("event_id", "grp", "position", "frag_len", "crc_ok")
       .orderBy("event_id")
 
   /** G5 — every-Nth frame sampling from the continuous stream (the

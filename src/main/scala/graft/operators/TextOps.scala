@@ -1443,16 +1443,21 @@ object TextOps {
     * doc_id), so adopting cluster-splitting only moves documents that
     * had a leakage risk.
     *
-    * Scale shape: the labels come from the components engine (at
-    * deploy scale the D6b LSH edge source — banded candidates, never
-    * all-pairs); the split itself is the F18 projection on the label —
-    * no extra shuffle beyond the clustering that a dedup pipeline
-    * already ran, and the assignment is a pure function of the label
-    * (reproducible across runs, stable under corpus growth as long as
-    * the cluster's minimum member persists). */
+    * Scale shape: the labels come from the D6b LSH cluster tier
+    * ([[Dedup.dedupClustersLsh]] — banded candidates verified at exact
+    * Jaccard, never all-pairs; the form that runs at 100 TB), and the
+    * split itself is the F18 projection on the label — no extra
+    * shuffle beyond the clustering that a dedup pipeline already ran,
+    * and the assignment is a pure function of the label (reproducible
+    * across runs, stable under corpus growth as long as the cluster's
+    * minimum member persists). The exact O(n²) tier stays reachable
+    * through [[splitByClusterOf]] over [[Dedup.dedupClusters]];
+    * TextOpsSpec pins the two tiers label-identical at the spec SF
+    * (where LSH recall on true j≥0.95 pairs is 1). */
   def splitByCluster(t: Tables, trainPct: Int = 98, validPct: Int = 1,
       maxIters: Int = 50): DataFrame =
-    splitByClusterOf(Dedup.dedupClusters(t, maxIters), trainPct, validPct)
+    splitByClusterOf(Dedup.dedupClustersLsh(t, maxIters = maxIters),
+      trainPct, validPct)
 
   /** Library form over any (doc_id, cluster_id) labeling. */
   def splitByClusterOf(clusters: DataFrame, trainPct: Int = 98,

@@ -110,9 +110,12 @@ object CodecPrivateKernels {
     * the stream head (4-byte start code, the G17 stream-head form),
     * then every input NAL follows behind 3-byte start codes — NAL
     * payloads are copied verbatim (emulation prevention is already on
-    * the wire in both layouts, so no re-escape pass). Accepts either
-    * input framing (the range walk auto-detects); null when the stream
-    * or the avcC is malformed. */
+    * the wire in both layouts, so no re-escape pass). Input framing:
+    * the avcC-declared NAL length-prefix width is authoritative — the
+    * stream is walked with it first, and only if that walk rejects the
+    * buffer does an Annex-B start-code sniff take over (for raw
+    * already-Annex-B input). Null when the stream or the avcC is
+    * malformed. */
   def avccToAnnexb(stream: Array[Byte], avcc: Array[Byte]): Array[Byte] = {
     val ps = avccParamSets(avcc)
     if (ps == null) return null

@@ -241,6 +241,10 @@ object HevcGopKernels {
         } else if (tpe == PPS_NUT) {
           if (pps == null) pps = readPpsCfg(epStrip(bytes, s + 2, e))
         } else if (tpe <= 31) {           // VCL NAL (Table 7-1)
+          // Reserved VCL ranges (RSV_VCL_N10..R15, RSV_IRAP_VCL22/23,
+          // RSV_VCL24..31) have undefined slice-header syntax: out of
+          // subset -> null, never a misparse.
+          if ((tpe >= 10 && tpe <= 15) || tpe >= 22) return null
           if (sps == null || pps == null) return null
           val r = new BitReader(epStrip(bytes, s + 2, e))
           val first = r.u(1) == 1

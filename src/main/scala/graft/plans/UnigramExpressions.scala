@@ -21,16 +21,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * probabilities are cnt.toDouble / total.toDouble (IEEE division of
   * the same integers), DP scores multiply prev * p in that order
   * (IEEE multiply is exactly specified), and ties break to the
-  * SHORTEST piece (strict > while scanning s = 1..MaxPieceLen — the
+  * SHORTEST piece (strict > while scanning s upward to the per-model
+  * bound — the
   * replay's ORDER BY score DESC, s ASC). A zero-count piece scores
   * 0.0 — still a legal (last-resort) path, exactly as in the replay.
   * Unsegmentable words (a character missing from the vocabulary)
   * return null. */
 object UnigramKernels {
-  /** Scan bound for candidate piece lengths; vocabularies built by the
-    * EM driver only hold pieces up to length 3, so probes past that
-    * miss harmlessly. */
+  /** Hard ceiling on candidate piece lengths — the per-call bound below
+    * is what actually limits the scan; this only caps a degenerate
+    * vocabulary. */
   val MaxPieceLen = 8
+
+  /** Tight per-model scan bound: the longest piece's UTF-8 byte count,
+    * which upper-bounds its UTF-16 length (every code point takes at
+    * least as many UTF-8 bytes as UTF-16 units), so no legal piece is
+    * ever skipped. One O(vocab) pass of numBytes() per segment() call
+    * replaces up to (MaxPieceLen - actual) guaranteed-miss substring +
+    * UTF8String allocations and binary searches PER POSITION in the
+    * Viterbi hot loop (the EM driver's vocabularies stop at length 3). */
+  private def maxPieceBytes(pieces: ArrayData, nP: Int): Int = {
+    var m = 1
+    var i = 0
+    while (i < nP) {
+      val b = pieces.getUTF8String(i).numBytes()
+      if (b > m) m = b
+      i += 1
+    }
+    math.min(m, MaxPieceLen)
+  }
 
   def segment(word: UTF8String, pieces: ArrayData, cnts: ArrayData,
       total: Long): GenericArrayData = {
@@ -40,6 +59,7 @@ object UnigramKernels {
     val len = w.length
     if (len == 0) return null
     val nP = pieces.numElements()
+    val scanBound = maxPieceBytes(pieces, nP)
     val dp = new Array[Double](len + 1)
     java.util.Arrays.fill(dp, -1.0)
     dp(0) = 1.0
@@ -48,7 +68,7 @@ object UnigramKernels {
     while (pos <= len) {
       var best = -1.0
       var bestS = 0
-      val maxS = math.min(MaxPieceLen, pos)
+      val maxS = math.min(scanBound, pos)
       var s = 1
       while (s <= maxS) {
         if (dp(pos - s) >= 0.0) {

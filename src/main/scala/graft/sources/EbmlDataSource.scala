@@ -72,6 +72,7 @@ object EbmlTable {
     StructField("millis_behind", LongType, nullable = true),
     StructField("continuation_token", StringType, nullable = true),
     StructField("n_elements", LongType, nullable = false),
+    StructField("crc_ok", BooleanType, nullable = false),
     StructField("blob", BinaryType, nullable = false)))
 }
 
@@ -352,6 +353,7 @@ class EbmlPartitionReader(partition: EbmlInputPartition,
           .map(UTF8String.fromString).orNull
       case "n_elements" =>
         if (needElements) Ebml.elements(frag).length.toLong else 0L
+      case "crc_ok" => Ebml.crcValid(frag)
       case "blob" => if (needBlob) frag else null
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }

@@ -286,4 +286,52 @@ class EbmlSpec extends AnyFunSuite {
     assert(row3.isNullAt(1),
       "a loose CodecPrivate after the first entry must NOT be collected")
   }
+
+  test("CRC-32: armed masters verify, corruption fails, CRC-free blobs are vacuously valid (Matroska §CRC-32)") {
+    // the generator's fragments carry no CRC-32 → vacuously valid, and
+    // the tag/element walks are unaffected
+    val plain = EbmlFunctions.buildFragment(5L, 1700000000000L, 2L, 99L, "{}")
+    assert(crcValid(plain))
+
+    // arm a Tags master: CRC-32 first, checksumming the rest of the payload
+    val inner = concat(simpleTag("K", "V"), simpleTag("K2", "V2"))
+    val armed = element(0x1254c367L, concat(crc32Element(inner), inner))
+    assert(crcValid(armed))
+    // the element walk surfaces the CRC element by name and still
+    // finds the tags behind it (round-trip)
+    val els = elements(armed)
+    assert(els.exists(_.name == "CRC-32"))
+    val blob2 = concat(armed)
+    assert(Ebml.tags(blob2) == Map("K" -> "V", "K2" -> "V2"))
+
+    // corrupt one payload byte AFTER the CRC element → invalid
+    val corruptPayload = armed.clone()
+    corruptPayload(corruptPayload.length - 1) =
+      (corruptPayload(corruptPayload.length - 1) ^ 0x01).toByte
+    assert(!crcValid(corruptPayload))
+    // corrupt the stored CRC itself → invalid
+    val corruptCrc = armed.clone()
+    // heads are id + the writer's fixed 8-byte size varint
+    val crcPayloadPos = idLen(0x1254c367L) + 8 + idLen(Crc32Id) + 8
+    corruptCrc(crcPayloadPos) = (corruptCrc(crcPayloadPos) ^ 0x01).toByte
+    assert(!crcValid(corruptCrc))
+
+    // nested arming: Segment armed around an armed Tags child — both
+    // verify; corrupting the inner payload fails BOTH scopes
+    val segPayload = concat(crc32Element(armed), armed)
+    val seg = element(0x18538067L, segPayload)
+    assert(crcValid(seg))
+    val segCorrupt = seg.clone()
+    segCorrupt(segCorrupt.length - 1) =
+      (segCorrupt(segCorrupt.length - 1) ^ 0x01).toByte
+    assert(!crcValid(segCorrupt))
+
+    // spec placement violations: a CRC-32 that is not its scope's
+    // first element, or with a payload != 4 bytes, is malformed
+    val misplaced = element(0x1254c367L, concat(inner, crc32Element(inner)))
+    assert(!crcValid(misplaced))
+    val badSize = element(0x1254c367L,
+      concat(element(Crc32Id, Array[Byte](1, 2, 3)), inner))
+    assert(!crcValid(badSize))
+  }
 }

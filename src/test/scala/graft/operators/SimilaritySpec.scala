@@ -736,14 +736,16 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("knnJoinSized threads targetOccupancy into the grid (E14b, not the fixed-kCells path)") {
-    // the sizing rule itself, at points where occupancy-derived counts
-    // DIFFER from knn_join's fixed 8 — kCellsFor(500, 64) == 8 is a
-    // coincidence of the sf0.01 gate, so the correctness gate alone
-    // cannot catch a degeneration into the fixed path
-    assert(Similarity.kCellsFor(500L, 64L) == 8)   // the sf0.01 gate value
-    assert(Similarity.kCellsFor(200L, 64L) == 4)   // diverges from 8
-    assert(Similarity.kCellsFor(5000L, 64L) == 79) // the sf0.1 bench shape
-    assert(Similarity.kCellsFor(500L, 128L) == 4)
+    // the sizing rule itself — since round 20 the benched fixture runs
+    // occupancy 128, where the gate SF's 500 vectors give 4 cells,
+    // DIVERGENT from knn_join's fixed 8 (the r19 verdict's degeneracy
+    // fix: at the old occupancy 64 both resolved to 8 at sf0.01 and
+    // only this spec could catch a collapse into the fixed path)
+    assert(Similarity.kCellsFor(500L, 128L) == 4)   // the sf0.01 gate value
+    assert(Similarity.kCellsFor(2000L, 128L) == 16) // the sf0.1 bench shape
+    assert(Similarity.kCellsFor(20000L, 128L) == 157) // sf1
+    assert(Similarity.kCellsFor(500L, 64L) == 8)   // the old degenerate pin
+    assert(Similarity.kCellsFor(200L, 64L) == 4)
     assert(Similarity.kCellsFor(1L, 256L) == 1)    // floor at one cell
     // threading: over a 200-row corpus, the sized entry must be
     // row-identical to the explicit kCells=4 grid (same Lloyd seed),

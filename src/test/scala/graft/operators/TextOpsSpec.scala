@@ -1353,6 +1353,13 @@ class TextOpsSpec extends SparkSpec {
     // the fixture corpus must actually exercise the multi-doc case
     assert(byCluster.values.exists(_.length > 1),
       "no multi-doc near-dup cluster in the fixture corpus")
+    // tier equality: the benched query rides the D6b LSH labels (round
+    // 20); at this SF LSH recall on true j>=0.95 pairs is 1, so the
+    // exact O(n^2) tier must produce the identical split table
+    val exact = TextOps.splitByClusterOf(Dedup.dedupClusters(t)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == exact.toSeq,
+      "LSH-tier split diverges from the exact-tier split at spec SF")
   }
 
   test("bm25: corpus top-k is TakeOrdered, never a corpus-wide window") {
