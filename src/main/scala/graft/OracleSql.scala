@@ -401,15 +401,28 @@ private[graft] object OracleSql {
     * left-fold of products the Scala kernel runs, so the DOUBLE
     * arithmetic is bit-identical and the sign bits agree exactly.
     * Shared by dedup_embed_lsh, dedup_embed_clusters, ann_lsh_topk. */
-  private def embedBucketCtes(tables: Int): String = {
+  private def embedBucketCtes(tables: Int, sizedBits: Boolean = false): String = {
     val mixed = mix64("((k*1009 + j)*131071 + i)::UBIGINT")
     val w = let(mixed) { u =>
       s"((CASE WHEN $u >= $SignBit::UBIGINT THEN $u::HUGEINT - $TwoTo64 " +
         s"ELSE $u::HUGEINT END) % 500)::DOUBLE"
     }
-    s"""dims AS (SELECT unnest(range(64)) AS i),
+    // sized: Dedup.sizedLshBits replayed in pure integer arithmetic —
+    // the smallest b in 1..32 with 32·2^b >= count(embeddings); the
+    // fixed form keeps the literal 6 the ann/curate oracles pin
+    val bitsExpr =
+      if (sizedBits) "(SELECT bits FROM nb)" else "6"
+    val nbCte =
+      if (sizedBits)
+        s"""nb AS (SELECT min(b) AS bits
+      FROM (SELECT unnest(range(1, 33)) AS b)
+      CROSS JOIN (SELECT count(*) AS n FROM embeddings)
+      WHERE (32::UBIGINT << b::INT) >= n::UBIGINT),
+    """
+      else ""
+    s"""${nbCte}dims AS (SELECT unnest(range(64)) AS i),
     kj AS (SELECT k, j FROM (SELECT unnest(range($tables)) AS k)
-      CROSS JOIN (SELECT unnest(range(6)) AS j)),
+      CROSS JOIN (SELECT unnest(range($bitsExpr)) AS j)),
     wt AS (SELECT k, j, list($w ORDER BY i) AS wl FROM kj CROSS JOIN dims GROUP BY k, j),
     ev AS (SELECT vec_id,
       CASE WHEN len(embedding) = 64
@@ -440,7 +453,7 @@ private[graft] object OracleSql {
     * candidates share any tagged bucket (DISTINCT = the first-agree
     * exactly-once emission), exact-cosine filter at 0.4. */
   lazy val dedupEmbedLsh: String =
-    s"""WITH ${embedBucketCtes(16)},
+    s"""WITH ${embedBucketCtes(16, sizedBits = true)},
     bk AS (SELECT vec_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -453,7 +466,7 @@ private[graft] object OracleSql {
     * edge set (every emitted edge is exact-cosine-verified, so the
     * whole scale-path clustering is deterministic and oracle-able). */
   lazy val dedupEmbedClusters: String =
-    s"""WITH RECURSIVE ${embedBucketCtes(16)},
+    s"""WITH RECURSIVE ${embedBucketCtes(16, sizedBits = true)},
     bk AS (SELECT vec_id, (k::UBIGINT << 32) | b AS bucket FROM bks),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),

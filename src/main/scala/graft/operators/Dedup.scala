@@ -985,6 +985,32 @@ object Dedup {
       tables: Int = 16, bits: Int = 6): DataFrame =
     embeddingPairsLshOf(t.embeddings, threshold, tables, bits)
 
+  /** Corpus-sized LSH bit-width: the smallest b ≥ 1 with n ≤ 32·2^b,
+    * i.e. expected per-table bucket occupancy capped at 32 as the
+    * corpus grows. Per-bucket candidate volume is occupancy², so a
+    * FIXED width turns the bucket self-join quadratic past its design
+    * size (bits=6 saturates at ~2k vectors: measured 7.1× wall at 10×
+    * data, and the 64-bucket tables would emit ~5·10⁹ raw candidates
+    * at 200k vectors); the occupancy rule keeps candidate volume
+    * linear in n. Pure integer arithmetic — the DuckDB oracle replays
+    * the same shifts exactly, no float log2 at either side. Because
+    * hyperplane j of a b-bit table is hyperplane j of the wider table
+    * (the seed ignores the width), a b-bit bucket is a PREFIX of the
+    * 6-bit bucket: narrower widths collide strictly more, so sizing
+    * down can only raise recall (DedupSpec pins the containment). */
+  def sizedLshBits(n: Long): Int =
+    (1 to 32).find(b => (32L << b) >= n).getOrElse(32)
+
+  /** [[embeddingPairsLsh]] with the width picked by [[sizedLshBits]]
+    * from the live corpus count — the deploy form D5b benches (the
+    * knn_join_sized precedent: the benched query must carry the
+    * occupancy rule, not a toy-SF constant). The count is one
+    * columnar-metadata job before planning. */
+  def embeddingPairsLshSized(t: Tables, threshold: Double = 0.4,
+      tables: Int = 16): DataFrame =
+    embeddingPairsLshOf(t.embeddings, threshold, tables,
+      sizedLshBits(t.embeddings.count()))
+
   /** [[embeddingPairsLsh]] over an explicit embeddings frame — the form
     * [[VectorIndex.curateKeepers]] runs over an ingest batch for its
     * within-batch tier.
@@ -1037,6 +1063,17 @@ object Dedup {
     connectedComponents(
       t.embeddings.select(col("vec_id").as("doc_id")),
       embeddingPairsLsh(t, threshold).select(col("id_a"), col("id_b")),
+      maxIters)
+
+  /** [[embedClustersLsh]] over the [[embeddingPairsLshSized]] edge
+    * source — the benched D5c form (sized width, same components
+    * engine). */
+  def embedClustersLshSized(t: Tables, threshold: Double = 0.4,
+      maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      t.embeddings.select(col("vec_id").as("doc_id")),
+      embeddingPairsLshSized(t, threshold)
+        .select(col("id_a"), col("id_b")),
       maxIters)
 
   /** D5 — embedding-cosine near-dup pairs (cos >= 0.4 on this synthetic

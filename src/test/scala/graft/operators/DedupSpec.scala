@@ -228,6 +228,34 @@ class DedupSpec extends SparkSpec {
     assert(brute.values.toSet.size < brute.size, "fixture has no clusters")
   }
 
+  test("sizedLshBits: integer occupancy rule, known anchors") {
+    // smallest b >= 1 with n <= 32*2^b — the values the benched sized
+    // queries (and their DuckDB oracle replay) derive at each SF
+    assert(Dedup.sizedLshBits(1L) === 1)
+    assert(Dedup.sizedLshBits(64L) === 1)
+    assert(Dedup.sizedLshBits(65L) === 2)
+    assert(Dedup.sizedLshBits(500L) === 4) // the sf0.01 correctness gate
+    assert(Dedup.sizedLshBits(2000L) === 6) // sf0.1: coincides with fixed 6
+    assert(Dedup.sizedLshBits(2049L) === 7)
+    assert(Dedup.sizedLshBits(20000L) === 10) // target/sf1
+    assert(Dedup.sizedLshBits(200000L) === 13) // target/sf10
+  }
+
+  test("sized LSH pairs contain the fixed-width pairs (prefix buckets)") {
+    // hyperplane j is width-independent, so a b-bit bucket is the low
+    // b bits of the 6-bit bucket: narrower tables collide strictly
+    // more, and every emitted pair is exact-verified either way —
+    // sizing DOWN (small corpora) can only add true pairs
+    val fixed = Dedup.embeddingPairsLsh(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sized = Dedup.embeddingPairsLshSized(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Dedup.sizedLshBits(t.embeddings.count()) < 6,
+      "spec fixture should exercise the sized-down branch")
+    assert(fixed.subsetOf(sized),
+      s"fixed-width pairs missing from sized: ${(fixed -- sized).take(5)}")
+  }
+
   test("embedding near-dup pairs are symmetric-safe and above threshold") {
     val rows = Dedup.embeddingPairs(t).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
