@@ -710,6 +710,18 @@ object Analytics {
     // pre-dangling layout
     val nodeIds = nodes.select(col("node"))
     var ranks = nodeIds.withColumn("r", lit(1000000L))
+    // per-round exchanges are edge-contribution-sized: size their
+    // reducer count from the MATERIALIZED edge cache (the meta action
+    // above filled it, so InMemoryRelation stats are actual bytes, not
+    // estimates), never the session constant — the Dedup
+    // connectedComponents rule (guide §2.2) applied to this loop
+    val edgeBytes = {
+      val s = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (s.isValidLong) s.toLong else Long.MaxValue
+    }
+    val spark = edges.sparkSession
+    Dedup.withInitialPartitions(spark,
+      Dedup.sizedShufflePartitions(spark, edgeBytes)) {
     for (r <- 1 to iters) {
       val contrib = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), ct.as("ct"))
@@ -737,6 +749,8 @@ object Analytics {
       // iteration for the exchange pin (execution is identical)
       if (r < iters) ranks = ranks.localCheckpoint()
     }
+    } // withInitialPartitions — the returned last round runs under the
+      // caller's conf (rank-sized rows)
     ranks
   }
 

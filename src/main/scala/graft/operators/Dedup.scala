@@ -695,10 +695,18 @@ object Dedup {
       settledLabels: DataFrame, indexDir: String,
       threshold: Double = 0.95, maxIters: Int = 50): DataFrame = {
     val fresh = docs.filter(isFresh)
-    val cand = TextIndex.dedupBatchCore(fresh, indexDir)
-      .filter(col("reason") === "band")
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true) // candidate-sized; feeds verify + id list
+    // the index-probe joins materialize in this eager checkpoint: size
+    // their reducer count from the settled index bytes (the corpus-
+    // scaled side of the exchange), exactly as curateKeepers does —
+    // the constant-width probe OOMs the 8 g heap at the sf10 rung
+    val spark0 = docs.sparkSession
+    val cand = withInitialPartitions(spark0, sizedShufflePartitions(
+        spark0, TextIndex.indexBytes(spark0, indexDir))) {
+      TextIndex.dedupBatchCore(fresh, indexDir)
+        .filter(col("reason") === "band")
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // candidate-sized; feeds verify + id list
+    }
     val ids = cand.select(col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_b").as("doc_id")))
       .distinct()
@@ -834,7 +842,13 @@ object Dedup {
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val out = connectedComponents(nodes, edges, maxIters)
+    // the band self-join + verify join-back shuffle token-array-sized
+    // rows: size their reducer count from the measured corpus bytes
+    // (the components loop re-sizes itself from the smaller edge set)
+    val out = withInitialPartitions(docs.sparkSession,
+        sizedShufflePartitions(docs.sparkSession, materializedBytes(hashed))) {
+      connectedComponents(nodes, edges, maxIters)
+    }
     // connectedComponents materialized the edge list eagerly before
     // returning, so the hashed working set (tokens + signatures — the
     // bulk of the corpus) is fully consumed: free its blocks NOW
@@ -870,6 +884,72 @@ object Dedup {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Planner bytes of a frame's source relations — for parquet scans
+    * this is the on-disk file size (exact, from the file listing, no
+    * job): the sizing input where an operator's working set is a source
+    * table rather than an already-materialized block set. */
+  private[operators] def scanBytes(df: DataFrame): Long = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s.isValidLong) s.toLong else Long.MaxValue
+  }
+
+  /** Exact stored size of a localCheckpoint'd frame — free driver-side
+    * metadata (the blocks are already materialized), the honest input
+    * to [[sizedShufflePartitions]]. Reliable checkpoints and
+    * non-checkpointed frames report 0, which sizes to the session floor
+    * (today's behavior). */
+  private[operators] def materializedBytes(df: DataFrame): Long =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val id = l.rdd.id
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case _ => 0L
+    }
+
+  /** Scale-adaptive shuffle width (guide §2.2): reducer count derived
+    * from the measured bytes of the working set, never a constant —
+    * `spark.sql.shuffle.partitions` is sized for the SESSION (the bench
+    * contract pins it to the core count), but an iterative operator's
+    * per-round exchanges must grow with ITS data or per-task state grows
+    * linearly with the corpus (the sf10 rung needed an 8×-the-default
+    * heap purely because 100× the rows still landed on the session's 32
+    * reducers). Floor = the session width, so at bench SF the value is
+    * exactly today's and plans/times are untouched; the ceiling only
+    * engages when the operator's materialized input outgrows the floor ×
+    * target product. `spark.graft.shuffle.targetPartitionBytes` (default 2 MB
+    * local, A/B-probed at the sf10 rung: with the rule disabled the
+    * fixpoint dies on SparkOutOfMemoryError at the 8 g bench heap, with
+    * the 2 MB target it completes in 90.5 s — 1.7× faster than the same
+    * query on a 64 g heap at the session width; 2 MB of stored
+    * localCheckpoint bytes expands ~10× into per-task hash state, which
+    * across 32 concurrent local tasks stays under the heap. Clusters
+    * raise it toward the guide's 100 MB–1 GB post-shuffle range per
+    * executor sizing) parameterizes the target. */
+  private[graft] def sizedShufflePartitions(
+      spark: org.apache.spark.sql.SparkSession, bytes: Long): Int = {
+    val target = spark.conf
+      .get("spark.graft.shuffle.targetPartitionBytes", (2L * 1024 * 1024).toString)
+      .toLong
+    val floor = spark.sessionState.conf.numShufflePartitions.toLong
+    math.max(floor, math.min(32768L, bytes / math.max(1L, target) + 1L)).toInt
+  }
+
+  /** Runs `body` with AQE's pre-coalesce partition count pinned to `n`,
+    * restoring the caller's setting after. AQE's coalescing still
+    * right-sizes DOWN per exchange (parallelismFirst keeps at least the
+    * default parallelism), so a raised ceiling never fragments a small
+    * shuffle — it only lets a large one use more reducers. No-op when
+    * AQE is off. */
+  private[graft] def withInitialPartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 
   /** Monotone per-call id: namespaces each reliable-checkpoint run under
     * its own subdirectory so concurrent/subsequent calls (or any other
@@ -913,6 +993,11 @@ object Dedup {
       val edges = materializeIn(ids
         .union(ids.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .toDF("src", "dst"), "edges")
+      // every per-round join/agg below shuffles edge/label-sized rows;
+      // size their reducer count from the measured edge bytes (free —
+      // the blocks are already stored) instead of the session constant
+      val roundWidth = sizedShufflePartitions(spark, materializedBytes(edges))
+      withInitialPartitions(spark, roundWidth) {
       // propagate only over nodes that HAVE an edge: on a deduped corpus
       // the overwhelming majority of documents are isolated and their
       // label can never change — keeping them out of the loop shrinks
@@ -956,6 +1041,8 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")
+      } // withInitialPartitions — the returned plan executes under the
+        // caller's conf (its exchanges are final-label-sized)
     } finally {
       // restore the caller's checkpoint dir so later df.checkpoint calls
       // elsewhere never land in a directory this call deletes; if the
@@ -1059,22 +1146,38 @@ object Dedup {
     * missed bucket collisions can only split clusters, never merge
     * unrelated vectors. */
   def embedClustersLsh(t: Tables, threshold: Double = 0.4,
-      maxIters: Int = 50): DataFrame =
-    connectedComponents(
-      t.embeddings.select(col("vec_id").as("doc_id")),
-      embeddingPairsLsh(t, threshold).select(col("id_a"), col("id_b")),
-      maxIters)
+      maxIters: Int = 50): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    // the LSH bucket join + vector-payload verify join execute inside
+    // connectedComponents' eager edge checkpoint: size that exchange
+    // width from the embeddings source bytes (the clusterDocsLshCore
+    // rule applied to the embed path — unsized, the verify join's
+    // spill/GC cost at the sf10 rung quadruples the wall on the 8 g
+    // bench heap)
+    withInitialPartitions(spark,
+        sizedShufflePartitions(spark, scanBytes(t.embeddings))) {
+      connectedComponents(
+        t.embeddings.select(col("vec_id").as("doc_id")),
+        embeddingPairsLsh(t, threshold).select(col("id_a"), col("id_b")),
+        maxIters)
+    }
+  }
 
   /** [[embedClustersLsh]] over the [[embeddingPairsLshSized]] edge
     * source — the benched D5c form (sized width, same components
     * engine). */
   def embedClustersLshSized(t: Tables, threshold: Double = 0.4,
-      maxIters: Int = 50): DataFrame =
-    connectedComponents(
-      t.embeddings.select(col("vec_id").as("doc_id")),
-      embeddingPairsLshSized(t, threshold)
-        .select(col("id_a"), col("id_b")),
-      maxIters)
+      maxIters: Int = 50): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    withInitialPartitions(spark,
+        sizedShufflePartitions(spark, scanBytes(t.embeddings))) {
+      connectedComponents(
+        t.embeddings.select(col("vec_id").as("doc_id")),
+        embeddingPairsLshSized(t, threshold)
+          .select(col("id_a"), col("id_b")),
+        maxIters)
+    }
+  }
 
   /** D5 — embedding-cosine near-dup pairs (cos >= 0.4 on this synthetic
     * set). Double-precision left-fold dot product — bit-identical to the

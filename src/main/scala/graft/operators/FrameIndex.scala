@@ -141,8 +141,17 @@ object FrameIndex {
   def curateKeepers(batch: DataFrame, dir: String,
       excludeBatch: Option[Long] = None, maxHamming: Int = 6): DataFrame = {
     val bSigs = signatures(batch).localCheckpoint(true)
-    val pairs = dedupBatchFrom(bSigs, dir, excludeBatch, maxHamming)
-      .localCheckpoint(true) // candidate-sized; feeds two branches
+    // size the probe join's reducer width from the settled index bytes
+    // ([[TextIndex.curateKeepers]]'s rule — identical probe shape, same
+    // constant-width OOM class at corpus scale; floors to the session
+    // width at bench SF)
+    val spark = batch.sparkSession
+    val pairs = Dedup.withInitialPartitions(spark,
+        Dedup.sizedShufflePartitions(spark,
+          TextIndex.indexBytes(spark, dir))) {
+      dedupBatchFrom(bSigs, dir, excludeBatch, maxHamming)
+        .localCheckpoint(true) // candidate-sized; feeds two branches
+    }
     val batchIds = batch.select(col("frame_id"))
     val asB = pairs.select(col("id_b").as("frame_id"))
     val asA = pairs

@@ -342,6 +342,22 @@ object TextIndex {
     exact.unionByName(within).unionByName(cross)
   }
 
+  /** On-disk bytes of the persisted index under `dir` — the sizing
+    * input for the probe joins' reducer width
+    * ([[Dedup.sizedShufflePartitions]]): the settled tables are the
+    * corpus-scaled side of every probe exchange and their stored size
+    * is exact and free (one FS content summary, no Spark job). At bench
+    * SF the rule floors to the session width (plans/times untouched);
+    * at the sf10 ladder rung the unsized probe join dies on
+    * SparkOutOfMemoryError at the 8 g bench heap — per-task build/agg
+    * state grows with the corpus on a constant reducer count
+    * (optimization guide §2.2/§5). */
+  private[operators] def indexBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** The curation-gate keeper rule shared by [[curateStream]] and
     * batch callers: a batch document is DROPPED iff it is the larger
     * id of a [[dedupBatch]] pair whose other side is also in the
@@ -357,9 +373,16 @@ object TextIndex {
     // ONE signature pass per batch: the pair probe and the reverse
     // exact probe below both read this checkpointed frame
     val bSigs = signatures(batch).localCheckpoint(true)
-    val pairs = dedupBatchFrom(bSigs, dir, excludeBatch)
-      .filter(col("id_a") =!= col("id_b"))
-      .localCheckpoint(true) // candidate-sized; feeds two branches
+    // the probe joins materialize HERE (eager checkpoint): size their
+    // reducer count from the settled index bytes, not the session
+    // constant — at 100× data the constant-width join's per-task state
+    // OOMs the 8 g heap (see [[indexBytes]])
+    val pairs = Dedup.withInitialPartitions(spark,
+        Dedup.sizedShufflePartitions(spark, indexBytes(spark, dir))) {
+      dedupBatchFrom(bSigs, dir, excludeBatch)
+        .filter(col("id_a") =!= col("id_b"))
+        .localCheckpoint(true) // candidate-sized; feeds two branches
+    }
     val batchIds = batch.select(col("doc_id"))
     val asB = pairs.select(col("id_b").as("doc_id"))
     val asA = pairs

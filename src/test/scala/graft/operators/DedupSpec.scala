@@ -241,6 +241,56 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sizedLshBits(200000L) === 13) // target/sf10
   }
 
+  test("sizedShufflePartitions: session floor, byte scaling, conf target") {
+    val floor = spark.sessionState.conf.numShufflePartitions // 4 here
+    // empty / non-checkpointed inputs size to the session width — the
+    // at-bench-SF invariant that keeps the driver's numbers comparable
+    assert(Dedup.sizedShufflePartitions(spark, 0L) === floor)
+    assert(Dedup.sizedShufflePartitions(spark, 1L) === floor)
+    // 100 target-sized chunks ask for ~100 reducers
+    assert(Dedup.sizedShufflePartitions(spark, 2L * 1024 * 1024 * 100) === 101)
+    // production raises the target (guide §2.2's 128 MB-1 GB partitions)
+    spark.conf.set("spark.graft.shuffle.targetPartitionBytes",
+      (256L * 1024 * 1024).toString)
+    try assert(Dedup.sizedShufflePartitions(spark, 2L * 1024 * 1024 * 100) === floor)
+    finally spark.conf.unset("spark.graft.shuffle.targetPartitionBytes")
+    // runaway input hits the 32768 cap, not an int overflow
+    assert(Dedup.sizedShufflePartitions(spark, Long.MaxValue) === 32768)
+  }
+
+  test("withInitialPartitions pins the AQE width inside the block only") {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = spark.conf.getOption(key)
+    Dedup.withInitialPartitions(spark, 17) {
+      assert(spark.conf.get(key) === "17")
+      // nesting: the inner value wins, then the outer is restored
+      Dedup.withInitialPartitions(spark, 5) {
+        assert(spark.conf.get(key) === "5")
+      }
+      assert(spark.conf.get(key) === "17")
+    }
+    assert(spark.conf.getOption(key) === before)
+    spark.conf.set(key, "9")
+    try {
+      Dedup.withInitialPartitions(spark, 17)(assert(spark.conf.get(key) === "17"))
+      assert(spark.conf.get(key) === "9")
+    } finally spark.conf.unset(key)
+  }
+
+  test("connected components labels are invariant to the sized round width") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("doc_id").union(Seq(99L).toDF("doc_id"))
+    val pairs = (1L until 10L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    def run() = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run()
+    // a 64-byte target forces the loop's width far above the session's 4
+    // — partitioning is the ONLY thing that may change
+    spark.conf.set("spark.graft.shuffle.targetPartitionBytes", "64")
+    try assert(run() == base)
+    finally spark.conf.unset("spark.graft.shuffle.targetPartitionBytes")
+  }
+
   test("sized LSH pairs contain the fixed-width pairs (prefix buckets)") {
     // hyperplane j is width-independent, so a b-bit bucket is the low
     // b bits of the 6-bit bucket: narrower tables collide strictly

@@ -18,6 +18,21 @@ class TextIndexSpec extends SparkSpec {
   private def settled: DataFrame = t.documents.filter(!isNew)
   private def batch: DataFrame = t.documents.filter(isNew)
 
+  test("curateKeepers is invariant to the sized probe-join width") {
+    // a 64-byte target forces the probe joins' reducer width far above
+    // the session's 4 (the index is a few KB even at spec SF) — the
+    // keeper set may not change, only the partitioning may
+    val dir = freshDir()
+    TextIndex.build(settled, dir)
+    def ids() = TextIndex.curateKeepers(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids()
+    assert(TextIndex.indexBytes(spark, dir) > 0L)
+    spark.conf.set("spark.graft.shuffle.targetPartitionBytes", "64")
+    try assert(ids() == base)
+    finally spark.conf.unset("spark.graft.shuffle.targetPartitionBytes")
+  }
+
   test("maintenance refuses a pre-v2 index directory") {
     // a bands/ table without the _FORMAT_v2 marker was written by the
     // pre-slimming code (band rows carry a sigs array); writing slim
