@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // extra -D flags for probe runs (e.g. pinning
   // spark.graft.shuffle.targetPartitionBytes to isolate the sized-width
-  // rule in A/B probes) without editing the build
+  // rule in A/B probes) without editing the build. LIMITATION: split on
+  // whitespace, so a -D value containing spaces breaks into bogus args
+  // — acceptable for probe-only use (every current flag is space-free)
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
     .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -53,7 +53,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timer: free the run's dead localCheckpoint blocks.
+      // Each run builds fresh checkpoints (no cross-run reuse exists to
+      // lose), but the superseded blocks are only reclaimed by
+      // ContextCleaner on DRIVER GC — on a large heap (the driver's
+      // 89 g run) GC can stay away for the whole 192×4 loop, so ~3,000
+      // dead working sets accumulate toward the storage cap and the
+      // allocation-heavy queries late in the alphabet (the mm_*/mp4_*
+      // blob family) run against a full old gen (round-20 verdict
+      // item 1). CacheManager-cached relations are NOT touched: their
+      // cross-run reuse is existing measured behavior.
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        if (r.isCheckpointed) r.unpersist(blocking = false)
+      }
+      (sec, ok)
     }
 
     // optional comma-separated subset (isolation experiments: a query's
@@ -61,28 +75,41 @@ object Bench {
     // loop-state noise — JIT/codegen/GC accumulated over 70×4 runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank means "no filter", not "nothing"
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(materialize) // warmup: JVM + codegen + parquet footers
     // a failing query must NOT enter the totals as a fast success —
     // it reports -1 and lands in "failed" so a broken build can't
     // masquerade as a perf win
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNowMs: Long = {
+      var ms = 0L
+      gcBeans.forEach(b => ms += math.max(0L, b.getCollectionTime))
+      ms
+    }
     val timings = names.map { name =>
+      val g0 = gcNowMs
       val rs = (1 to runs).map(_ => materialize(name))
       val (med, min) =
         if (rs.forall(_._2))
           (rs.map(_._1).sorted.apply(rs.length / 2), rs.map(_._1).min)
         else (-1.0, -1.0)
-      (name, med, min)
+      // GC delta across the query's timed runs (round-20 verdict item
+      // 2): attributes a per-query wall spike to collector pressure vs
+      // plan drift from the artifact alone
+      (name, med, min, gcNowMs - g0)
     }
-    val failed = timings.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-    val qs = timings.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = timings.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val qs = timings.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query MIN alongside the median: run-to-run variance on this
     // box is ~±10% (PROGRESS notes 36-44 s totals at sf0.1), so the min
     // separates a real plan regression (min moves) from scheduler noise
     // (only the median moves)
-    val qsMin = timings.map { case (k, _, m) => s"\"" + k + "\":" + m }
+    val qsMin = timings.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val qsGc = timings.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).filter(_ >= 0).sum
     // environment block: lets a future cross-round comparison attribute
@@ -107,13 +134,15 @@ object Bench {
         .map(a => "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
     }
+    // "cpus" (round-20 verdict item 7): without it an 8-core artifact
+    // is indistinguishable from a 32-core one
     val env =
-      s""""env":{"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
+      s""""env":{"cpus":$cpus,"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
       s""""heap_max_mb":${rt.maxMemory / (1024 * 1024)},""" +
       s""""gc_count":$gcCount,"gc_ms":$gcMs,"load_avg":$loadAvg,""" +
       s""""jvm":"${System.getProperty("java.version")}","jvm_args":$jvmArgs}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","runs":$runs,$env,"failed":${failed.mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_gc_ms":$qsGc,"sf":"$sfDir","runs":$runs,$env,"failed":${failed.mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // stdout gets a COMPACT line: the driver's BENCH_r*.json wrapper
     // keeps only the last 2000 chars of output, so the full 171-query
@@ -125,12 +154,12 @@ object Bench {
     // artifacts flagcheck.py reads).
     val top = timings.filter(_._2 >= 0).sortBy(-_._2).take(40)
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val qsTop = top.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qsTop = top.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsTop,""" +
       s""""queries_total":${timings.length},"queries_shown":${top.length},""" +
-      s""""full":"bench_out.json","sf":"$sfDir","runs":$runs,""" +
+      s""""full":"bench_out.json","sf":"$sfDir","runs":$runs,"cpus":$cpus,""" +
       s""""failed":${failed.mkString("[", ",", "]")}}"""
     println(compact)
     spark.stop()

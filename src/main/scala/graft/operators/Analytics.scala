@@ -673,7 +673,15 @@ object Analytics {
     * it with `df.unpersist()` on its own edges input or
     * `spark.catalog.clearCache()` — the MEMORY_AND_DISK default means
     * an unreleased graph degrades to disk, never to OOM. */
-  def pagerankOf(edges0: DataFrame, iters: Int): DataFrame = {
+  def pagerankOf(edges0: DataFrame, iters: Int): DataFrame =
+    pagerankOf(edges0, iters, materializeLast = true)
+
+  /** `materializeLast = false` keeps the FINAL round un-checkpointed so
+    * its executed plan exposes one full iteration — the test seam for
+    * the structural no-edge-shuffle pin (AnalyticsSpec). Results are
+    * identical either way; every deploy/bench path takes the default. */
+  private[graft] def pagerankOf(edges0: DataFrame, iters: Int,
+      materializeLast: Boolean): DataFrame = {
     val outw = edges0.groupBy("src").agg(sum(col("w")).as("wout"))
     val edges = edges0.join(outw, "src")
       .repartition(col("src"))
@@ -723,6 +731,7 @@ object Analytics {
     Dedup.withInitialPartitions(spark,
       Dedup.sizedShufflePartitions(spark, edgeBytes)) {
     for (r <- 1 to iters) {
+      val prev = ranks
       val contrib = edges.join(ranks, col("src") === col("node"))
         .select(col("dst"), ct.as("ct"))
         .groupBy("dst").agg(sum(col("ct")).as("inflow"))
@@ -744,13 +753,30 @@ object Analytics {
                   col("dsum").cast("decimal(38,0)") * 17L,
                   lit(nTotal * 20L).cast("decimal(38,0)"))).as("r"))
         }
-      // checkpoint bounds the lineage between rounds; the LAST round
-      // stays un-checkpointed so the returned plan exposes one full
-      // iteration for the exchange pin (execution is identical)
-      if (r < iters) ranks = ranks.localCheckpoint()
+      // checkpoint bounds the lineage between rounds — INCLUDING the
+      // last (round 20 advice): an un-checkpointed final round would
+      // execute lazily after withInitialPartitions restores the
+      // caller's conf, putting one full edge-contribution exchange
+      // back on the constant session width (the exact spill/OOM class
+      // the sizing targets) and dragging the whole iteration lineage
+      // into the returned plan (the 2,194-line supplier_pagerank dump).
+      // Materialized here, the returned plan is rank-sized blocks.
+      if (r < iters || materializeLast) {
+        // stage evidence for PlanDump: the final query plan reads the
+        // last round's blocks, so the per-round iteration plan (the
+        // one the no-edge-shuffle claim is about) is recorded here
+        if (r == 1 || r == iters)
+          graft.tools.StagePlans.record(ranks, s"pagerank/round_$r")
+        ranks = ranks.localCheckpoint()
+        // the superseded round's blocks are dead once the new round is
+        // stored — free them now (ContextCleaner only unpersists on
+        // driver GC, which a big-heap session may not run for the whole
+        // job; the connectedComponents release rule)
+        Dedup.freeLocalCheckpoint(prev)
+      }
     }
-    } // withInitialPartitions — the returned last round runs under the
-      // caller's conf (rank-sized rows)
+    } // withInitialPartitions — every round, last included, ran sized;
+      // the returned plan reads the final round's materialized blocks
     ranks
   }
 

@@ -702,10 +702,11 @@ object Dedup {
     val spark0 = docs.sparkSession
     val cand = withInitialPartitions(spark0, sizedShufflePartitions(
         spark0, TextIndex.indexBytes(spark0, indexDir))) {
-      TextIndex.dedupBatchCore(fresh, indexDir)
+      val c0 = TextIndex.dedupBatchCore(fresh, indexDir)
         .filter(col("reason") === "band")
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint(true) // candidate-sized; feeds verify + id list
+      graft.tools.StagePlans.record(c0, "incr/band_probe")
+      c0.localCheckpoint(true) // candidate-sized; feeds verify + id list
     }
     val ids = cand.select(col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_b").as("doc_id")))
@@ -821,12 +822,13 @@ object Dedup {
     // operator is eager anyway — the components loop runs jobs — so one
     // materialized pass replaces three scan+tokenize+hash subtrees (no
     // lazy-plan cache leak; measured ~25% of the query at sf0.1)
-    val hashed = tokenizedDocs(docs)
+    val hashed0 = tokenizedDocs(docs)
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
         array_sort(transform(col("toks"), tk => xxhash64(tk))).as("toks_h"),
         call_function("graft_minhash_bands", col("toks")).as("sigs"))
-      .localCheckpoint(true)
+    graft.tools.StagePlans.record(hashed0, "lsh/hashed")
+    val hashed = hashed0.localCheckpoint(true)
     val a = hashed.select(col("doc_id").as("id_a"),
       col("toks_h").as("toks_a"), col("n").as("n_a"))
     val b = hashed.select(col("doc_id").as("id_b"),
@@ -932,7 +934,13 @@ object Dedup {
     val target = spark.conf
       .get("spark.graft.shuffle.targetPartitionBytes", (2L * 1024 * 1024).toString)
       .toLong
-    val floor = spark.sessionState.conf.numShufflePartitions.toLong
+    // the TRUE session width (spark.sql.shuffle.partitions), not
+    // SQLConf.numShufflePartitions — the latter returns the AQE
+    // initialPartitionNum when coalescing is on, so a nested sizing
+    // call (connectedComponents inside clusterDocsLshCore's pinned
+    // block) would read the OUTER corpus-sized pin as its floor and
+    // could never size down to its own (smaller) edge set
+    val floor = spark.sessionState.conf.defaultNumShufflePartitions.toLong
     math.max(floor, math.min(32768L, bytes / math.max(1L, target) + 1L)).toInt
   }
 
@@ -941,7 +949,16 @@ object Dedup {
     * right-sizes DOWN per exchange (parallelismFirst keeps at least the
     * default parallelism), so a raised ceiling never fragments a small
     * shuffle — it only lets a large one use more reducers. No-op when
-    * AQE is off. */
+    * AQE is off.
+    *
+    * SINGLE-THREADED DRIVER ASSUMPTION: the pin mutates session-global
+    * conf around `body`, so a query planned concurrently on the SAME
+    * SparkSession (e.g. a streaming micro-batch overlapping a
+    * clustering call) would plan under this operator's width, and
+    * interleaved nesting from two threads can restore the wrong
+    * previous value. Every driver in this repo (Bench, Verify, PlanDump,
+    * entry()) submits queries sequentially; a concurrent caller must
+    * isolate with `SparkSession.newSession()` per thread. */
   private[graft] def withInitialPartitions[T](
       spark: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
@@ -976,11 +993,17 @@ object Dedup {
     // Local mode has the same leak in block storage; release() is its
     // twin via rdd.unpersist. Only the final round outlives the call
     // (the returned plan reads it).
-    def materializeIn(df: DataFrame, sub: String): DataFrame = checkpointDir match {
-      case Some(root) =>
-        sc.setCheckpointDir(s"$root/$callNs/$sub")
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(true)
+    def materializeIn(df: DataFrame, sub: String): DataFrame = {
+      // plan evidence for the dump tool: the final query plan reads an
+      // ExistingRDD, so the per-stage plans are recorded here (no-op
+      // unless PlanDump enables the capture conf)
+      graft.tools.StagePlans.record(df, s"cc/$sub")
+      checkpointDir match {
+        case Some(root) =>
+          sc.setCheckpointDir(s"$root/$callNs/$sub")
+          df.checkpoint(eager = true)
+        case None => df.localCheckpoint(true)
+      }
     }
     def release(df: DataFrame, sub: String): Unit = checkpointDir match {
       case Some(root) =>

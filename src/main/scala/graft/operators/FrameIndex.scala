@@ -149,8 +149,9 @@ object FrameIndex {
     val pairs = Dedup.withInitialPartitions(spark,
         Dedup.sizedShufflePartitions(spark,
           TextIndex.indexBytes(spark, dir))) {
-      dedupBatchFrom(bSigs, dir, excludeBatch, maxHamming)
-        .localCheckpoint(true) // candidate-sized; feeds two branches
+      val p0 = dedupBatchFrom(bSigs, dir, excludeBatch, maxHamming)
+      graft.tools.StagePlans.record(p0, "frame_curate/index_probe")
+      p0.localCheckpoint(true) // candidate-sized; feeds two branches
     }
     val batchIds = batch.select(col("frame_id"))
     val asB = pairs.select(col("id_b").as("frame_id"))

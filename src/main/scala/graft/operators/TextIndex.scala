@@ -379,9 +379,10 @@ object TextIndex {
     // OOMs the 8 g heap (see [[indexBytes]])
     val pairs = Dedup.withInitialPartitions(spark,
         Dedup.sizedShufflePartitions(spark, indexBytes(spark, dir))) {
-      dedupBatchFrom(bSigs, dir, excludeBatch)
+      val p0 = dedupBatchFrom(bSigs, dir, excludeBatch)
         .filter(col("id_a") =!= col("id_b"))
-        .localCheckpoint(true) // candidate-sized; feeds two branches
+      graft.tools.StagePlans.record(p0, "curate/index_probe")
+      p0.localCheckpoint(true) // candidate-sized; feeds two branches
     }
     val batchIds = batch.select(col("doc_id"))
     val asB = pairs.select(col("id_b").as("doc_id"))

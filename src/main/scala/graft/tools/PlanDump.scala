@@ -33,20 +33,45 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // capture the plans of eagerly-checkpointed SUB-STAGES too: the
+    // fixpoint families' final plans read ExistingRDDs, so the stage
+    // plans (band cascade, per-round iteration, index probe) are the
+    // only artifact that can show an algorithm change there (round-20
+    // verdict item 5)
+    spark.conf.set("spark.graft.plandump.captureStages", "true")
     Files.createDirectories(outDir)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    var failures = 0
     names.foreach { name =>
+      StagePlans.drain() // discard stages recorded by a previous failure
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(outDir.resolve(s"${name}_$suffix.txt"), txt)
-        println(s"[plandump] $name ok (${txt.length} chars)")
+        // building df ran the eager sub-stages; their recorded plans
+        // belong to this query
+        val stages = StagePlans.drain()
+        if (stages.nonEmpty) {
+          val body = stages.map { case (tag, plan) =>
+            s"== Stage: $tag ==\n$plan" }.mkString("\n")
+          Files.writeString(
+            outDir.resolve(s"${name}_stages_$suffix.txt"), body)
+        }
+        println(s"[plandump] $name ok (${txt.length} chars, " +
+          s"${stages.length} stages)")
       } catch { case e: Throwable =>
+        failures += 1
         println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a scripted dump must not silently commit an incomplete evidence
+    // set (round-20 advice)
+    if (failures > 0) {
+      System.err.println(s"[plandump] $failures queries failed to dump")
+      System.exit(1)
+    }
   }
 }

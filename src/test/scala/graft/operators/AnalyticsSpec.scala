@@ -209,18 +209,38 @@ class AnalyticsSpec extends SparkSpec {
     assert((2L to 5L).forall(s => rs(1L) > rs(s)),
       s"hub must outrank spokes: $rs")
     assert((2L to 5L).map(rs).distinct.size == 1, "spokes are symmetric")
-    // structural pin on the final (un-checkpointed) iteration: the
-    // EDGE relation is served from its cache and sits beneath NO
-    // shuffle — per round only node-sized data moves (rank table +
-    // inflow agg). String counting can't express this (the cached
-    // relation's internal build plan renders its own exchanges), so
-    // walk the executed tree, treating cache scans as leaves and
-    // descending through AQE wrappers and query stages.
+    // structural pin on one full iteration: the EDGE relation is served
+    // from its cache and sits beneath NO shuffle — per round only
+    // node-sized data moves (rank table + inflow agg). The deploy path
+    // checkpoints EVERY round (round-20 advice: the last round must run
+    // under the sized width too), so the iteration plan is inspected
+    // through the materializeLast=false test seam, whose last round is
+    // the same plan every checkpointed round executed. String counting
+    // can't express this (the cached relation's internal build plan
+    // renders its own exchanges), so walk the executed tree, treating
+    // cache scans as leaves and descending through AQE wrappers and
+    // query stages.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = Analytics.supplierPagerank(t)
-    df.collect() // finalize AQE before inspecting
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val Offset = 1000000000000L
+    val pairs = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .groupBy("c", "s").agg(count(lit(1)).as("w"))
+    val edges0 = pairs
+      .select((col("c") + Offset).as("src"), col("s").as("dst"), col("w"))
+      .unionByName(pairs.select(col("s").as("src"),
+        (col("c") + Offset).as("dst"), col("w")))
+    val df = Analytics.pagerankOf(edges0, 6, materializeLast = false)
+    val seam = df.collect() // finalize AQE before inspecting
+    // the seam computes EXACTLY what the deploy form computes — the
+    // final checkpoint is a materialization choice, not an algorithm
+    val deploy = Analytics.pagerankOf(edges0, 6).collect()
+    assert(seam.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      deploy.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "materializeLast must not change pagerank results")
     def kids(n: SparkPlan): Seq[SparkPlan] = n match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
