@@ -295,6 +295,28 @@ class SourcesSpec extends SparkSpec {
       s"expected bin-packed partitions, got ${df.rdd.getNumPartitions}")
   }
 
+  test("ebml source without an option splits by the session's file-split conf (round 21)") {
+    val dir = tmp() + "/frags_conf_split"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val frag = graft.ebml.EbmlFunctions.buildFragment(9L, 9000L, 9L, 9L, "x")
+    (0 until 40).foreach(i =>
+      Files.write(java.nio.file.Paths.get(dir, f"f$i%02d.mkv"), frag))
+    // no option ⇒ Spark's FilePartition formula applies: the
+    // minPartitionNum (= defaultParallelism) floor must fan a
+    // smaller-than-one-split archive across the cores instead of
+    // walking every payload in one task (the round-20 mm_source shape:
+    // a 63 MB/1,000-file archive read as ONE task under the old fixed
+    // 128 MB default)
+    val df = spark.read.format("ebml").load(dir)
+    assert(df.count() == 40L)
+    val parts = df.rdd.getNumPartitions
+    val par = spark.sparkContext.defaultParallelism
+    assert(parts > 1, s"conf-driven split produced a single task for 40 files")
+    assert(parts <= 40, s"more partitions than files: $parts")
+    assert(parts >= math.min(par, 40) / 2,
+      s"expected ~defaultParallelism($par) tasks, got $parts")
+  }
+
   test("dpp join: the fact scan carries an injected dynamicpruning filter and reads ONLY qualifying day dirs (H17)") {
     import org.apache.spark.sql.functions._
     val df = graft.sources.Layout.dppJoinQuery(t, sfDir)
